@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table access + oracle-parity helpers shared by every query.
+  *
+  * Oracle parity rule: the driver hash-compares our parquet output against a
+  * DuckDB run of `SparkEntry.oracleSql`. Double-precision SUMs are
+  * order-dependent, so any aggregated money column is cast to an exact
+  * DECIMAL first (`dec`), aggregated exactly, and only the final result is
+  * cast back to DOUBLE (`asDouble`). A double → DECIMAL(18,6) cast is
+  * engine-agnostic: no IEEE double lies exactly on a 1e-6 rounding boundary
+  * (denominators aren't powers of two), so Spark and DuckDB round
+  * identically regardless of tie-break mode.
+  */
+object Tables {
+  final val Names = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to microsecond timestamps —
+    * the same truncation DuckDB applies, so oracle comparisons line up. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Exact-arithmetic staging for a double measure column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Final cast back to double so Spark and DuckDB agree on output type. */
+  def asDouble(c: Column): Column = c.cast("double")
+
+  /** SQL-side equivalents for oracle strings. */
+  def decSql(expr: String): String = s"CAST($expr AS DECIMAL(18,6))"
+}
