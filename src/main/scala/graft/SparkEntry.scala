@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{KvSurface, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,6 +26,19 @@ object SparkEntry {
     "distinct_agg" -> (Relational.distinctAgg _),
     "rollup_agg" -> (Relational.rollupAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    // SURVEY §2.1 client-op analogs
+    "kv_get_point" -> (KvSurface.kvGetPoint _),
+    "kv_getall_keys" -> (KvSurface.kvGetallKeys _),
+    "all_users" -> (KvSurface.allUsers _),
+    "get_profile" -> (KvSurface.getProfile _),
+    "reg_insert_if_absent" -> (KvSurface.regInsertIfAbsent _),
+    "auth_semijoin" -> (KvSurface.authSemijoin _),
+    "kv_upsert_fold" -> (KvSurface.kvUpsertFold _),
+    "kv_delete_fold" -> (KvSurface.kvDeleteFold _),
+    "mru_topk" -> (KvSurface.mruTopk _),
+    "quota_window" -> (KvSurface.quotaWindow _),
+    "mr_all_keys" -> (KvSurface.mrAllKeys _),
+    "mr_odd_key_vals" -> (KvSurface.mrOddKeyVals _),
   )
 
   /** DuckDB-runnable ANSI SQL per query key (same column names!). */
@@ -39,5 +52,17 @@ object SparkEntry {
     "distinct_agg" -> Relational.distinctAggSql,
     "rollup_agg" -> Relational.rollupAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
+    "kv_get_point" -> KvSurface.kvGetPointSql,
+    "kv_getall_keys" -> KvSurface.kvGetallKeysSql,
+    "all_users" -> KvSurface.allUsersSql,
+    "get_profile" -> KvSurface.getProfileSql,
+    "reg_insert_if_absent" -> KvSurface.regInsertIfAbsentSql,
+    "auth_semijoin" -> KvSurface.authSemijoinSql,
+    "kv_upsert_fold" -> KvSurface.kvUpsertFoldSql,
+    "kv_delete_fold" -> KvSurface.kvDeleteFoldSql,
+    "mru_topk" -> KvSurface.mruTopkSql,
+    "quota_window" -> KvSurface.quotaWindowSql,
+    "mr_all_keys" -> KvSurface.mrAllKeysSql,
+    "mr_odd_key_vals" -> KvSurface.mrOddKeyValsSql,
   )
 }

@@ -1,0 +1,197 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Path
+import scala.util.Random
+
+/** Engine configuration (ref: server CLI options -u -d -r -i -o -a,
+  * p5/server/server.cc:40-82; defaults :24-31). */
+final case class EngineOptions(
+    upQuota: Long = 1048576,
+    downQuota: Long = 1048576,
+    reqQuota: Long = 16,
+    quotaDurSec: Double = 60.0,
+    topSize: Int = 4,
+    admin: String = "admin",
+    dataDir: Option[Path] = None,
+    clock: () => Double = () => System.nanoTime() / 1e9,
+    rng: Random = new Random())
+
+/** The facade: one method per client-visible op of SURVEY §2.1, preserving
+  * the reference's result codes, error precedence, quota-charging matrix and
+  * MRU touch points exactly (ref orderings: p4/server/my_storage.cc:180-509).
+  *
+  * Charging matrix (ref: p4/server/my_storage.cc; SURVEY §2.4):
+  *  - KVI/KVU: requests+1 AND uploads+len(val), charged before the op;
+  *    request violation outranks upload violation (:198-205).
+  *  - KVG/KVA/KVT: requests+1 AND downloads+len(result) — download bytes are
+  *    charged for the value actually read even when the verdict then fails
+  *    (:242-286).
+  *  - KVD: requests+1 only (:300-309).
+  *  - KVF/KMR: quota-exempt (ref: p5/README.md:105).
+  */
+final class Engine(val spark: SparkSession,
+    val opts: EngineOptions = EngineOptions()) {
+  import Codes._
+
+  val auth = new AuthStore(spark, opts.rng)
+  val kv = new KvStore(spark, opts.dataDir)
+  val mru = new MruTracker(opts.topSize)
+  val quotas = new QuotaGuard(opts.upQuota, opts.downQuota, opts.reqQuota,
+    opts.quotaDurSec, opts.clock)
+  val funcs = new FuncTable
+
+  // ---- auth table ops (REG/SET/GET/ALL; ref p1/p3) ----
+
+  def register(user: String, pass: String): Result = {
+    val r = auth.addUser(user, pass)
+    if (r.succeeded) quotas.register(user)
+    r
+  }
+
+  def setProfile(user: String, pass: String, content: Array[Byte]): Result =
+    auth.setUserData(user, pass, content)
+
+  def getProfile(user: String, pass: String, who: String): Result =
+    auth.getUserData(user, pass, who)
+
+  def allUsers(user: String, pass: String): Result =
+    auth.getAllUsers(user, pass)
+
+  // ---- KV ops (KVI/KVG/KVD/KVU/KVA/KVT; ref p4/server/my_storage.cc) ----
+
+  /** KVI (ref :180-233): quota errors precede ERR_KEY; MRU-touch on success. */
+  def kvInsert(user: String, pass: String, key: String,
+      value: Array[Byte]): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    if (key.isEmpty || key.length > LEN_KEY || value.isEmpty ||
+      value.length > LEN_VAL) return Result(false, ERR_REQ_FMT)
+    val q = quotas.of(user)
+    val upOk = q.uploads.checkAdd(value.length.toLong)
+    val reqOk = q.requests.checkAdd(1)
+    if (!reqOk) Result(false, ERR_QUOTA_REQ)
+    else if (!upOk) Result(false, ERR_QUOTA_UP)
+    else if (!kv.insert(key, value)) Result(false, ERR_KEY)
+    else { mru.insert(key); Result(true, OK) }
+  }
+
+  /** KVG (ref :242-286): value is read (and its bytes charged) before the
+    * quota verdict; request error > download error > ERR_KEY. */
+  def kvGet(user: String, pass: String, key: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    val content = kv.get(key)
+    val q = quotas.of(user)
+    val downOk = q.downloads.checkAdd(content.map(_.length.toLong).getOrElse(0L))
+    val reqOk = q.requests.checkAdd(1)
+    if (!reqOk) Result(false, ERR_QUOTA_REQ)
+    else if (!downOk) Result(false, ERR_QUOTA_DOWN)
+    else content match {
+      case None => Result(false, ERR_KEY)
+      case Some(v) => mru.insert(key); Result(true, OK, v)
+    }
+  }
+
+  /** KVD (ref :295-331): requests-only charge; MRU-remove on success. */
+  def kvDelete(user: String, pass: String, key: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    if (!quotas.of(user).requests.checkAdd(1)) Result(false, ERR_QUOTA_REQ)
+    else if (kv.remove(key)) { mru.remove(key); Result(true, OK) }
+    else Result(false, ERR_KEY)
+  }
+
+  /** KVU (ref :343-417): OK_INSERT vs OK_UPDATE by pre-image existence. */
+  def kvUpsert(user: String, pass: String, key: String,
+      value: Array[Byte]): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    if (key.isEmpty || key.length > LEN_KEY || value.isEmpty ||
+      value.length > LEN_VAL) return Result(false, ERR_REQ_FMT)
+    val q = quotas.of(user)
+    val upOk = q.uploads.checkAdd(value.length.toLong)
+    val reqOk = q.requests.checkAdd(1)
+    if (!reqOk) Result(false, ERR_QUOTA_REQ)
+    else if (!upOk) Result(false, ERR_QUOTA_UP)
+    else {
+      val inserted = kv.upsert(key, value)
+      mru.insert(key)
+      Result(true, if (inserted) OK_INSERT else OK_UPDATE)
+    }
+  }
+
+  /** KVA (ref :425-464): newline key list; ERR_NO_DATA on empty table;
+    * download charge on the rendered byte size. */
+  def kvAll(user: String, pass: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    val rendered = kv.keys.mkString("\n").getBytes("UTF-8")
+    val q = quotas.of(user)
+    val downOk = q.downloads.checkAdd(rendered.length.toLong)
+    val reqOk = q.requests.checkAdd(1)
+    if (!reqOk) Result(false, ERR_QUOTA_REQ)
+    else if (!downOk) Result(false, ERR_QUOTA_DOWN)
+    else if (rendered.isEmpty) Result(false, ERR_NO_DATA)
+    else Result(true, OK, rendered)
+  }
+
+  /** KVT (ref :473-509): MRU contents, most-recent-first (order contractual). */
+  def kvTop(user: String, pass: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    val rendered = mru.get().getBytes("UTF-8")
+    val q = quotas.of(user)
+    val downOk = q.downloads.checkAdd(rendered.length.toLong)
+    val reqOk = q.requests.checkAdd(1)
+    if (!reqOk) Result(false, ERR_QUOTA_REQ)
+    else if (!downOk) Result(false, ERR_QUOTA_DOWN)
+    else if (rendered.isEmpty) Result(false, ERR_NO_DATA)
+    else Result(true, OK, rendered)
+  }
+
+  // ---- map/reduce ops (KVF/KMR; ref p5/server/my_storage.cc:245-415) ----
+
+  /** KVF: admin-only registration; quota-exempt. */
+  def registerFunc(user: String, pass: String, name: String,
+      jarBytes: Array[Byte]): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) a
+    else if (user != opts.admin) Result(false, ERR_LOGIN)
+    else funcs.registerJar(name, jarBytes)
+  }
+
+  /** KVF catalog path: register an in-process function pair (admin-only). */
+  def registerBuiltin(user: String, pass: String, name: String,
+      fn: MapReduceFn): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) a
+    else if (user != opts.admin) Result(false, ERR_LOGIN)
+    else funcs.register(name, fn)
+  }
+
+  /** KMR: any authenticated user; ERR_FUNC on unknown name; ERR_NO_DATA on
+    * empty store (ref: p5/common/protocol.h:445-469); UDF failure →
+    * ERR_SERVER with the engine surviving. Quota-exempt. */
+  def invokeMr(user: String, pass: String, name: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) return a
+    funcs.get(name) match {
+      case None => Result(false, ERR_FUNC)
+      case Some(fn) =>
+        if (kv.isEmpty) Result(false, ERR_NO_DATA)
+        else MapReduce.run(kv.view, fn)
+    }
+  }
+
+  /** SAV (ref: p3/server/my_storage.cc:505-565): authenticated compaction. */
+  def save(user: String, pass: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) a
+    else { kv.save(); Result(true, OK) }
+  }
+
+  /** BYE analog: release UDF loaders; leaves the SparkSession to the caller
+    * (ref shutdown: p5/server/my_storage.cc:421-424). */
+  def shutdown(): Unit = funcs.close()
+}

@@ -1,0 +1,179 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.Base64
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** One row of THE analytics table (ref: kv_store `Map<string, vector<uint8_t>>`,
+  * p5/server/my_storage.cc:32). */
+final case class KV(key: String, value: Array[Byte])
+
+/** Log-structured mutable KV table over immutable Spark Datasets.
+  *
+  * Architecture (SURVEY.md §1.4, §7.1): current table = parquet snapshot ∪
+  * delta memtable, folded last-writer-wins with tombstones. This is the
+  * standard LSM shape a Spark-native mutable table takes at scale:
+  *
+  *  - the SNAPSHOT is distributed parquet — at 100 TB it is the bulk of the
+  *    data and is only ever scanned/written by the cluster, never collected;
+  *  - the MEMTABLE holds ops since the last compaction. It is bounded by
+  *    compaction cadence (SAV), exactly like the reference's append-only redo
+  *    log between compactions (ref: p3/server/format.h:101-111);
+  *  - `view` shadows snapshot rows via a broadcast anti-join on the (small)
+  *    delta key set — no shuffle of the big side;
+  *  - the WAL (`logPath`) is an append-only JSON-lines redo log, fsync'd per
+  *    mutation before the op returns (ref: p3/server/my_storage.cc:303-304),
+  *    replayed at boot (ref load_file: p3/server/my_storage.cc:573-702);
+  *  - `save()` = write folded view to a tmp dir, atomic rename, truncate log
+  *    (ref SAV compaction: p3/server/my_storage.cc:505-565).
+  *
+  * Point reads prefer the memtable and fall back to a pushed-down parquet
+  * point lookup on the snapshot (predicate pushdown; at scale this is a
+  * key-partitioned/bucketed scan, not a full pass).
+  */
+final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
+  import spark.implicits._
+
+  /** delta since last compaction: key -> Some(value) | None (tombstone) */
+  private val mem = mutable.LinkedHashMap.empty[String, Option[Array[Byte]]]
+  private var snapshot: Option[DataFrame] = None
+  private val snapDir = dataDir.map(_.resolve("kv_snapshot"))
+  private val logPath = dataDir.map(_.resolve("kv_wal.jsonl"))
+
+  // boot: load snapshot then replay WAL (ref: p3/server/my_storage.cc:573-702)
+  dataDir.foreach { _ =>
+    snapDir.filter(Files.exists(_)).foreach { d =>
+      snapshot = Some(spark.read.parquet(d.toString))
+    }
+    logPath.filter(Files.exists(_)).foreach { p =>
+      Files.readAllLines(p).asScala.foreach(replayLine)
+    }
+  }
+
+  private def replayLine(line: String): Unit = {
+    // format: OP\tbase64(key)[\tbase64(value)]
+    val parts = line.split("\t", -1)
+    val key = new String(Base64.getDecoder.decode(parts(1)), "UTF-8")
+    parts(0) match {
+      case "PUT" => mem.update(key, Some(Base64.getDecoder.decode(parts(2))))
+      case "DEL" => mem.update(key, None)
+      case _ => ()
+    }
+  }
+
+  private def logOp(op: String, key: String, value: Option[Array[Byte]]): Unit =
+    logPath.foreach { p =>
+      val enc = Base64.getEncoder
+      val k = enc.encodeToString(key.getBytes("UTF-8"))
+      val line = value match {
+        case Some(v) => s"$op\t$k\t${enc.encodeToString(v)}\n"
+        case None => s"$op\t$k\n"
+      }
+      Files.writeString(p, line, StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND, StandardOpenOption.SYNC)
+    }
+
+  private def snapshotHas(key: String): Boolean =
+    snapshot.exists(!_.filter(col("key") === key).isEmpty)
+
+  private def snapshotGet(key: String): Option[Array[Byte]] =
+    snapshot.flatMap(_.filter(col("key") === key).select("value")
+      .as[Array[Byte]].collect().headOption)
+
+  /** Bulk ingest: adopt a distributed Dataset as the table snapshot — the
+    * scale path for loading an existing corpus (no per-row WAL; the snapshot
+    * itself is the durable form, as after a SAV). */
+  def ingest(df: Dataset[KV]): Unit = synchronized {
+    snapshot = Some(df.toDF())
+  }
+
+  /** insert-if-absent; false if key already present (ref map.h:30). */
+  def insert(key: String, value: Array[Byte]): Boolean = synchronized {
+    if (exists(key)) false
+    else { mem.update(key, Some(value)); logOp("PUT", key, Some(value)); true }
+  }
+
+  /** upsert; returns true when it was an insert (ref map.h:43-44). */
+  def upsert(key: String, value: Array[Byte]): Boolean = synchronized {
+    val wasAbsent = !exists(key)
+    mem.update(key, Some(value)); logOp("PUT", key, Some(value))
+    wasAbsent
+  }
+
+  def remove(key: String): Boolean = synchronized {
+    if (!exists(key)) false
+    else { mem.update(key, None); logOp("DEL", key, None); true }
+  }
+
+  def get(key: String): Option[Array[Byte]] = synchronized {
+    mem.get(key) match {
+      case Some(v) => v // Some(bytes) live, None tombstoned
+      case None => snapshotGet(key)
+    }
+  }
+
+  def exists(key: String): Boolean = synchronized {
+    mem.get(key) match {
+      case Some(v) => v.isDefined
+      case None => snapshotHas(key)
+    }
+  }
+
+  def isEmpty: Boolean = synchronized {
+    mem.valuesIterator.forall(_.isEmpty) && snapshot.forall { s =>
+      // empty iff every snapshot key is tombstoned in mem
+      val dead = mem.collect { case (k, None) => k }.toSet
+      if (dead.isEmpty) s.isEmpty
+      else s.select("key").as[String].collect().forall(dead.contains)
+    }
+  }
+
+  /** The folded, current table as a typed Dataset — the input to every
+    * analytics operator (KMR, KVA, dedup, ...). Snapshot rows shadowed by
+    * delta keys are dropped via broadcast anti-join (delta is small by
+    * construction); live delta rows are unioned on top. */
+  def view: Dataset[KV] = synchronized {
+    val live = mem.collect { case (k, Some(v)) => KV(k, v) }.toSeq
+    val touched = mem.keys.toSeq
+    (snapshot, touched) match {
+      case (None, _) => spark.createDataset(live)
+      case (Some(s), Nil) => s.as[KV]
+      case (Some(s), keys) =>
+        val touchedDf = broadcast(keys.toDF("key"))
+        s.join(touchedDf, Seq("key"), "left_anti").as[KV]
+          .unionByName(spark.createDataset(live))
+    }
+  }
+
+  def keys: Seq[String] = view.select("key").as[String].collect().toSeq
+
+  /** SAV: compact to a fresh snapshot — write tmp, atomic rename, truncate
+    * WAL (ref: p3/server/my_storage.cc:505-565, format.h:101-103). */
+  def save(): Unit = synchronized {
+    snapDir.foreach { d =>
+      val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
+      view.write.mode("overwrite").parquet(tmp.toString)
+      snapshot = None
+      deleteRecursively(d)
+      Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+      logPath.foreach(Files.deleteIfExists(_))
+      mem.clear()
+      snapshot = Some(spark.read.parquet(d.toString))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+
+  def clear(): Unit = synchronized {
+    mem.clear(); snapshot = None
+    logPath.foreach(Files.deleteIfExists(_))
+    snapDir.foreach(deleteRecursively)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Ports the p2 suite's KV + persistence assertions (ref: p5/scripts/p2.py:28-99)
+  * and p3's replay/compaction semantics (logical, our own log format —
+  * SURVEY §5 carry-over note). */
+class EngineKvSpec extends AnyFunSuite with SparkSpec {
+  import Codes._
+
+  def mkEngine(opts: EngineOptions = EngineOptions()): Engine = {
+    val e = new Engine(spark, opts)
+    e.register("alice", "pw")
+    e
+  }
+  def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("KVI/KVG roundtrip; duplicate insert ERR_KEY; missing key ERR_KEY") {
+    val e = mkEngine()
+    assert(e.kvInsert("alice", "pw", "k1", b("v1")) == Result(true, OK))
+    val got = e.kvGet("alice", "pw", "k1")
+    assert(got.succeeded && got.dataUtf8 == "v1")
+    assert(e.kvInsert("alice", "pw", "k1", b("other")).msg == ERR_KEY)
+    assert(e.kvGet("alice", "pw", "nope").msg == ERR_KEY)
+  }
+
+  test("KVU: OK_INSERT then OK_UPDATE; value actually replaced") {
+    val e = mkEngine()
+    assert(e.kvUpsert("alice", "pw", "k1", b("v1")).msg == OK_INSERT)
+    assert(e.kvUpsert("alice", "pw", "k1", b("v2")).msg == OK_UPDATE)
+    assert(e.kvGet("alice", "pw", "k1").dataUtf8 == "v2")
+  }
+
+  test("KVD: delete then ERR_KEY on re-delete and on get") {
+    val e = mkEngine()
+    e.kvInsert("alice", "pw", "k1", b("v1"))
+    assert(e.kvDelete("alice", "pw", "k1").succeeded)
+    assert(e.kvDelete("alice", "pw", "k1").msg == ERR_KEY)
+    assert(e.kvGet("alice", "pw", "k1").msg == ERR_KEY)
+    // reinsert after delete is a fresh insert
+    assert(e.kvInsert("alice", "pw", "k1", b("v2")).succeeded)
+    assert(e.kvGet("alice", "pw", "k1").dataUtf8 == "v2")
+  }
+
+  test("KVA: sorted key list matches; empty store is ERR_NO_DATA") {
+    val e = mkEngine()
+    assert(e.kvAll("alice", "pw").msg == ERR_NO_DATA)
+    Seq("k1", "k2", "k3").foreach(k => e.kvInsert("alice", "pw", k, b(k)))
+    val all = e.kvAll("alice", "pw")
+    assert(all.dataUtf8.split("\n").sorted.toSeq == Seq("k1", "k2", "k3"))
+  }
+
+  test("binary values survive byte-exact") {
+    val e = mkEngine()
+    val blob = Array.tabulate[Byte](4096)(i => (i * 31 % 251).toByte)
+    e.kvInsert("alice", "pw", "bin", blob)
+    assert(e.kvGet("alice", "pw", "bin").data.sameElements(blob))
+  }
+
+  test("all KV ops require auth") {
+    val e = mkEngine()
+    assert(e.kvInsert("alice", "bad", "k", b("v")).msg == ERR_LOGIN)
+    assert(e.kvGet("alice", "bad", "k").msg == ERR_LOGIN)
+    assert(e.kvUpsert("alice", "bad", "k", b("v")).msg == ERR_LOGIN)
+    assert(e.kvDelete("alice", "bad", "k").msg == ERR_LOGIN)
+    assert(e.kvAll("alice", "bad").msg == ERR_LOGIN)
+  }
+
+  test("WAL replay: mutations survive an engine restart (ref p2.py restart-reload)") {
+    val dir = Files.createTempDirectory("graft-kv-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    e1.kvInsert("alice", "pw", "k1", b("v1"))
+    e1.kvInsert("alice", "pw", "k2", b("v2"))
+    e1.kvUpsert("alice", "pw", "k1", b("v1b"))
+    e1.kvDelete("alice", "pw", "k2")
+    // fresh engine over the same dataDir replays the WAL
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1b")
+    assert(e2.kvGet("alice", "pw", "k2").msg == ERR_KEY)
+  }
+
+  test("SAV compaction: snapshot + truncated WAL; state identical after reload") {
+    val dir = Files.createTempDirectory("graft-sav-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    (1 to 8).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
+    e1.kvDelete("alice", "pw", "k3")
+    assert(e1.save("alice", "pw").succeeded)
+    // WAL truncated by compaction (ref: format.h:101-103)
+    assert(!Files.exists(dir.resolve("kv_wal.jsonl")) ||
+      Files.size(dir.resolve("kv_wal.jsonl")) == 0)
+    // post-SAV mutations go to the fresh WAL and replay over the snapshot
+    e1.kvUpsert("alice", "pw", "k1", b("v1b"))
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1b")
+    assert(e2.kvGet("alice", "pw", "k3").msg == ERR_KEY)
+    assert(e2.kvGet("alice", "pw", "k8").dataUtf8 == "v8")
+    assert(e2.kvAll("alice", "pw").dataUtf8.split("\n").sorted.length == 7)
+  }
+
+  test("view folds snapshot + delta with last-writer-wins") {
+    val dir = Files.createTempDirectory("graft-view-")
+    val e = mkEngine(EngineOptions(dataDir = Some(dir)))
+    (1 to 5).foreach(i => e.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
+    e.save("alice", "pw")
+    e.kvUpsert("alice", "pw", "k2", b("v2new"))
+    e.kvDelete("alice", "pw", "k4")
+    val rows = e.kv.view.collect().map(r => r.key -> new String(r.value, "UTF-8")).toMap
+    assert(rows == Map("k1" -> "v1", "k2" -> "v2new", "k3" -> "v3", "k5" -> "v5"))
+  }
+}
