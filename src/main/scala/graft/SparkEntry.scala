@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{KvSurface, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +40,18 @@ object SparkEntry {
     "quota_window" -> (KvSurface.quotaWindow _),
     "mr_all_keys" -> (KvSurface.mrAllKeys _),
     "mr_odd_key_vals" -> (KvSurface.mrOddKeyVals _),
+    // training-data pipeline operators (builder brief)
+    "text_stats" -> (TextAnalysis.textStats _),
+    "lang_detect" -> (TextAnalysis.langDetect _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "ann_cosine_topk" -> (Similarity.annBruteForce _),
+    "ann_lsh" -> (Similarity.annLsh _),
+    "embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
   )
 
   /** DuckDB-runnable ANSI SQL per query key (same column names!). */
@@ -64,5 +77,15 @@ object SparkEntry {
     "quota_window" -> KvSurface.quotaWindowSql,
     "mr_all_keys" -> KvSurface.mrAllKeysSql,
     "mr_odd_key_vals" -> KvSurface.mrOddKeyValsSql,
+    "text_stats" -> TextAnalysis.textStatsSql,
+    "lang_detect" -> TextAnalysis.langDetectSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "ann_cosine_topk" -> Similarity.annBruteForceSql,
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh / embedding_neardup /
+    // multimodal_features: hash/LSH internals aren't DuckDB-expressible →
+    // driver records the weaker rows-only check; ScalaTest verifies recall
+    // against the exact operators instead.
   )
 }

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Deduplication operators for the training-data pipeline: exact, character
+  * n-gram Jaccard, MinHash+LSH, SimHash. All are pure DataFrame pipelines
+  * (codegen'd built-ins, deterministic hashes) designed for the 100 TB
+  * shape:
+  *
+  *  - exact dedup is one hash-groupBy — a single shuffle on the fingerprint;
+  *  - pairwise Jaccard is the VERIFICATION primitive, intentionally bounded
+  *    to an explicit candidate subset (all-pairs is O(n²) and must never run
+  *    unbounded at scale);
+  *  - MinHash+LSH is the scale path: signatures are one groupBy over
+  *    exploded shingles, banding turns near-dup search into an equi-join on
+  *    (band, bandHash) — the classic shuffle-bounded formulation;
+  *  - SimHash gives a 64-bit per-doc sketch; near-dup pairs come from
+  *    16-bit chunk banding (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text with the keeper
+    * (min doc_id) and the duplicate count. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Character-trigram sets per doc, doc_id-bounded (candidate universe). */
+  private def grams(spark: SparkSession, dir: String, cap: Int): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
+        .as("gram"))
+
+  /** n-gram Jaccard near-dup pairs (≥ 0.7) among the first 200 docs —
+    * the exact-verification primitive (gram equi-join, group, ratio). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = grams(spark, dir, 200)
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = g.as("a")
+      .join(g.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("s1.sz") + col("s2.sz") - col("i")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+      |                                        i -> text[i:i+2]))) AS gram
+      |  FROM documents WHERE doc_id < 200),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.7""".stripMargin
+
+  final val MinhashK = 16
+  final val Bands = 4 // 4 bands × 4 rows
+
+  /** MinHash signatures (K deterministic xxhash64 permutations over
+    * trigrams) — one groupBy over the exploded gram table. */
+  def minhashSignatures(spark: SparkSession, dir: String, cap: Int = Int.MaxValue): DataFrame = {
+    val g = t(spark, dir, "documents")
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
+        .as("gram"))
+    val mins = (0 until MinhashK).map(i =>
+      min(xxhash64(concat(col("gram"), lit(s"#$i")))).as(s"h$i"))
+    g.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup candidates with estimated Jaccard ≥ 0.5:
+    * band → bucket equi-join → per-pair signature agreement. This is the
+    * operator that replaces pairwise Jaccard at scale (no cross join
+    * anywhere; shuffles only on band buckets and doc ids). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val r = MinhashK / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"s1.h$i") === col(s"s2.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("est_jaccard", agree.cast("double") / MinhashK)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash per document over token hashes: per-bit signed vote,
+    * assembled with shift/or — fully columnar. */
+  def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    voted.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming ≤ 6 via 16-bit chunk banding
+    * (equi-join on chunks — every hamming≤3 pair is guaranteed caught;
+    * ≤6 caught with high probability; exact hamming then filters). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sk = simhashSketch(spark, dir).cache()
+    val chunks = sk.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+          .as("ch"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c"), col("cc.ch"))
+    chunks.as("x").join(chunks.as("y"), Seq("c", "ch"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.RollingHash.rolling_hash
+
+/** Text analysis for the training-data pipeline (builder brief): language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * All fully columnar/codegen'd — no UDFs — so they survive 100 TB.
+  *
+  * Determinism notes for the DuckDB oracles: token split is a literal
+  * single-space split; ratios divide exact ints in double; the composite
+  * quality score is written with identical association order in both
+  * engines, so results are bit-equal.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "on")
+  private def sqlSet(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document stats: chars, tokens, average token length, stopword
+    * ratio, punctuation ratio, and a composite quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("token_count", size(col("tokens")).cast("long"))
+      .withColumn("stop_hits",
+        size(expr(s"filter(tokens, x -> x IN (${sqlSet(Stopwords)}))")).cast("long"))
+      .withColumn("punct_chars",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        col("token_count"),
+        (length(regexp_replace(col("text"), " ", ""))
+          .cast("double") / col("token_count")).as("avg_token_len"),
+        (col("stop_hits").cast("double") / col("token_count")).as("stopword_ratio"),
+        (col("punct_chars").cast("double") / length(col("text"))).as("punct_ratio"),
+        (lit(0.4) * (col("stop_hits").cast("double") / col("token_count")) +
+          lit(0.3) * least(lit(1.0), col("token_count").cast("double") / lit(100.0)) +
+          lit(0.3) * (lit(1.0) - col("punct_chars").cast("double") / length(col("text"))))
+          .as("quality_score"))
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlSet(Stopwords)}))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlSet(Stopwords)}))) AS DOUBLE)
+       |           / len(string_split(text, ' '))) +
+       |  0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) +
+       |  0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |           / length(text)) AS quality_score
+       |FROM documents""".stripMargin
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Language-ID heuristic: stopword-marker hit counts per language with a
+    * fixed-priority argmax. (The testdata's `lang` labels are synthetic —
+    * the operator's contract is the deterministic heuristic itself.) */
+  def langDetect(spark: SparkSession, dir: String): DataFrame = {
+    val withHits = Markers.foldLeft(
+      t(spark, dir, "documents")
+        .withColumn("tokens", split(col("text"), " "))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"${lang}_hits",
+          size(expr(s"filter(tokens, x -> x IN (${sqlSet(words)}))")).cast("long"))
+    }
+    val langs = Markers.map(_._1)
+    val predicted = Markers.init.zipWithIndex.foldRight(
+      lit(langs.last): org.apache.spark.sql.Column) { case (((lang, _), i), els) =>
+      val later = langs.drop(i + 1)
+      val cond = later.map(o => col(s"${lang}_hits") >= col(s"${o}_hits"))
+        .reduce(_ && _)
+      when(cond, lit(lang)).otherwise(els)
+    }
+    withHits.select(col("doc_id") +: langs.map(l => col(s"${l}_hits")) :+
+      predicted.as("predicted_lang"): _*)
+  }
+
+  val langDetectSql: String = {
+    val hits = Markers.map { case (lang, words) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlSet(words)}))) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n  ")
+    val langs = Markers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1).map(o => s"${lang}_hits >= ${o}_hits")
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"${l}_hits").mkString(", ")},
+       |  CASE $cases ELSE '${langs.last}' END AS predicted_lang
+       |FROM (SELECT doc_id,
+       |  $hits
+       |FROM documents)""".stripMargin
+  }
+
+  /** Document fingerprints: md5 content hash + the native [[RollingHash]]
+    * Catalyst expression (codegen'd polynomial hash over code points). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_md5"),
+        rolling_hash(col("text")).as("fp_roll"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text)+1),
+      |                   i -> CAST(unicode(text[i]) AS BIGINT))),
+      |    (a, b) -> (a*31 + b) % 1000000007) AS fp_roll
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.RollingHash
+
+/** Verifies the operators whose internals (seeded-hash LSH) have no DuckDB
+  * oracle: approximate results are checked against their exact in-repo
+  * baselines (recall / superset properties), on sf0.001. */
+class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("rolling_hash expression: codegen result matches the Scala fold") {
+    import spark.implicits._
+    val texts = Seq("key agg row", "", "héllo wörld", "漢字テキスト", "a")
+    val got = texts.toDF("text")
+      .select(RollingHash.rolling_hash(col("text"))).as[Long].collect()
+    assert(got.toSeq == texts.map(RollingHash.eval))
+    // interpreted (non-codegen) path agrees too
+    val interp = RollingHash(
+      org.apache.spark.sql.catalyst.expressions.Literal("key agg row")).eval(null)
+    assert(interp == RollingHash.eval("key agg row"))
+  }
+
+  test("minhash-LSH candidates cover all high-Jaccard pairs (recall vs exact)") {
+    // exact trigram-jaccard pairs at >= 0.7 among first 200 docs
+    val exact = Dedup.dedupNgramJaccard(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.dedupMinhashLsh(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed true near-dups: ${exact.diff(lsh)}")
+  }
+
+  test("minhash estimate correlates: est_jaccard high for exact dups") {
+    val est = Dedup.dedupMinhashLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    exact.foreach { case (pair, j) =>
+      assert(est(pair) >= j - 0.35, s"estimate too low for $pair (true $j)")
+    }
+  }
+
+  test("simhash: near-dup pairs have small hamming; includes planted dups") {
+    val exact = Dedup.dedupNgramJaccard(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.dedupSimhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    sim.foreach { case (_, h) => assert(h <= 6) }
+    val simPairs = sim.map(_._1).toSet
+    // simhash is an approximation of trigram jaccard — require >= 80%
+    // recall of the exact near-dup pairs, not totality
+    val recall = exact.count(simPairs.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall; missed ${exact.diff(simPairs)}")
+  }
+
+  test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
+    // NOTE: the synthetic embeddings are near-random unit vectors (best
+    // cosine ≈ 0.33), so no LSH can promise top-10 recall here; the
+    // operator's contract is (a) candidates are re-ranked by EXACT cosine,
+    // (b) ordered descending, (c) the candidate set is cosine-biased
+    // relative to the corpus.
+    val lsh = Similarity.annLsh(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty && lsh.length <= 10)
+    assert(lsh.map(_._2).toSeq == lsh.map(_._2).sorted.reverse.toSeq)
+    // exact cosines for the LSH-returned ids must match a brute recompute
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val ids = lsh.map(_._1).toSet
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()(0).getSeq[Double](0).toArray
+    val check = emb.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val d = v.zip(qv).map { case (a, b) => a * b }.sum
+        val cos = d / (math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(qv.map(x => x * x).sum))
+        r.getLong(0) -> cos
+      }.toMap
+    lsh.foreach { case (id, c) =>
+      assert(math.abs(check(id) - c) < 1e-9, s"cosine mismatch for $id")
+    }
+    // bias: mean cosine of the LSH picks is well above the ~0 corpus mean
+    val mean = lsh.map(_._2).sum / lsh.length
+    assert(mean > 0.03, s"LSH set shows no cosine bias (mean=$mean)")
+  }
+
+  test("embedding_neardup: every reported pair verifies at cosine >= 0.95") {
+    val pairs = Similarity.embeddingNearDup(spark, dir).collect()
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
+  }
+
+  test("multimodal: binary plumbing — schema, decode stub, per-type aggregates") {
+    val feats = Multimodal.extractFeatures(Multimodal.assets(spark, dir))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.width >= 64 && f.width < 256)
+      assert(f.height >= 64 && f.height < 256)
+      assert(f.channels >= 1 && f.channels <= 3)
+      assert(f.n_bytes > 0 && f.feat_mean > 0)
+    }
+    // deterministic: same payload -> same features
+    val again = Multimodal.extractFeatures(Multimodal.assets(spark, dir))
+      .collect()
+    assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+    val agg = Multimodal.multimodalFeatures(spark, dir).collect()
+    assert(agg.map(_.getLong(1)).sum == 500)
+  }
+}
