@@ -76,8 +76,11 @@ object Dedup {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.7""".stripMargin
 
-  final val MinhashK = 16
-  final val Bands = 4 // 4 bands × 4 rows
+  // 6 bands × 4 rows: keeps per-band selectivity high (r=4) against this
+  // corpus's high background trigram similarity while P(catch | j≥0.7) ≈ 0.8
+  // and ≥ 0.95 at j≥0.8; more bands = better recall at equal join cost.
+  final val MinhashK = 24
+  final val Bands = 6
 
   /** MinHash signatures (K deterministic xxhash64 permutations over
     * trigrams) — one groupBy over the exploded gram table. */
@@ -87,8 +90,10 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
         .as("gram"))
+    // multi-arg xxhash64 mixes the permutation index without a string
+    // concat allocation per (row × permutation)
     val mins = (0 until MinhashK).map(i =>
-      min(xxhash64(concat(col("gram"), lit(s"#$i")))).as(s"h$i"))
+      min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
     g.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 

@@ -63,69 +63,87 @@ object Similarity {
 
   final val Tables = 4 // OR-amplification: candidate if any table agrees
   final val PlanesPerTable = 6 // 64 buckets per table
+  final val Dims = 64
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): xxhash64-derived value in [-1, 1) — stateless, reproducible on
-    * any executor, no RNG broadcast needed. */
-  private def planeComponent(tbl: Int, p: Int, d: Column): Column =
-    ((xxhash64(lit(tbl * 131 + p), d) % 2001L + 2001L) % 2001L - 1000L)
-      .cast("double") / 1000.0
+  /** Hyperplanes are precomputed driver-side with a seeded, fully-specified
+    * PRNG (java.util.Random — identical sequence on every JVM) and shipped
+    * as array literals. This keeps bucket computation a single codegen'd
+    * fold per plane instead of per-row, per-dimension hash evaluation. */
+  private def planeVector(tbl: Int, p: Int): Seq[Double] = {
+    val rnd = new java.util.Random(tbl * 1031L + p * 7919L)
+    Seq.fill(Dims)(rnd.nextDouble() * 2 - 1)
+  }
 
   /** Sign-pattern LSH bucket of an embedding in one hash table. */
   private def lshBucket(ev: Column, tbl: Int): Column =
     (0 until PlanesPerTable).map { p =>
       val proj = aggregate(
-        zip_with(ev, sequence(lit(0), lit(63)),
-          (x, i) => x * planeComponent(tbl, p, i)),
+        zip_with(ev, typedlit(planeVector(tbl, p)), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** (vec_id, ev, table, bucket) — one row per vector per hash table. */
-  private def bucketed(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
+  /** Embeddings with vector + precomputed norm (norms once per vector, not
+    * once per candidate pair). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
-    emb.select(col("vec_id"), col("ev"),
-      explode(array((0 until Tables).map(tb =>
-        struct(lit(tb).as("tbl"), lshBucket(col("ev"), tb).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("vec_id"), col("ev"), col("tb.tbl"), col("tb.bucket"))
-  }
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+
+  /** (vec_id, table, bucket) — ids only; vectors join back in later so the
+    * candidate shuffle never carries 64-double arrays. */
+  private def bucketed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .select(col("vec_id"),
+        explode(array((0 until Tables).map(tb =>
+          struct(lit(tb).as("tbl"), lshBucket(col("ev"), tb).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
 
   /** ANN via multi-table hyperplane LSH: candidates share a bucket with the
     * query in ANY table; exact cosine re-ranks. The candidate join is an
-    * equi-join on (table, bucket) — shuffle-bounded at any scale. */
+    * equi-join on (table, bucket) over ids — shuffle-bounded at any scale. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val bk = bucketed(spark, dir)
-    val q = bk.join(broadcast(
-        bk.agg(min(col("vec_id")).as("qid"))), col("vec_id") === col("qid"))
-      .select(col("qid"), col("ev").as("qv"), col("tbl").as("qtbl"),
-        col("bucket").as("qbucket"))
-    bk.join(broadcast(q),
+    val qid = bk.agg(min(col("vec_id")).as("qid"))
+    val qBuckets = bk.join(broadcast(qid), col("vec_id") === col("qid"))
+      .select(col("qid"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+    val candIds = bk.join(broadcast(qBuckets),
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("ev"), col("qv")).distinct()
+      .select(col("qid"), col("vec_id")).distinct()
+    val e = withNorm(spark, dir)
+    val q = e.join(broadcast(qid), col("vec_id") === col("qid"))
+      .select(col("ev").as("qv"), col("nrm").as("qnrm"),
+        col("vec_id").as("qvid"))
+    candIds
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q))
       .withColumn("cosine",
-        dot(col("ev"), col("qv")) /
-          (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
+        dot(col("ev"), col("qv")) / (col("nrm") * col("qnrm")))
       .select(col("qid"), col("vec_id"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
 
-  /** Embedding near-duplicate pairs: multi-table LSH candidates
-    * (equi-join on (table, bucket)), exact cosine verifies ≥ 0.95. */
+  /** Embedding near-duplicate pairs: multi-table LSH candidates (id-only
+    * equi-join on (table, bucket), deduped), then one exact cosine per pair
+    * with precomputed norms, verifying ≥ 0.95. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val bk = bucketed(spark, dir)
-    bk.as("x").join(bk.as("y"),
+    val pairs = bk.as("x").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        col("x.ev").as("e1"), col("y.ev").as("e2"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
       .distinct()
-      .withColumn("cosine",
-        dot(col("e1"), col("e2")) /
-          (sqrt(dot(col("e1"), col("e1"))) * sqrt(dot(col("e2"), col("e2")))))
+    val e = withNorm(spark, dir)
+    pairs
+      .join(e.select(col("vec_id").as("v1"), col("ev").as("e1"),
+        col("nrm").as("n1")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("ev").as("e2"),
+        col("nrm").as("n2")), Seq("v2"))
+      .withColumn("cosine", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= 0.95)
       .select(col("v1"), col("v2"), col("cosine"))
   }
