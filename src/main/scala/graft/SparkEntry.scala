@@ -52,6 +52,12 @@ object SparkEntry {
     "ann_lsh" -> (Similarity.annLsh _),
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // distributed sequential quota admission (p4 semantics; SQL can't
+    // express the event-joins-window feedback loop → rows-only check,
+    // cross-validated against the streaming twin + QuotaTracker in tests)
+    "quota_admission_replay" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStreams.quotaReplayBatch(s, d,
+        maxAmount = 100.0, windowUs = 7L * 24 * 3600 * 1000000)),
   )
 
   /** DuckDB-runnable ANSI SQL per query key (same column names!). */

@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.util
+import java.util.Base64
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 over the engine's write-ahead log: queries the redo log as
+  * a table — `spark.read.format("graft.sources.WalDataSource").load(path)`
+  * (or several paths) with schema `(seq BIGINT, op STRING, key STRING,
+  * value BINARY)`.
+  *
+  * The reference's storage source/sink is exactly this: one append-only
+  * record log replayed at boot (ref: p3/server/format.h:45-121,
+  * p3/server/my_storage.cc:573-702). Exposing it as a Spark table makes the
+  * log itself analyzable (fold-to-current-state, audit, op statistics) with
+  * ordinary SQL.
+  *
+  * Scale shape: one [[InputPartition]] per WAL segment file — segments scan
+  * in parallel and the fold (last-writer-wins by (key, seq)) is a normal
+  * shuffle. Line offsets within a segment give the monotonic `seq`.
+  */
+class WalDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WalTable(properties.asScala.get("path").orElse(
+      Option(properties.get("paths"))).toSeq)
+}
+
+object WalDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true)))
+}
+
+final class WalTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft_wal(${paths.mkString(",")})"
+  override def schema(): StructType = WalDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WalScanBuilder(resolvePaths(options))
+
+  private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val fromOpts = Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).toSeq.flatMap(_.split(","))
+    val all = (paths ++ fromOpts).distinct
+    all
+  }
+}
+
+final class WalScanBuilder(paths: Seq[String]) extends ScanBuilder {
+  override def build(): Scan = new WalScan(paths)
+}
+
+final class WalScan(paths: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = WalDataSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => WalInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalReaderFactory
+}
+
+final case class WalInputPartition(path: String) extends InputPartition
+
+final class WalReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WalPartitionReader(partition.asInstanceOf[WalInputPartition].path)
+}
+
+/** Streams one WAL segment line-by-line (no whole-file materialization). */
+final class WalPartitionReader(path: String) extends PartitionReader[InternalRow] {
+  private val reader =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(path))
+    else null
+  private var line: String = _
+  private var seq: Long = -1L
+
+  override def next(): Boolean = {
+    if (reader == null) return false
+    line = reader.readLine()
+    seq += 1
+    line != null
+  }
+
+  override def get(): InternalRow = {
+    val parts = line.split("\t", -1)
+    val dec = Base64.getDecoder
+    val key = dec.decode(parts(1))
+    val value = if (parts.length > 2) dec.decode(parts(2)) else null
+    InternalRow(seq, UTF8String.fromString(parts(0)),
+      UTF8String.fromBytes(key), value)
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.engine.QuotaTracker
+
+/** Drives the streaming operators through real micro-batch execution
+  * (MemoryStream + memory sink) and cross-checks state semantics against
+  * batch replays and the engine's driver-side QuotaTracker. */
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  def us(min: Long): Long = min * 60L * 1000000
+
+  private def eventRows(): Seq[Event] = {
+    import spark.implicits._
+    graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  test("windowedCounts: streaming micro-batch totals equal batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).collect()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc").outputMode("complete")
+      .start()
+    try {
+      mem.addData(events.map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4))).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("wc")
+      val expected = graft.Tables.t(spark, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(got.count() == expected.count())
+      assert(got.agg(sum("n")).first.getLong(0) == 1000)
+    } finally q.stop()
+  }
+
+  test("sessionize (flatMapGroupsWithState): closed sessions match batch truth across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .start()
+    try {
+      // two micro-batches split mid-stream: state must carry across
+      val (b1, b2) = rows.sortBy(_.ts_us).splitAt(rows.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("sess").as[SessionUpdate].collect()
+      // batch truth with the same gap rule; only CLOSED sessions emit (the
+      // final session per user stays open in state)
+      val closedTruth = rows.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+        val sessions = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(sorted.head))
+        sorted.tail.foreach { e =>
+          if (e.ts_us - sessions.last.last.ts_us > us(30))
+            sessions += scala.collection.mutable.ArrayBuffer(e)
+          else sessions.last += e
+        }
+        sessions.dropRight(1).map(s => (u, s.head.ts_us, s.last.ts_us, s.length))
+      }.toSet
+      val streamedSet = streamed.map(s =>
+        (s.user_id, s.session_start_us, s.session_end_us, s.n_events.toInt)).toSet
+      assert(streamedSet == closedTruth)
+      assert(streamedSet.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("quotaAdmission: streaming decisions equal the batch replay operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // events are ~20/user/month: a 7-day window with a low cap makes both
+    // admissions and refusals occur
+    val maxAmount = 100.0
+    val windowUs = us(60L * 24 * 7)
+    val rows = eventRows()
+    val batch = EventStreams.quotaReplayBatch(spark, dir, maxAmount, windowUs)
+      .as[QuotaVerdict].collect().map(v => v.event_id -> v.admitted).toMap
+    // some events must be refused for the test to mean anything
+    assert(batch.valuesIterator.contains(false))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.quotaAdmission(mem.toDS(), maxAmount, windowUs)
+      .writeStream.format("memory").queryName("quota").outputMode("append")
+      .start()
+    val streamed = try {
+      val (b1, b2) = rows.sortBy(_.ts_us).splitAt(rows.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      spark.table("quota").as[QuotaVerdict].collect()
+        .map(v => v.event_id -> v.admitted).toMap
+    } finally q.stop()
+    assert(streamed == batch)
+  }
+
+  test("quotaAdmission agrees with the engine's driver-side QuotaTracker on integral amounts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic integral-amount events, one user, 10-second window
+    val events = (1 to 40).map(i =>
+      Event(i.toLong, i.toLong * 1000000, 7L, "up", (i % 7 + 1).toDouble))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.quotaAdmission(mem.toDS(), maxAmount = 12.0,
+      windowUs = 10L * 1000000)
+      .writeStream.format("memory").queryName("quota2").outputMode("append")
+      .start()
+    val streamed = try {
+      mem.addData(events.take(20)); q.processAllAvailable()
+      mem.addData(events.drop(20)); q.processAllAvailable()
+      spark.table("quota2").as[QuotaVerdict].collect()
+        .map(v => v.event_id -> v.admitted).toMap
+    } finally q.stop()
+    var now = 0.0
+    val tracker = new QuotaTracker(12L, 10.0, () => now)
+    events.foreach { e =>
+      now = e.ts_us / 1e6
+      val admitted = tracker.checkAdd(e.value.toLong)
+      assert(admitted == streamed(e.event_id),
+        s"event ${e.event_id}: tracker=$admitted stream=${streamed(e.event_id)}")
+    }
+  }
+}
