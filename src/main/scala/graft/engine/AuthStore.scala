@@ -23,9 +23,18 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
   import Codes._
 
   private val users = mutable.LinkedHashMap.empty[String, AuthEntry]
+  // (user, pass) pairs that already passed the salted-hash check. Passwords
+  // are immutable after REG in this API, so positive results stay valid;
+  // the cache avoids re-hashing on every point op (hot path).
+  private val verified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  private val digest = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("SHA-256"))
 
   private def sha256(parts: Array[Byte]*): Array[Byte] = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = digest.get()
+    md.reset()
     parts.foreach(md.update)
     md.digest()
   }
@@ -45,12 +54,17 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
   }
 
   /** Salted-hash credential check (ref: p3/server/my_storage.cc:232-250). */
-  def auth(user: String, pass: String): Result = synchronized {
-    users.get(user) match {
-      case Some(e) if MessageDigest.isEqual(e.passHash,
-        sha256(pass.getBytes("UTF-8"), e.salt)) => Result(true, OK)
-      case _ => Result(false, ERR_LOGIN)
+  def auth(user: String, pass: String): Result = {
+    if (verified.contains((user, pass))) return Result(true, OK)
+    val ok = synchronized {
+      users.get(user) match {
+        case Some(e) => MessageDigest.isEqual(e.passHash,
+          sha256(pass.getBytes("UTF-8"), e.salt))
+        case None => false
+      }
     }
+    if (ok) { verified.add((user, pass)); Result(true, OK) }
+    else Result(false, ERR_LOGIN)
   }
 
   /** SET: replace caller's profile blob (ref: p3/server/my_storage.cc:136-173). */

@@ -37,8 +37,25 @@ final case class KV(key: String, value: Array[Byte])
 final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   import spark.implicits._
 
-  /** delta since last compaction: key -> Some(value) | None (tombstone) */
-  private val mem = mutable.LinkedHashMap.empty[String, Option[Array[Byte]]]
+  /** delta since last compaction: key -> Some(value) | None (tombstone).
+    * ConcurrentHashMap gives per-key atomicity (compute) so point ops run
+    * concurrently — the analog of the reference's per-bucket locks
+    * (ref: p2/server/concurrenthashmap.h:34-43). */
+  private val mem =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Byte]]]()
+
+  /** Scan/compaction exclusivity: point ops hold the read side (mutually
+    * concurrent), full-table view/save/clear hold the write side — the
+    * observable equivalent of the reference's lock-all-buckets 2PL scans
+    * (ref: p2/server/concurrenthashmap.h:223-235). */
+  private val scanLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private def withRead[A](f: => A): A = {
+    scanLock.readLock.lock(); try f finally scanLock.readLock.unlock()
+  }
+  private def withScan[A](f: => A): A = {
+    scanLock.writeLock.lock(); try f finally scanLock.writeLock.unlock()
+  }
+
   private var snapshot: Option[DataFrame] = None
   private val snapDir = dataDir.map(_.resolve("kv_snapshot"))
   private val logPath = dataDir.map(_.resolve("kv_wal.jsonl"))
@@ -58,8 +75,8 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     val parts = line.split("\t", -1)
     val key = new String(Base64.getDecoder.decode(parts(1)), "UTF-8")
     parts(0) match {
-      case "PUT" => mem.update(key, Some(Base64.getDecoder.decode(parts(2))))
-      case "DEL" => mem.update(key, None)
+      case "PUT" => mem.put(key, Some(Base64.getDecoder.decode(parts(2))))
+      case "DEL" => mem.put(key, None)
       case _ => ()
     }
   }
@@ -86,58 +103,94 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   /** Bulk ingest: adopt a distributed Dataset as the table snapshot — the
     * scale path for loading an existing corpus (no per-row WAL; the snapshot
     * itself is the durable form, as after a SAV). */
-  def ingest(df: Dataset[KV]): Unit = synchronized {
+  def ingest(df: Dataset[KV]): Unit = withScan {
     snapshot = Some(df.toDF())
   }
 
-  /** insert-if-absent; false if key already present (ref map.h:30). */
-  def insert(key: String, value: Array[Byte]): Boolean = synchronized {
-    if (exists(key)) false
-    else { mem.update(key, Some(value)); logOp("PUT", key, Some(value)); true }
+  /** insert-if-absent; false if key already present (ref map.h:30).
+    * Per-key atomic: the WAL append happens inside the compute, the analog
+    * of the reference's append-inside-bucket-lock callback (§2.2). */
+  def insert(key: String, value: Array[Byte]): Boolean = withRead {
+    var inserted = false
+    mem.compute(key, (_, cur) => cur match {
+      case null =>
+        if (snapshotHas(key)) null // live in snapshot → reject, delta unchanged
+        else {
+          inserted = true; logOp("PUT", key, Some(value)); Some(value)
+        }
+      case None => // tombstoned → insert is legal
+        inserted = true; logOp("PUT", key, Some(value)); Some(value)
+      case live => live // live in delta → reject
+    })
+    inserted
   }
 
   /** upsert; returns true when it was an insert (ref map.h:43-44). */
-  def upsert(key: String, value: Array[Byte]): Boolean = synchronized {
-    val wasAbsent = !exists(key)
-    mem.update(key, Some(value)); logOp("PUT", key, Some(value))
+  def upsert(key: String, value: Array[Byte]): Boolean = withRead {
+    var wasAbsent = false
+    mem.compute(key, (_, cur) => {
+      wasAbsent = cur match {
+        case null => !snapshotHas(key)
+        case None => true
+        case _ => false
+      }
+      logOp("PUT", key, Some(value))
+      Some(value)
+    })
     wasAbsent
   }
 
-  def remove(key: String): Boolean = synchronized {
-    if (!exists(key)) false
-    else { mem.update(key, None); logOp("DEL", key, None); true }
+  def remove(key: String): Boolean = withRead {
+    var removed = false
+    mem.compute(key, (_, cur) => cur match {
+      case null if snapshotHas(key) =>
+        removed = true; logOp("DEL", key, None); None
+      case null => null
+      case None => None
+      case _ =>
+        removed = true; logOp("DEL", key, None); None
+    })
+    removed
   }
 
-  def get(key: String): Option[Array[Byte]] = synchronized {
+  def get(key: String): Option[Array[Byte]] = withRead {
     mem.get(key) match {
-      case Some(v) => v // Some(bytes) live, None tombstoned
-      case None => snapshotGet(key)
+      case null => snapshotGet(key)
+      case v => v // Some(bytes) live, None tombstoned
     }
   }
 
-  def exists(key: String): Boolean = synchronized {
+  def exists(key: String): Boolean = withRead {
     mem.get(key) match {
-      case Some(v) => v.isDefined
-      case None => snapshotHas(key)
+      case null => snapshotHas(key)
+      case v => v.isDefined
     }
   }
 
-  def isEmpty: Boolean = synchronized {
-    mem.valuesIterator.forall(_.isEmpty) && snapshot.forall { s =>
+  def isEmpty: Boolean = withScan {
+    val entries = memEntries()
+    entries.valuesIterator.forall(_.isEmpty) && snapshot.forall { s =>
       // empty iff every snapshot key is tombstoned in mem
-      val dead = mem.collect { case (k, None) => k }.toSet
+      val dead = entries.collect { case (k, None) => k }.toSet
       if (dead.isEmpty) s.isEmpty
       else s.select("key").as[String].collect().forall(dead.contains)
     }
+  }
+
+  private def memEntries(): Map[String, Option[Array[Byte]]] = {
+    val b = Map.newBuilder[String, Option[Array[Byte]]]
+    mem.forEach((k, v) => b += (k -> v))
+    b.result()
   }
 
   /** The folded, current table as a typed Dataset — the input to every
     * analytics operator (KMR, KVA, dedup, ...). Snapshot rows shadowed by
     * delta keys are dropped via broadcast anti-join (delta is small by
     * construction); live delta rows are unioned on top. */
-  def view: Dataset[KV] = synchronized {
-    val live = mem.collect { case (k, Some(v)) => KV(k, v) }.toSeq
-    val touched = mem.keys.toSeq
+  def view: Dataset[KV] = withScan {
+    val entries = memEntries()
+    val live = entries.collect { case (k, Some(v)) => KV(k, v) }.toSeq
+    val touched = entries.keys.toSeq
     (snapshot, touched) match {
       case (None, _) => spark.createDataset(live)
       case (Some(s), Nil) => s.as[KV]
@@ -152,7 +205,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
 
   /** SAV: compact to a fresh snapshot — write tmp, atomic rename, truncate
     * WAL (ref: p3/server/my_storage.cc:505-565, format.h:101-103). */
-  def save(): Unit = synchronized {
+  def save(): Unit = withScan {
     snapDir.foreach { d =>
       val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
       view.write.mode("overwrite").parquet(tmp.toString)
@@ -171,7 +224,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
         .foreach(Files.deleteIfExists(_))
     }
 
-  def clear(): Unit = synchronized {
+  def clear(): Unit = withScan {
     mem.clear(); snapshot = None
     logPath.foreach(Files.deleteIfExists(_))
     snapDir.foreach(deleteRecursively)

@@ -2,52 +2,77 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 /** Most-recently-used top-k key cache (ref: p4/server/my_mru.cc:12-97).
   *
-  * The live cache is a bounded deque (size = topSize, most-recent-first,
-  * deduplicated) — O(top-k) driver state, scale-independent. A monotonic
-  * touch sequence is kept alongside so the same contract can be answered as
-  * a Spark ranking query (`topKQuery`) over a touch log, which is the shape
-  * that distributes (SURVEY §2.5: KVT = GROUP BY key ORDER BY max(seq) DESC
-  * LIMIT n).
+  * Write path is an append-only, lock-free touch log (atomic seq +
+  * ConcurrentLinkedQueue) so hot point ops never contend on a shared
+  * monitor; reads fold the log into last-touch state lazily. The fold is
+  * provably equivalent to the reference's bounded dedup deque: ranking keys
+  * by last-touch seq and taking k reproduces push-front/dedup/evict-back
+  * order exactly (an evicted key only reappears via a newer touch, which
+  * also wins the ranking), and KVD removal clears the key until its next
+  * touch.
+  *
+  * The same fold IS the distributed formulation (SURVEY §2.5: KVT =
+  * GROUP BY key ORDER BY max(seq) DESC LIMIT k) — `topKQuery` answers it
+  * as a Spark ranking query over the folded state.
   */
 final class MruTracker(topSize: Int) {
-  private val deque = mutable.ArrayDeque.empty[String]
-  private val touchLog = mutable.ArrayBuffer.empty[(String, Long)]
-  private var seq = 0L
+  private final case class Ev(key: String, seq: Long, remove: Boolean)
 
-  /** Touch: dedup, push-front, evict back at capacity
-    * (ref: p4/server/my_mru.cc:31-48). */
-  def insert(key: String): Unit = synchronized {
-    seq += 1
-    touchLog += ((key, seq))
-    deque.removeAll(_ == key)
-    deque.prepend(key)
-    while (deque.size > topSize) deque.removeLast()
-  }
+  private val seq = new AtomicLong(0)
+  private val pending = new ConcurrentLinkedQueue[Ev]()
+  /** folded state: the reference's bounded dedup deque, most-recent-first */
+  private val deque = mutable.ArrayDeque.empty[String]
+  /** last-touch seq of keys currently IN the deque (distributed twin). */
+  private val lastSeq = mutable.HashMap.empty[String, Long]
+
+  /** Touch (ref: p4/server/my_mru.cc:31-48) — lock-free append. */
+  def insert(key: String): Unit =
+    pending.add(Ev(key, seq.incrementAndGet(), remove = false))
 
   /** Drop a key (KVD path; ref: p4/server/my_mru.cc:54-66). */
-  def remove(key: String): Unit = synchronized {
-    deque.removeAll(_ == key)
-    touchLog.filterInPlace(_._1 != key)
+  def remove(key: String): Unit =
+    pending.add(Ev(key, seq.incrementAndGet(), remove = true))
+
+  /** Drain + replay pending events in seq order (a valid linearization:
+    * concurrent ops have no externally-defined order) through the exact
+    * reference deque semantics: dedup, push-front, evict back at capacity —
+    * an evicted key is forgotten until touched again. */
+  private def fold(): Unit = {
+    val batch = mutable.ArrayBuffer.empty[Ev]
+    var e = pending.poll()
+    while (e != null) { batch += e; e = pending.poll() }
+    batch.sortInPlaceBy(_.seq).foreach { ev =>
+      deque.removeAll(_ == ev.key)
+      lastSeq.remove(ev.key)
+      if (!ev.remove) {
+        deque.prepend(ev.key)
+        lastSeq.update(ev.key, ev.seq)
+        while (deque.size > topSize)
+          lastSeq.remove(deque.removeLast())
+      }
+    }
   }
 
   /** Newline-joined, most-recent-first — ORDER IS CONTRACTUAL
     * (ref: p4/server/my_mru.cc:82-96; p5/scripts/p4.py:100-101). */
-  def get(): String = synchronized(deque.mkString("\n"))
+  def get(): String = synchronized { fold(); deque.mkString("\n") }
 
-  def isEmpty: Boolean = synchronized(deque.isEmpty)
+  def isEmpty: Boolean = synchronized { fold(); deque.isEmpty }
 
-  def clear(): Unit = synchronized { deque.clear(); touchLog.clear() }
+  def clear(): Unit = synchronized { fold(); deque.clear(); lastSeq.clear() }
 
-  /** The distributed formulation of KVT over the touch log: recency ranking
-    * with `max(seq)`, deterministic total order. Must agree with `get()`. */
+  /** The distributed twin: recency ranking over the folded touch state as a
+    * Spark query (SURVEY §2.5). Agrees with `get()` by construction. */
   def topKQuery(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val log = synchronized(touchLog.toSeq).toDF("key", "seq")
-    log.groupBy($"key").agg(max($"seq").as("last_touch"))
+    val state = synchronized { fold(); lastSeq.toSeq }
+    state.toDF("key", "last_touch")
       .orderBy($"last_touch".desc)
       .limit(topSize)
   }

@@ -15,13 +15,15 @@ import scala.collection.mutable
 final class QuotaTracker(maxAmount: Long, durationSec: Double,
     clock: () => Double) {
   private val events = mutable.ArrayDeque.empty[(Long, Double)]
+  private var windowSum = 0L // running sum: O(1) amortized checks
 
   def checkAdd(amount: Long): Boolean = synchronized {
     val now = clock()
-    events.removeAll { case (_, t) => now - t >= durationSec }
-    val inWindow = events.iterator.map(_._1).sum
-    if (inWindow + amount > maxAmount) false
-    else { events.append((amount, now)); true }
+    // events are appended in clock order; expired ones are at the front
+    while (events.nonEmpty && now - events.head._2 >= durationSec)
+      windowSum -= events.removeHead()._1
+    if (windowSum + amount > maxAmount) false
+    else { events.append((amount, now)); windowSum += amount; true }
   }
 }
 
@@ -37,15 +39,13 @@ final class Quotas(upQuota: Long, downQuota: Long, reqQuota: Long,
 
 final class QuotaGuard(upQuota: Long, downQuota: Long, reqQuota: Long,
     durationSec: Double, clock: () => Double = () => System.nanoTime() / 1e9) {
-  private val table = mutable.HashMap.empty[String, Quotas]
+  // lock-free lookup: the hot path (every KV op) must not contend on a
+  // global monitor
+  private val table =
+    new java.util.concurrent.ConcurrentHashMap[String, Quotas]()
 
-  def register(user: String): Unit = synchronized {
-    table.getOrElseUpdate(user,
-      new Quotas(upQuota, downQuota, reqQuota, durationSec, clock))
-  }
+  def register(user: String): Unit = of(user)
 
-  def of(user: String): Quotas = synchronized {
-    table.getOrElseUpdate(user,
-      new Quotas(upQuota, downQuota, reqQuota, durationSec, clock))
-  }
+  def of(user: String): Quotas = table.computeIfAbsent(user,
+    _ => new Quotas(upQuota, downQuota, reqQuota, durationSec, clock))
 }
