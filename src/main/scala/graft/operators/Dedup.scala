@@ -82,31 +82,31 @@ object Dedup {
   final val MinhashK = 24
   final val Bands = 6
 
-  /** MinHash signatures (K deterministic xxhash64 permutations over
-    * trigrams) — one groupBy over the exploded gram table. */
-  def minhashSignatures(spark: SparkSession, dir: String, cap: Int = Int.MaxValue): DataFrame = {
-    val g = t(spark, dir, "documents")
+  /** MinHash signatures via the single-pass native expression
+    * ([[graft.functions.MinHashSig]]): a narrow projection on the scan —
+    * no gram explode, no shuffle. (min over a multiset equals min over the
+    * distinct set, so skipping gram dedup is exact.) */
+  def minhashSignatures(spark: SparkSession, dir: String, cap: Int = Int.MaxValue): DataFrame =
+    t(spark, dir, "documents")
       .filter(col("doc_id") < cap)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
-        .as("gram"))
-    // multi-arg xxhash64 mixes the permutation index without a string
-    // concat allocation per (row × permutation)
-    val mins = (0 until MinhashK).map(i =>
-      min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
-    g.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-  }
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text"), MinhashK).as("sig"))
 
-  /** MinHash+LSH near-dup candidates with estimated Jaccard ≥ 0.5:
-    * band → bucket equi-join → per-pair signature agreement. This is the
-    * operator that replaces pairwise Jaccard at scale (no cross join
-    * anywhere; shuffles only on band buckets and doc ids). */
+  /** MinHash+LSH near-dup pairs with estimated Jaccard ≥ 0.6 (capturing
+    * true jaccard ≥ 0.7, the near-dup definition of [[dedupNgramJaccard]],
+    * within estimator noise: σ ≈ 0.09 at K=24): band → bucket equi-join
+    * → per-pair signature agreement. This is the operator that replaces
+    * pairwise Jaccard at scale (no cross join anywhere; shuffles only on
+    * band buckets and doc ids). NB at sf0.1 this corpus holds ~3M pairs
+    * above est 0.5 — the threshold is what bounds the output, not the
+    * candidate generation. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir).cache()
     val r = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+        xxhash64((b * r until (b + 1) * r)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
@@ -115,14 +115,13 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val agree = (0 until MinhashK)
-      .map(i => when(col(s"s1.h$i") === col(s"s2.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
-      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
-      .withColumn("est_jaccard", agree.cast("double") / MinhashK)
-      .filter(col("est_jaccard") >= 0.5)
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / MinhashK)
+      .filter(col("est_jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("est_jaccard"))
   }
 
