@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ScaleLayoutSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("bucketized tables join with no shuffle exchange on either side") {
+    // (tmp warehouse dir is set at session build in TestSpark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = graft.Tables.t(spark, dir, "orders")
+      val lineitem = graft.Tables.t(spark, dir, "lineitem")
+      val bo = ScaleLayout.bucketize(spark, orders, "orders_b", "o_orderkey", 8)
+      val bl = ScaleLayout.bucketize(spark, lineitem, "lineitem_b", "l_orderkey", 8)
+      val joined = bl.join(bo, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // co-located join must produce the same result as the plain one
+      val expected = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("saltedJoin: result-identical to the plain join on a skewed dataset") {
+    import spark.implicits._
+    // pathological skew: 90% of the big side shares one key
+    val big = (1 to 20000).map(i =>
+      (if (i % 10 == 0) i.toLong % 50 else 7L, s"row$i")).toDF("k", "payload")
+    val small = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "dim").collect().toSet
+    val salted = ScaleLayout.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "payload", "dim").collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_.getLong(0) == 7L) == 18000)
+  }
+
+  test("salted plan spreads the hot key across many partitions") {
+    import spark.implicits._
+    val big = (1 to 20000).map(i => (7L, s"row$i")).toDF("k", "payload")
+    val small = Seq((7L, "dim")).toDF("k", "dim")
+    val parts = ScaleLayout.saltedJoin(big, small, "k", salts = 8)
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getLong(1))
+    // without salting everything lands in ONE reducer; with 8 salts the hot
+    // key must occupy >1 partition and no partition holds everything
+    assert(parts.length > 1, s"hot key not spread: ${parts.toSeq}")
+    assert(parts.max < 20000, s"one partition still holds all rows")
+  }
+}
