@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "ann_ivf" -> (Similarity.annIvf _),
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // distributed sequential quota admission (p4 semantics; SQL can't

@@ -127,6 +127,94 @@ object Similarity {
       .limit(10)
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  final val IvfClusters = 16
+  final val IvfProbes = 4
+  final val IvfIters = 5
+
+  /** Deterministic Lloyd's k-means over the embedding column. Centroids are
+    * tiny (k × dims doubles) and live on the driver / in broadcasts; the
+    * assignment step is distributed (mapPartitions over the vectors — the
+    * genuinely imperative per-partition piece), and the update step is a
+    * distributed posexplode + groupBy average. Init = the k lowest vec_ids
+    * (seedless, reproducible). */
+  def ivfCentroids(spark: SparkSession, dir: String,
+      k: Int = IvfClusters, iters: Int = IvfIters): Array[Array[Double]] = {
+    import spark.implicits._
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+    var centroids = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().map(_._2)
+    (0 until iters).foreach { _ =>
+      val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+      val assigned = vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (nearestCentroid(v, cs), v) }
+      }.toDF("cluster", "ev")
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .toArray.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      val cv = cs(c)
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF ANN: scan only the inverted lists of the query's `IvfProbes`
+    * nearest centroids, exact-cosine re-rank inside. At scale the cluster
+    * assignment is a write-time partitioning column (partition pruning does
+    * the list selection); here it is computed inline. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val centroids = ivfCentroids(spark, dir)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+    val assigned = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
+    }.toDF("vec_id", "ev", "cluster")
+    val qRow = assigned.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Array[Double], Int)].collect()(0)
+    val (qid, qv, _) = qRow
+    val probeSet = centroids.indices
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val t = qv(i) - centroids(c)(i); d += t * t; i += 1 }
+        d
+      }
+      .take(IvfProbes).toSet
+    val qDf = Seq((qid, qv)).toDF("qid", "qv")
+    assigned
+      .filter(col("cluster").isInCollection(probeSet) && col("vec_id") =!= qid)
+      .join(broadcast(qDf))
+      .withColumn("cosine",
+        dot(col("ev"), col("qv")) /
+          (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
+      .select(col("qid"), col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Embedding near-duplicate pairs: multi-table LSH candidates (id-only
     * equi-join on (table, bucket), deduped), then one exact cosine per pair
     * with precomputed norms, verifying ≥ 0.95. */

@@ -91,6 +91,20 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(mean > 0.03, s"LSH set shows no cosine bias (mean=$mean)")
   }
 
+  test("ann_ivf: probes a strict subset of clusters, exact re-rank, overlaps brute force") {
+    val ivf = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(ivf.length == 10)
+    assert(ivf.map(_._2).toSeq == ivf.map(_._2).sorted.reverse.toSeq)
+    // nprobe=4 of 16 clusters scans ~25% of the corpus, and the query's own
+    // cluster (where near vectors concentrate) is always probed — the true
+    // nearest neighbour set must overlap
+    val brute = Similarity.annBruteForce(spark, dir).collect()
+      .map(_.getLong(1)).toSet
+    assert(brute.intersect(ivf.map(_._1).toSet).nonEmpty,
+      s"no overlap: brute=$brute ivf=${ivf.map(_._1).toSeq}")
+  }
+
   test("embedding_neardup: every reported pair verifies at cosine >= 0.95") {
     val pairs = Similarity.embeddingNearDup(spark, dir).collect()
     pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
