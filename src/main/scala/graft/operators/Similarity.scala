@@ -21,11 +21,13 @@ import graft.Tables.t
 object Similarity {
 
   /** Strict left-fold dot product in double — mirrors the oracle's
-    * list_reduce exactly (same op order ⇒ bit-identical doubles). */
+    * list_reduce exactly (same op order ⇒ bit-identical doubles). Native
+    * codegen'd expression, not an interpreted HOF. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecDot.vec_dot(a, b)
 
-  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Codegen'd cast (a `transform` HOF would interpret per element). */
+  private def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine top-10 neighbors of the min-vec_id query vector. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
@@ -77,9 +79,7 @@ object Similarity {
   /** Sign-pattern LSH bucket of an embedding in one hash table. */
   private def lshBucket(ev: Column, tbl: Int): Column =
     (0 until PlanesPerTable).map { p =>
-      val proj = aggregate(
-        zip_with(ev, typedlit(planeVector(tbl, p)), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(ev, typedlit(planeVector(tbl, p)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
