@@ -27,6 +27,9 @@ object SparkEntry {
     "distinct_agg" -> (Relational.distinctAgg _),
     "rollup_agg" -> (Relational.rollupAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    "monthly_revenue" -> (Relational.monthlyRevenue _),
+    "scalar_funcs" -> (Relational.scalarFuncs _),
+    "above_avg_sql" -> (Relational.aboveAvgSql _),
     // SURVEY §2.1 client-op analogs
     "kv_get_point" -> (KvSurface.kvGetPoint _),
     "kv_getall_keys" -> (KvSurface.kvGetallKeys _),
@@ -72,6 +75,9 @@ object SparkEntry {
     "distinct_agg" -> Relational.distinctAggSql,
     "rollup_agg" -> Relational.rollupAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
+    "monthly_revenue" -> Relational.monthlyRevenueSql,
+    "scalar_funcs" -> Relational.scalarFuncsSql,
+    "above_avg_sql" -> Relational.aboveAvgSqlOracle,
     "kv_get_point" -> KvSurface.kvGetPointSql,
     "kv_getall_keys" -> KvSurface.kvGetallKeysSql,
     "all_users" -> KvSurface.allUsersSql,

@@ -215,6 +215,60 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Calendar aggregation: monthly revenue via date_trunc (SURVEY §2.7 —
+    * the ref has no date functions at all; native here). */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
+      .orderBy(col("month"))
+
+  val monthlyRevenueSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Scalar-function battery: string/math built-ins with cross-engine
+    * parity (upper/substring/length/concat_ws/round/abs). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        round(col("p_retailprice"), 1).as("price_r1"),
+        abs(col("p_size") - lit(25)).cast("long").as("size_dist"))
+
+  val scalarFuncsSql: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  substring(p_type, 1, 5) AS type5,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  round(p_retailprice, 1) AS price_r1,
+      |  CAST(abs(p_size - 25) AS BIGINT) AS size_dist
+      |FROM part""".stripMargin
+
+  /** Uncorrelated scalar subquery through the SQL entry path (spark.sql) —
+    * orders above the global average price, compared exactly in decimal
+    * (price × count > total) so no double-average drift can flip rows. */
+  def aboveAvgSql(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders").foreach(n =>
+      t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+        |        (SELECT COUNT(*) FROM orders) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)""".stripMargin)
+  }
+
+  val aboveAvgSqlOracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,6)) *
+      |        (SELECT COUNT(*) FROM orders) >
+      |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
