@@ -121,18 +121,21 @@ final class Engine(val spark: SparkSession,
     }
   }
 
-  /** KVA (ref :425-464): newline key list; ERR_NO_DATA on empty table;
-    * download charge on the rendered byte size. */
+  /** KVA (ref :425-464): key list with a trailing '\n' after EVERY key
+    * (ref builds `key + '\n'` per key); ERR_NO_DATA on an empty table is
+    * decided BEFORE any quota charge (unlike KVG/KVT, which charge first —
+    * ref order at :436-439 vs :482-506); then request error > download
+    * error. */
   def kvAll(user: String, pass: String): Result = {
     val a = auth.auth(user, pass)
     if (!a.succeeded) return a
-    val rendered = kv.keys.mkString("\n").getBytes("UTF-8")
+    val rendered = kv.keys.map(_ + "\n").mkString.getBytes("UTF-8")
+    if (rendered.isEmpty) return Result(false, ERR_NO_DATA)
     val q = quotas.of(user)
     val downOk = q.downloads.checkAdd(rendered.length.toLong)
     val reqOk = q.requests.checkAdd(1)
     if (!reqOk) Result(false, ERR_QUOTA_REQ)
     else if (!downOk) Result(false, ERR_QUOTA_DOWN)
-    else if (rendered.isEmpty) Result(false, ERR_NO_DATA)
     else Result(true, OK, rendered)
   }
 

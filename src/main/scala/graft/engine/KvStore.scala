@@ -60,13 +60,36 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   private val snapDir = dataDir.map(_.resolve("kv_snapshot"))
   private val logPath = dataDir.map(_.resolve("kv_wal.jsonl"))
 
-  // boot: load snapshot then replay WAL (ref: p3/server/my_storage.cc:573-702)
+  // boot: recover snapshot (including from a crash mid-SAV swap), then
+  // replay WAL (ref: p3/server/my_storage.cc:573-702)
   dataDir.foreach { _ =>
+    snapDir.foreach { d =>
+      val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
+      if (!Files.exists(d) &&
+        Files.exists(tmp.resolve("_SUCCESS"))) {
+        // crashed between deleting the old snapshot and renaming the new
+        // one in: the tmp dir is complete (_SUCCESS) — finish the swap.
+        Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+      } else if (Files.exists(d)) {
+        // crashed before the swap: old snapshot + un-truncated WAL are the
+        // consistent state; discard the half-baked tmp.
+        deleteRecursively(tmp)
+      }
+    }
     snapDir.filter(Files.exists(_)).foreach { d =>
       snapshot = Some(spark.read.parquet(d.toString))
     }
     logPath.filter(Files.exists(_)).foreach { p =>
-      Files.readAllLines(p).asScala.foreach(replayLine)
+      // a torn final line (crash mid-append) must not brick recovery:
+      // replay stops at the first malformed record
+      val it = Files.readAllLines(p).asScala.iterator
+      var ok = true
+      while (ok && it.hasNext) {
+        val line = it.next()
+        ok = scala.util.Try(replayLine(line)).isSuccess
+        if (!ok) System.err.println(
+          s"[kvstore] WAL replay stopped at torn record (${line.take(40)}...)")
+      }
     }
   }
 
@@ -170,10 +193,12 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   def isEmpty: Boolean = withScan {
     val entries = memEntries()
     entries.valuesIterator.forall(_.isEmpty) && snapshot.forall { s =>
-      // empty iff every snapshot key is tombstoned in mem
-      val dead = entries.collect { case (k, None) => k }.toSet
+      // empty iff every snapshot key is tombstoned in mem — answered with a
+      // broadcast anti-join, never by collecting snapshot keys (the
+      // snapshot is the 100 TB side)
+      val dead = entries.collect { case (k, None) => k }.toSeq
       if (dead.isEmpty) s.isEmpty
-      else s.select("key").as[String].collect().forall(dead.contains)
+      else s.join(broadcast(dead.toDF("key")), Seq("key"), "left_anti").isEmpty
     }
   }
 

@@ -3,7 +3,6 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicLong
 import scala.collection.mutable
 
 /** Most-recently-used top-k key cache (ref: p4/server/my_mru.cc:12-97).
@@ -22,40 +21,41 @@ import scala.collection.mutable
   * as a Spark ranking query over the folded state.
   */
 final class MruTracker(topSize: Int) {
-  private final case class Ev(key: String, seq: Long, remove: Boolean)
+  private final case class Ev(key: String, remove: Boolean)
 
-  private val seq = new AtomicLong(0)
   private val pending = new ConcurrentLinkedQueue[Ev]()
   /** folded state: the reference's bounded dedup deque, most-recent-first */
   private val deque = mutable.ArrayDeque.empty[String]
-  /** last-touch seq of keys currently IN the deque (distributed twin). */
+  /** last-touch seq of keys currently IN the deque (distributed twin).
+    * Seq numbers are assigned AT FOLD TIME from queue order — the queue's
+    * FIFO order is a valid linearization of the enqueue points, and
+    * assigning order in one place removes any window between "take a
+    * number" and "publish" that could invert it. */
   private val lastSeq = mutable.HashMap.empty[String, Long]
+  private var foldSeq = 0L
 
   /** Touch (ref: p4/server/my_mru.cc:31-48) — lock-free append. */
-  def insert(key: String): Unit =
-    pending.add(Ev(key, seq.incrementAndGet(), remove = false))
+  def insert(key: String): Unit = pending.add(Ev(key, remove = false))
 
   /** Drop a key (KVD path; ref: p4/server/my_mru.cc:54-66). */
-  def remove(key: String): Unit =
-    pending.add(Ev(key, seq.incrementAndGet(), remove = true))
+  def remove(key: String): Unit = pending.add(Ev(key, remove = true))
 
-  /** Drain + replay pending events in seq order (a valid linearization:
-    * concurrent ops have no externally-defined order) through the exact
+  /** Drain + replay pending events in queue order through the exact
     * reference deque semantics: dedup, push-front, evict back at capacity —
     * an evicted key is forgotten until touched again. */
   private def fold(): Unit = {
-    val batch = mutable.ArrayBuffer.empty[Ev]
-    var e = pending.poll()
-    while (e != null) { batch += e; e = pending.poll() }
-    batch.sortInPlaceBy(_.seq).foreach { ev =>
+    var ev = pending.poll()
+    while (ev != null) {
+      foldSeq += 1
       deque.removeAll(_ == ev.key)
       lastSeq.remove(ev.key)
       if (!ev.remove) {
         deque.prepend(ev.key)
-        lastSeq.update(ev.key, ev.seq)
+        lastSeq.update(ev.key, foldSeq)
         while (deque.size > topSize)
           lastSeq.remove(deque.removeLast())
       }
+      ev = pending.poll()
     }
   }
 

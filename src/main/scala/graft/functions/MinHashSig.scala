@@ -56,7 +56,17 @@ object MinHashSig {
 
   def eval(s: String, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
-    if (s.length >= 3) {
+    if (s.length < 3) {
+      // degenerate doc: treat the whole string as its single shingle, so
+      // two DIFFERENT short docs get different signatures (the sentinel
+      // Long.MaxValue signature would make all of them mutual est=1.0
+      // "duplicates")
+      var base = 0xcbf29ce484222325L
+      var j = 0
+      while (j < s.length) { base ^= s.charAt(j); base *= 0x100000001b3L; j += 1 }
+      var p = 0
+      while (p < k) { mins(p) = mix(base + p * 0x9e3779b97f4a7c15L); p += 1 }
+    } else {
       var i = 0
       while (i <= s.length - 3) {
         // FNV-1a base hash over the trigram's chars

@@ -32,10 +32,13 @@ object Dedup {
     """SELECT md5(text) AS fp, min(doc_id) AS keeper, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** Character-trigram sets per doc, doc_id-bounded (candidate universe). */
+  /** Character-trigram sets per doc, doc_id-bounded (candidate universe).
+    * Texts shorter than 3 chars yield NO grams — Spark's sequence(1, 0)
+    * would otherwise DESCEND ([1,0]) and fabricate bogus grams, diverging
+    * from the oracle's empty range(1, length-1). */
   private def grams(spark: SparkSession, dir: String, cap: Int): DataFrame =
     t(spark, dir, "documents")
-      .filter(col("doc_id") < cap)
+      .filter(col("doc_id") < cap && length(col("text")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
         .as("gram"))

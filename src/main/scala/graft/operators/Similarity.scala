@@ -153,15 +153,17 @@ object Similarity {
         val cs = bc.value
         it.map { case (id, v) => (nearestCentroid(v, cs), v) }
       }.toDF("cluster", "ev")
-      centroids = assigned
+      val updated = assigned
         .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
-        .toArray.sortBy(_._1)
-        .map { case (_, rows) =>
-          rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-        }
+        .view.mapValues(rows => rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+        .toMap
+      // a cluster that attracted no points keeps its previous centroid —
+      // otherwise groupBy silently drops it and k shrinks/remaps
+      centroids = centroids.indices
+        .map(c => updated.getOrElse(c, centroids(c))).toArray
     }
     centroids
   }

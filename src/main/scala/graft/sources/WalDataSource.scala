@@ -32,8 +32,9 @@ class WalDataSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WalTable(properties.asScala.get("path").orElse(
-      Option(properties.get("paths"))).toSeq)
+    new WalTable(
+      properties.asScala.get("path").toSeq ++
+        WalDataSource.parsePaths(properties.asScala.get("paths")))
 }
 
 object WalDataSource {
@@ -42,6 +43,18 @@ object WalDataSource {
     StructField("op", StringType, nullable = false),
     StructField("key", StringType, nullable = false),
     StructField("value", BinaryType, nullable = true)))
+
+  /** Multi-path `load(p1, p2, ...)` arrives as a JSON array string under
+    * "paths" (DSv2 contract); a single `option("paths", ...)` may be a bare
+    * comma list. Handle both. */
+  def parsePaths(raw: Option[String]): Seq[String] = raw match {
+    case None => Nil
+    case Some(s) if s.trim.startsWith("[") =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(s)
+        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .toSeq
+    case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  }
 }
 
 final class WalTable(paths: Seq[String]) extends Table with SupportsRead {
@@ -54,9 +67,8 @@ final class WalTable(paths: Seq[String]) extends Table with SupportsRead {
 
   private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val fromOpts = Option(options.get("path")).toSeq ++
-      Option(options.get("paths")).toSeq.flatMap(_.split(","))
-    val all = (paths ++ fromOpts).distinct
-    all
+      WalDataSource.parsePaths(Option(options.get("paths")))
+    (paths ++ fromOpts).distinct
   }
 }
 

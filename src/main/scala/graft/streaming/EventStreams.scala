@@ -49,8 +49,12 @@ object EventStreams {
 
   private val GapUs: Long = 30L * 60 * 1000000
 
-  /** Stateful sessionization: a session closes after a 30-minute event gap
-    * (event-time timeout); closed sessions are emitted downstream. */
+  /** Stateful sessionization with emit-on-close semantics: a session is
+    * emitted when a LATER event for the same user reveals a >30-minute gap;
+    * each user's trailing session stays open in state (NoTimeout). A
+    * wall-clock finalizer would attach GroupStateTimeout and emit the open
+    * session on expiry — not used here so batch replays and stream runs
+    * produce identical output (the property the tests pin). */
   def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -50,6 +50,51 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     Seq("k1", "k2", "k3").foreach(k => e.kvInsert("alice", "pw", k, b(k)))
     val all = e.kvAll("alice", "pw")
     assert(all.dataUtf8.split("\n").sorted.toSeq == Seq("k1", "k2", "k3"))
+    // every key carries a trailing '\n' (ref builds key + '\n' per key)
+    assert(all.dataUtf8.endsWith("\n"))
+  }
+
+  test("KVA on empty table answers ERR_NO_DATA BEFORE charging any quota (ref :436-439)") {
+    val e = new Engine(spark, EngineOptions(reqQuota = 1))
+    e.register("alice", "pw")
+    // repeated empty-KVA never consumes the single request
+    assert(e.kvAll("alice", "pw").msg == ERR_NO_DATA)
+    assert(e.kvAll("alice", "pw").msg == ERR_NO_DATA)
+    // the one available request still works
+    assert(e.kvInsert("alice", "pw", "k1", b("v")).succeeded)
+    // now exhausted: non-empty KVA charges and is refused
+    assert(e.kvAll("alice", "pw").msg == ERR_QUOTA_REQ)
+  }
+
+  test("crash mid-SAV (old snapshot deleted, rename pending): boot finishes the swap") {
+    val dir = Files.createTempDirectory("graft-crash-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    (1 to 4).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
+    e1.save("alice", "pw")
+    // simulate the crash window: completed tmp dir exists, real dir gone
+    val snap = dir.resolve("kv_snapshot")
+    val tmp = dir.resolve("kv_snapshot.tmp")
+    Files.move(snap, tmp)
+    assert(Files.exists(tmp.resolve("_SUCCESS")))
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k3").dataUtf8 == "v3")
+    assert(Files.exists(snap) && !Files.exists(tmp))
+  }
+
+  test("torn final WAL record: recovery replays the valid prefix instead of crashing") {
+    val dir = Files.createTempDirectory("graft-torn-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    e1.kvInsert("alice", "pw", "k1", b("v1"))
+    e1.kvInsert("alice", "pw", "k2", b("v2"))
+    // simulate a crash mid-append: record truncated before the value field
+    Files.writeString(dir.resolve("kv_wal.jsonl"), "PUT\tazM",
+      java.nio.file.StandardOpenOption.APPEND)
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1")
+    assert(e2.kvGet("alice", "pw", "k2").dataUtf8 == "v2")
+    assert(e2.kvGet("alice", "pw", "k3").msg == ERR_KEY)
   }
 
   test("binary values survive byte-exact") {

@@ -23,6 +23,18 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(interp == RollingHash.eval("key agg row"))
   }
 
+  test("minhash_sig: short strings get content-derived signatures, not a shared sentinel") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def sig(s: String): Seq[Long] = {
+      val a = graft.functions.MinHashSig.eval(s, 8)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    assert(sig("ab") != sig("xy"))
+    assert(sig("") != sig("a"))
+    assert(sig("ab") == sig("ab"))
+    assert(!sig("ab").contains(Long.MaxValue))
+  }
+
   test("minhash-LSH candidates cover all high-Jaccard pairs (recall vs exact)") {
     // exact trigram-jaccard pairs at >= 0.7 among first 200 docs
     val exact = Dedup.dedupNgramJaccard(spark, dir)

@@ -38,6 +38,29 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(folded("k2") == "v2b" && !folded.contains("k5"))
   }
 
+  test("multi-path load reads all WAL segments (DSv2 passes a JSON array)") {
+    val d1 = Files.createTempDirectory("graft-wal1-")
+    val d2 = Files.createTempDirectory("graft-wal2-")
+    for ((d, ks) <- Seq(d1 -> Seq("a1", "a2"), d2 -> Seq("b1"))) {
+      val e = new Engine(spark, EngineOptions(dataDir = Some(d)))
+      e.register("alice", "pw")
+      ks.foreach(k => e.kvInsert("alice", "pw", k, k.getBytes))
+    }
+    val wal = spark.read.format("graft.sources.WalDataSource")
+      .load(d1.resolve("kv_wal.jsonl").toString,
+        d2.resolve("kv_wal.jsonl").toString)
+    assert(wal.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a1", "a2", "b1"))
+  }
+
+  test("parsePaths handles JSON arrays and bare comma lists") {
+    assert(WalDataSource.parsePaths(Some("""["/a/w1","/b/w2"]""")) ==
+      Seq("/a/w1", "/b/w2"))
+    assert(WalDataSource.parsePaths(Some("/a/w1,/b/w2")) ==
+      Seq("/a/w1", "/b/w2"))
+    assert(WalDataSource.parsePaths(None) == Nil)
+  }
+
   test("missing WAL file yields an empty table, not an error") {
     val wal = spark.read.format("graft.sources.WalDataSource")
       .load("/tmp/does-not-exist-graft-wal.jsonl")
