@@ -15,6 +15,11 @@ final case class SessionUpdate(user_id: Long, session_start_us: Long,
 final case class QuotaVerdict(user_id: Long, event_id: Long, admitted: Boolean,
     window_sum: Double)
 
+/** Event carrying a real TimestampType column (required for watermarks /
+  * event-time timeouts). */
+final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
+    event_type: String, value: Double, ts: java.sql.Timestamp)
+
 /** Structured Streaming twins of the batch event operators (SURVEY §2.4/§2.5
   * note the quota sliding window as the reference's only time construct; the
   * builder brief asks for watermarked windows + custom state):
@@ -89,6 +94,43 @@ object EventStreams {
   private def toUpdate(userId: Long, s: List[Event]): SessionUpdate =
     SessionUpdate(userId, s.head.ts_us, s.last.ts_us, s.length,
       s.map(_.value).sum)
+
+  /** Sessionization with a REAL event-time timeout: a user's open session
+    * is also emitted once the watermark passes last-event + 30 min, so
+    * trailing sessions don't linger in state forever (the finalizing twin
+    * of [[sessionize]]'s emit-on-close contract). */
+  def sessionizeWithTimeout(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timed = events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .as[TimedEvent]
+      .withWatermark("ts", watermarkDelay)
+    timed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, batch, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: close and emit what's open
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            if (open.isEmpty) Iterator.empty
+            else Iterator.single(toUpdate(userId, open))
+          } else {
+            val events = (state.getOption.getOrElse(Nil) ++
+              batch.map(t => Event(t.event_id, t.ts_us, t.user_id,
+                t.event_type, t.value)).toList)
+              .sortBy(e => (e.ts_us, e.event_id))
+            if (events.isEmpty) Iterator.empty
+            else {
+              val (closed, open) = splitSessions(events)
+              state.update(open)
+              state.setTimeoutTimestamp(open.last.ts_us / 1000 + GapUs / 1000)
+              closed.iterator.map(s => toUpdate(userId, s))
+            }
+          }
+      }
+  }
 
   /** Per-user sequential sliding-window admission — the p4 quota contract
     * (admit iff in-window sum + amount ≤ max; admitted events join the

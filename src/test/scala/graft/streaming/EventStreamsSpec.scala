@@ -80,6 +80,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithTimeout(mem.toDS(), "0 seconds")
+      .writeStream.format("memory").queryName("sessto").outputMode("append")
+      .start()
+    try {
+      val base = 1700000000000000L // epoch micros
+      // user 1: three events inside one session, then silence forever
+      mem.addData(Seq(
+        Event(1, base, 1L, "a", 1.0),
+        Event(2, base + us(5), 1L, "a", 1.0),
+        Event(3, base + us(10), 1L, "a", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("sessto").count() == 0) // still open
+      // user 2 events far in the future advance the watermark past
+      // user 1's last-event + 30 min → user 1's session times out
+      mem.addData(Seq(Event(4, base + us(120), 2L, "b", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(5, base + us(121), 2L, "b", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("sessto").as[SessionUpdate].collect()
+      assert(out.exists(s => s.user_id == 1L && s.n_events == 3 &&
+        s.session_start_us == base && s.session_end_us == base + us(10)),
+        s"user 1 session not finalized: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("quotaAdmission: streaming decisions equal the batch replay operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
