@@ -194,7 +194,15 @@ final class Engine(val spark: SparkSession,
     else { kv.save(); Result(true, OK) }
   }
 
-  /** BYE analog: release UDF loaders; leaves the SparkSession to the caller
+  /** BYE (ref: p1/server/responses.cc:181-198): authenticated shutdown —
+    * any registered user may stop the engine. */
+  def bye(user: String, pass: String): Result = {
+    val a = auth.auth(user, pass)
+    if (!a.succeeded) a
+    else { shutdown(); Result(true, OK) }
+  }
+
+  /** Release UDF loaders; leaves the SparkSession to the caller
     * (ref shutdown: p5/server/my_storage.cc:421-424). */
   def shutdown(): Unit = funcs.close()
 }

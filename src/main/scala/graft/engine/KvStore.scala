@@ -65,14 +65,16 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   dataDir.foreach { _ =>
     snapDir.foreach { d =>
       val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
-      if (!Files.exists(d) &&
-        Files.exists(tmp.resolve("_SUCCESS"))) {
-        // crashed between deleting the old snapshot and renaming the new
-        // one in: the tmp dir is complete (_SUCCESS) — finish the swap.
+      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+        // A COMPLETE tmp always wins: it is the fold of the old snapshot +
+        // WAL, and WAL replay over it is idempotent — whereas the old dir
+        // may be mid-deletion (deleteRecursively is not atomic) and
+        // silently missing part files. Finish the swap.
+        deleteRecursively(d)
         Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-      } else if (Files.exists(d)) {
-        // crashed before the swap: old snapshot + un-truncated WAL are the
-        // consistent state; discard the half-baked tmp.
+      } else {
+        // no _SUCCESS: the tmp write itself died — discard it; the old
+        // snapshot + un-truncated WAL are the consistent state.
         deleteRecursively(tmp)
       }
     }
@@ -81,14 +83,19 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     }
     logPath.filter(Files.exists(_)).foreach { p =>
       // a torn final line (crash mid-append) must not brick recovery:
-      // replay stops at the first malformed record
-      val it = Files.readAllLines(p).asScala.iterator
-      var ok = true
-      while (ok && it.hasNext) {
-        val line = it.next()
-        ok = scala.util.Try(replayLine(line)).isSuccess
-        if (!ok) System.err.println(
-          s"[kvstore] WAL replay stopped at torn record (${line.take(40)}...)")
+      // replay the valid prefix, then TRUNCATE the torn tail so later
+      // appends don't concatenate onto the partial record
+      val lines = Files.readAllLines(p).asScala
+      val valid = lines.takeWhile(l => scala.util.Try(replayLine(l)).isSuccess)
+      if (valid.size < lines.size) {
+        System.err.println(s"[kvstore] WAL torn at record ${valid.size + 1}; " +
+          "truncating tail")
+        val repaired = p.resolveSibling(p.getFileName.toString + ".repair")
+        Files.writeString(repaired,
+          valid.map(_ + "\n").mkString, StandardOpenOption.CREATE,
+          StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
+        Files.move(repaired, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

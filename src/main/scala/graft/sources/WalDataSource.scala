@@ -46,13 +46,13 @@ object WalDataSource {
 
   /** Multi-path `load(p1, p2, ...)` arrives as a JSON array string under
     * "paths" (DSv2 contract); a single `option("paths", ...)` may be a bare
-    * comma list. Handle both. */
+    * comma list. The JSON form is parsed with Spark's bundled Jackson so
+    * every escape (\t, \uXXXX, ...) round-trips, not just quotes. */
   def parsePaths(raw: Option[String]): Seq[String] = raw match {
     case None => Nil
     case Some(s) if s.trim.startsWith("[") =>
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(s)
-        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .toSeq
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      (0 until node.size()).map(node.get(_).asText())
     case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
 }

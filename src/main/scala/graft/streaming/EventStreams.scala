@@ -26,8 +26,10 @@ final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
   *
   *  - [[windowedCounts]]: watermarked tumbling-window counts/sums — the
   *    streaming formulation of quota byte-accounting;
-  *  - [[sessionize]]: `flatMapGroupsWithState` with event-time timeout —
-  *    emits a session when 30 min pass with no event for the user;
+  *  - [[sessionize]]: `flatMapGroupsWithState` with emit-on-close semantics
+  *    (a session emits when a later event reveals a 30-min gap; batch
+  *    replay == stream output); [[sessionizeWithTimeout]] additionally
+  *    finalizes trailing sessions via event-time timeout;
   *  - [[quotaAdmission]]: per-user sequential sliding-window admission (the
   *    faithful p4 quota semantics) as arbitrary stateful processing.
   *
@@ -125,7 +127,13 @@ object EventStreams {
             else {
               val (closed, open) = splitSessions(events)
               state.update(open)
-              state.setTimeoutTimestamp(open.last.ts_us / 1000 + GapUs / 1000)
+              // clamp: setTimeoutTimestamp throws if below the current
+              // (eviction) watermark, which can exceed last-event + gap when
+              // a late-but-accepted record arrives (late filtering uses the
+              // PREVIOUS batch's watermark) or when watermarkDelay >= gap
+              state.setTimeoutTimestamp(
+                math.max(open.last.ts_us / 1000 + GapUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
               closed.iterator.map(s => toUpdate(userId, s))
             }
           }

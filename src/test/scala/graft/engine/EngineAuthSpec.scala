@@ -49,6 +49,13 @@ class EngineAuthSpec extends AnyFunSuite with SparkSpec {
     assert(!all.dataUtf8.endsWith("\n"))
   }
 
+  test("BYE: authenticated shutdown; bad credentials refused") {
+    val e = mkEngine()
+    e.register("alice", "pw")
+    assert(e.bye("alice", "WRONG").msg == ERR_LOGIN)
+    assert(e.bye("alice", "pw") == Result(true, OK))
+  }
+
   test("salted hashing: same password, different users → different hashes") {
     val e = mkEngine()
     e.register("alice", "samepw"); e.register("bob", "samepw")

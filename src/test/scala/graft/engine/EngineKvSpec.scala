@@ -95,6 +95,36 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1")
     assert(e2.kvGet("alice", "pw", "k2").dataUtf8 == "v2")
     assert(e2.kvGet("alice", "pw", "k3").msg == ERR_KEY)
+    // the torn tail must be TRUNCATED: a new write after recovery appends a
+    // clean record, and a further restart sees all three keys (a merged
+    // line would corrupt or drop the acknowledged k3 write)
+    assert(e2.kvInsert("alice", "pw", "k3", b("v3")).succeeded)
+    val e3 = mkEngine(opts)
+    assert(e3.kvGet("alice", "pw", "k3").dataUtf8 == "v3")
+    assert(e3.kvAll("alice", "pw").dataUtf8.split("\n").count(_.nonEmpty) == 3)
+  }
+
+  test("crash mid-delete of old snapshot: complete tmp wins over gutted dir") {
+    val dir = Files.createTempDirectory("graft-gut-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    (1 to 4).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
+    e1.save("alice", "pw")
+    val snap = dir.resolve("kv_snapshot")
+    val tmp = dir.resolve("kv_snapshot.tmp")
+    // simulate: complete tmp exists AND old dir was only PARTIALLY deleted
+    // (missing data files but still present)
+    import scala.jdk.CollectionConverters._
+    Files.createDirectory(tmp)
+    Files.list(snap).iterator().asScala.toList.foreach { f =>
+      Files.copy(f, tmp.resolve(f.getFileName.toString))
+    }
+    Files.list(snap).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(Files.delete) // gut the old dir
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k2").dataUtf8 == "v2",
+      "complete tmp should win over the gutted old snapshot")
   }
 
   test("binary values survive byte-exact") {
