@@ -28,6 +28,9 @@ object SparkEntry {
     "rollup_agg" -> (Relational.rollupAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "monthly_revenue" -> (Relational.monthlyRevenue _),
+    "q4_exists" -> (Relational.q4Exists _),
+    "left_outer_orders" -> (Relational.leftOuterOrders _),
+    "full_outer_nations" -> (Relational.fullOuterNations _),
     "scalar_funcs" -> (Relational.scalarFuncs _),
     "above_avg_sql" -> (Relational.aboveAvgSql _),
     // SURVEY §2.1 client-op analogs
@@ -76,6 +79,9 @@ object SparkEntry {
     "rollup_agg" -> Relational.rollupAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
+    "q4_exists" -> Relational.q4ExistsSql,
+    "left_outer_orders" -> Relational.leftOuterOrdersSql,
+    "full_outer_nations" -> Relational.fullOuterNationsSql,
     "scalar_funcs" -> Relational.scalarFuncsSql,
     "above_avg_sql" -> Relational.aboveAvgSqlOracle,
     "kv_get_point" -> KvSurface.kvGetPointSql,

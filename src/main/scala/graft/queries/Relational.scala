@@ -195,6 +195,63 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Correlated EXISTS with aggregation (TPC-H Q4 shape): orders having at
+    * least one line shipped after the order date, counted by priority. */
+  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val late = t(spark, dir, "lineitem")
+    ord.join(late, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4ExistsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** LEFT OUTER join preserving customers with zero orders (SURVEY §2.7
+    * joins — outer flavor; count(order) is 0 for unmatched, not 1). */
+  def leftOuterOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total_spend"))
+
+  val leftOuterOrdersSql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_spend
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  /** FULL OUTER join: per-nation customer vs supplier presence, keeping
+    * nations that have only one side. */
+  def fullOuterNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = t(spark, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val fullOuterNationsSql: String =
+    """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** Sessionization via lag(): gap > 30 min starts a new session. Shows
     * event-stream windowing on the batch table (streaming twin lives in
     * graft.streaming). */
