@@ -51,6 +51,24 @@ class EngineQuotaMruSpec extends AnyFunSuite with SparkSpec {
     assert(e.kvGet("alice", "pw", "k1").msg == ERR_QUOTA_DOWN) // 80+80 > 100
   }
 
+  test("download exhaustion: ERR_QUOTA_DOWN, then success after window reset (FIXTURES §5 p4)") {
+    val (e, clk) = mkEngine(down = 100, dur = 6.0)
+    e.kvInsert("alice", "pw", "k1", b(80))
+    assert(e.kvGet("alice", "pw", "k1").succeeded)
+    assert(e.kvGet("alice", "pw", "k1").msg == ERR_QUOTA_DOWN)
+    clk.now += 6.1
+    assert(e.kvGet("alice", "pw", "k1").succeeded)
+  }
+
+  test("request exhaustion blocks every charged op, including KVT (FIXTURES §5 p4)") {
+    val (e, _) = mkEngine(req = 2)
+    e.kvInsert("alice", "pw", "k1", b(4)) // request 1
+    e.kvGet("alice", "pw", "k1")          // request 2
+    assert(e.kvTop("alice", "pw").msg == ERR_QUOTA_REQ)
+    assert(e.kvDelete("alice", "pw", "k1").msg == ERR_QUOTA_REQ)
+    assert(e.kvGet("alice", "pw", "k1").msg == ERR_QUOTA_REQ)
+  }
+
   test("failed KVG on missing key still charges the request (ref kv_get order)") {
     val (e, _) = mkEngine(req = 2)
     assert(e.kvGet("alice", "pw", "nope").msg == ERR_KEY)
