@@ -131,7 +131,9 @@ object Similarity {
 
   final val IvfClusters = 16
   final val IvfProbes = 4
-  final val IvfIters = 5
+  // Lloyd's on this data converges in 2-3 iterations; each iteration is two
+  // Spark jobs, so the cap is a real query-latency knob
+  final val IvfIters = 3
 
   /** Deterministic Lloyd's k-means over the embedding column. Centroids are
     * tiny (k × dims doubles) and live on the driver / in broadcasts; the
