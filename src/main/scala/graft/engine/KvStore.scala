@@ -88,8 +88,17 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       val lines = Files.readAllLines(p).asScala
       val valid = lines.takeWhile(l => scala.util.Try(replayLine(l)).isSuccess)
       if (valid.size < lines.size) {
+        // QUARANTINE the tail rather than deleting it: a malformed record
+        // mid-file (not just a torn final line) may be followed by intact
+        // acknowledged records — keep them on disk for manual recovery
+        // while the active WAL is rewritten to the replayable prefix.
         System.err.println(s"[kvstore] WAL torn at record ${valid.size + 1}; " +
-          "truncating tail")
+          s"quarantining ${lines.size - valid.size} tail record(s)")
+        val torn = p.resolveSibling(p.getFileName.toString + ".torn")
+        Files.writeString(torn,
+          lines.drop(valid.size).map(_ + "\n").mkString,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+          StandardOpenOption.SYNC)
         val repaired = p.resolveSibling(p.getFileName.toString + ".repair")
         Files.writeString(repaired,
           valid.map(_ + "\n").mkString, StandardOpenOption.CREATE,
@@ -100,14 +109,23 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     }
   }
 
+  /** Record format: `OP\tbase64(key)[\tbase64(value)]\t#` — the terminal
+    * `#` field makes records self-validating: base64 content can never
+    * contain `\t#`, so a record torn ANYWHERE (even at a 4-char base64
+    * boundary that would still decode, e.g. a DEL whose key lost a suffix)
+    * fails the marker check instead of replaying against the wrong key. */
   private def replayLine(line: String): Unit = {
-    // format: OP\tbase64(key)[\tbase64(value)]
-    val parts = line.split("\t", -1)
+    require(line.endsWith("\t#"), "unterminated WAL record")
+    val parts = line.dropRight(2).split("\t", -1)
     val key = new String(Base64.getDecoder.decode(parts(1)), "UTF-8")
     parts(0) match {
-      case "PUT" => mem.put(key, Some(Base64.getDecoder.decode(parts(2))))
-      case "DEL" => mem.put(key, None)
-      case _ => ()
+      case "PUT" =>
+        require(parts.length == 3, "malformed PUT record")
+        mem.put(key, Some(Base64.getDecoder.decode(parts(2))))
+      case "DEL" =>
+        require(parts.length == 2, "malformed DEL record")
+        mem.put(key, None)
+      case other => throw new IllegalArgumentException(s"unknown op $other")
     }
   }
 
@@ -116,8 +134,8 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       val enc = Base64.getEncoder
       val k = enc.encodeToString(key.getBytes("UTF-8"))
       val line = value match {
-        case Some(v) => s"$op\t$k\t${enc.encodeToString(v)}\n"
-        case None => s"$op\t$k\n"
+        case Some(v) => s"$op\t$k\t${enc.encodeToString(v)}\t#\n"
+        case None => s"$op\t$k\t#\n"
       }
       Files.writeString(p, line, StandardOpenOption.CREATE,
         StandardOpenOption.APPEND, StandardOpenOption.SYNC)

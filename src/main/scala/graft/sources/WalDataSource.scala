@@ -44,15 +44,20 @@ object WalDataSource {
     StructField("key", StringType, nullable = false),
     StructField("value", BinaryType, nullable = true)))
 
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Multi-path `load(p1, p2, ...)` arrives as a JSON array string under
     * "paths" (DSv2 contract); a single `option("paths", ...)` may be a bare
     * comma list. The JSON form is parsed with Spark's bundled Jackson so
-    * every escape (\t, \uXXXX, ...) round-trips, not just quotes. */
+    * every escape (\t, \uXXXX, ...) round-trips; malformed '['-prefixed
+    * input degrades to the comma fallback instead of throwing. */
   def parsePaths(raw: Option[String]): Seq[String] = raw match {
     case None => Nil
     case Some(s) if s.trim.startsWith("[") =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-      (0 until node.size()).map(node.get(_).asText())
+      scala.util.Try {
+        val node = mapper.readTree(s)
+        (0 until node.size()).map(node.get(_).asText())
+      }.getOrElse(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
 }
@@ -109,7 +114,9 @@ final class WalPartitionReader(path: String) extends PartitionReader[InternalRow
   }
 
   override def get(): InternalRow = {
-    val parts = line.split("\t", -1)
+    // records are `OP\tb64(key)[\tb64(value)]\t#` (see KvStore.replayLine)
+    val body = if (line.endsWith("\t#")) line.dropRight(2) else line
+    val parts = body.split("\t", -1)
     val dec = Base64.getDecoder
     val key = dec.decode(parts(1))
     val value = if (parts.length > 2) dec.decode(parts(2)) else null

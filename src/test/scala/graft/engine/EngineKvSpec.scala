@@ -104,6 +104,22 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(e3.kvAll("alice", "pw").dataUtf8.split("\n").count(_.nonEmpty) == 3)
   }
 
+  test("decodable torn record must NOT replay against the wrong key") {
+    val dir = Files.createTempDirectory("graft-torn2-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    e1.kvInsert("alice", "pw", "k3", b("v3"))
+    // a DEL of key "k3abc" torn to 'DEL\tazM' would base64-decode to "k3" —
+    // without the terminal marker it would tombstone the wrong live key
+    Files.writeString(dir.resolve("kv_wal.jsonl"), "DEL\tazM",
+      java.nio.file.StandardOpenOption.APPEND)
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k3").dataUtf8 == "v3",
+      "torn DEL replayed against the wrong key")
+    // and the torn tail is quarantined, not destroyed
+    assert(Files.exists(dir.resolve("kv_wal.jsonl.torn")))
+  }
+
   test("crash mid-delete of old snapshot: complete tmp wins over gutted dir") {
     val dir = Files.createTempDirectory("graft-gut-")
     val opts = EngineOptions(dataDir = Some(dir))
