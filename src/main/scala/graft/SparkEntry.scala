@@ -29,6 +29,7 @@ object SparkEntry {
     "events_sessionize" -> (Relational.eventsSessionize _),
     "monthly_revenue" -> (Relational.monthlyRevenue _),
     "q4_exists" -> (Relational.q4Exists _),
+    "percentiles" -> (Relational.percentiles _),
     "left_outer_orders" -> (Relational.leftOuterOrders _),
     "full_outer_nations" -> (Relational.fullOuterNations _),
     "scalar_funcs" -> (Relational.scalarFuncs _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
     "q4_exists" -> Relational.q4ExistsSql,
+    "percentiles" -> Relational.percentilesSql,
     "left_outer_orders" -> Relational.leftOuterOrdersSql,
     "full_outer_nations" -> Relational.fullOuterNationsSql,
     "scalar_funcs" -> Relational.scalarFuncsSql,

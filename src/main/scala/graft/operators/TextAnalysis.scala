@@ -106,18 +106,22 @@ object TextAnalysis {
   }
 
   /** Document fingerprints: md5 content hash + the native [[RollingHash]]
-    * Catalyst expression (codegen'd polynomial hash over code points). */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    * Catalyst expression (codegen'd polynomial hash over code points), both
+    * over the NFC-normalized text (composed/decomposed accent variants must
+    * fingerprint identically for dedup). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc_normalize
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        md5(col("text").cast("binary")).as("fp_md5"),
-        rolling_hash(col("text")).as("fp_roll"))
+        md5(nfc_normalize(col("text")).cast("binary")).as("fp_md5"),
+        rolling_hash(nfc_normalize(col("text"))).as("fp_roll"))
+  }
 
   val docFingerprintSql: String =
-    """SELECT doc_id, md5(text) AS fp_md5,
+    """SELECT doc_id, md5(nfc_normalize(text)) AS fp_md5,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(range(1, length(text)+1),
-      |                   i -> CAST(unicode(text[i]) AS BIGINT))),
+      |    list_transform(range(1, length(nfc_normalize(text))+1),
+      |                   i -> CAST(unicode(nfc_normalize(text)[i]) AS BIGINT))),
       |    (a, b) -> (a*31 + b) % 1000000007) AS fp_roll
       |FROM documents""".stripMargin
 }

@@ -195,6 +195,26 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Exact (holistic) percentile aggregation — the ref's reduce_func is the
+    * only holistic aggregate it has (SURVEY §2.7); this is the built-in
+    * columnar form. Spark `percentile` and DuckDB `quantile_cont` both use
+    * linear interpolation over the sorted set. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("med"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS med,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Correlated EXISTS with aggregation (TPC-H Q4 shape): orders having at
     * least one line shipped after the order date, counted by priority. */
   def q4Exists(spark: SparkSession, dir: String): DataFrame = {

@@ -23,6 +23,20 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(interp == RollingHash.eval("key agg row"))
   }
 
+  test("nfc_normalize: composed and decomposed accents fingerprint identically") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    val composed = "caf\u00e9"         // e-acute as one code point
+    val decomposed = "cafe\u0301"    // e + combining acute
+    val got = Seq(composed, decomposed).toDF("text")
+      .select(nfc_normalize(col("text"))).as[String].collect()
+    assert(got(0) == got(1) && got(0) == composed)
+    // ASCII fast path returns the input untouched
+    assert(graft.functions.NfcNormalize.eval(
+      org.apache.spark.unsafe.types.UTF8String.fromString("plain")).toString
+      == "plain")
+  }
+
   test("minhash_sig: short strings get content-derived signatures, not a shared sentinel") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     def sig(s: String): Seq[Long] = {
