@@ -132,6 +132,17 @@ class EngineMapReduceSpec extends AnyFunSuite with SparkSpec {
     assert(r.dataUtf8.split("\n").sorted.toSeq == (1 to 8).map(i => s"k$i"))
   }
 
+  test("MrAggregator: Catalyst-aggregate execution matches holistic result as a set") {
+    val e = mkEngine()
+    val r = MrAggregator.run(e.kv.view, BuiltinFuncs.AllKeysAssoc)
+    assert(r.succeeded)
+    assert(r.dataUtf8.split("\n").sorted.toSeq == (1 to 8).map(i => s"k$i"))
+    // empty table: the aggregation yields the reducer's zero
+    val empty = new Engine(spark, EngineOptions())
+    val r0 = MrAggregator.run(empty.kv.view, BuiltinFuncs.AllKeysAssoc)
+    assert(r0.succeeded && r0.data.isEmpty)
+  }
+
   test("treeReduce on empty table returns zero, not a crash") {
     val empty = new Engine(spark, EngineOptions())
     val r = MapReduce.runTree(empty.kv.view, BuiltinFuncs.AllKeysAssoc)
