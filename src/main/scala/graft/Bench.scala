@@ -26,15 +26,22 @@ object Bench {
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN // a failed run must never win the min()
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    // best of 2: absorbs one-off planning/GC noise without hiding real cost
-    def exec(name: String): Double = math.min(once(name), once(name))
+    // best of 2 SUCCESSFUL runs: absorbs one-off planning/GC noise; a
+    // query that failed both times reports -1, not a fast-failure time
+    def exec(name: String): Double = {
+      val runs = Seq(once(name), once(name)).filterNot(_.isNaN)
+      if (runs.isEmpty) -1.0 else runs.min
+    }
 
     // warmup: run the flagship shape once, untimed
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()

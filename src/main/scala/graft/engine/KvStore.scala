@@ -86,7 +86,11 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       // replay the valid prefix, then TRUNCATE the torn tail so later
       // appends don't concatenate onto the partial record
       val lines = Files.readAllLines(p).asScala
-      val valid = lines.takeWhile(l => scala.util.Try(replayLine(l)).isSuccess)
+      // format detection: a pre-marker (legacy) WAL has a marker-less first
+      // line; replay it leniently once rather than quarantining valid data
+      val legacy = lines.headOption.exists(!_.endsWith("\t#"))
+      val valid = lines.takeWhile(l =>
+        scala.util.Try(replayLine(l, legacy)).isSuccess)
       if (valid.size < lines.size) {
         // QUARANTINE the tail rather than deleting it: a malformed record
         // mid-file (not just a torn final line) may be followed by intact
@@ -113,10 +117,16 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     * `#` field makes records self-validating: base64 content can never
     * contain `\t#`, so a record torn ANYWHERE (even at a 4-char base64
     * boundary that would still decode, e.g. a DEL whose key lost a suffix)
-    * fails the marker check instead of replaying against the wrong key. */
-  private def replayLine(line: String): Unit = {
-    require(line.endsWith("\t#"), "unterminated WAL record")
-    val parts = line.dropRight(2).split("\t", -1)
+    * fails the marker check instead of replaying against the wrong key.
+    *
+    * `legacy = true` accepts marker-less records (pre-marker WALs) so an
+    * upgrade doesn't quarantine a whole valid log; legacy mode keeps the
+    * old, weaker torn-record detection for that one boot (the repair pass
+    * rewrites the WAL, and all new appends carry the marker). */
+  private def replayLine(line: String, legacy: Boolean = false): Unit = {
+    require(legacy || line.endsWith("\t#"), "unterminated WAL record")
+    val body = if (line.endsWith("\t#")) line.dropRight(2) else line
+    val parts = body.split("\t", -1)
     val key = new String(Base64.getDecoder.decode(parts(1)), "UTF-8")
     parts(0) match {
       case "PUT" =>

@@ -36,7 +36,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSig.eval($c.toString(), $k)")
+      s"graft.functions.MinHashSig.compute($c.toString(), $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -53,6 +53,9 @@ object MinHashSig {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+
+  /** Static-forwarder-friendly alias for generated code (see RollingHash). */
+  def compute(s: String, k: Int): ArrayData = eval(s, k)
 
   def eval(s: String, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)

@@ -25,7 +25,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     NfcNormalize.eval(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
@@ -34,6 +34,9 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
+  /** Static-forwarder-friendly alias for generated code (see RollingHash). */
+  def compute(s: UTF8String): UTF8String = eval(s)
+
   def eval(s: UTF8String): UTF8String = {
     val str = s.toString
     // fast path: pure-ASCII (or already-normalized) strings skip the copy

@@ -36,7 +36,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingHash.eval($c.toString())")
+      s"graft.functions.RollingHash.compute($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -46,6 +46,11 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
 object RollingHash {
   final val Mod = 1000000007L
+
+  /** Static-forwarder-friendly alias: the companion's `eval` gets no
+    * static forwarder (the case class inherits a member named `eval`), so
+    * generated Java calls `compute` instead. */
+  def compute(s: String): Long = eval(s)
 
   /** Exact fold over code points (not UTF-16 units — matches DuckDB's
     * `unicode()` on non-BMP input). */

@@ -33,7 +33,7 @@ case class VecDot(left: Expression, right: Expression)
     VecDot.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.eval($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.compute($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
@@ -42,6 +42,9 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
+  /** Static-forwarder-friendly alias for generated code (see RollingHash). */
+  def compute(a: ArrayData, b: ArrayData): Double = eval(a, b)
+
   /** Strict left-fold double dot product (order matters for bit parity). */
   def eval(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

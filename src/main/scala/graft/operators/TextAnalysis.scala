@@ -118,10 +118,10 @@ object TextAnalysis {
   }
 
   val docFingerprintSql: String =
-    """SELECT doc_id, md5(nfc_normalize(text)) AS fp_md5,
+    """SELECT doc_id, md5(nt) AS fp_md5,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(range(1, length(nfc_normalize(text))+1),
-      |                   i -> CAST(unicode(nfc_normalize(text)[i]) AS BIGINT))),
+      |    list_transform(range(1, length(nt)+1),
+      |                   i -> CAST(unicode(nt[i]) AS BIGINT))),
       |    (a, b) -> (a*31 + b) % 1000000007) AS fp_roll
-      |FROM documents""".stripMargin
+      |FROM (SELECT doc_id, nfc_normalize(text) AS nt FROM documents)""".stripMargin
 }

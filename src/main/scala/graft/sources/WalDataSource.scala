@@ -54,10 +54,13 @@ object WalDataSource {
   def parsePaths(raw: Option[String]): Seq[String] = raw match {
     case None => Nil
     case Some(s) if s.trim.startsWith("[") =>
+      // '['-prefixed input is never a valid comma list — fail loudly with
+      // context instead of degrading to garbage paths that read as empty
       scala.util.Try {
         val node = mapper.readTree(s)
         (0 until node.size()).map(node.get(_).asText())
-      }.getOrElse(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft-wal: malformed JSON in 'paths' option: $s"))
     case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
   }
 }
@@ -97,7 +100,10 @@ final class WalReaderFactory extends PartitionReaderFactory {
     new WalPartitionReader(partition.asInstanceOf[WalInputPartition].path)
 }
 
-/** Streams one WAL segment line-by-line (no whole-file materialization). */
+/** Streams one WAL segment line-by-line (no whole-file materialization).
+  * New-format segments (first record carries the `\t#` marker) skip
+  * unterminated records — the same torn-record defense as engine replay;
+  * legacy marker-less segments are read leniently. */
 final class WalPartitionReader(path: String) extends PartitionReader[InternalRow] {
   private val reader =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
@@ -105,12 +111,16 @@ final class WalPartitionReader(path: String) extends PartitionReader[InternalRow
     else null
   private var line: String = _
   private var seq: Long = -1L
+  private var strict: Option[Boolean] = None
 
   override def next(): Boolean = {
     if (reader == null) return false
     line = reader.readLine()
     seq += 1
-    line != null
+    if (line == null) return false
+    if (strict.isEmpty) strict = Some(line.endsWith("\t#"))
+    if (strict.contains(true) && !line.endsWith("\t#")) next() // skip torn
+    else true
   }
 
   override def get(): InternalRow = {

@@ -120,6 +120,27 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(Files.exists(dir.resolve("kv_wal.jsonl.torn")))
   }
 
+  test("legacy marker-less WAL replays instead of being quarantined (upgrade path)") {
+    val dir = Files.createTempDirectory("graft-legacy-")
+    val enc = java.util.Base64.getEncoder
+    def b64(s: String) = enc.encodeToString(s.getBytes("UTF-8"))
+    // a WAL written by the pre-marker format
+    Files.writeString(dir.resolve("kv_wal.jsonl"),
+      s"PUT\t${b64("k1")}\t${b64("v1")}\n" +
+        s"PUT\t${b64("k2")}\t${b64("v2")}\n" +
+        s"DEL\t${b64("k2")}\n")
+    val e = mkEngine(EngineOptions(dataDir = Some(dir)))
+    assert(e.kvGet("alice", "pw", "k1").dataUtf8 == "v1")
+    assert(e.kvGet("alice", "pw", "k2").msg == ERR_KEY)
+    // nothing quarantined — the legacy log was fully valid
+    assert(!Files.exists(dir.resolve("kv_wal.jsonl.torn")))
+    // new appends carry the marker and coexist with the legacy prefix
+    e.kvInsert("alice", "pw", "k3", b("v3"))
+    val e2 = mkEngine(EngineOptions(dataDir = Some(dir)))
+    assert(e2.kvGet("alice", "pw", "k3").dataUtf8 == "v3")
+    assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1")
+  }
+
   test("crash mid-delete of old snapshot: complete tmp wins over gutted dir") {
     val dir = Files.createTempDirectory("graft-gut-")
     val opts = EngineOptions(dataDir = Some(dir))

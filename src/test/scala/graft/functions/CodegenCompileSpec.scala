@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Forces Janino compilation of every native expression's generated code —
+  * Spark's whole-stage codegen swallows compile failures and silently falls
+  * back to interpretation, so without this test a broken static call (e.g.
+  * a companion `eval` that gets no static forwarder because the case class
+  * inherits a member of that name) costs performance invisibly. */
+class CodegenCompileSpec extends AnyFunSuite {
+
+  test("rolling_hash generated code compiles and evaluates") {
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      RollingHash(BoundReference(0, StringType, nullable = true))))
+    val row = proj(InternalRow(UTF8String.fromString("key agg row")))
+    assert(row.getLong(0) == RollingHash.eval("key agg row"))
+  }
+
+  test("minhash_sig generated code compiles and evaluates") {
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      MinHashSig(BoundReference(0, StringType, nullable = true), 8)))
+    val row = proj(InternalRow(UTF8String.fromString("abcdefgh")))
+    val got = row.getArray(0)
+    val want = MinHashSig.eval("abcdefgh", 8)
+    assert((0 until 8).forall(i => got.getLong(i) == want.getLong(i)))
+  }
+
+  test("vec_dot generated code compiles and evaluates") {
+    val at = ArrayType(DoubleType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      VecDot(BoundReference(0, at, nullable = true),
+        BoundReference(1, at, nullable = true))))
+    val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
+    val b = ArrayData.toArrayData(Array(4.0, 5.0, 6.0))
+    val row = proj(InternalRow(a, b))
+    assert(row.getDouble(0) == 32.0)
+  }
+
+  test("nfc_normalize generated code compiles and evaluates") {
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      NfcNormalize(BoundReference(0, StringType, nullable = true))))
+    val row = proj(InternalRow(UTF8String.fromString("café")))
+    assert(row.getUTF8String(0).toString == "café")
+  }
+}
