@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.RollingHash
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashSig, NfcNormalize, RollingHash, VecDot}
 
 /** Engine extension point (SparkSessionExtensions): registers the library's
   * native Catalyst expressions into the SQL function registry so
@@ -21,22 +21,33 @@ import graft.functions.RollingHash
   * this is the Catalyst-native registration path per SURVEY §7.3.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  val rollingHashDescriptor: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("rolling_hash"),
-    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-    (children: Seq[Expression]) => RollingHash(children.head))
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def d(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    d("rolling_hash", classOf[RollingHash], es => RollingHash(es.head)),
+    d("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head)),
+    d("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
+    d("minhash_sig", classOf[MinHashSig], {
+      case Seq(child, Literal(k: Int, _)) => MinHashSig(child, k)
+      case Seq(child) => MinHashSig(child, 24)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig(text[, k]) expects 1-2 args, got ${other.size}")
+    }))
 
   /** Idempotent registration on an existing session (used by tests and by
     * callers that did not pass extensions at build time). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      rollingHashDescriptor._1, rollingHashDescriptor._2,
-      rollingHashDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -7,11 +7,24 @@ import graft.functions.RollingHash
 
 class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
 
-  test("rolling_hash is callable from SQL after install()") {
+  test("all native expressions are callable from SQL after install()") {
     GraftExtensions.install(spark)
     val got = spark.sql("SELECT rolling_hash('key agg row') AS h")
       .collect()(0).getLong(0)
     assert(got == RollingHash.eval("key agg row"))
+    val nfc = spark.sql("SELECT nfc_normalize('cafe\\u0301') AS s")
+      .collect()(0).getString(0)
+    assert(nfc == "café")
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+    val sig = spark.sql("SELECT minhash_sig('abcdef', 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 4)
+    // default k
+    assert(spark.sql("SELECT size(minhash_sig('abcdef')) AS n")
+      .collect()(0).getInt(0) == 24)
   }
 
   test("withExtensions wiring registers the function at session build") {
