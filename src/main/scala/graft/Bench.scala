@@ -50,7 +50,9 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // -1.0 marks a doubly-failed query; keep it visible per-query but do
+    // not let the sentinel subtract from the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -86,9 +86,13 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       // replay the valid prefix, then TRUNCATE the torn tail so later
       // appends don't concatenate onto the partial record
       val lines = Files.readAllLines(p).asScala
-      // format detection: a pre-marker (legacy) WAL has a marker-less first
-      // line; replay it leniently once rather than quarantining valid data
-      val legacy = lines.headOption.exists(!_.endsWith("\t#"))
+      // Format detection: a pre-marker (legacy) WAL has NO marked line at
+      // all. (A new-format file whose first record is torn still has its
+      // later records marked — classifying by "any marker" instead of the
+      // first line keeps the torn-record defense on for it. The only
+      // residual ambiguity is a single-record file torn exactly at a base64
+      // boundary, which is indistinguishable from a valid legacy record.)
+      val legacy = lines.nonEmpty && !lines.exists(_.endsWith("\t#"))
       val valid = lines.takeWhile(l =>
         scala.util.Try(replayLine(l, legacy)).isSuccess)
       if (valid.size < lines.size) {
@@ -103,9 +107,16 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
           lines.drop(valid.size).map(_ + "\n").mkString,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND,
           StandardOpenOption.SYNC)
+      }
+      if (valid.size < lines.size || legacy) {
+        // Rewrite the WAL to the valid prefix, MIGRATED to marker format —
+        // legacy leniency lasts exactly one boot; afterwards every record
+        // on disk is self-validating.
         val repaired = p.resolveSibling(p.getFileName.toString + ".repair")
         Files.writeString(repaired,
-          valid.map(_ + "\n").mkString, StandardOpenOption.CREATE,
+          valid.map(l => if (l.endsWith("\t#")) l + "\n" else l + "\t#\n")
+            .mkString,
+          StandardOpenOption.CREATE,
           StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
         Files.move(repaired, p, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{MinHashSig, NfcNormalize, RollingHash, VecDot}
 
 /** Engine extension point (SparkSessionExtensions): registers the library's
@@ -38,8 +38,18 @@ object GraftExtensions {
     d("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head)),
     d("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
     d("minhash_sig", classOf[MinHashSig], {
-      case Seq(child, Literal(k: Int, _)) => MinHashSig(child, k)
-      case Seq(child) => MinHashSig(child, 24)
+      case Seq(child, k) if k.foldable && (k.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }) =>
+        MinHashSig(child, k.eval().asInstanceOf[Number].intValue())
+      case Seq(child) =>
+        MinHashSig(child, graft.operators.Dedup.MinhashK)
+      case Seq(_, k) => throw new IllegalArgumentException(
+        s"minhash_sig(text, k): k must be an integer literal, got $k")
       case other => throw new IllegalArgumentException(
         s"minhash_sig(text[, k]) expects 1-2 args, got ${other.size}")
     }))

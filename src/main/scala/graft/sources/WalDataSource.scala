@@ -50,7 +50,8 @@ object WalDataSource {
     * "paths" (DSv2 contract); a single `option("paths", ...)` may be a bare
     * comma list. The JSON form is parsed with Spark's bundled Jackson so
     * every escape (\t, \uXXXX, ...) round-trips; malformed '['-prefixed
-    * input degrades to the comma fallback instead of throwing. */
+    * input throws IllegalArgumentException with the offending value (it is
+    * never a valid comma list, so failing fast beats guessing paths). */
   def parsePaths(raw: Option[String]): Seq[String] = raw match {
     case None => Nil
     case Some(s) if s.trim.startsWith("[") =>
@@ -101,9 +102,10 @@ final class WalReaderFactory extends PartitionReaderFactory {
 }
 
 /** Streams one WAL segment line-by-line (no whole-file materialization).
-  * New-format segments (first record carries the `\t#` marker) skip
-  * unterminated records — the same torn-record defense as engine replay;
-  * legacy marker-less segments are read leniently. */
+  * Records missing the terminal `\t#` marker are skipped — the same
+  * torn-record defense as engine replay. (Legacy marker-less logs are
+  * migrated to marker format by the engine's first boot; read them through
+  * the engine, not this raw reader.) */
 final class WalPartitionReader(path: String) extends PartitionReader[InternalRow] {
   private val reader =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
@@ -111,15 +113,13 @@ final class WalPartitionReader(path: String) extends PartitionReader[InternalRow
     else null
   private var line: String = _
   private var seq: Long = -1L
-  private var strict: Option[Boolean] = None
 
   override def next(): Boolean = {
     if (reader == null) return false
     line = reader.readLine()
     seq += 1
-    if (line == null) return false
-    if (strict.isEmpty) strict = Some(line.endsWith("\t#"))
-    if (strict.contains(true) && !line.endsWith("\t#")) next() // skip torn
+    if (line == null) false
+    else if (!line.endsWith("\t#")) next() // skip torn/legacy record
     else true
   }
 

@@ -22,9 +22,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val sig = spark.sql("SELECT minhash_sig('abcdef', 4) AS s")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 4)
-    // default k
+    // default k tracks Dedup.MinhashK
     assert(spark.sql("SELECT size(minhash_sig('abcdef')) AS n")
-      .collect()(0).getInt(0) == 24)
+      .collect()(0).getInt(0) == graft.operators.Dedup.MinhashK)
+    // foldable (non-literal) k works, e.g. 2*3; long literals too
+    assert(spark.sql("SELECT size(minhash_sig('abcdef', 2*3)) AS n")
+      .collect()(0).getInt(0) == 6)
+    assert(spark.sql("SELECT size(minhash_sig('abcdef', 8L)) AS n")
+      .collect()(0).getInt(0) == 8)
   }
 
   test("withExtensions wiring registers the function at session build") {
