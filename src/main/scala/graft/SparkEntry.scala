@@ -51,6 +51,9 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    // sketch aggregates: rows-only (sketch internals differ across engines
+    // by design; error bounds vs exact are pinned in ScalaTest)
+    "approx_stats" -> (TextAnalysis.approxStats _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),

@@ -105,6 +105,23 @@ object TextAnalysis {
        |FROM documents)""".stripMargin
   }
 
+  /** Sketch-based approximate stats — the 100 TB cardinality path: HLL++
+    * (approx_count_distinct) and quantile sketches (percentile_approx)
+    * aggregate with bounded memory and map-side partials where exact
+    * distinct/percentile would shuffle every value. Error bounds vs the
+    * exact operators are pinned in ScalaTest; no DuckDB oracle (sketch
+    * internals differ across engines by design). */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** Document fingerprints: md5 content hash + the native [[RollingHash]]
     * Catalyst expression (codegen'd polynomial hash over code points), both
     * over the NFC-normalized text (composed/decomposed accent variants must

@@ -140,6 +140,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on content fingerprint within the watermark
+    * horizon — the streaming twin of Dedup.dedupExact: state stays bounded
+    * because fingerprints older than the watermark are dropped
+    * (dropDuplicatesWithinWatermark), which is the only dedup contract
+    * that survives an unbounded stream. */
+  def streamingDedup(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Per-user sequential sliding-window admission — the p4 quota contract
     * (admit iff in-window sum + amount ≤ max; admitted events join the
     * window; ref: p4/server/my_quota_tracker.cc:44-77) as distributed

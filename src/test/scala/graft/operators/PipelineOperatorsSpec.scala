@@ -136,6 +136,28 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
   }
 
+  test("approx_stats: sketch results within declared error of exact operators") {
+    import org.apache.spark.sql.functions._
+    val approx = TextAnalysis.approxStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = graft.Tables.t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect()
+    exact.foreach { r =>
+      val a = approx(r.getString(0))
+      val (ao, ap) = (a.getLong(1), a.getLong(2))
+      assert(math.abs(ao - r.getLong(1)).toDouble / r.getLong(1) < 0.1,
+        s"approx orders off: $ao vs ${r.getLong(1)}")
+      assert(math.abs(ap - r.getLong(2)).toDouble / r.getLong(2) < 0.1)
+      // percentile_approx with 1000 buckets on ~2k rows per group: close
+      assert(math.abs(a.getDouble(3) - r.getDouble(3)) / r.getDouble(3) < 0.05,
+        s"approx median off: ${a.getDouble(3)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("multimodal: binary plumbing — schema, decode stub, per-type aggregates") {
     val feats = Multimodal.extractFeatures(Multimodal.assets(spark, dir))
     val rows = feats.collect()

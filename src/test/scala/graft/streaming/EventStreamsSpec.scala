@@ -109,6 +109,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup: duplicate fingerprints within the watermark emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "fingerprint")
+    val q = EventStreams.streamingDedup(df, "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(Seq((ts(0), "a"), (ts(1), "b"), (ts(2), "a")))
+      q.processAllAvailable()
+      // duplicate "a" within the watermark suppressed across micro-batches
+      mem.addData(Seq((ts(3), "a"), (ts(4), "c")))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").collect().map(_.getString(1)).sorted
+      assert(got.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("quotaAdmission: streaming decisions equal the batch replay operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
