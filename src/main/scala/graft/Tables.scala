@@ -25,7 +25,14 @@ object Tables {
 
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read nanos as long and truncate to microsecond timestamps —
-    * the same truncation DuckDB applies, so oracle comparisons line up. */
+    * the same truncation DuckDB applies, so oracle comparisons line up.
+    *
+    * NOTE the conf below is SESSION-GLOBAL: after the first events() call,
+    * any int64-timestamp-annotated parquet in this session reads as LONG
+    * nanos instead of TIMESTAMP. Verify/Bench also set it at session build;
+    * it is re-set here defensively because the driver calls queries with a
+    * session it constructed itself. None of this repo's other tables carry
+    * int64 timestamp annotations, so the reach is confined to events. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")

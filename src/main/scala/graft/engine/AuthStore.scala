@@ -1,8 +1,11 @@
 package graft.engine
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 import java.security.MessageDigest
+import java.util.Base64
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 /** One user-directory row (ref: AuthTableEntry {username, salt, pass_hash,
@@ -16,10 +19,25 @@ final case class AuthEntry(username: String, salt: Array[Byte],
   *
   * The directory is session-control metadata — tiny relative to the KV table
   * (one row per user) — so a driver-side map with a Dataset projection for
-  * analytics (`view`, ALL) is the scale-appropriate design; it is the analog
-  * of the reference's in-memory auth map + WAL records.
+  * analytics (`view`, ALL) is the scale-appropriate design.
+  *
+  * Persistence mirrors the reference's single append-only log
+  * (ref: p3/server/format.h:15-36 AUTHAUTH, :76-83 AUTHDIFF; replay
+  * p3/server/my_storage.cc:573-702; SAV compaction :505-565; restart-reload
+  * contract p5/scripts/p3.py:48-52):
+  *  - REG appends a full-row `REG` record (AUTHAUTH analog) and SET appends
+  *    a `DIFF` record (AUTHDIFF analog), both fsync'd before the op returns;
+  *  - boot replays the log sequentially (REG insert, DIFF upsert-content);
+  *  - `save()` compacts: rewrite the log as one full-row record per user to
+  *    a tmp file, fsync, atomic rename — the reference's write-tmp-then-
+  *    rename SAV contract.
+  * Records use the same self-validating `\t#` marker format as the KV WAL
+  * (base64 fields can never contain `\t#`, so torn records fail the marker
+  * check instead of replaying wrong bytes); a torn tail is quarantined to a
+  * `.torn` sibling and the log rewritten to the valid prefix.
   */
-final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
+final class AuthStore(spark: SparkSession, rng: Random = new Random(),
+    dataDir: Option[Path] = None) {
   import Codes._
 
   private val users = mutable.LinkedHashMap.empty[String, AuthEntry]
@@ -28,6 +46,60 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
   // the cache avoids re-hashing on every point op (hot path).
   private val verified =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  private val logPath = dataDir.map(_.resolve("auth_log.jsonl"))
+
+  // boot: discard an incomplete compaction tmp (old log is the consistent
+  // state — atomic rename means a completed save left no tmp), then replay.
+  logPath.foreach { p =>
+    Files.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".tmp"))
+    if (Files.exists(p)) {
+      val lines = Files.readAllLines(p).asScala
+      val valid = lines.takeWhile(l => scala.util.Try(replayLine(l)).isSuccess)
+      if (valid.size < lines.size) {
+        System.err.println(s"[authstore] log torn at record ${valid.size + 1};" +
+          s" quarantining ${lines.size - valid.size} tail record(s)")
+        val torn = p.resolveSibling(p.getFileName.toString + ".torn")
+        Files.writeString(torn, lines.drop(valid.size).map(_ + "\n").mkString,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+          StandardOpenOption.SYNC)
+        Files.writeString(p, valid.map(_ + "\n").mkString,
+          StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
+      }
+    }
+  }
+
+  /** Replay one record; throws on any structural damage (caller treats the
+    * record and everything after it as torn). */
+  private def replayLine(line: String): Unit = {
+    require(line.endsWith("\t#"), "unterminated auth record")
+    val parts = line.dropRight(2).split("\t", -1)
+    val dec = Base64.getDecoder
+    def s(i: Int) = new String(dec.decode(parts(i)), "UTF-8")
+    parts(0) match {
+      case "REG" => // full row: user, salt, passHash, content (AUTHAUTH analog)
+        require(parts.length == 5, "malformed REG record")
+        users.update(s(1), AuthEntry(s(1), dec.decode(parts(2)),
+          dec.decode(parts(3)), dec.decode(parts(4))))
+      case "DIFF" => // profile update (AUTHDIFF analog)
+        require(parts.length == 3, "malformed DIFF record")
+        val u = s(1)
+        require(users.contains(u), "DIFF for unknown user")
+        users.update(u, users(u).copy(content = dec.decode(parts(2))))
+      case other => throw new IllegalArgumentException(s"unknown op $other")
+    }
+  }
+
+  private def fullRowRecord(e: AuthEntry): String = {
+    val enc = Base64.getEncoder
+    Seq("REG", enc.encodeToString(e.username.getBytes("UTF-8")),
+      enc.encodeToString(e.salt), enc.encodeToString(e.passHash),
+      enc.encodeToString(e.content)).mkString("\t") + "\t#\n"
+  }
+
+  private def logAppend(record: String): Unit =
+    logPath.foreach(Files.writeString(_, record, StandardOpenOption.CREATE,
+      StandardOpenOption.APPEND, StandardOpenOption.SYNC))
 
   private val digest = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("SHA-256"))
@@ -39,16 +111,18 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
     md.digest()
   }
 
-  /** REG: random 16-byte salt, SHA-256(pass ‖ salt), empty content
-    * (ref: p3/server/my_storage.cc:75-126). */
+  /** REG: random 16-byte salt, SHA-256(pass ‖ salt), empty content; the full
+    * row is logged before the op returns (ref: p3/server/my_storage.cc:75-126
+    * appends AUTHAUTH inside the insert callback). */
   def addUser(user: String, pass: String): Result = synchronized {
     if (users.contains(user)) Result(false, ERR_USER_EXISTS)
     else {
       val salt = new Array[Byte](16)
       rng.nextBytes(salt)
-      users.update(user,
-        AuthEntry(user, salt, sha256(pass.getBytes("UTF-8"), salt),
-          Array.emptyByteArray))
+      val e = AuthEntry(user, salt, sha256(pass.getBytes("UTF-8"), salt),
+        Array.emptyByteArray)
+      users.update(user, e)
+      logAppend(fullRowRecord(e))
       Result(true, OK)
     }
   }
@@ -67,7 +141,8 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
     else Result(false, ERR_LOGIN)
   }
 
-  /** SET: replace caller's profile blob (ref: p3/server/my_storage.cc:136-173). */
+  /** SET: replace caller's profile blob, logging the diff before returning
+    * (ref: p3/server/my_storage.cc:136-173 appends AUTHDIFF). */
   def setUserData(user: String, pass: String, content: Array[Byte]): Result =
     synchronized {
       val a = auth(user, pass)
@@ -75,6 +150,9 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
       else if (content.length > LEN_PROFILE_FILE) Result(false, ERR_REQ_FMT)
       else {
         users.update(user, users(user).copy(content = content))
+        logAppend("DIFF\t" +
+          Base64.getEncoder.encodeToString(user.getBytes("UTF-8")) + "\t" +
+          Base64.getEncoder.encodeToString(content) + "\t#\n")
         Result(true, OK)
       }
     }
@@ -92,12 +170,28 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random()) {
       }
     }
 
-  /** ALL: newline-joined usernames, unsorted, no trailing newline
-    * (ref: p3/server/my_storage.cc:209-224). */
+  /** ALL: usernames joined with a '\n' after EVERY name, including the last —
+    * the reference impl appends '\n' per visited row (p3/server/
+    * my_storage.cc:209-224, `usrs += usr; usrs += '\n'`), which is what the
+    * tests observe even though protocol.h:191 claims no trailing newline.
+    * Unsorted (insertion order here; bucket order in the reference). */
   def getAllUsers(user: String, pass: String): Result = synchronized {
     val a = auth(user, pass)
     if (!a.succeeded) a
-    else Result(true, OK, users.keys.mkString("\n").getBytes("UTF-8"))
+    else Result(true, OK, users.keys.map(_ + "\n").mkString.getBytes("UTF-8"))
+  }
+
+  /** SAV: compact the log to one full-row record per user — write tmp,
+    * fsync, atomic rename (ref: p3/server/my_storage.cc:505-565). */
+  def save(): Unit = synchronized {
+    logPath.foreach { p =>
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      Files.writeString(tmp, users.values.map(fullRowRecord).mkString,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.SYNC)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Typed projection for analytics (SURVEY §1.4). */

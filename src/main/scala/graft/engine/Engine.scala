@@ -15,7 +15,8 @@ final case class EngineOptions(
     admin: String = "admin",
     dataDir: Option[Path] = None,
     clock: () => Double = () => System.nanoTime() / 1e9,
-    rng: Random = new Random())
+    rng: Random = new Random(),
+    ownsSession: Boolean = false)
 
 /** The facade: one method per client-visible op of SURVEY §2.1, preserving
   * the reference's result codes, error precedence, quota-charging matrix and
@@ -34,36 +35,45 @@ final class Engine(val spark: SparkSession,
     val opts: EngineOptions = EngineOptions()) {
   import Codes._
 
-  val auth = new AuthStore(spark, opts.rng)
+  val auth = new AuthStore(spark, opts.rng, opts.dataDir)
   val kv = new KvStore(spark, opts.dataDir)
   val mru = new MruTracker(opts.topSize)
   val quotas = new QuotaGuard(opts.upQuota, opts.downQuota, opts.reqQuota,
     opts.quotaDurSec, opts.clock)
   val funcs = new FuncTable
 
+  /** Auth step shared by every op: a stopped engine refuses all requests
+    * (the reference process has exited after BYE). */
+  private def gateAuth(user: String, pass: String): Result =
+    if (isStopped) Result(false, ERR_SERVER) else auth.auth(user, pass)
+
   // ---- auth table ops (REG/SET/GET/ALL; ref p1/p3) ----
 
   def register(user: String, pass: String): Result = {
+    if (isStopped) return Result(false, ERR_SERVER)
     val r = auth.addUser(user, pass)
     if (r.succeeded) quotas.register(user)
     r
   }
 
   def setProfile(user: String, pass: String, content: Array[Byte]): Result =
-    auth.setUserData(user, pass, content)
+    if (isStopped) Result(false, ERR_SERVER)
+    else auth.setUserData(user, pass, content)
 
   def getProfile(user: String, pass: String, who: String): Result =
-    auth.getUserData(user, pass, who)
+    if (isStopped) Result(false, ERR_SERVER)
+    else auth.getUserData(user, pass, who)
 
   def allUsers(user: String, pass: String): Result =
-    auth.getAllUsers(user, pass)
+    if (isStopped) Result(false, ERR_SERVER)
+    else auth.getAllUsers(user, pass)
 
   // ---- KV ops (KVI/KVG/KVD/KVU/KVA/KVT; ref p4/server/my_storage.cc) ----
 
   /** KVI (ref :180-233): quota errors precede ERR_KEY; MRU-touch on success. */
   def kvInsert(user: String, pass: String, key: String,
       value: Array[Byte]): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     if (key.isEmpty || key.length > LEN_KEY || value.isEmpty ||
       value.length > LEN_VAL) return Result(false, ERR_REQ_FMT)
@@ -79,7 +89,7 @@ final class Engine(val spark: SparkSession,
   /** KVG (ref :242-286): value is read (and its bytes charged) before the
     * quota verdict; request error > download error > ERR_KEY. */
   def kvGet(user: String, pass: String, key: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     val content = kv.get(key)
     val q = quotas.of(user)
@@ -95,7 +105,7 @@ final class Engine(val spark: SparkSession,
 
   /** KVD (ref :295-331): requests-only charge; MRU-remove on success. */
   def kvDelete(user: String, pass: String, key: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     if (!quotas.of(user).requests.checkAdd(1)) Result(false, ERR_QUOTA_REQ)
     else if (kv.remove(key)) { mru.remove(key); Result(true, OK) }
@@ -105,7 +115,7 @@ final class Engine(val spark: SparkSession,
   /** KVU (ref :343-417): OK_INSERT vs OK_UPDATE by pre-image existence. */
   def kvUpsert(user: String, pass: String, key: String,
       value: Array[Byte]): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     if (key.isEmpty || key.length > LEN_KEY || value.isEmpty ||
       value.length > LEN_VAL) return Result(false, ERR_REQ_FMT)
@@ -127,7 +137,7 @@ final class Engine(val spark: SparkSession,
     * ref order at :436-439 vs :482-506); then request error > download
     * error. */
   def kvAll(user: String, pass: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     val rendered = kv.keys.map(_ + "\n").mkString.getBytes("UTF-8")
     if (rendered.isEmpty) return Result(false, ERR_NO_DATA)
@@ -141,7 +151,7 @@ final class Engine(val spark: SparkSession,
 
   /** KVT (ref :473-509): MRU contents, most-recent-first (order contractual). */
   def kvTop(user: String, pass: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     val rendered = mru.get().getBytes("UTF-8")
     val q = quotas.of(user)
@@ -158,7 +168,7 @@ final class Engine(val spark: SparkSession,
   /** KVF: admin-only registration; quota-exempt. */
   def registerFunc(user: String, pass: String, name: String,
       jarBytes: Array[Byte]): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) a
     else if (user != opts.admin) Result(false, ERR_LOGIN)
     else funcs.registerJar(name, jarBytes)
@@ -167,7 +177,7 @@ final class Engine(val spark: SparkSession,
   /** KVF catalog path: register an in-process function pair (admin-only). */
   def registerBuiltin(user: String, pass: String, name: String,
       fn: MapReduceFn): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) a
     else if (user != opts.admin) Result(false, ERR_LOGIN)
     else funcs.register(name, fn)
@@ -177,7 +187,7 @@ final class Engine(val spark: SparkSession,
     * empty store (ref: p5/common/protocol.h:445-469); UDF failure →
     * ERR_SERVER with the engine surviving. Quota-exempt. */
   def invokeMr(user: String, pass: String, name: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) return a
     funcs.get(name) match {
       case None => Result(false, ERR_FUNC)
@@ -187,22 +197,34 @@ final class Engine(val spark: SparkSession,
     }
   }
 
-  /** SAV (ref: p3/server/my_storage.cc:505-565): authenticated compaction. */
+  /** SAV (ref: p3/server/my_storage.cc:505-565): authenticated compaction of
+    * BOTH tables — the reference snapshots auth then kv under one 2PL chain. */
   def save(user: String, pass: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) a
-    else { kv.save(); Result(true, OK) }
+    else { auth.save(); kv.save(); Result(true, OK) }
   }
 
   /** BYE (ref: p1/server/responses.cc:181-198): authenticated shutdown —
-    * any registered user may stop the engine. */
+    * any registered user may stop the engine. After BYE the engine refuses
+    * all further ops (the reference process exits; SURVEY §2.1 maps BYE to
+    * session stop). `opts.ownsSession` additionally stops the SparkSession. */
   def bye(user: String, pass: String): Result = {
-    val a = auth.auth(user, pass)
+    val a = gateAuth(user, pass)
     if (!a.succeeded) a
     else { shutdown(); Result(true, OK) }
   }
 
-  /** Release UDF loaders; leaves the SparkSession to the caller
-    * (ref shutdown: p5/server/my_storage.cc:421-424). */
-  def shutdown(): Unit = funcs.close()
+  /** True once BYE/shutdown has run; all ops then return ERR_SERVER. */
+  @volatile private var stopped = false
+  def isStopped: Boolean = stopped
+
+  /** Release UDF loaders and stop serving (ref shutdown:
+    * p5/server/my_storage.cc:421-424); stops the SparkSession too when the
+    * engine owns it (opts.ownsSession). */
+  def shutdown(): Unit = {
+    stopped = true
+    funcs.close()
+    if (opts.ownsSession) spark.stop()
+  }
 }

@@ -48,6 +48,7 @@ final class FuncTable {
 
   private val funcs = mutable.HashMap.empty[String, MapReduceFn]
   private val loaders = mutable.ArrayBuffer.empty[URLClassLoader]
+  private val tempJars = mutable.ArrayBuffer.empty[Path]
 
   def get(name: String): Option[MapReduceFn] = synchronized(funcs.get(name))
 
@@ -74,34 +75,50 @@ final class FuncTable {
 
   private def loadFromJar(jarBytes: Array[Byte]): Option[MapReduceFn] = Try {
     val tmp: Path = Files.createTempFile("graft-udf-", ".jar")
-    Files.write(tmp, jarBytes)
-    val loader = new URLClassLoader(Array(tmp.toUri.toURL),
-      getClass.getClassLoader)
-    val jar = new JarFile(tmp.toFile)
+    var loader: URLClassLoader = null
     try {
-      val classNames = jar.entries().asScala
-        .map(_.getName)
-        .filter(n => n.endsWith(".class") && !n.contains("$"))
-        .map(_.stripSuffix(".class").replace('/', '.'))
-        .toList
-      val impl = classNames.iterator.flatMap { cn =>
-        Try(loader.loadClass(cn)).toOption
-          .filter(classOf[MapReduceFn].isAssignableFrom(_))
-          .flatMap(c => Try(
-            c.getDeclaredConstructor().newInstance().asInstanceOf[MapReduceFn]
-          ).toOption)
-      }.nextOption()
-      impl.foreach(_ => loaders += loader) // keep loader alive (ref README:97-98)
-      impl
-    } finally jar.close()
+      Files.write(tmp, jarBytes)
+      loader = new URLClassLoader(Array(tmp.toUri.toURL),
+        getClass.getClassLoader)
+      val jar = new JarFile(tmp.toFile)
+      try {
+        val classNames = jar.entries().asScala
+          .map(_.getName)
+          .filter(n => n.endsWith(".class") && !n.contains("$"))
+          .map(_.stripSuffix(".class").replace('/', '.'))
+          .toList
+        val impl = classNames.iterator.flatMap { cn =>
+          Try(loader.loadClass(cn)).toOption
+            .filter(classOf[MapReduceFn].isAssignableFrom(_))
+            .flatMap(c => Try(
+              c.getDeclaredConstructor().newInstance().asInstanceOf[MapReduceFn]
+            ).toOption)
+        }.nextOption()
+        impl.foreach { _ =>
+          loaders += loader // keep loader alive (ref README:97-98)
+          tempJars += tmp // delete with the loader at close()
+        }
+        impl
+      } finally jar.close()
+    } finally {
+      // rejected jar (ERR_SO): nothing retains the loader or the temp file —
+      // close and delete now, or repeated failed KVF uploads accumulate both
+      if (!loaders.lastOption.contains(loader)) {
+        if (loader != null) Try(loader.close())
+        Files.deleteIfExists(tmp)
+      }
+    }
   }.toOption.flatten
 
   def names: Seq[String] = synchronized(funcs.keys.toSeq)
 
-  /** Shutdown analog of dlclose-all (ref: p5/server/my_functable.cc:95-109). */
+  /** Shutdown analog of dlclose-all + codecache cleanup
+    * (ref: p5/server/my_functable.cc:95-109). */
   def close(): Unit = synchronized {
     loaders.foreach(l => Try(l.close()))
     loaders.clear()
+    tempJars.foreach(p => Try(Files.deleteIfExists(p)))
+    tempJars.clear()
     funcs.clear()
   }
 }

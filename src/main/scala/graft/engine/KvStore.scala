@@ -222,6 +222,31 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     removed
   }
 
+  /** do_with: atomic point read-modify-write (ref: map.h:54, impl
+    * p2/server/concurrenthashmap.h:154-168): `f` sees the current value and
+    * returns its replacement, applied and WAL-logged under the same per-key
+    * atomic section a lone insert/upsert would use. Returns false when the
+    * key is absent (the reference invokes its on-absent hook and returns
+    * false). */
+  def doWith(key: String, f: Array[Byte] => Array[Byte]): Boolean = withRead {
+    var hit = false
+    mem.compute(key, (_, cur) => {
+      val current = cur match {
+        case null => snapshotGet(key) // absent from delta → consult snapshot
+        case v => v // live or tombstoned in delta
+      }
+      current match {
+        case None => cur // absent/tombstoned → untouched, report miss
+        case Some(v) =>
+          hit = true
+          val next = f(v)
+          logOp("PUT", key, Some(next))
+          Some(next)
+      }
+    })
+    hit
+  }
+
   def get(key: String): Option[Array[Byte]] = withRead {
     mem.get(key) match {
       case null => snapshotGet(key)

@@ -102,37 +102,48 @@ final class WalReaderFactory extends PartitionReaderFactory {
 }
 
 /** Streams one WAL segment line-by-line (no whole-file materialization).
-  * Records missing the terminal `\t#` marker are skipped — the same
-  * torn-record defense as engine replay. (Legacy marker-less logs are
-  * migrated to marker format by the engine's first boot; read them through
-  * the engine, not this raw reader.) */
+  * Records missing the terminal `\t#` marker, with a wrong field count, or
+  * with undecodable base64 are skipped — the same quarantine-not-crash
+  * defense as engine replay, so one damaged record never kills the whole
+  * scan. (Legacy marker-less logs are migrated to marker format by the
+  * engine's first boot; read them through the engine, not this raw reader.) */
 final class WalPartitionReader(path: String) extends PartitionReader[InternalRow] {
   private val reader =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
       java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(path))
     else null
-  private var line: String = _
+  private var row: InternalRow = _
   private var seq: Long = -1L
 
   override def next(): Boolean = {
     if (reader == null) return false
-    line = reader.readLine()
+    val line = reader.readLine()
     seq += 1
     if (line == null) false
-    else if (!line.endsWith("\t#")) next() // skip torn/legacy record
-    else true
+    else parse(line) match {
+      case Some(r) => row = r; true
+      case None => next() // skip torn/legacy/malformed record
+    }
   }
 
-  override def get(): InternalRow = {
-    // records are `OP\tb64(key)[\tb64(value)]\t#` (see KvStore.replayLine)
-    val body = if (line.endsWith("\t#")) line.dropRight(2) else line
-    val parts = body.split("\t", -1)
-    val dec = Base64.getDecoder
-    val key = dec.decode(parts(1))
-    val value = if (parts.length > 2) dec.decode(parts(2)) else null
-    InternalRow(seq, UTF8String.fromString(parts(0)),
-      UTF8String.fromBytes(key), value)
+  /** Full structural validation happens HERE, not in get(): a marker-
+    * terminated but malformed record ('X\t#', non-base64 fields) must be
+    * skipped like a torn one, not crash the scan at get() time. Records are
+    * `OP\tb64(key)[\tb64(value)]\t#` (see KvStore.replayLine). */
+  private def parse(line: String): Option[InternalRow] = {
+    if (!line.endsWith("\t#")) return None
+    val parts = line.dropRight(2).split("\t", -1)
+    if (parts.length < 2 || parts.length > 3) return None
+    scala.util.Try {
+      val dec = Base64.getDecoder
+      val key = dec.decode(parts(1))
+      val value = if (parts.length > 2) dec.decode(parts(2)) else null
+      InternalRow(seq, UTF8String.fromString(parts(0)),
+        UTF8String.fromBytes(key), value)
+    }.toOption
   }
+
+  override def get(): InternalRow = row
 
   override def close(): Unit = if (reader != null) reader.close()
 }

@@ -39,21 +39,87 @@ class EngineAuthSpec extends AnyFunSuite with SparkSpec {
     assert(e.getProfile("bob", "pw", "chris").msg == ERR_NO_USER)
   }
 
-  test("ALL: newline-joined usernames, no trailing newline") {
+  test("ALL: '\\n' after EVERY username, including the last (ref impl loop)") {
     val e = mkEngine()
     e.register("alice", "pw"); e.register("bob", "pw"); e.register("carol", "pw")
     val all = e.allUsers("alice", "pw")
     assert(all.succeeded)
-    // order unspecified; compare as sorted set (ref: check_file_list sorts)
+    // the reference appends '\n' per visited row (p3/server/my_storage.cc:
+    // 209-224), so the payload ends with a newline; order unspecified —
+    // compare as sorted set (ref: check_file_list sorts)
+    assert(all.dataUtf8.endsWith("\n"))
     assert(all.dataUtf8.split("\n").sorted.toSeq == Seq("alice", "bob", "carol"))
-    assert(!all.dataUtf8.endsWith("\n"))
   }
 
-  test("BYE: authenticated shutdown; bad credentials refused") {
+  test("BYE: authenticated shutdown; bad credentials refused; engine refuses ops after") {
     val e = mkEngine()
     e.register("alice", "pw")
     assert(e.bye("alice", "WRONG").msg == ERR_LOGIN)
+    assert(!e.isStopped)
     assert(e.bye("alice", "pw") == Result(true, OK))
+    // the reference process has exited — every subsequent op fails
+    assert(e.isStopped)
+    assert(e.kvInsert("alice", "pw", "k", "v".getBytes).msg == ERR_SERVER)
+    assert(e.register("dave", "pw").msg == ERR_SERVER)
+    assert(e.allUsers("alice", "pw").msg == ERR_SERVER)
+    assert(e.bye("alice", "pw").msg == ERR_SERVER)
+  }
+
+  test("auth persistence: users + profiles survive an engine restart (ref p3.py:48-52)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auth-")
+    val opts = EngineOptions(admin = "alice", dataDir = Some(dir),
+      rng = new Random(42))
+    val e1 = new Engine(spark, opts)
+    e1.register("alice", "pw"); e1.register("bob", "pw2")
+    assert(e1.setProfile("alice", "pw", "alice profile".getBytes).succeeded)
+    // restart: fresh engine over the same dataDir replays the auth log
+    val e2 = new Engine(spark, opts)
+    assert(e2.allUsers("alice", "pw").succeeded, "replayed user must auth")
+    assert(e2.getProfile("bob", "pw2", "alice").dataUtf8 == "alice profile")
+    assert(e2.allUsers("bob", "pw2").dataUtf8.split("\n").sorted.toSeq ==
+      Seq("alice", "bob"))
+    // REG of a replayed name still collides
+    assert(e2.register("alice", "other").msg == ERR_USER_EXISTS)
+    // DIFF after restart persists too
+    assert(e2.setProfile("bob", "pw2", "bob profile".getBytes).succeeded)
+    val e3 = new Engine(spark, opts)
+    assert(e3.getProfile("alice", "pw", "bob").dataUtf8 == "bob profile")
+  }
+
+  test("SAV compacts the auth log; state identical after reload (ref my_storage.cc:505-565)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-authsav-")
+    val opts = EngineOptions(admin = "alice", dataDir = Some(dir),
+      rng = new Random(7))
+    val e1 = new Engine(spark, opts)
+    e1.register("alice", "pw")
+    // many profile rewrites → many DIFF records
+    (1 to 10).foreach(i => e1.setProfile("alice", "pw", s"p$i".getBytes))
+    val preSav = java.nio.file.Files.size(dir.resolve("auth_log.jsonl"))
+    assert(e1.save("alice", "pw").succeeded)
+    val postSav = java.nio.file.Files.size(dir.resolve("auth_log.jsonl"))
+    assert(postSav < preSav, "compaction must shrink the log")
+    val e2 = new Engine(spark, opts)
+    assert(e2.getProfile("alice", "pw", "alice").dataUtf8 == "p10")
+  }
+
+  test("torn auth log tail: valid prefix replays, tail quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-authtorn-")
+    val opts = EngineOptions(admin = "alice", dataDir = Some(dir),
+      rng = new Random(7))
+    val e1 = new Engine(spark, opts)
+    e1.register("alice", "pw")
+    e1.setProfile("alice", "pw", "keep me".getBytes)
+    // crash mid-append: a REG record truncated before its hash field
+    java.nio.file.Files.writeString(dir.resolve("auth_log.jsonl"),
+      "REG\tYm9i", java.nio.file.StandardOpenOption.APPEND)
+    val e2 = new Engine(spark, opts)
+    assert(e2.getProfile("alice", "pw", "alice").dataUtf8 == "keep me")
+    assert(e2.getProfile("alice", "pw", "bob").msg == ERR_NO_USER)
+    assert(java.nio.file.Files.exists(dir.resolve("auth_log.jsonl.torn")))
+    // log rewritten to the valid prefix: appends after recovery replay clean
+    e2.register("carol", "pw3")
+    val e3 = new Engine(spark, opts)
+    assert(e3.allUsers("carol", "pw3").succeeded)
   }
 
   test("salted hashing: same password, different users → different hashes") {

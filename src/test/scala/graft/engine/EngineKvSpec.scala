@@ -164,6 +164,30 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
       "complete tmp should win over the gutted old snapshot")
   }
 
+  test("doWith: atomic read-modify-write; absent key is a miss (ref map.h:54)") {
+    val dir = Files.createTempDirectory("graft-dowith-")
+    val e = mkEngine(EngineOptions(dataDir = Some(dir)))
+    e.kvInsert("alice", "pw", "ctr", b("5"))
+    // mutate in place through the visitor
+    assert(e.kv.doWith("ctr", v => (new String(v, "UTF-8").toInt + 1).toString.getBytes))
+    assert(e.kvGet("alice", "pw", "ctr").dataUtf8 == "6")
+    // absent and tombstoned keys are misses, not creations
+    assert(!e.kv.doWith("nope", identity))
+    e.kvDelete("alice", "pw", "ctr")
+    assert(!e.kv.doWith("ctr", identity))
+    assert(e.kvGet("alice", "pw", "ctr").msg == ERR_KEY)
+    // the mutation was WAL-logged: restart preserves doWith's write
+    val e2 = mkEngine(EngineOptions(dataDir = Some(dir)))
+    e2.kvInsert("alice", "pw", "ctr2", b("1"))
+    e2.kv.doWith("ctr2", _ => b("2"))
+    val e3 = mkEngine(EngineOptions(dataDir = Some(dir)))
+    assert(e3.kvGet("alice", "pw", "ctr2").dataUtf8 == "2")
+    // doWith also reaches values living only in the snapshot
+    e3.save("alice", "pw")
+    assert(e3.kv.doWith("ctr2", v => (v ++ b("!"))))
+    assert(e3.kvGet("alice", "pw", "ctr2").dataUtf8 == "2!")
+  }
+
   test("binary values survive byte-exact") {
     val e = mkEngine()
     val blob = Array.tabulate[Byte](4096)(i => (i * 31 % 251).toByte)
