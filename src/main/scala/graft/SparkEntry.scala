@@ -61,7 +61,9 @@ object SparkEntry {
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
-    "embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "embedding_neardup" -> (Similarity.embeddingNearDupExact _),
+    "embedding_neardup_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // distributed sequential quota admission (p4 semantics; SQL can't
     // express the event-joins-window feedback loop → rows-only check,
@@ -107,7 +109,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh / embedding_neardup /
+    "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh / embedding_neardup_lsh /
     // multimodal_features: hash/LSH internals aren't DuckDB-expressible →
     // driver records the weaker rows-only check; ScalaTest verifies recall
     // against the exact operators instead.

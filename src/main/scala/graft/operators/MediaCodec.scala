@@ -1,0 +1,165 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real (pure-JVM, no native deps) encoders/decoders for two self-describing
+  * media formats — 24-bit uncompressed BMP and PCM16 WAV. This replaces the
+  * round-1 `decodeStub`: the binary column now holds REAL format bytes and
+  * the partition transform runs a REAL parse (magic sniff → header decode →
+  * payload scan), so the decode stage of the multimodal pipeline is no
+  * longer a stand-in. Swapping in JPEG/FLAC later only changes this object.
+  */
+object MediaCodec {
+
+  /** Decoded feature tuple: (width, height, channels, feat_mean).
+    * For images: pixel dims, samples/pixel, mean gray value over the REAL
+    * pixel array (row padding excluded). For audio: (frames, 1, channels,
+    * mean |amplitude| normalized to [0,1]). */
+  type Features = (Int, Int, Int, Double)
+
+  /** Sniff the container by magic bytes, like any real decoder front-end. */
+  def decode(payload: Array[Byte]): Features =
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp(payload)
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F')
+      decodeWav(payload)
+    else
+      throw new IllegalArgumentException(
+        s"unknown media container (first bytes: ${payload.take(4).toSeq})")
+
+  // ---- BMP (BITMAPINFOHEADER, 24bpp, BI_RGB) ----
+
+  /** Encode a grayscale image as a fully valid 24-bit BMP: 14-byte file
+    * header, 40-byte BITMAPINFOHEADER, bottom-up BGR pixel array with rows
+    * padded to 4 bytes. Any standard viewer opens the output. */
+  def encodeBmp(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // file size
+    buf.putInt(0) // reserved
+    buf.putInt(54) // pixel-array offset
+    buf.putInt(40) // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height) // positive = bottom-up row order
+    buf.putShort(1) // color planes
+    buf.putShort(24) // bits per pixel
+    buf.putInt(0) // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835).putInt(2835) // 72 DPI in px/m
+    buf.putInt(0).putInt(0) // palette size / important colors
+    var y = 0
+    while (y < height) { // bottom-up: row y of the buffer is image row (h-1-y)
+      var x = 0
+      while (x < width) {
+        val v = (pixel(x, height - 1 - y) & 0xff).toByte
+        buf.put(v).put(v).put(v) // gray: B = G = R
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24bpp BI_RGB BMP: header fields at their specified offsets,
+    * then a real scan of the pixel array (honoring row padding and the
+    * header-declared data offset) for the mean gray value. */
+  def decodeBmp(payload: Array[Byte]): Features = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.get(0) == 'B' && buf.get(1) == 'M', "not a BMP")
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = math.abs(buf.getInt(22)) // negative height = top-down
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant (bpp=$bpp compression=$compression)")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    var sum = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val rowStart = dataOffset + y * rowSize
+      while (x < width) {
+        // gray encoding: any of the B/G/R samples carries the value
+        sum += java.lang.Byte.toUnsignedInt(payload(rowStart + x * 3))
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    (width, height, 3, if (n == 0) 0.0 else sum.toDouble / n / 255.0)
+  }
+
+  // ---- WAV (RIFF container, PCM signed 16-bit little-endian) ----
+
+  /** Encode PCM16 samples as a fully valid WAV: RIFF header + `fmt ` chunk +
+    * `data` chunk. */
+  def encodeWav(samples: Array[Short], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0)
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16) // PCM fmt chunk size
+    buf.putShort(1) // audio format: PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a PCM16 WAV with a REAL chunk walk (fmt/data are not assumed at
+    * fixed offsets — other chunks like LIST may precede them), then scan
+    * the sample data for mean |amplitude|. Returns
+    * (frames, 1, channels, meanAbsAmplitude∈[0,1]). */
+  def decodeWav(payload: Array[Byte]): Features = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+    var pos = 12
+    var channels = -1
+    var bits = -1
+    var frames = 0
+    var meanAbs = 0.0
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          require(buf.getShort(pos + 8) == 1, "not PCM")
+          channels = buf.getShort(pos + 10).toInt
+          bits = buf.getShort(pos + 22).toInt
+          require(bits == 16, s"unsupported bit depth $bits")
+        case "data" =>
+          require(channels > 0, "data chunk before fmt chunk")
+          val nSamples = size / 2
+          frames = nSamples / channels
+          var i = 0
+          var sum = 0L
+          while (i < nSamples) {
+            sum += math.abs(buf.getShort(pos + 8 + i * 2).toInt)
+            i += 1
+          }
+          meanAbs = if (nSamples == 0) 0.0 else sum.toDouble / nSamples / 32768.0
+        case _ => // skip unknown chunk (LIST, fact, ...)
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(frames > 0 || channels > 0, "no fmt/data chunk found")
+    (frames, 1, channels, meanAbs)
+  }
+}

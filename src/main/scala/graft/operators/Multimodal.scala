@@ -15,52 +15,59 @@ final case class MediaFeatures(doc_id: Long, media_type: String,
 
 /** Multimodal-column plumbing for the training-data pipeline.
   *
-  * Images/audio/video are opaque `binary` columns with typed metadata; the
-  * decode / feature-extract step runs as a partition-local batch transform
-  * (`mapPartitions` over a typed Dataset — the Scala analog of
-  * `mapInPandas`: one iterator per partition, batch-shaped, no
-  * driver-side gather).
+  * Images/audio are opaque `binary` columns with typed metadata; the decode /
+  * feature-extract step runs as a partition-local batch transform
+  * (`mapPartitions` over a typed Dataset — the Scala analog of `mapInPandas`:
+  * one iterator per partition, batch-shaped, no driver-side gather).
   *
-  * ==== STUB BOUNDARY ====
-  * This container ships no image/audio codecs, so `decodeStub` fabricates a
-  * deterministic fake decode from the payload bytes. The Spark-side
-  * plumbing — schema, binary column handling, partitioning, the
-  * partition-iterator transform signature, and the feature schema — is real
-  * and tested; swap `decodeStub` for a codec call in production.
+  * The payloads are REAL format bytes (valid 24-bit BMP and PCM16 WAV files,
+  * [[MediaCodec]]) synthesized deterministically from the documents table —
+  * this container ships no external media fixtures — and the decode is a
+  * REAL parse: magic sniff, header decode at the format's specified offsets,
+  * payload scan for the feature. Production swaps [[MediaCodec]]'s two
+  * formats for JPEG/FLAC codecs; every Spark-side piece (schema, binary
+  * columns, partition transform, feature aggregation) stays as-is.
   */
 object Multimodal {
 
-  /** Synthesize a binary media column from the documents table (payload =
-    * UTF-8 bytes; stands in for image bytes read from a media store). */
+  /** Deterministic media corpus over the documents table: even doc_ids
+    * become grayscale BMP images whose pixels are the document's bytes;
+    * odd doc_ids become PCM16 WAV clips whose samples are derived from the
+    * text. Dims/lengths vary per document (pruned metadata would too). */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        concat(lit("img/"), col("source")).as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaAsset]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = {
+          val b = if (text == null) Array.emptyByteArray
+            else text.getBytes("UTF-8")
+          if (b.isEmpty) Array[Byte](0) else b
+        }
+        if (id % 2 == 0) {
+          val w = 64 + (id % 64).toInt
+          val h = 64 + ((id / 2) % 64).toInt
+          val img = MediaCodec.encodeBmp(w, h, (x, y) =>
+            java.lang.Byte.toUnsignedInt(bytes((x + y * w) % bytes.length)))
+          MediaAsset(id, "image/bmp", img)
+        } else {
+          val n = 2048 + (id % 2048).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            ((java.lang.Byte.toUnsignedInt(bytes(i % bytes.length)) - 128) * 256)
+              .toShort)
+          MediaAsset(id, "audio/wav", MediaCodec.encodeWav(samples, 16000, 1))
+        }
+      })
   }
 
-  /** STUB: deterministic fake decode — derives "image" dims and a feature
-    * from the payload bytes. Replace with a real codec in production. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    val w = 64 + java.lang.Byte.toUnsignedInt(payload(0)) % 192
-    val h = 64 + java.lang.Byte.toUnsignedInt(payload(payload.length / 2)) % 192
-    val c = 1 + java.lang.Byte.toUnsignedInt(payload(payload.length - 1)) % 3
-    var s = 0L
-    var i = 0
-    while (i < payload.length) {
-      s += java.lang.Byte.toUnsignedInt(payload(i)); i += 1
-    }
-    (w, h, c, s.toDouble / payload.length)
-  }
-
-  /** Partition-local decode + feature extraction (mapInPandas analog). */
+  /** Partition-local decode + feature extraction (mapInPandas analog): one
+    * real [[MediaCodec.decode]] per asset, batch-iterated per partition. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val (w, h, c, mean) = decodeStub(a.payload)
+        val (w, h, c, mean) = MediaCodec.decode(a.payload)
         MediaFeatures(a.doc_id, a.media_type, w, h, c,
           a.payload.length.toLong, mean)
       }

@@ -34,14 +34,20 @@ object ScaleLayout {
   }
 
   /** Skew-safe inner equi-join of `big` (skewed) with `small` on `key`.
-    * Salt on the big side is a deterministic hash of the whole row spread
-    * over `salts` partitions per key. */
+    * The salt must NOT be a function of row content (a hash of the row
+    * sends byte-identical duplicates of the hot key to ONE salt bucket,
+    * defeating the whole point on duplicate-heavy skew). Instead each input
+    * partition deals salts round-robin: `monotonically_increasing_id` is
+    * partitionId·2³³ + a per-partition counter, so `mod salts` cycles
+    * 0,1,2,… within every partition — identical rows land in different
+    * buckets. Any assignment in [0, n) is correct (the small side is
+    * replicated for all n salts), so task-retry nondeterminism is safe. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicatedSmall = small.withColumn("__salt",
-      explode(array((0 until salts).map(lit): _*)))
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
   }
 }

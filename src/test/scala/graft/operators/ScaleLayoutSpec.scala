@@ -56,4 +56,21 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSpec {
     assert(parts.length > 1, s"hot key not spread: ${parts.toSeq}")
     assert(parts.max < 20000, s"one partition still holds all rows")
   }
+
+  test("BYTE-IDENTICAL duplicate rows of the hot key still spread evenly") {
+    import spark.implicits._
+    // worst-case duplicate-heavy skew: 16k copies of the SAME row — a
+    // content-derived salt would put all of them in one salt bucket
+    val big = (1 to 16000).map(_ => (7L, "same-payload")).toDF("k", "payload")
+    val small = Seq((7L, "dim")).toDF("k", "dim")
+    val salted = ScaleLayout.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() == 16000) // result-identical to the plain join
+    val buckets = big.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(buckets.length == 8, s"only ${buckets.length} salt buckets used")
+    // round-robin within partitions ⇒ near-perfectly even
+    assert(buckets.max - buckets.min <= big.rdd.getNumPartitions,
+      s"uneven salt distribution: ${buckets.toSeq}")
+  }
 }
