@@ -57,7 +57,9 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -108,6 +110,11 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    // the verified LSH twins' oracle IS the exact-Jaccard SQL: equality
+    // holds iff the candidate generators caught every true >=0.7 pair on
+    // the bounded slice — an end-to-end recall check the driver can see
+    "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
+    "dedup_simhash_verified" -> Dedup.dedupSimhashVerifiedSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / embedding_neardup_lsh /

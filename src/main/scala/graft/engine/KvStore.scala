@@ -78,7 +78,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
         deleteRecursively(tmp)
       }
     }
-    snapDir.filter(Files.exists(_)).foreach { d =>
+    snapDir.filter(Files.exists(_)).filter(hasDataFiles).foreach { d =>
       snapshot = Some(spark.read.parquet(d.toString))
     }
     logPath.filter(Files.exists(_)).foreach { p =>
@@ -162,11 +162,37 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
         StandardOpenOption.APPEND, StandardOpenOption.SYNC)
     }
 
+  /** Buckets per snapshot: the analog of the reference's bucket count
+    * (ref: std::hash % buckets addressing, p2/server/concurrenthashmap.h:
+    * 88-111). At 100 TB this scales with data volume so one bucket stays a
+    * few files; point lookups always touch exactly one bucket. */
+  final val NumBuckets = 32
+
+  /** Deterministic key→bucket hash, written as a partition column by save()
+    * and re-derived as a FOLDABLE expression at lookup time: Catalyst
+    * constant-folds `pmod(xxhash64(lit(k)), n)` to a literal, so the filter
+    * becomes a partition-pruning predicate — the scan reads ONE bucket
+    * directory, never the whole snapshot (asserted in EngineKvSpec). */
+  private def bucketOf(keyCol: org.apache.spark.sql.Column) =
+    pmod(xxhash64(keyCol), lit(NumBuckets.toLong))
+
+  /** Point-lookup DataFrame over the snapshot: bucket-pruned when the
+    * snapshot is bucket-partitioned (post-save), plain filter otherwise
+    * (ingest() adoptions). Package-visible for plan assertions in specs. */
+  private[engine] def snapshotPointDf(key: String): Option[DataFrame] =
+    snapshot.map { s =>
+      val pruned =
+        if (s.columns.contains("__bucket"))
+          s.filter(col("__bucket") === bucketOf(lit(key)))
+        else s
+      pruned.filter(col("key") === key)
+    }
+
   private def snapshotHas(key: String): Boolean =
-    snapshot.exists(!_.filter(col("key") === key).isEmpty)
+    snapshotPointDf(key).exists(!_.isEmpty)
 
   private def snapshotGet(key: String): Option[Array[Byte]] =
-    snapshot.flatMap(_.filter(col("key") === key).select("value")
+    snapshotPointDf(key).flatMap(_.select("value")
       .as[Array[Byte]].collect().headOption)
 
   /** Bulk ingest: adopt a distributed Dataset as the table snapshot — the
@@ -261,9 +287,16 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     }
   }
 
+  /** Snapshot normalized to the logical (key, value) schema — drops the
+    * physical __bucket partition column save() adds for point-lookup
+    * pruning. */
+  private def snapshotKv: Option[DataFrame] =
+    snapshot.map(s => if (s.columns.contains("__bucket"))
+      s.select(col("key"), col("value")) else s)
+
   def isEmpty: Boolean = withScan {
     val entries = memEntries()
-    entries.valuesIterator.forall(_.isEmpty) && snapshot.forall { s =>
+    entries.valuesIterator.forall(_.isEmpty) && snapshotKv.forall { s =>
       // empty iff every snapshot key is tombstoned in mem — answered with a
       // broadcast anti-join, never by collecting snapshot keys (the
       // snapshot is the 100 TB side)
@@ -287,7 +320,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     val entries = memEntries()
     val live = entries.collect { case (k, Some(v)) => KV(k, v) }.toSeq
     val touched = entries.keys.toSeq
-    (snapshot, touched) match {
+    (snapshotKv, touched) match {
       case (None, _) => spark.createDataset(live)
       case (Some(s), Nil) => s.as[KV]
       case (Some(s), keys) =>
@@ -300,19 +333,34 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   def keys: Seq[String] = view.select("key").as[String].collect().toSeq
 
   /** SAV: compact to a fresh snapshot — write tmp, atomic rename, truncate
-    * WAL (ref: p3/server/my_storage.cc:505-565, format.h:101-103). */
+    * WAL (ref: p3/server/my_storage.cc:505-565, format.h:101-103). The
+    * snapshot is hash-partitioned into [[NumBuckets]] bucket directories by
+    * key so subsequent point lookups prune to ONE bucket (the reference's
+    * whole bucket-addressing point); full scans are unaffected (they read
+    * every bucket in parallel). */
   def save(): Unit = withScan {
     snapDir.foreach { d =>
       val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
-      view.write.mode("overwrite").parquet(tmp.toString)
+      view.withColumn("__bucket", bucketOf(col("key")))
+        .write.partitionBy("__bucket").mode("overwrite").parquet(tmp.toString)
       snapshot = None
       deleteRecursively(d)
       Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
       logPath.foreach(Files.deleteIfExists(_))
       mem.clear()
-      snapshot = Some(spark.read.parquet(d.toString))
+      // an EMPTY table writes no partition directories (nothing to infer a
+      // schema from) — an empty store simply has no snapshot
+      snapshot = if (hasDataFiles(d)) Some(spark.read.parquet(d.toString))
+        else None
     }
   }
+
+  /** True when the snapshot dir holds any parquet data file — bucketed
+    * (__bucket=N subdirs) or legacy flat layout; false for the fileless dir
+    * an empty-table save leaves behind. */
+  private def hasDataFiles(d: Path): Boolean =
+    Files.walk(d).iterator().asScala
+      .exists(_.getFileName.toString.endsWith(".parquet"))
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

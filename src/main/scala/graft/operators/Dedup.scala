@@ -103,8 +103,12 @@ object Dedup {
     * band buckets and doc ids). NB at sf0.1 this corpus holds ~3M pairs
     * above est 0.5 — the threshold is what bounds the output, not the
     * candidate generation. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
+  /** Raw LSH candidate pairs (band → bucket equi-join), optionally bounded
+    * to doc_id < cap. No similarity filter — this is the candidate
+    * generator both the estimating path and the verified twin share. */
+  private def lshCandidates(spark: SparkSession, dir: String,
+      cap: Int = Int.MaxValue): DataFrame = {
+    val sig = minhashSignatures(spark, dir, cap)
     val r = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -113,12 +117,16 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    val cand = buckets.as("x")
+    buckets.as("x")
       .join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    cand
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    lshCandidates(spark, dir)
       .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
       .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
       .withColumn("est_jaccard",
@@ -127,6 +135,19 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.6)
       .select(col("d1"), col("d2"), col("est_jaccard"))
   }
+
+  /** DRIVER-CHECKABLE LSH twin: exact near-dup pairs (the [[dedupNgramJaccard]]
+    * primitive) that the MinHash-LSH candidate generator actually caught.
+    * Its oracle is the exact-Jaccard SQL itself — so the DuckDB gate
+    * verifies END-TO-END that banding has 100% recall of true ≥0.7 pairs on
+    * the bounded slice (any missed pair = row-count mismatch), not merely
+    * that some rows came back. */
+  def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(spark, dir)
+      .join(lshCandidates(spark, dir, cap = 200), Seq("d1", "d2"), "left_semi")
+      .select(col("d1"), col("d2"), col("jaccard"))
+
+  val dedupMinhashVerifiedSql: String = dedupNgramJaccardSql
 
   /** 64-bit SimHash per document over token hashes: per-bit signed vote,
     * assembled with shift/or — fully columnar. */
@@ -161,4 +182,29 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 6)
   }
+
+  /** DRIVER-CHECKABLE SimHash twin (same contract as
+    * [[dedupMinhashVerified]]): exact near-dup pairs that collide in at
+    * least one 16-bit simhash chunk. Oracle = the exact-Jaccard SQL, so the
+    * DuckDB gate verifies chunk-banding recall end-to-end on the bounded
+    * slice. No hamming cut here — the claim under test is candidate
+    * coverage, and an estimator threshold would make a miss ambiguous. */
+  def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val sk = simhashSketch(spark, dir)
+      .filter(col("doc_id") < 200)
+    val chunks = sk.select(col("doc_id"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+          .as("ch"))): _*)).as("cc"))
+      .select(col("doc_id"), col("cc.c"), col("cc.ch"))
+    val cand = chunks.as("x").join(chunks.as("y"), Seq("c", "ch"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    dedupNgramJaccard(spark, dir)
+      .join(cand, Seq("d1", "d2"), "left_semi")
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  val dedupSimhashVerifiedSql: String = dedupNgramJaccardSql
 }

@@ -150,13 +150,14 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     val snap = dir.resolve("kv_snapshot")
     val tmp = dir.resolve("kv_snapshot.tmp")
     // simulate: complete tmp exists AND old dir was only PARTIALLY deleted
-    // (missing data files but still present)
+    // (missing data files but still present). Recursive copy — the
+    // snapshot is a bucket-partitioned directory tree.
     import scala.jdk.CollectionConverters._
-    Files.createDirectory(tmp)
-    Files.list(snap).iterator().asScala.toList.foreach { f =>
-      Files.copy(f, tmp.resolve(f.getFileName.toString))
+    Files.walk(snap).iterator().asScala.toList.foreach { f =>
+      Files.copy(f, tmp.resolve(snap.relativize(f)),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     }
-    Files.list(snap).iterator().asScala.toList
+    Files.walk(snap).iterator().asScala.toList
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach(Files.delete) // gut the old dir
     val e2 = mkEngine(opts)
@@ -235,6 +236,38 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(e2.kvGet("alice", "pw", "k3").msg == ERR_KEY)
     assert(e2.kvGet("alice", "pw", "k8").dataUtf8 == "v8")
     assert(e2.kvAll("alice", "pw").dataUtf8.split("\n").sorted.length == 7)
+  }
+
+  test("bucketed snapshot: point lookup prunes to ONE bucket, not the full scan") {
+    val dir = Files.createTempDirectory("graft-bucket-")
+    val e = mkEngine(EngineOptions(dataDir = Some(dir),
+      reqQuota = 1000000, upQuota = 1L << 30))
+    (1 to 256).foreach { i =>
+      assert(e.kvInsert("alice", "pw", s"key$i", b(s"v$i")).succeeded)
+    }
+    e.save("alice", "pw")
+    // snapshot is laid out as __bucket=N directories, one per hash bucket
+    import scala.jdk.CollectionConverters._
+    val bucketDirs = Files.list(dir.resolve("kv_snapshot")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__bucket=")).toSeq
+    assert(bucketDirs.size == e.kv.NumBuckets,
+      s"expected ${e.kv.NumBuckets} bucket dirs, got ${bucketDirs.size}")
+    // the pruned point-lookup plan must read files from exactly one bucket;
+    // metrics are per-execution, so materialize THIS df before reading them
+    val df = e.kv.snapshotPointDf("key7").get
+    assert(df.collect().length == 1)
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val filesPerBucket = bucketDirs.map(d =>
+      Files.list(d).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))).max
+    assert(scan.metrics("numFiles").value <= filesPerBucket,
+      s"point lookup scanned ${scan.metrics("numFiles").value} files " +
+        s"(${bucketDirs.size} buckets on disk) — pruning not effective")
+    // value still resolves correctly through the pruned path post-restart
+    val e2 = mkEngine(EngineOptions(dataDir = Some(dir)))
+    assert(e2.kvGet("alice", "pw", "key7").dataUtf8 == "v7")
   }
 
   test("view folds snapshot + delta with last-writer-wins") {
