@@ -27,8 +27,9 @@ final case class KV(key: String, value: Array[Byte])
   *  - the WAL (`logPath`) is an append-only JSON-lines redo log, fsync'd per
   *    mutation before the op returns (ref: p3/server/my_storage.cc:303-304),
   *    replayed at boot (ref load_file: p3/server/my_storage.cc:573-702);
-  *  - `save()` = write folded view to a tmp dir, atomic rename, truncate log
-  *    (ref SAV compaction: p3/server/my_storage.cc:505-565).
+  *  - `save()` = write the folded view as the next snapshot GENERATION
+  *    (bucket-partitioned for point-lookup pruning), truncate the log, GC
+  *    older generations (ref SAV compaction: p3/server/my_storage.cc:505-565).
   *
   * Point reads prefer the memtable and fall back to a pushed-down parquet
   * point lookup on the snapshot (predicate pushdown; at scale this is a
@@ -57,28 +58,59 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   }
 
   private var snapshot: Option[DataFrame] = None
-  private val snapDir = dataDir.map(_.resolve("kv_snapshot"))
   private val logPath = dataDir.map(_.resolve("kv_wal.jsonl"))
 
-  // boot: recover snapshot (including from a crash mid-SAV swap), then
-  // replay WAL (ref: p3/server/my_storage.cc:573-702)
-  dataDir.foreach { _ =>
-    snapDir.foreach { d =>
-      val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
-      if (Files.exists(tmp.resolve("_SUCCESS"))) {
-        // A COMPLETE tmp always wins: it is the fold of the old snapshot +
-        // WAL, and WAL replay over it is idempotent — whereas the old dir
-        // may be mid-deletion (deleteRecursively is not atomic) and
-        // silently missing part files. Finish the swap.
-        deleteRecursively(d)
-        Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
-      } else {
-        // no _SUCCESS: the tmp write itself died — discard it; the old
-        // snapshot + un-truncated WAL are the consistent state.
-        deleteRecursively(tmp)
-      }
+  /** Snapshots are GENERATION-NUMBERED directories (`kv_snapshot.gNNNNNN`):
+    * save() writes the next generation and leaves the previous one on disk
+    * until the following save GCs it, so lazy Datasets handed out by
+    * `view` BEFORE a compaction still read their (immutable) files after
+    * it. A generation is complete iff parquet's `_SUCCESS` marker exists —
+    * no rename dance, so there is no crash window where the only complete
+    * snapshot is mid-deletion. (Views taken more than one compaction cycle
+    * ago die with the GC'd generation — materialize before holding results
+    * across multiple saves.) */
+  private var gen: Long = 0L
+  private def genDir(n: Long): Path =
+    dataDir.get.resolve(f"kv_snapshot.g$n%06d")
+  private def genNumber(p: Path): Option[Long] = {
+    val name = p.getFileName.toString
+    if (name.startsWith("kv_snapshot.g"))
+      scala.util.Try(name.stripPrefix("kv_snapshot.g").toLong).toOption
+    else None
+  }
+  private def listGens(): Seq[(Long, Path)] = dataDir.toSeq.flatMap { base =>
+    if (!Files.exists(base)) Nil
+    else Files.list(base).iterator().asScala.toSeq
+      .flatMap(p => genNumber(p).map(_ -> p))
+  }
+
+  // boot: migrate any legacy single-dir snapshot (incl. its crash states),
+  // adopt the newest complete generation, then replay the WAL
+  // (ref load: p3/server/my_storage.cc:573-702)
+  dataDir.foreach { base =>
+    // ---- legacy layout migration (pre-generation format) ----
+    val legacy = base.resolve("kv_snapshot")
+    val legacyTmp = base.resolve("kv_snapshot.tmp")
+    if (Files.exists(legacyTmp.resolve("_SUCCESS"))) {
+      // legacy crash mid-swap: a COMPLETE tmp always wins — it is the fold
+      // of the old snapshot + WAL (replay over it is idempotent); the old
+      // dir may be mid-deletion and silently missing part files.
+      deleteRecursively(legacy)
+      Files.move(legacyTmp, legacy, StandardCopyOption.ATOMIC_MOVE)
+    } else deleteRecursively(legacyTmp)
+    if (Files.exists(legacy)) {
+      val next = listGens().map(_._1).maxOption.getOrElse(0L) + 1
+      Files.move(legacy, genDir(next), StandardCopyOption.ATOMIC_MOVE)
     }
-    snapDir.filter(Files.exists(_)).filter(hasDataFiles).foreach { d =>
+    // ---- adopt newest complete generation; GC everything else ----
+    val gens = listGens()
+    val complete = gens.filter { case (_, p) =>
+      Files.exists(p.resolve("_SUCCESS"))
+    }
+    gen = complete.map(_._1).maxOption.getOrElse(0L)
+    // no live views exist at boot: drop incomplete writes + older gens
+    gens.filterNot(_._1 == gen).foreach { case (_, p) => deleteRecursively(p) }
+    complete.find(_._1 == gen).map(_._2).filter(hasDataFiles).foreach { d =>
       snapshot = Some(spark.read.parquet(d.toString))
     }
     logPath.filter(Files.exists(_)).foreach { p =>
@@ -332,26 +364,37 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
 
   def keys: Seq[String] = view.select("key").as[String].collect().toSeq
 
-  /** SAV: compact to a fresh snapshot — write tmp, atomic rename, truncate
-    * WAL (ref: p3/server/my_storage.cc:505-565, format.h:101-103). The
-    * snapshot is hash-partitioned into [[NumBuckets]] bucket directories by
-    * key so subsequent point lookups prune to ONE bucket (the reference's
-    * whole bucket-addressing point); full scans are unaffected (they read
-    * every bucket in parallel). */
+  /** SAV: compact to a fresh snapshot GENERATION, truncate the WAL, then GC
+    * generations older than the immediately-previous one (ref compaction
+    * contract: p3/server/my_storage.cc:505-565, format.h:101-103). Crash
+    * windows: an interrupted generation write has no `_SUCCESS` and is
+    * dropped at boot (old gen + untruncated WAL are the consistent state);
+    * a crash after the write but before WAL truncation replays the WAL
+    * over the new generation — idempotent, since the generation already
+    * folds those ops.
+    *
+    * The snapshot is hash-partitioned into [[NumBuckets]] bucket
+    * directories by key so subsequent point lookups prune to ONE bucket
+    * (the reference's whole bucket-addressing point); full scans are
+    * unaffected (they read every bucket in parallel). */
   def save(): Unit = withScan {
-    snapDir.foreach { d =>
-      val tmp = d.resolveSibling(d.getFileName.toString + ".tmp")
+    dataDir.foreach { _ =>
+      val next = gen + 1
+      val d = genDir(next)
       view.withColumn("__bucket", bucketOf(col("key")))
-        .write.partitionBy("__bucket").mode("overwrite").parquet(tmp.toString)
-      snapshot = None
-      deleteRecursively(d)
-      Files.move(tmp, d, StandardCopyOption.ATOMIC_MOVE)
+        .write.partitionBy("__bucket").mode("overwrite").parquet(d.toString)
       logPath.foreach(Files.deleteIfExists(_))
       mem.clear()
       // an EMPTY table writes no partition directories (nothing to infer a
       // schema from) — an empty store simply has no snapshot
       snapshot = if (hasDataFiles(d)) Some(spark.read.parquet(d.toString))
         else None
+      val prev = gen
+      gen = next
+      // keep current + previous generations (pre-save lazy views still read
+      // the previous one); GC anything older
+      listGens().filter { case (n, _) => n != gen && n != prev }
+        .foreach { case (_, p) => deleteRecursively(p) }
     }
   }
 
@@ -371,6 +414,12 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   def clear(): Unit = withScan {
     mem.clear(); snapshot = None
     logPath.foreach(Files.deleteIfExists(_))
-    snapDir.foreach(deleteRecursively)
+    listGens().foreach { case (_, p) => deleteRecursively(p) }
+    gen = 0L
   }
+
+  /** Directory of the current snapshot generation, if one exists — spec
+    * hook for layout/pruning assertions. */
+  private[engine] def currentSnapDir: Option[Path] =
+    dataDir.map(_ => genDir(gen)).filter(Files.exists(_))
 }

@@ -176,23 +176,40 @@ object EventStreams {
 
   /** Batch replay of the same admission semantics over the events table —
     * used to cross-check the streaming operator and as the distributed
-    * analog of the engine's driver-side QuotaTracker. */
+    * analog of the engine's driver-side QuotaTracker.
+    *
+    * 100 TB shape: secondary sort, NOT per-user materialization. Events are
+    * hash-partitioned by user and sorted (user, ts, id) within partitions;
+    * one streaming pass then replays every user sequentially, resetting at
+    * user boundaries. Memory per task = the sliding-window deque (bounded
+    * by the window span), never a hot user's full history — `flatMapGroups`
+    * + `it.toList` would OOM an executor on a pathological user. The
+    * running sum evicts in O(1) amortized, mirroring QuotaTracker. */
   def quotaReplayBatch(spark: SparkSession, dir: String, maxAmount: Double,
       windowUs: Long): DataFrame = {
     import spark.implicits._
-    val ev = graft.Tables.t(spark, dir, "events")
+    graft.Tables.t(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
-    ev.groupByKey(_.user_id).flatMapGroups { (userId, it) =>
-      var window = List.empty[(Long, Double)]
-      it.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-        window = window.filter { case (t, _) => e.ts_us - t < windowUs }
-        val inWindow = window.map(_._2).sum
-        val admit = inWindow + e.value <= maxAmount
-        if (admit) window = (e.ts_us, e.value) :: window
-        QuotaVerdict(userId, e.event_id, admit, inWindow)
-      }
-    }.toDF()
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[Event]
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        val window = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
+        var runningSum = 0.0
+        it.map { e =>
+          if (e.user_id != curUser) {
+            curUser = e.user_id; window.clear(); runningSum = 0.0
+          }
+          while (window.nonEmpty && e.ts_us - window.head._1 >= windowUs)
+            runningSum -= window.removeHead()._2
+          val inWindow = runningSum
+          val admit = inWindow + e.value <= maxAmount
+          if (admit) { window.append((e.ts_us, e.value)); runningSum += e.value }
+          QuotaVerdict(e.user_id, e.event_id, admit, inWindow)
+        }
+      }.toDF()
   }
 }

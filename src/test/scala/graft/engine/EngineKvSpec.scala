@@ -66,20 +66,42 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(e.kvAll("alice", "pw").msg == ERR_QUOTA_REQ)
   }
 
-  test("crash mid-SAV (old snapshot deleted, rename pending): boot finishes the swap") {
+  test("crash mid-SAV (incomplete next generation): boot drops it, old gen + WAL win") {
     val dir = Files.createTempDirectory("graft-crash-")
     val opts = EngineOptions(dataDir = Some(dir))
     val e1 = mkEngine(opts)
     (1 to 4).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
-    e1.save("alice", "pw")
-    // simulate the crash window: completed tmp dir exists, real dir gone
-    val snap = dir.resolve("kv_snapshot")
-    val tmp = dir.resolve("kv_snapshot.tmp")
-    Files.move(snap, tmp)
-    assert(Files.exists(tmp.resolve("_SUCCESS")))
+    e1.save("alice", "pw") // generation 1
+    e1.kvInsert("alice", "pw", "k5", b("v5")) // lives in the WAL
+    // simulate a crash mid-write of generation 2: dir exists, no _SUCCESS
+    val g2 = dir.resolve("kv_snapshot.g000002")
+    Files.createDirectory(g2)
+    Files.writeString(g2.resolve("part-00000.parquet"), "torn garbage")
     val e2 = mkEngine(opts)
     assert(e2.kvGet("alice", "pw", "k3").dataUtf8 == "v3")
-    assert(Files.exists(snap) && !Files.exists(tmp))
+    assert(e2.kvGet("alice", "pw", "k5").dataUtf8 == "v5",
+      "WAL record must survive a failed compaction")
+    assert(!Files.exists(g2), "incomplete generation must be GC'd at boot")
+  }
+
+  test("legacy single-dir snapshot (and its crash-mid-swap state) migrates to generations") {
+    val dir = Files.createTempDirectory("graft-legacysnap-")
+    val opts = EngineOptions(dataDir = Some(dir))
+    val e1 = mkEngine(opts)
+    (1 to 4).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
+    e1.save("alice", "pw")
+    // recreate the OLD layout: snapshot lives at bare kv_snapshot/
+    Files.move(dir.resolve("kv_snapshot.g000001"), dir.resolve("kv_snapshot"))
+    val e2 = mkEngine(opts)
+    assert(e2.kvGet("alice", "pw", "k2").dataUtf8 == "v2")
+    assert(!Files.exists(dir.resolve("kv_snapshot")), "legacy dir must migrate")
+    // and the legacy crash-mid-swap state: complete .tmp, no main dir
+    val e2gen = e2.kv.currentSnapDir.get
+    Files.move(e2gen, dir.resolve("kv_snapshot.tmp"))
+    assert(Files.exists(dir.resolve("kv_snapshot.tmp").resolve("_SUCCESS")))
+    val e3 = mkEngine(opts)
+    assert(e3.kvGet("alice", "pw", "k3").dataUtf8 == "v3")
+    assert(!Files.exists(dir.resolve("kv_snapshot.tmp")))
   }
 
   test("torn final WAL record: recovery replays the valid prefix instead of crashing") {
@@ -141,28 +163,46 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1")
   }
 
-  test("crash mid-delete of old snapshot: complete tmp wins over gutted dir") {
+  test("legacy crash mid-delete: complete tmp wins over gutted legacy dir") {
     val dir = Files.createTempDirectory("graft-gut-")
     val opts = EngineOptions(dataDir = Some(dir))
     val e1 = mkEngine(opts)
     (1 to 4).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
     e1.save("alice", "pw")
+    val gen = dir.resolve("kv_snapshot.g000001")
     val snap = dir.resolve("kv_snapshot")
     val tmp = dir.resolve("kv_snapshot.tmp")
-    // simulate: complete tmp exists AND old dir was only PARTIALLY deleted
-    // (missing data files but still present). Recursive copy — the
-    // snapshot is a bucket-partitioned directory tree.
+    // recreate the OLD format's worst crash state: complete tmp exists AND
+    // the legacy dir was only PARTIALLY deleted (data files missing but dir
+    // present). Recursive copy — the snapshot is a partitioned tree.
     import scala.jdk.CollectionConverters._
-    Files.walk(snap).iterator().asScala.toList.foreach { f =>
-      Files.copy(f, tmp.resolve(snap.relativize(f)),
+    Files.walk(gen).iterator().asScala.toList.foreach { f =>
+      Files.copy(f, tmp.resolve(gen.relativize(f)),
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     }
+    Files.move(gen, snap)
     Files.walk(snap).iterator().asScala.toList
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(Files.delete) // gut the old dir
+      .foreach(Files.delete) // gut the legacy dir
     val e2 = mkEngine(opts)
     assert(e2.kvGet("alice", "pw", "k2").dataUtf8 == "v2",
-      "complete tmp should win over the gutted old snapshot")
+      "complete tmp should win over the gutted legacy snapshot")
+  }
+
+  test("pre-save lazy view survives one compaction (generation GC keeps n-1)") {
+    val dir = Files.createTempDirectory("graft-genview-")
+    val e = mkEngine(EngineOptions(dataDir = Some(dir)))
+    (1 to 4).foreach(i => e.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
+    e.save("alice", "pw") // gen 1
+    val lazyView = e.kv.view // reads generation-1 files
+    e.kvUpsert("alice", "pw", "k1", b("v1b"))
+    e.save("alice", "pw") // gen 2; gen 1 must still exist for lazyView
+    assert(Files.exists(dir.resolve("kv_snapshot.g000001")))
+    assert(lazyView.count() == 4, "pre-save view must stay executable")
+    e.save("alice", "pw") // gen 3 GCs gen 1
+    assert(!Files.exists(dir.resolve("kv_snapshot.g000001")),
+      "generations older than n-1 must be garbage-collected")
+    assert(Files.exists(dir.resolve("kv_snapshot.g000002")))
   }
 
   test("doWith: atomic read-modify-write; absent key is a miss (ref map.h:54)") {
@@ -248,7 +288,7 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     e.save("alice", "pw")
     // snapshot is laid out as __bucket=N directories, one per hash bucket
     import scala.jdk.CollectionConverters._
-    val bucketDirs = Files.list(dir.resolve("kv_snapshot")).iterator().asScala
+    val bucketDirs = Files.list(e.kv.currentSnapDir.get).iterator().asScala
       .filter(_.getFileName.toString.startsWith("__bucket=")).toSeq
     assert(bucketDirs.size == e.kv.NumBuckets,
       s"expected ${e.kv.NumBuckets} bucket dirs, got ${bucketDirs.size}")
