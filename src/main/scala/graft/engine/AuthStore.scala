@@ -63,8 +63,15 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
         Files.writeString(torn, lines.drop(valid.size).map(_ + "\n").mkString,
           StandardOpenOption.CREATE, StandardOpenOption.APPEND,
           StandardOpenOption.SYNC)
-        Files.writeString(p, valid.map(_ + "\n").mkString,
-          StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
+        // rewrite via tmp + atomic rename (same as the KV WAL repair): an
+        // in-place truncate-and-rewrite would destroy the acknowledged
+        // valid prefix if the crash repeats mid-rewrite
+        val repaired = p.resolveSibling(p.getFileName.toString + ".repair")
+        Files.writeString(repaired, valid.map(_ + "\n").mkString,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.SYNC)
+        Files.move(repaired, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

@@ -78,10 +78,21 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       scala.util.Try(name.stripPrefix("kv_snapshot.g").toLong).toOption
     else None
   }
+  /** NIO streams hold directory FDs until closed — materialize under
+    * try/finally (a long-running engine compacting frequently would
+    * otherwise leak one FD per call until GC finalizes them). */
+  private def listPaths(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+  private def walkPaths(p: Path): Seq[Path] = {
+    val s = Files.walk(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def listGens(): Seq[(Long, Path)] = dataDir.toSeq.flatMap { base =>
     if (!Files.exists(base)) Nil
-    else Files.list(base).iterator().asScala.toSeq
-      .flatMap(p => genNumber(p).map(_ -> p))
+    else listPaths(base).flatMap(p => genNumber(p).map(_ -> p))
   }
 
   // boot: migrate any legacy single-dir snapshot (incl. its crash states),
@@ -402,14 +413,10 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     * (__bucket=N subdirs) or legacy flat layout; false for the fileless dir
     * an empty-table save leaves behind. */
   private def hasDataFiles(d: Path): Boolean =
-    Files.walk(d).iterator().asScala
-      .exists(_.getFileName.toString.endsWith(".parquet"))
+    walkPaths(d).exists(_.getFileName.toString.endsWith(".parquet"))
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
+    if (Files.exists(p)) walkPaths(p).reverse.foreach(Files.deleteIfExists(_))
 
   def clear(): Unit = withScan {
     mem.clear(); snapshot = None

@@ -95,14 +95,6 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhash_sig(col("text"), MinhashK).as("sig"))
 
-  /** MinHash+LSH near-dup pairs with estimated Jaccard ≥ 0.6 (capturing
-    * true jaccard ≥ 0.7, the near-dup definition of [[dedupNgramJaccard]],
-    * within estimator noise: σ ≈ 0.09 at K=24): band → bucket equi-join
-    * → per-pair signature agreement. This is the operator that replaces
-    * pairwise Jaccard at scale (no cross join anywhere; shuffles only on
-    * band buckets and doc ids). NB at sf0.1 this corpus holds ~3M pairs
-    * above est 0.5 — the threshold is what bounds the output, not the
-    * candidate generation. */
   /** Raw LSH candidate pairs (band → bucket equi-join), optionally bounded
     * to doc_id < cap. No similarity filter — this is the candidate
     * generator both the estimating path and the verified twin share. */
@@ -124,6 +116,14 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash+LSH near-dup pairs with estimated Jaccard ≥ 0.6 (capturing
+    * true jaccard ≥ 0.7, the near-dup definition of [[dedupNgramJaccard]],
+    * within estimator noise: σ ≈ 0.09 at K=24): band → bucket equi-join
+    * → per-pair signature agreement. This is the operator that replaces
+    * pairwise Jaccard at scale (no cross join anywhere; shuffles only on
+    * band buckets and doc ids). NB at sf0.1 this corpus holds ~3M pairs
+    * above est 0.5 — the threshold is what bounds the output, not the
+    * candidate generation. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(spark, dir).cache()
     lshCandidates(spark, dir)

@@ -138,6 +138,9 @@ object MediaCodec {
     while (pos + 8 <= payload.length) {
       val id = new String(payload, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
+      // a corrupt negative size would advance pos by <= 0 (8 + (-8) = 0):
+      // an infinite loop that hangs the executor task — fail the record
+      require(size >= 0, s"corrupt RIFF chunk size $size at offset $pos")
       id match {
         case "fmt " =>
           require(buf.getShort(pos + 8) == 1, "not PCM")

@@ -15,8 +15,10 @@ import graft.Tables.t
   *   hash, no RNG state) → sign-pattern bucket; candidates = query's
   *   bucket; exact cosine re-rank inside. Bucketing is an equi-join, so the
   *   big side never cross-joins.
-  * - [[embeddingNearDup]]: near-duplicate vector pairs (cosine ≥ 0.95)
-  *   via LSH-bucket candidate generation + exact verification.
+  * - [[embeddingNearDup]]: near-duplicate vector pairs (cosine ≥ τ,
+  *   default [[NearDupTau]]) via LSH-bucket candidate generation + exact
+  *   verification; [[embeddingNearDupExact]] is its bounded, oracle-checked
+  *   verification primitive.
   */
 object Similarity {
 

@@ -154,6 +154,20 @@ object EventStreams {
     * (admit iff in-window sum + amount ≤ max; admitted events join the
     * window; ref: p4/server/my_quota_tracker.cc:44-77) as distributed
     * stateful processing keyed by user. */
+  /** Shared admission step — BOTH the streaming operator and the batch
+    * replay call exactly this, so their floating-point window sums are
+    * bit-identical (same window order — oldest first — same left fold,
+    * same op sequence); a divergent implementation could flip an admission
+    * decision that lands exactly on the quota boundary. */
+  private[streaming] def admitOne(window: List[(Long, Double)], tsUs: Long,
+      amount: Double, maxAmount: Double,
+      windowUs: Long): (List[(Long, Double)], Boolean, Double) = {
+    val kept = window.filter { case (t, _) => tsUs - t < windowUs }
+    val inWindow = kept.foldLeft(0.0)(_ + _._2) // oldest-first strict fold
+    val admit = inWindow + amount <= maxAmount
+    (if (admit) kept :+ (tsUs -> amount) else kept, admit, inWindow)
+  }
+
   def quotaAdmission(events: Dataset[Event], maxAmount: Double,
       windowUs: Long): Dataset[QuotaVerdict] = {
     import events.sparkSession.implicits._
@@ -161,12 +175,11 @@ object EventStreams {
       .flatMapGroupsWithState[List[(Long, Double)], QuotaVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId, batch, state) =>
-          var window = state.getOption.getOrElse(Nil) // (ts_us, amount)
+          var window = state.getOption.getOrElse(Nil) // (ts_us, amount), oldest first
           val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            window = window.filter { case (t, _) => e.ts_us - t < windowUs }
-            val inWindow = window.map(_._2).sum
-            val admit = inWindow + e.value <= maxAmount
-            if (admit) window = (e.ts_us, e.value) :: window
+            val (w2, admit, inWindow) =
+              admitOne(window, e.ts_us, e.value, maxAmount, windowUs)
+            window = w2
             QuotaVerdict(userId, e.event_id, admit, inWindow)
           }
           state.update(window)
@@ -181,10 +194,12 @@ object EventStreams {
     * 100 TB shape: secondary sort, NOT per-user materialization. Events are
     * hash-partitioned by user and sorted (user, ts, id) within partitions;
     * one streaming pass then replays every user sequentially, resetting at
-    * user boundaries. Memory per task = the sliding-window deque (bounded
-    * by the window span), never a hot user's full history — `flatMapGroups`
-    * + `it.toList` would OOM an executor on a pathological user. The
-    * running sum evicts in O(1) amortized, mirroring QuotaTracker. */
+    * user boundaries. Memory per task = the sliding window (bounded by the
+    * window span), never a hot user's full history — `flatMapGroups` +
+    * `it.toList` would OOM an executor on a pathological user. The window
+    * sum is computed by [[admitOne]], the SAME code the streaming twin
+    * runs, so batch and stream decisions are bit-identical by
+    * construction. */
   def quotaReplayBatch(spark: SparkSession, dir: String, maxAmount: Double,
       windowUs: Long): DataFrame = {
     import spark.implicits._
@@ -197,17 +212,12 @@ object EventStreams {
       .as[Event]
       .mapPartitions { it =>
         var curUser = Long.MinValue
-        val window = scala.collection.mutable.ArrayDeque.empty[(Long, Double)]
-        var runningSum = 0.0
+        var window = List.empty[(Long, Double)] // oldest first
         it.map { e =>
-          if (e.user_id != curUser) {
-            curUser = e.user_id; window.clear(); runningSum = 0.0
-          }
-          while (window.nonEmpty && e.ts_us - window.head._1 >= windowUs)
-            runningSum -= window.removeHead()._2
-          val inWindow = runningSum
-          val admit = inWindow + e.value <= maxAmount
-          if (admit) { window.append((e.ts_us, e.value)); runningSum += e.value }
+          if (e.user_id != curUser) { curUser = e.user_id; window = Nil }
+          val (w2, admit, inWindow) =
+            admitOne(window, e.ts_us, e.value, maxAmount, windowUs)
+          window = w2
           QuotaVerdict(e.user_id, e.event_id, admit, inWindow)
         }
       }.toDF()

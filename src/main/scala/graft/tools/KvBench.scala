@@ -26,10 +26,12 @@ object KvBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // this main built the session, so the engine owns its lifecycle: BYE/
+    // shutdown stops Spark too (the reachable ownsSession path)
     val e = new Engine(spark, EngineOptions(
       upQuota = Long.MaxValue / 4, downQuota = Long.MaxValue / 4,
       reqQuota = Long.MaxValue / 4, quotaDurSec = 3600.0,
-      rng = new Random(42)))
+      rng = new Random(42), ownsSession = true))
     // one user per thread (the reference bench fleet is multi-client);
     // quota state is per-user, so admission tracking doesn't serialize the
     // whole workload
@@ -62,6 +64,6 @@ object KvBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val done = perThread * threads
     println(f"""{"metric":"kv_ops_per_sec","value":${done / sec}%.0f,"unit":"ops/sec","ops":$done,"seconds":$sec%.3f,"keys":$keys,"threads":$threads,"mix":"80/10/10"}""")
-    spark.stop()
+    e.shutdown() // ownsSession: stops the SparkSession too
   }
 }
