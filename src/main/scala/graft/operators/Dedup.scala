@@ -119,21 +119,37 @@ object Dedup {
   /** MinHash+LSH near-dup pairs with estimated Jaccard ≥ 0.6 (capturing
     * true jaccard ≥ 0.7, the near-dup definition of [[dedupNgramJaccard]],
     * within estimator noise: σ ≈ 0.09 at K=24): band → bucket equi-join
-    * → per-pair signature agreement. This is the operator that replaces
-    * pairwise Jaccard at scale (no cross join anywhere; shuffles only on
-    * band buckets and doc ids). NB at sf0.1 this corpus holds ~3M pairs
-    * above est 0.5 — the threshold is what bounds the output, not the
-    * candidate generation. */
+    * with the signature CARRIED IN the bucket rows, estimate computed
+    * inline in the join's codegen stage, threshold filter, then distinct.
+    *
+    * Plan shape (the 100 TB argument): the bucket table is docs × bands
+    * rows of ~250 B (id + 24-long signature + band hash) — the only
+    * shuffle of consequence. Candidate pairs (this corpus: ~3M at sf0.1
+    * from its high background trigram similarity) are PIPELINED through
+    * est+filter inside whole-stage codegen and never shuffled; only the
+    * ~20k survivors reach the distinct. The earlier formulation
+    * re-joined 3M candidate ids against the signature table twice —
+    * two extra 3M-row shuffles that dominated its runtime. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
-    lshCandidates(spark, dir)
-      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), Seq("d1"))
-      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), Seq("d2"))
+    val r = MinhashK / Bands
+    val sig = minhashSignatures(spark, dir)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)).cast("double") / MinhashK)
+        graft.functions.SigAgree.sig_agree(col("x.sig"), col("y.sig"))
+          .cast("double") / MinhashK)
       .filter(col("est_jaccard") >= 0.6)
-      .select(col("d1"), col("d2"), col("est_jaccard"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("est_jaccard"))
+      .distinct()
   }
 
   /** DRIVER-CHECKABLE LSH twin: exact near-dup pairs (the [[dedupNgramJaccard]]

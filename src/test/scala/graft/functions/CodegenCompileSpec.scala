@@ -42,6 +42,17 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 32.0)
   }
 
+  test("sig_agree generated code compiles and evaluates") {
+    val at = ArrayType(LongType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      SigAgree(BoundReference(0, at, nullable = true),
+        BoundReference(1, at, nullable = true))))
+    val a = ArrayData.toArrayData(Array(1L, 2L, 3L, 4L))
+    val b = ArrayData.toArrayData(Array(1L, 9L, 3L, 4L))
+    val row = proj(InternalRow(a, b))
+    assert(row.getInt(0) == 3)
+  }
+
   test("nfc_normalize generated code compiles and evaluates") {
     val proj = GenerateUnsafeProjection.generate(Seq(
       NfcNormalize(BoundReference(0, StringType, nullable = true))))
