@@ -189,10 +189,11 @@ object Similarity {
     best
   }
 
-  /** IVF ANN: scan only the inverted lists of the query's `IvfProbes`
-    * nearest centroids, exact-cosine re-rank inside. At scale the cluster
-    * assignment is a write-time partitioning column (partition pruning does
-    * the list selection); here it is computed inline. */
+  /** IVF ANN, inline formulation: assign clusters on the fly, scan only
+    * the inverted lists of the query's `IvfProbes` nearest centroids,
+    * exact-cosine re-rank inside. The write-time formulation — cluster as
+    * a partition column, probes via partition pruning — is
+    * [[ivfWriteIndex]]/[[annIvfIndexed]], plan-asserted in IvfLayoutSpec. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val centroids = ivfCentroids(spark, dir)
@@ -216,6 +217,58 @@ object Similarity {
       .take(IvfProbes).toSet
     val qDf = Seq((qid, qv)).toDF("qid", "qv")
     assigned
+      .filter(col("cluster").isInCollection(probeSet) && col("vec_id") =!= qid)
+      .join(broadcast(qDf))
+      .withColumn("cosine",
+        dot(col("ev"), col("qv")) /
+          (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
+      .select(col("qid"), col("vec_id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** WRITE-TIME IVF layout — the scale path [[annIvf]]'s doc promises: the
+    * corpus is materialized partitioned BY CLUSTER (`cluster=N/`
+    * directories), so at query time probe selection is partition pruning
+    * and the scan physically reads only `nprobe` of `k` inverted lists.
+    * Returns the centroids for query-time probe selection (k × dims
+    * doubles — driver-scale by design). Rewrite cadence at 100 TB: the
+    * index is append-friendly (new vectors assign to existing centroids);
+    * full re-clustering is an offline compaction, exactly like SAV. */
+  def ivfWriteIndex(spark: SparkSession, dir: String,
+      indexPath: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val centroids = ivfCentroids(spark, dir)
+    val bc = spark.sparkContext.broadcast(centroids)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
+      }
+      .toDF("vec_id", "ev", "cluster")
+      .write.partitionBy("cluster").mode("overwrite").parquet(indexPath)
+    centroids
+  }
+
+  /** ANN over a written IVF index: pick the `IvfProbes` centroids nearest
+    * the query, then scan ONLY those `cluster=` partitions (pruning is
+    * asserted by plan inspection in IvfLayoutSpec) with an exact cosine
+    * re-rank inside. */
+  def annIvfIndexed(spark: SparkSession, indexPath: String,
+      centroids: Array[Array[Double]], qid: Long,
+      qv: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val probeSet = centroids.indices.sortBy { c =>
+      var d = 0.0; var i = 0
+      while (i < qv.length) {
+        val t = qv(i) - centroids(c)(i); d += t * t; i += 1
+      }
+      d
+    }.take(IvfProbes).toSet
+    val qDf = Seq((qid, qv)).toDF("qid", "qv")
+    spark.read.parquet(indexPath)
       .filter(col("cluster").isInCollection(probeSet) && col("vec_id") =!= qid)
       .join(broadcast(qDf))
       .withColumn("cosine",

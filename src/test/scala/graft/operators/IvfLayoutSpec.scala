@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** The written IVF layout: cluster-partitioned index + partition-pruned
+  * probes — the scale path annIvf's inline formulation documents. */
+class IvfLayoutSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("written IVF index prunes to nprobe partitions and matches the inline operator") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-ivf-").resolve("index").toString
+    val centroids = Similarity.ivfWriteIndex(spark, dir, idx)
+    assert(centroids.length == Similarity.IvfClusters)
+    // on-disk layout: one cluster=N directory per non-empty inverted list
+    val clusterDirs = Files.list(java.nio.file.Paths.get(idx))
+      .iterator().asScala
+      .count(_.getFileName.toString.startsWith("cluster="))
+    assert(clusterDirs > Similarity.IvfProbes,
+      s"need more lists than probes for pruning to mean anything: $clusterDirs")
+
+    // query = the min-vec_id vector, same as the inline annIvf
+    val (qid, qv) = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .orderBy(col("vec_id")).limit(1)
+      .as[(Long, Array[Double])].collect()(0)
+
+    val res = Similarity.annIvfIndexed(spark, idx, centroids, qid, qv)
+    val rows = res.collect()
+    assert(rows.length == 10)
+
+    // PLAN ASSERTION: the scan touched at most nprobe of the cluster dirs.
+    // (AQE wraps the executed plan — descend through adaptive/query-stage
+    // nodes to reach the leaf scans.)
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(findScans)
+    }
+    val scan = findScans(res.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("index")))
+      .getOrElse(fail("no parquet scan over the index found in the plan"))
+    val filesPerCluster = Files.walk(java.nio.file.Paths.get(idx))
+      .iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) / clusterDirs + 1
+    assert(scan.metrics("numFiles").value <=
+      Similarity.IvfProbes.toLong * filesPerCluster,
+      s"scan read ${scan.metrics("numFiles").value} files across " +
+        s"$clusterDirs cluster dirs — partition pruning not effective")
+
+    // result parity with the inline operator (same centroids, same probes)
+    val inline = Similarity.annIvf(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val indexed = rows.map(r => (r.getLong(1), r.getDouble(2)))
+    assert(indexed.map(_._1).toSeq == inline.map(_._1).toSeq,
+      s"indexed=$indexed inline=$inline")
+  }
+}

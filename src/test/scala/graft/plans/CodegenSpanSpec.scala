@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Asserts the native expressions actually LIVE INSIDE whole-stage-codegen
+  * spans in the real registered queries' physical plans (`*(N)`-prefixed
+  * operators). CodegenCompileSpec proves the generated code compiles;
+  * this proves Catalyst places the expressions into codegen'd stages
+  * rather than falling back to interpreted Project/Filter nodes — a
+  * regression either way is silent and costs a constant factor on every
+  * row at 100 TB. */
+class CodegenSpanSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  /** Every plan line mentioning `needle` must belong to a codegen'd span
+    * (its operator line carries the `*(stage)` marker). */
+  private def assertInCodegenSpan(plan: String, needle: String): Unit = {
+    val lines = plan.linesIterator
+      .filter(_.contains(needle))
+      .filter(l => l.contains("Project") || l.contains("Filter") ||
+        l.contains("HashAggregate"))
+      .toList
+    assert(lines.nonEmpty, s"no operator line mentions $needle:\n$plan")
+    lines.foreach(l => assert(l.contains("*("),
+      s"$needle evaluated OUTSIDE whole-stage codegen:\n$l"))
+  }
+
+  /** AQE only wraps operators in WholeStageCodegen as query stages
+    * materialize — execute THIS df's own QueryExecution first (a
+    * `.write` would plan a separate one), then read the final plan. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    // AQE's toString prints "== Final Plan ==" followed by the unstarred
+    // "== Initial Plan ==" — assert only against the final section
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("rolling_hash / nfc_normalize run inside whole-stage codegen (doc_fingerprint)") {
+    val plan = finalPlan(graft.operators.TextAnalysis.docFingerprint(spark, dir))
+    assertInCodegenSpan(plan, "rolling_hash")
+  }
+
+  test("minhash_sig and sig_agree run inside whole-stage codegen (dedup_minhash_lsh)") {
+    val plan = finalPlan(graft.operators.Dedup.dedupMinhashLsh(spark, dir))
+    assertInCodegenSpan(plan, "minhash_sig")
+    assertInCodegenSpan(plan, "sig_agree")
+  }
+
+  test("vec_dot runs inside whole-stage codegen (ann_cosine_topk)") {
+    val plan = finalPlan(graft.operators.Similarity.annBruteForce(spark, dir))
+    assertInCodegenSpan(plan, "vec_dot")
+  }
+}
