@@ -114,12 +114,22 @@ object SparkEntry {
     // holds iff the candidate generators caught every true >=0.7 pair on
     // the bounded slice — an end-to-end recall check the driver can see
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
-    "dedup_simhash_verified" -> Dedup.dedupSimhashVerifiedSql,
+    // dedup_simhash_verified: deliberately NO oracle — simhash recall of
+    // trigram near-dups is high but not 1.0 on this corpus, so an
+    // equality oracle would be a false claim; its output carries exact
+    // jaccard + hamming per pair instead (pair-exactness evidence).
+    // oracle from first principles: expected dims/file sizes follow from
+    // the format geometry; Spark must reproduce them by really encoding
+    // and re-parsing BMP/WAV bytes
+    "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh / embedding_neardup_lsh /
-    // multimodal_features: hash/LSH internals aren't DuckDB-expressible →
-    // driver records the weaker rows-only check; ScalaTest verifies recall
-    // against the exact operators instead.
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf /
+    // embedding_neardup_lsh / quota_admission_replay / approx_stats:
+    // hash/LSH/sketch internals and sequential admission aren't
+    // DuckDB-expressible → driver records the weaker rows-only check;
+    // each has an oracle-checked exact twin (dedup_*_verified,
+    // embedding_neardup, ann_cosine_topk, quota_window) and/or ScalaTest
+    // recall/error-bound pins against the exact operators.
   )
 }

@@ -84,4 +84,32 @@ object Multimodal {
         avg(col("width")).as("avg_width"),
         avg(col("height")).as("avg_height"))
       .orderBy(col("media_type"))
+
+  /** DuckDB oracle derived from FIRST PRINCIPLES: the synthesized dims/
+    * lengths are pure functions of doc_id ([[assets]]), so the expected
+    * widths, heights, and exact FILE SIZES (BMP row padding, WAV header)
+    * follow from the format geometry alone. The Spark side must reproduce
+    * them by actually encoding real bytes and parsing them back — any
+    * codec bug (wrong header field, padding, sample count) hash-mismatches
+    * here. Integer sums stay exact in both engines; averages divide exact
+    * sums, so doubles agree bit-for-bit. */
+  val multimodalFeaturesSql: String =
+    """WITH geo AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+      |      AS media_type,
+      |    CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id % 64
+      |         ELSE 2048 + doc_id % 2048 END AS width,
+      |    CASE WHEN doc_id % 2 = 0 THEN 64 + (doc_id // 2) % 64
+      |         ELSE 1 END AS height,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN 54 + (((64 + doc_id % 64) * 3 + 3) // 4 * 4)
+      |              * (64 + (doc_id // 2) % 64)
+      |         ELSE 44 + (2048 + doc_id % 2048) * 2 END AS n_bytes
+      |  FROM documents)
+      |SELECT media_type, COUNT(*) AS n_assets,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
+      |  CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_height
+      |FROM geo GROUP BY media_type ORDER BY media_type""".stripMargin
 }
