@@ -48,11 +48,19 @@ object SigAgree {
   /** Static-forwarder-friendly alias for generated code (see RollingHash). */
   def compute(a: ArrayData, b: ArrayData): Int = eval(a, b)
 
+  /** A null element agrees with nothing — getLong on a null slot would
+    * read the zeroed storage and silently count null==0 / null==null as
+    * matches (sig_agree is SQL-registered, so arbitrary arrays reach it,
+    * not just MinHashSig outputs). */
   def eval(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var c = 0
     var i = 0
-    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
     c
   }
 

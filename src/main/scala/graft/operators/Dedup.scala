@@ -95,20 +95,31 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhash_sig(col("text"), MinhashK).as("sig"))
 
-  /** Raw LSH candidate pairs (band → bucket equi-join), optionally bounded
-    * to doc_id < cap. No similarity filter — this is the candidate
-    * generator both the estimating path and the verified twin share. */
-  private def lshCandidates(spark: SparkSession, dir: String,
-      cap: Int = Int.MaxValue): DataFrame = {
-    val sig = minhashSignatures(spark, dir, cap)
+  /** THE banding function: (doc_id[, sig], band, bandHash) rows. Shared by
+    * the production estimator and the oracle-checked verified twin — one
+    * copy, so the recall guarantee the twin establishes is, by
+    * construction, about the same candidate generator the scale path
+    * runs. `carrySig` keeps the signature in the bucket rows (the
+    * estimator computes agreement inline in the join stage). */
+  private def lshBuckets(sig: DataFrame, carrySig: Boolean): DataFrame = {
     val r = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * r until (b + 1) * r)
           .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val keep = if (carrySig) Seq(col("doc_id"), col("sig"))
+      else Seq(col("doc_id"))
+    sig.select(keep :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band") :+ col("bb.bh"): _*)
+  }
+
+  /** Raw LSH candidate pairs (band → bucket equi-join), optionally bounded
+    * to doc_id < cap. No similarity filter — candidate generation only. */
+  private def lshCandidates(spark: SparkSession, dir: String,
+      cap: Int = Int.MaxValue): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(spark, dir, cap),
+      carrySig = false)
     buckets.as("x")
       .join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -131,16 +142,7 @@ object Dedup {
     * re-joined 3M candidate ids against the signature table twice —
     * two extra 3M-row shuffles that dominated its runtime. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val r = MinhashK / Bands
-    val sig = minhashSignatures(spark, dir)
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r)
-          .map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
-    }
-    val buckets = sig
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+    val buckets = lshBuckets(minhashSignatures(spark, dir), carrySig = true)
     buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .withColumn("est_jaccard",
@@ -209,8 +211,10 @@ object Dedup {
     * rows+schema-checks the pair-exactness columns; ScalaTest pins the
     * recall floor. */
   def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    // consumed by 4 join sides below — cache or the token-explode sketch
+    // aggregation re-runs per consumer
     val sk = simhashSketch(spark, dir)
-      .filter(col("doc_id") < 200)
+      .filter(col("doc_id") < 200).cache()
     val chunks = sk.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)

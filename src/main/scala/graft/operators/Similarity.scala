@@ -189,32 +189,38 @@ object Similarity {
     best
   }
 
-  /** IVF ANN, inline formulation: assign clusters on the fly, scan only
-    * the inverted lists of the query's `IvfProbes` nearest centroids,
-    * exact-cosine re-rank inside. The write-time formulation — cluster as
-    * a partition column, probes via partition pruning — is
-    * [[ivfWriteIndex]]/[[annIvfIndexed]], plan-asserted in IvfLayoutSpec. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Distributed cluster assignment: (vec_id, ev, cluster) — shared by the
+    * inline operator and the index writer so both formulations assign with
+    * the same code by construction. */
+  private def assignClusters(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    val centroids = ivfCentroids(spark, dir)
     val bc = spark.sparkContext.broadcast(centroids)
-    val vecs = t(spark, dir, "embeddings")
+    t(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
       .as[(Long, Array[Double])]
-    val assigned = vecs.mapPartitions { it =>
-      val cs = bc.value
-      it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
-    }.toDF("vec_id", "ev", "cluster")
-    val qRow = assigned.orderBy(col("vec_id")).limit(1)
-      .as[(Long, Array[Double], Int)].collect()(0)
-    val (qid, qv, _) = qRow
-    val probeSet = centroids.indices
-      .sortBy { c =>
-        var d = 0.0; var i = 0
-        while (i < qv.length) { val t = qv(i) - centroids(c)(i); d += t * t; i += 1 }
-        d
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
       }
-      .take(IvfProbes).toSet
+      .toDF("vec_id", "ev", "cluster")
+  }
+
+  /** The `IvfProbes` centroid ids nearest the query — the single probe-
+    * selection rule both IVF formulations share. */
+  private def nearestProbes(centroids: Array[Array[Double]],
+      qv: Array[Double]): Set[Int] =
+    centroids.indices.sortBy { c =>
+      var d = 0.0; var i = 0
+      while (i < qv.length) { val t = qv(i) - centroids(c)(i); d += t * t; i += 1 }
+      d
+    }.take(IvfProbes).toSet
+
+  /** Probe-scan + exact cosine re-rank over an assigned (vec_id, ev,
+    * cluster) table — the shared back half of both IVF formulations. */
+  private def ivfQuery(assigned: DataFrame, probeSet: Set[Int], qid: Long,
+      qv: Array[Double]): DataFrame = {
+    import assigned.sparkSession.implicits._
     val qDf = Seq((qid, qv)).toDF("qid", "qv")
     assigned
       .filter(col("cluster").isInCollection(probeSet) && col("vec_id") =!= qid)
@@ -227,6 +233,20 @@ object Similarity {
       .limit(10)
   }
 
+  /** IVF ANN, inline formulation: assign clusters on the fly, scan only
+    * the inverted lists of the query's `IvfProbes` nearest centroids,
+    * exact-cosine re-rank inside. The write-time formulation — cluster as
+    * a partition column, probes via partition pruning — is
+    * [[ivfWriteIndex]]/[[annIvfIndexed]], plan-asserted in IvfLayoutSpec. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val centroids = ivfCentroids(spark, dir)
+    val assigned = assignClusters(spark, dir, centroids)
+    val (qid, qv, _) = assigned.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Array[Double], Int)].collect()(0)
+    ivfQuery(assigned, nearestProbes(centroids, qv), qid, qv)
+  }
+
   /** WRITE-TIME IVF layout — the scale path [[annIvf]]'s doc promises: the
     * corpus is materialized partitioned BY CLUSTER (`cluster=N/`
     * directories), so at query time probe selection is partition pruning
@@ -237,17 +257,8 @@ object Similarity {
     * full re-clustering is an offline compaction, exactly like SAV. */
   def ivfWriteIndex(spark: SparkSession, dir: String,
       indexPath: String): Array[Array[Double]] = {
-    import spark.implicits._
     val centroids = ivfCentroids(spark, dir)
-    val bc = spark.sparkContext.broadcast(centroids)
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
-      }
-      .toDF("vec_id", "ev", "cluster")
+    assignClusters(spark, dir, centroids)
       .write.partitionBy("cluster").mode("overwrite").parquet(indexPath)
     centroids
   }
@@ -258,26 +269,9 @@ object Similarity {
     * re-rank inside. */
   def annIvfIndexed(spark: SparkSession, indexPath: String,
       centroids: Array[Array[Double]], qid: Long,
-      qv: Array[Double]): DataFrame = {
-    import spark.implicits._
-    val probeSet = centroids.indices.sortBy { c =>
-      var d = 0.0; var i = 0
-      while (i < qv.length) {
-        val t = qv(i) - centroids(c)(i); d += t * t; i += 1
-      }
-      d
-    }.take(IvfProbes).toSet
-    val qDf = Seq((qid, qv)).toDF("qid", "qv")
-    spark.read.parquet(indexPath)
-      .filter(col("cluster").isInCollection(probeSet) && col("vec_id") =!= qid)
-      .join(broadcast(qDf))
-      .withColumn("cosine",
-        dot(col("ev"), col("qv")) /
-          (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
-      .select(col("qid"), col("vec_id"), col("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-      .limit(10)
-  }
+      qv: Array[Double]): DataFrame =
+    ivfQuery(spark.read.parquet(indexPath), nearestProbes(centroids, qv),
+      qid, qv)
 
   // Near-dup knobs, tuned to the synthetic corpus: the testdata embeddings
   // are near-random unit vectors with NO planted cosine-0.95 dups (max

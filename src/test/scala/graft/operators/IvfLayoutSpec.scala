@@ -18,9 +18,9 @@ class IvfLayoutSpec extends AnyFunSuite with SparkSpec {
     val centroids = Similarity.ivfWriteIndex(spark, dir, idx)
     assert(centroids.length == Similarity.IvfClusters)
     // on-disk layout: one cluster=N directory per non-empty inverted list
-    val clusterDirs = Files.list(java.nio.file.Paths.get(idx))
-      .iterator().asScala
-      .count(_.getFileName.toString.startsWith("cluster="))
+    val clusterDirs = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(idx)))(
+      _.iterator().asScala.count(_.getFileName.toString.startsWith("cluster=")))
     assert(clusterDirs > Similarity.IvfProbes,
       s"need more lists than probes for pruning to mean anything: $clusterDirs")
 
@@ -48,9 +48,10 @@ class IvfLayoutSpec extends AnyFunSuite with SparkSpec {
     val scan = findScans(res.queryExecution.executedPlan)
       .find(_.relation.location.rootPaths.exists(_.toString.contains("index")))
       .getOrElse(fail("no parquet scan over the index found in the plan"))
-    val filesPerCluster = Files.walk(java.nio.file.Paths.get(idx))
-      .iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet")) / clusterDirs + 1
+    val filesPerCluster = scala.util.Using.resource(
+      Files.walk(java.nio.file.Paths.get(idx)))(
+      _.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    ) / clusterDirs + 1
     assert(scan.metrics("numFiles").value <=
       Similarity.IvfProbes.toLong * filesPerCluster,
       s"scan read ${scan.metrics("numFiles").value} files across " +

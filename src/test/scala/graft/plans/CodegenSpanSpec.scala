@@ -13,14 +13,13 @@ import graft.SparkSpec
 class CodegenSpanSpec extends AnyFunSuite with SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
-  /** Every plan line mentioning `needle` must belong to a codegen'd span
-    * (its operator line carries the `*(stage)` marker). */
+  /** EVERY plan line mentioning `needle` must belong to a codegen'd span
+    * (carry the `*(stage)` marker) — not just Project/Filter lines: a
+    * pushed join condition or Generate evaluates the expression in THAT
+    * operator, which is exactly the per-row hot path the assertion is
+    * for. (Scan metadata lines never mention the expressions.) */
   private def assertInCodegenSpan(plan: String, needle: String): Unit = {
-    val lines = plan.linesIterator
-      .filter(_.contains(needle))
-      .filter(l => l.contains("Project") || l.contains("Filter") ||
-        l.contains("HashAggregate"))
-      .toList
+    val lines = plan.linesIterator.filter(_.contains(needle)).toList
     assert(lines.nonEmpty, s"no operator line mentions $needle:\n$plan")
     lines.foreach(l => assert(l.contains("*("),
       s"$needle evaluated OUTSIDE whole-stage codegen:\n$l"))
