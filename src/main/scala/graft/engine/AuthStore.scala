@@ -49,8 +49,11 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
 
   private val logPath = dataDir.map(_.resolve("auth_log.jsonl"))
 
-  // boot: discard an incomplete compaction tmp (old log is the consistent
-  // state — atomic rename means a completed save left no tmp), then replay.
+  // boot: ensure the data dir exists (first boot on a fresh path must not
+  // crash the first append), discard an incomplete compaction tmp (old log
+  // is the consistent state — atomic rename means a completed save left no
+  // tmp), then replay.
+  dataDir.foreach(Files.createDirectories(_))
   logPath.foreach { p =>
     Files.deleteIfExists(p.resolveSibling(p.getFileName.toString + ".tmp"))
     if (Files.exists(p)) {

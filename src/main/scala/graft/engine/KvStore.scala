@@ -99,6 +99,9 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   // adopt the newest complete generation, then replay the WAL
   // (ref load: p3/server/my_storage.cc:573-702)
   dataDir.foreach { base =>
+    // first boot on a fresh path: the dir must exist before the first
+    // WAL append (Files.writeString does not create parents)
+    Files.createDirectories(base)
     // ---- legacy layout migration (pre-generation format) ----
     val legacy = base.resolve("kv_snapshot")
     val legacyTmp = base.resolve("kv_snapshot.tmp")

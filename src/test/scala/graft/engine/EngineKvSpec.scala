@@ -245,6 +245,17 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     assert(e.kvAll("alice", "bad").msg == ERR_LOGIN)
   }
 
+  test("fresh non-existent dataDir: first boot creates it; ops and restart work") {
+    val dir = Files.createTempDirectory("graft-fresh-").resolve("nested/data")
+    assert(!Files.exists(dir))
+    val e = mkEngine(EngineOptions(dataDir = Some(dir)))
+    assert(e.kvInsert("alice", "pw", "k1", b("v1")).succeeded)
+    assert(e.setProfile("alice", "pw", "p".getBytes).succeeded)
+    val e2 = mkEngine(EngineOptions(dataDir = Some(dir)))
+    assert(e2.kvGet("alice", "pw", "k1").dataUtf8 == "v1")
+    assert(e2.getProfile("alice", "pw", "alice").dataUtf8 == "p")
+  }
+
   test("WAL replay: mutations survive an engine restart (ref p2.py restart-reload)") {
     val dir = Files.createTempDirectory("graft-kv-")
     val opts = EngineOptions(dataDir = Some(dir))
