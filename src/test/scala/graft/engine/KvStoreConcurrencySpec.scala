@@ -59,6 +59,34 @@ class KvStoreConcurrencySpec extends AnyFunSuite with SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("concurrent doWith increments never lose an update (atomic RMW)") {
+    val kv = new KvStore(spark)
+    val threads = 8
+    val incrementsPerThread = 500
+    kv.insert("ctr", "0".getBytes)
+    val pool = Executors.newFixedThreadPool(threads)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(threads)
+    try {
+      (0 until threads).foreach { _ =>
+        pool.execute(() => {
+          start.await()
+          (0 until incrementsPerThread).foreach { _ =>
+            kv.doWith("ctr",
+              v => (new String(v, "UTF-8").toInt + 1).toString.getBytes)
+          }
+          done.countDown()
+        })
+      }
+      start.countDown()
+      assert(done.await(60, TimeUnit.SECONDS))
+      // a non-atomic get+upsert would lose increments under contention
+      val v = new String(kv.get("ctr").get, "UTF-8").toInt
+      assert(v == threads * incrementsPerThread,
+        s"lost ${threads * incrementsPerThread - v} increments")
+    } finally pool.shutdownNow()
+  }
+
   test("interleaved mixed ops keep the table consistent with a serial replay") {
     val kv = new KvStore(spark)
     val threads = 4
