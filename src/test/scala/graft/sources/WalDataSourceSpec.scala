@@ -61,6 +61,27 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert(WalDataSource.parsePaths(None) == Nil)
   }
 
+  test("malformed marker-terminated records are skipped, not fatal") {
+    val dir = Files.createTempDirectory("graft-walbad-")
+    val enc = java.util.Base64.getEncoder
+    def b64(s: String) = enc.encodeToString(s.getBytes("UTF-8"))
+    val p = dir.resolve("kv_wal.jsonl")
+    Files.writeString(p,
+      s"PUT\t${b64("k1")}\t${b64("v1")}\t#\n" +
+        "X\t#\n" + // marker-terminated but one field (would AIOOBE in get)
+        s"PUT\t!!!notbase64!!!\t${b64("v")}\t#\n" + // undecodable key
+        s"PUT\t${b64("k")}\t${b64("v")}\t${b64("extra")}\t#\n" + // 4 fields
+        "PUT\tazM\n" + // torn (no marker)
+        s"DEL\t${b64("k1")}\t#\n")
+    val wal = spark.read.format("graft.sources.WalDataSource")
+      .load(p.toString).collect()
+    // only the two structurally valid records survive; scan does not throw
+    assert(wal.length == 2)
+    assert(wal.map(_.getString(1)).toSeq == Seq("PUT", "DEL"))
+    // seq numbers reflect the original line positions (0 and 5)
+    assert(wal.map(_.getLong(0)).toSeq == Seq(0L, 5L))
+  }
+
   test("missing WAL file yields an empty table, not an error") {
     val wal = spark.read.format("graft.sources.WalDataSource")
       .load("/tmp/does-not-exist-graft-wal.jsonl")
