@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.queries.{KvSurface, Relational}
+
+/** Pins the scale-critical physical-plan shapes so a regression (a lost
+  * broadcast, a fact-table shuffle on a dimension key, a fat scan) fails a
+  * test instead of silently multiplying shuffle bytes at 100 TB. These are
+  * assertions about the PLAN, not the result — the oracle gate covers
+  * results. */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q5_multijoin: all four dimension joins broadcast; fact never shuffles on a dim key") {
+    val p = plan(Relational.q5Multijoin(spark, dir))
+    // >= 4: the four dimension joins MUST broadcast; at tiny SFs AQE may
+    // additionally turn the orders⋈lineitem join into a fifth broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected the 4 dim joins to broadcast:\n$p")
+    // the fact side may shuffle on the join key (orderkey) but must never
+    // be hash-partitioned by a dimension key
+    Seq("c_custkey", "s_suppkey", "n_nationkey", "r_regionkey").foreach { k =>
+      assert(!p.contains(s"hashpartitioning($k"),
+        s"fact side shuffled on dimension key $k:\n$p")
+    }
+  }
+
+  test("q1_agg: map-side partial aggregation precedes the exchange") {
+    val p = plan(Relational.q1Agg(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial (map-side) aggregation before the shuffle:\n$p")
+    // the filter reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$p")
+  }
+
+  test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
+    val p = plan(KvSurface.kvGetallKeys(spark, dir))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"scan reads more than the single projected column:\n$p")
+  }
+
+  test("kv_get_point: point predicate is pushed down to the scan") {
+    val p = plan(KvSurface.kvGetPoint(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey)"),
+      s"no pushed filter on the point-lookup scan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"point lookup should resolve via one broadcast join:\n$p")
+  }
+
+  test("q3_top_orders: filtered customer dimension broadcasts; top-k is TakeOrderedAndProject") {
+    val p = plan(Relational.q3TopOrders(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"customer join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+order not fused into top-k:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment filter not pushed:\n$p")
+  }
+}
