@@ -212,7 +212,10 @@ object Dedup {
     * recall floor. */
   def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
     // consumed by 4 join sides below — cache or the token-explode sketch
-    // aggregation re-runs per consumer
+    // aggregation re-runs per consumer. Deliberately never unpersisted
+    // (same as dedupSimhash's sketch cache): the slice is doc_id-bounded
+    // and tiny, and the CacheManager dedupes by plan, so repeated driver
+    // runs pin one small entry, not one per invocation.
     val sk = simhashSketch(spark, dir)
       .filter(col("doc_id") < 200).cache()
     val chunks = sk.select(col("doc_id"), col("simhash"),

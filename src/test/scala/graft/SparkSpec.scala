@@ -22,4 +22,15 @@ object TestSpark {
 
 trait SparkSpec {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Execute `df`'s OWN QueryExecution (AQE only wraps operators in
+    * WholeStageCodegen / finalizes stages as they materialize, and a
+    * `.write` would plan a separate execution), then return only the final
+    * plan section — AQE's toString appends the unstarred
+    * "== Initial Plan ==" after it, which would defeat `*(N)` marker
+    * assertions. Shared by every plan-shape/codegen-span spec. */
+  def aqeFinalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
 }

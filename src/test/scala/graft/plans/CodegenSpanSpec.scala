@@ -25,15 +25,8 @@ class CodegenSpanSpec extends AnyFunSuite with SparkSpec {
       s"$needle evaluated OUTSIDE whole-stage codegen:\n$l"))
   }
 
-  /** AQE only wraps operators in WholeStageCodegen as query stages
-    * materialize — execute THIS df's own QueryExecution first (a
-    * `.write` would plan a separate one), then read the final plan. */
-  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect()
-    // AQE's toString prints "== Final Plan ==" followed by the unstarred
-    // "== Initial Plan ==" — assert only against the final section
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    aqeFinalPlan(df)
 
   test("rolling_hash / nfc_normalize run inside whole-stage codegen (doc_fingerprint)") {
     val plan = finalPlan(graft.operators.TextAnalysis.docFingerprint(spark, dir))

@@ -12,10 +12,8 @@ import graft.queries.{KvSurface, Relational}
 class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect() // finalize AQE
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    aqeFinalPlan(df)
 
   test("q5_multijoin: all four dimension joins broadcast; fact never shuffles on a dim key") {
     val p = plan(Relational.q5Multijoin(spark, dir))
