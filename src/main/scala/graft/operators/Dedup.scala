@@ -85,6 +85,12 @@ object Dedup {
   final val MinhashK = 24
   final val Bands = 6
 
+  /** SimHash near-dup hamming threshold. Empirically calibrated against
+    * the trigram-feature sketch: see PipelineOperatorsSpec's recall pin
+    * and the scaladoc on [[dedupSimhashVerified]] for measured per-SF
+    * figures. */
+  final val SimhashHamming = 6
+
   /** MinHash signatures via the single-pass native expression
     * ([[graft.functions.MinHashSig]]): a narrow projection on the scan —
     * no gram explode, no shuffle. (min over a multiset equals min over the
@@ -167,63 +173,82 @@ object Dedup {
 
   val dedupMinhashVerifiedSql: String = dedupNgramJaccardSql
 
-  /** 64-bit SimHash per document over token hashes: per-bit signed vote,
-    * assembled with shift/or — fully columnar. */
-  def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(col("th"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b"))
-    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-    voted.select(col("doc_id"), sim.as("simhash"))
+  /** 64-bit SimHash per document over character trigrams — a narrow scan
+    * projection via the native single-pass [[graft.functions.SimHash64]]
+    * expression (no explode, no shuffle, no 64-column vote aggregation;
+    * the round-2 formulation shuffled one row per token and cost 3.7 s
+    * where this is one codegen'd call per row). */
+  def simhashSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("text")).as("simhash"))
+
+  /** 2-of-8 block banding buckets (Manku-style): the 64-bit sketch splits
+    * into 8 byte blocks; each doc emits one bucket row per UNORDERED PAIR
+    * of blocks (28 combos), keyed by (combo, both block values) packed in
+    * one long. A pair with hamming ≤ 6 dirties at most 6 of the 8 blocks,
+    * so at least 2 blocks are clean on BOTH sides — their combo key
+    * matches, and the equi-join is GUARANTEED to surface the pair
+    * (pigeonhole). The previous 4×16 chunk scheme only guaranteed h≤3.
+    *
+    * Scale shape: 28 narrow rows per doc into an equi-join whose 16-bit
+    * value space (65 536 per combo) keeps buckets near-singleton even at
+    * millions of docs — linear bucket rows, no all-pairs anywhere. */
+  private def simhashBuckets(sk: DataFrame): DataFrame = {
+    val combos = for (c1 <- 0 until 8; c2 <- c1 + 1 until 8) yield (c1, c2)
+    val block = (c: Int) =>
+      shiftrightunsigned(col("simhash"), c * 8).bitwiseAND(0xFFL)
+    val keys = combos.map { case (c1, c2) =>
+      shiftleft(lit((c1 * 8 + c2).toLong), 16)
+        .bitwiseOR(shiftleft(block(c1), 8)).bitwiseOR(block(c2))
+    }
+    sk.select(col("doc_id"), col("simhash"),
+      explode(array(keys: _*)).as("bk"))
   }
 
-  /** SimHash near-dup pairs: hamming ≤ 6 via 16-bit chunk banding
-    * (equi-join on chunks — every hamming≤3 pair is guaranteed caught;
-    * ≤6 caught with high probability; exact hamming then filters). */
+  /** SimHash near-dup pairs: hamming ≤ [[SimhashHamming]] with GUARANTEED
+    * banding recall — [[simhashBuckets]]'s 2-of-8 scheme surfaces every
+    * hamming≤6 pair by pigeonhole, so the only approximation left is the
+    * sketch itself (hamming vs true similarity; measured per-SF in
+    * [[dedupSimhashVerified]]). The sketch is a cheap narrow projection,
+    * so nothing is cached (round 2 pinned two corpus-sized sketch caches
+    * for the session lifetime). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sk = simhashSketch(spark, dir).cache()
-    val chunks = sk.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
-          .as("ch"))): _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.c"), col("cc.ch"))
-    chunks.as("x").join(chunks.as("y"), Seq("c", "ch"))
+    val b = simhashBuckets(simhashSketch(spark, dir))
+    // shuffle_hash, not broadcast: the bucket table is corpus-sized (28
+    // rows/doc) — at scale it can never broadcast, and even on the local
+    // test corpus the driver-side broadcast build measured slower than the
+    // shuffled hash join (2.1 s vs 1.3 s warm at sf0.1)
+    b.as("x").hint("shuffle_hash").join(b.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= SimhashHamming)
       .distinct()
-      .filter(col("hamming") <= 6)
   }
 
   /** SimHash evidence twin: every exact near-dup pair on the bounded slice
     * with its TRUE trigram Jaccard, exact simhash hamming distance, and
-    * whether chunk-banding caught it. UNLIKE [[dedupMinhashVerified]] this
-    * has NO equality oracle: simhash approximates token-multiset cosine,
-    * not trigram Jaccard, and its recall of j≥0.7 pairs is high but not 1
-    * (measured: 12/12 at sf0.01, 11/12 at sf0.001, 0/1 at sf0.1 on this
-    * corpus) — an equality oracle would encode a false claim. The driver
-    * rows+schema-checks the pair-exactness columns; ScalaTest pins the
-    * recall floor. */
+    * whether block-banding caught it. UNLIKE [[dedupMinhashVerified]] this
+    * has NO equality oracle: a 64-bit sketch cannot separate j≈0.7 pairs
+    * from the background hamming distribution on this corpus (measured
+    * with the trigram-feature sketch: true j≥0.7 pairs sit at h≤6 for
+    * 11/12 at sf0.001 and 3/3 at sf0.01, but the single sf0.1 pair —
+    * j=0.703 — is at h=14, inside background mass). SimHash here is
+    * precision-oriented: every j≥0.9 pair measured lands at h≤5, and
+    * banding recall of h≤6 pairs is GUARANTEED ([[simhashBuckets]]), so
+    * the only loss is sketch resolution at the j≈0.7 boundary — an
+    * equality oracle against j≥0.7 truth would encode a false claim.
+    * The driver rows+schema-checks the pair-exactness columns; ScalaTest
+    * pins the recall floor per SF. */
   def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    // consumed by 4 join sides below — cache or the token-explode sketch
-    // aggregation re-runs per consumer. Deliberately never unpersisted
-    // (same as dedupSimhash's sketch cache): the slice is doc_id-bounded
-    // and tiny, and the CacheManager dedupes by plan, so repeated driver
-    // runs pin one small entry, not one per invocation.
-    val sk = simhashSketch(spark, dir)
-      .filter(col("doc_id") < 200).cache()
-    val chunks = sk.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
-          .as("ch"))): _*)).as("cc"))
-      .select(col("doc_id"), col("simhash"), col("cc.c"), col("cc.ch"))
-    val caught = chunks.as("x").join(chunks.as("y"), Seq("c", "ch"))
+    // consumed by 4 join sides below, but the sketch is now a narrow
+    // single-pass projection — recomputing per consumer is cheaper than
+    // pinning a cache entry for the session (round 2 cached here and the
+    // bench tail warned "already cached" on every rerun)
+    val sk = simhashSketch(spark, dir).filter(col("doc_id") < 200)
+    val b = simhashBuckets(sk)
+    val caught = b.as("x").join(b.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()

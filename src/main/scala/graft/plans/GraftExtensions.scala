@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, NfcNormalize, RollingHash, SigAgree, VecDot}
+import graft.functions.{MinHashSig, NfcNormalize, RollingHash, SigAgree, SimHash64, VecDot}
 
 /** Engine extension point (SparkSessionExtensions): registers the library's
   * native Catalyst expressions into the SQL function registry so
@@ -38,6 +38,7 @@ object GraftExtensions {
     d("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head)),
     d("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
     d("sig_agree", classOf[SigAgree], es => SigAgree(es(0), es(1))),
+    d("simhash64", classOf[SimHash64], es => SimHash64(es.head)),
     d("minhash_sig", classOf[MinHashSig], {
       case Seq(child, k) if k.foldable && (k.dataType match {
         case org.apache.spark.sql.types.IntegerType |

@@ -31,6 +31,13 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert((0 until 8).forall(i => got.getLong(i) == want.getLong(i)))
   }
 
+  test("simhash64 generated code compiles and evaluates") {
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      SimHash64(BoundReference(0, StringType, nullable = true))))
+    val row = proj(InternalRow(UTF8String.fromString("the quick brown fox")))
+    assert(row.getLong(0) == SimHash64.eval("the quick brown fox"))
+  }
+
   test("vec_dot generated code compiles and evaluates") {
     val at = ArrayType(DoubleType, containsNull = false)
     val proj = GenerateUnsafeProjection.generate(Seq(

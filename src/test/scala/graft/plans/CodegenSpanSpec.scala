@@ -17,9 +17,13 @@ class CodegenSpanSpec extends AnyFunSuite with SparkSpec {
     * (carry the `*(stage)` marker) — not just Project/Filter lines: a
     * pushed join condition or Generate evaluates the expression in THAT
     * operator, which is exactly the per-row hot path the assertion is
-    * for. (Scan metadata lines never mention the expressions.) */
+    * for. (FileScan lines are excluded: their DataFilters field is
+    * metadata echoing a filter that EXECUTES in the codegen'd Filter
+    * above the scan — e.g. a pushed isnotnull(simhash64(text)) join-key
+    * filter — not a per-row evaluation site.) */
   private def assertInCodegenSpan(plan: String, needle: String): Unit = {
-    val lines = plan.linesIterator.filter(_.contains(needle)).toList
+    val lines = plan.linesIterator.filter(_.contains(needle))
+      .filterNot(_.contains("FileScan")).toList
     assert(lines.nonEmpty, s"no operator line mentions $needle:\n$plan")
     lines.foreach(l => assert(l.contains("*("),
       s"$needle evaluated OUTSIDE whole-stage codegen:\n$l"))
@@ -37,6 +41,11 @@ class CodegenSpanSpec extends AnyFunSuite with SparkSpec {
     val plan = finalPlan(graft.operators.Dedup.dedupMinhashLsh(spark, dir))
     assertInCodegenSpan(plan, "minhash_sig")
     assertInCodegenSpan(plan, "sig_agree")
+  }
+
+  test("simhash64 runs inside whole-stage codegen (dedup_simhash)") {
+    val plan = finalPlan(graft.operators.Dedup.dedupSimhash(spark, dir))
+    assertInCodegenSpan(plan, "simhash64")
   }
 
   test("vec_dot runs inside whole-stage codegen (ann_cosine_topk)") {

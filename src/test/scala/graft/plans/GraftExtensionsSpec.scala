@@ -30,6 +30,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getInt(0) == 6)
     assert(spark.sql("SELECT size(minhash_sig('abcdef', 8L)) AS n")
       .collect()(0).getInt(0) == 8)
+    assert(spark.sql("SELECT simhash64('the quick brown fox') AS h")
+      .collect()(0).getLong(0)
+      == graft.functions.SimHash64.eval("the quick brown fox"))
   }
 
   test("withExtensions wiring registers the function at session build") {
