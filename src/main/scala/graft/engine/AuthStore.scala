@@ -41,11 +41,18 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
   import Codes._
 
   private val users = mutable.LinkedHashMap.empty[String, AuthEntry]
-  // (user, pass) pairs that already passed the salted-hash check. Passwords
-  // are immutable after REG in this API, so positive results stay valid;
-  // the cache avoids re-hashing on every point op (hot path).
+  // sha256(user ‖ '\0' ‖ pass) digests that already passed the salted-hash
+  // check. Passwords are immutable after REG in this API, so positive
+  // results stay valid; the cache avoids re-hashing the SALTED scheme on
+  // every point op (hot path) while retaining no plaintext credentials
+  // (the '\0' separator kills ("ab","c")/("a","bc") digest collisions —
+  // usernames cannot contain NUL, the log format is line-based text).
   private val verified =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.math.BigInteger]()
+
+  private def verifiedKey(user: String, pass: String): java.math.BigInteger =
+    new java.math.BigInteger(
+      sha256(user.getBytes("UTF-8"), Array[Byte](0), pass.getBytes("UTF-8")))
 
   private val logPath = dataDir.map(_.resolve("auth_log.jsonl"))
 
@@ -139,7 +146,8 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
 
   /** Salted-hash credential check (ref: p3/server/my_storage.cc:232-250). */
   def auth(user: String, pass: String): Result = {
-    if (verified.contains((user, pass))) return Result(true, OK)
+    val key = verifiedKey(user, pass)
+    if (verified.contains(key)) return Result(true, OK)
     val ok = synchronized {
       users.get(user) match {
         case Some(e) => MessageDigest.isEqual(e.passHash,
@@ -147,7 +155,7 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
         case None => false
       }
     }
-    if (ok) { verified.add((user, pass)); Result(true, OK) }
+    if (ok) { verified.add(key); Result(true, OK) }
     else Result(false, ERR_LOGIN)
   }
 

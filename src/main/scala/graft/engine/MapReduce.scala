@@ -25,22 +25,22 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   */
 object MapReduce {
 
-  def run(kv: Dataset[KV], fn: MapReduceFn): Result =
-    try {
-      val mapped: Array[Array[Byte]] =
-        kv.mapPartitions(it => it.map(r => fn.map(r.key, r.value)))(
-          Encoders.BINARY).collect()
-      val reduced = fn match {
-        case assoc: AssociativeMapReduceFn =>
-          // associative: safe to fold in any grouping; still exercise the
-          // declared combine path
-          mapped.foldLeft(assoc.zero)(assoc.combine)
-        case _ => fn.reduce(mapped.toIndexedSeq)
+  def run(kv: Dataset[KV], fn: MapReduceFn): Result = fn match {
+    // an associative reducer declares its combine safe in any grouping —
+    // dispatch to the executor-side tree so per-row map outputs are never
+    // gathered on the driver (this is the 100 TB path; round 2 computed it
+    // but nothing routed to it)
+    case assoc: AssociativeMapReduceFn => runTree(kv, assoc)
+    case _ =>
+      try {
+        val mapped: Array[Array[Byte]] =
+          kv.mapPartitions(it => it.map(r => fn.map(r.key, r.value)))(
+            Encoders.BINARY).collect()
+        Result(true, Codes.OK, fn.reduce(mapped.toIndexedSeq))
+      } catch {
+        case _: Throwable => Result(false, Codes.ERR_SERVER)
       }
-      Result(true, Codes.OK, reduced)
-    } catch {
-      case _: Throwable => Result(false, Codes.ERR_SERVER)
-    }
+  }
 
   /** Executor-side tree reduction for associative reducers — no driver
     * gather of per-row outputs; combine runs as partial aggregation per

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
 import java.io.ByteArrayOutputStream
 import java.util.jar.{JarEntry, JarOutputStream}
+import scala.jdk.CollectionConverters._
 
 /** A jar-loadable UDF pair (top-level class so it has a plain zero-arg
   * constructor). Counts keys: map → "1", reduce → decimal total. */
@@ -147,5 +148,36 @@ class EngineMapReduceSpec extends AnyFunSuite with SparkSpec {
     val empty = new Engine(spark, EngineOptions())
     val r = MapReduce.runTree(empty.kv.view, BuiltinFuncs.AllKeysAssoc)
     assert(r.succeeded && r.data.isEmpty)
+  }
+
+  test("engine routes associative fns to the tree tier (combines run on executor task threads)") {
+    // the collect-then-fold formulation combines ONLY on the driver thread;
+    // the tree tier partial-aggregates per partition, so in local mode the
+    // combines land on "Executor task launch worker" threads. Record every
+    // combine's thread through a REAL engine invocation and require at
+    // least one executor-side call — the lineage evidence that per-row map
+    // outputs were merged where they were produced, not gathered.
+    ThreadRecordingAssocFn.threads.clear()
+    val e = mkEngine()
+    assert(e.registerBuiltin("alice", "pw", "rec", ThreadRecordingAssocFn).succeeded)
+    val r = e.invokeMr("bob", "pw", "rec")
+    assert(r.succeeded)
+    assert(r.dataUtf8.split("\n").sorted.toSeq == (1 to 8).map(i => s"k$i"))
+    val ts = ThreadRecordingAssocFn.threads
+    assert(ts.asScala.exists(_.contains("Executor task launch worker")),
+      s"no combine ran on an executor task thread: $ts")
+  }
+}
+
+/** Records the thread name of every combine call (top-level object so the
+  * closure serializes without dragging the suite along). */
+object ThreadRecordingAssocFn extends AssociativeMapReduceFn {
+  val threads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def map(key: String, value: Array[Byte]): Array[Byte] = key.getBytes("UTF-8")
+  def zero: Array[Byte] = Array.emptyByteArray
+  def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    threads.add(Thread.currentThread().getName)
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else (new String(a, "UTF-8") + "\n" + new String(b, "UTF-8")).getBytes("UTF-8")
   }
 }
