@@ -63,6 +63,12 @@ object SparkEntry {
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
+    "ann_ivf_verified" -> (Similarity.annIvfVerified _),
+    "ann_ivf_indexed" -> (Similarity.annIvfIndexedQuery _),
+    // NAME PINNED since r2: embedding_neardup = the bounded EXACT primitive
+    // (oracle-checked); embedding_neardup_lsh = the full-corpus LSH path.
+    // r1's "embedding_neardup" was the LSH computation — r1→r2 numbers
+    // under this name compare different computations; r2 onward is stable.
     "embedding_neardup" -> (Similarity.embeddingNearDupExact _),
     "embedding_neardup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDup(s, d)),
@@ -123,6 +129,13 @@ object SparkEntry {
     // and re-parsing BMP/WAV bytes
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
+    // the IVF twins' oracle IS the exact brute-force SQL: equality holds
+    // iff the approximate pipeline (centroids, assignment, probe
+    // selection at IvfVerifyProbes=6 of 16, pruned scan, re-rank)
+    // returns exactly the exact-search top-10 — end-to-end, and for
+    // ann_ivf_indexed through the written cluster-partitioned index
+    "ann_ivf_verified" -> Similarity.annBruteForceSql,
+    "ann_ivf_indexed" -> Similarity.annBruteForceSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf /
     // embedding_neardup_lsh / quota_admission_replay / approx_stats:

@@ -235,14 +235,27 @@ object Relational {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** LEFT OUTER join preserving customers with zero orders (SURVEY §2.7
-    * joins — outer flavor; count(order) is 0 for unmatched, not 1). */
-  def leftOuterOrders(spark: SparkSession, dir: String): DataFrame =
+    * joins — outer flavor; count(order) is 0 for unmatched, not 1).
+    *
+    * Orders are aggregated to one row per o_custkey BEFORE the join, so
+    * the join shuffles |customers| + |custkeys| rows instead of
+    * |customers| + |orders| — at 100 TB the order:customer ratio is ~10×,
+    * and aggregate-below-join is the plan that survives it (pinned in
+    * PlanShapeSpec). Parity: every order has a non-null o_orderkey, so
+    * count(o_orderkey) ≡ count(*) per custkey; the decimal sum is
+    * grouping-order independent; an unmatched customer's null count
+    * coalesces to 0 and its null sum stays null, exactly as the
+    * join-then-aggregate formulation produced. */
+  def leftOuterOrders(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("spend"))
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"),
-        "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"),
-        asDouble(sum(dec(col("o_totalprice")))).as("total_spend"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        asDouble(col("spend")).as("total_spend"))
+  }
 
   val leftOuterOrdersSql: String =
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,

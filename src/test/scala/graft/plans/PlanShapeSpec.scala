@@ -38,6 +38,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"shipdate filter not pushed to the scan:\n$p")
   }
 
+  test("left_outer_orders: orders aggregate sits BELOW the outer join") {
+    val p = plan(Relational.leftOuterOrders(spark, dir))
+    // the per-custkey aggregate must be on the join's input side (partial
+    // aggregation markers appear; a join-then-aggregate plan would have
+    // exactly one aggregate ABOVE the join and no partial o_custkey
+    // grouping below it)
+    val joinAt = p.indexOfSlice("Join")
+    val aggAt = p.indexOfSlice("partial_count")
+    assert(joinAt >= 0 && aggAt >= 0, s"missing join or partial agg:\n$p")
+    // in the formatted tree, children print BELOW their parent — the
+    // aggregate's first appearance must come after (deeper than) the join
+    assert(aggAt > joinAt,
+      s"orders aggregate is not below the outer join:\n$p")
+    // and the aggregate groups by o_custkey, i.e. it IS the orders pre-agg
+    assert(p.contains("hashpartitioning(o_custkey"),
+      s"no o_custkey pre-aggregation exchange:\n$p")
+  }
+
   test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
     val p = plan(KvSurface.kvGetallKeys(spark, dir))
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
