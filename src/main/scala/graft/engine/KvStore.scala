@@ -301,10 +301,22 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     * key is absent (the reference invokes its on-absent hook and returns
     * false). */
   def doWith(key: String, f: Array[Byte] => Array[Byte]): Boolean = withRead {
+    // Pre-fetch the snapshot value OUTSIDE the CHM bin lock: snapshotGet
+    // runs a Spark job, and compute() holds the bin lock for its whole
+    // body (CHM's contract asks for short compute functions — a
+    // distributed query under it would stall every key hashing to the
+    // same bin). Consistency: the snapshot is frozen while we hold the
+    // store's read lock (SAV compaction takes the write lock), so the
+    // prefetched value can only go stale if a concurrent writer puts the
+    // key into the DELTA — in which case compute() sees cur != null and
+    // never consults the prefetch. `f` itself stays inside compute: the
+    // per-key atomic read-modify-write IS the operator's contract, and
+    // that cost is the caller's code, not a hidden distributed scan.
+    val prefetched = if (mem.containsKey(key)) None else snapshotGet(key)
     var hit = false
     mem.compute(key, (_, cur) => {
       val current = cur match {
-        case null => snapshotGet(key) // absent from delta → consult snapshot
+        case null => prefetched // absent from delta → prefetched snapshot
         case v => v // live or tombstoned in delta
       }
       current match {

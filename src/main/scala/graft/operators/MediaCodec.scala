@@ -80,6 +80,15 @@ object MediaCodec {
     require(bpp == 24 && compression == 0,
       s"unsupported BMP variant (bpp=$bpp compression=$compression)")
     val rowSize = (width * 3 + 3) / 4 * 4
+    // bounds-check the header-declared geometry against the actual payload
+    // BEFORE the pixel scan: a truncated/corrupt record must fail with a
+    // diagnosable message (like the WAV chunk-size guard), not an
+    // ArrayIndexOutOfBoundsException mid-scan
+    require(width >= 0 && height >= 0 && dataOffset >= 0 &&
+      dataOffset.toLong + rowSize.toLong * height <= payload.length,
+      s"corrupt BMP: declared ${width}x$height@$dataOffset needs " +
+        s"${dataOffset.toLong + rowSize.toLong * height} bytes, " +
+        s"payload has ${payload.length}")
     var sum = 0L
     var y = 0
     while (y < height) {

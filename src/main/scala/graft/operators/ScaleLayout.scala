@@ -41,7 +41,14 @@ object ScaleLayout {
     * partitionId·2³³ + a per-partition counter, so `mod salts` cycles
     * 0,1,2,… within every partition — identical rows land in different
     * buckets. Any assignment in [0, n) is correct (the small side is
-    * replicated for all n salts), so task-retry nondeterminism is safe. */
+    * replicated for all n salts), so task-retry nondeterminism is safe —
+    * PROVIDED `big`'s partitions recompute identically (a stable scan, or
+    * a checkpointed/materialized input). If `big` sits downstream of a
+    * shuffle or an AQE-coalesced exchange, a fetch-failure retry can
+    * regenerate different partition contents for map outputs that were
+    * already consumed, and rows re-salted differently would be duplicated
+    * or dropped by the join. CONTRACT: call saltedJoin on scan-rooted (or
+    * persisted) inputs; materialize first otherwise. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",

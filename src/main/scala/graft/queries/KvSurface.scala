@@ -176,10 +176,26 @@ object KvSurface {
   /** The KMR result is one contractual gathered blob (possibly MBs at
     * sf0.1); re-emitting it as a 1-row DataFrame through a LocalRelation
     * would serialize it INTO the task binary ("task of very large size"
-    * warnings) — broadcast it instead, so the task ships only a handle. */
+    * warnings) — broadcast it instead, so the task ships only a handle.
+    * Broadcasts are REUSED via a per-result cache (keyed by content
+    * digest): repeated driver invocations of the same KMR query would
+    * otherwise pin a fresh possibly-MB broadcast block on driver and
+    * executors per call for the session lifetime. Destroying after
+    * materialization isn't safe here — the returned DataFrame is lazy and
+    * may be re-executed (the bench runs every query twice). */
+  private val resultBroadcasts =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.broadcast.Broadcast[String]]()
+
   private def singleRowResult(spark: SparkSession, s: String): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(s)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // applicationId in the key: a cached broadcast from a stopped
+    // SparkContext (tests build several sessions) must never be served
+    val bc = resultBroadcasts.computeIfAbsent(
+      spark.sparkContext.applicationId + ":" + digest,
+      _ => spark.sparkContext.broadcast(s))
     spark.range(1).map(_ => bc.value).toDF("result")
   }
 

@@ -228,6 +228,20 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(mean - 130.0 / 255.0) < 1e-12)
   }
 
+  test("media codec: truncated/corrupt BMP fails with a diagnosable message, not AIOOBE") {
+    val good = MediaCodec.encodeBmp(8, 8, (x, y) => (x * y) % 256)
+    // truncated mid-pixel-array
+    val truncated = good.take(good.length - 10)
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decode(truncated))
+    assert(e1.getMessage.contains("corrupt BMP"))
+    // header lies: dataOffset beyond the payload
+    val lying = good.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, good.length + 100)
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decode(lying))
+    assert(e2.getMessage.contains("corrupt BMP"))
+  }
+
   test("media codec: BMP and WAV round-trip through real encode/decode") {
     val img = MediaCodec.encodeBmp(97, 65, (x, y) => (x + y) % 256)
     val (w, h, c, mean) = MediaCodec.decode(img)
