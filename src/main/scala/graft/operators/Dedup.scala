@@ -126,8 +126,11 @@ object Dedup {
       cap: Int = Int.MaxValue): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(spark, dir, cap),
       carrySig = false)
-    buckets.as("x")
-      .join(buckets.as("y"), Seq("band", "bh"))
+    // uncapped = corpus-sized bucket table → force shuffle_hash (see
+    // dedupMinhashLsh); a capped slice is genuinely small and may broadcast
+    val x = if (cap == Int.MaxValue) buckets.as("x").hint("shuffle_hash")
+      else buckets.as("x")
+    x.join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
@@ -149,7 +152,10 @@ object Dedup {
     * two extra 3M-row shuffles that dominated its runtime. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(spark, dir), carrySig = true)
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bh"))
+    // shuffle_hash: the bucket table is corpus-sized (docs × bands rows
+    // carrying signatures) — it can never broadcast at scale, and the
+    // driver-side broadcast build measured 2× slower locally too
+    buckets.as("x").hint("shuffle_hash").join(buckets.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .withColumn("est_jaccard",
         graft.functions.SigAgree.sig_agree(col("x.sig"), col("y.sig"))

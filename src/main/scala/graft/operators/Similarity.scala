@@ -378,7 +378,9 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String,
       tau: Double = NearDupTau): DataFrame = {
     val bk = bucketed(spark, dir, NearDupTables, NearDupPlanes)
-    val pairs = bk.as("x").join(bk.as("y"),
+    // shuffle_hash: corpus-sized bucket table — same reasoning as
+    // Dedup.dedupMinhashLsh (never broadcastable at scale, faster locally)
+    val pairs = bk.as("x").hint("shuffle_hash").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))

@@ -117,6 +117,34 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall; missed ${exact.diff(simPairs)}")
   }
 
+  test("simhash recall floor holds at EVERY SF (the documented per-SF figures)") {
+    // the scaladoc on dedupSimhashVerified claims concrete per-SF recall of
+    // true j>=0.7 pairs; this pins those figures so sketch drift or a
+    // banding regression fails a test instead of silently invalidating the
+    // documentation. The sf0.1 miss is asserted AS a miss with its measured
+    // hamming — the honest statement, not a hidden failure.
+    def recallAt(sfDir: String): (Int, Int, Seq[Int]) = {
+      val truePairs = Dedup.dedupNgramJaccard(spark, sfDir)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val caught = Dedup.dedupSimhash(spark, sfDir)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sk = Dedup.simhashSketch(spark, sfDir).filter(col("doc_id") < 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val hams = truePairs.toSeq.map { case (d1, d2) =>
+        java.lang.Long.bitCount(sk(d1) ^ sk(d2)) }
+      (truePairs.count(caught.contains), truePairs.length, hams)
+    }
+    val (c1, t1, _) = recallAt("/root/testdata/sf0.001")
+    assert(c1 >= 11 && t1 == 12, s"sf0.001 recall $c1/$t1 (documented 11/12)")
+    val (c2, t2, _) = recallAt("/root/testdata/sf0.01")
+    assert(c2 == 3 && t2 == 3, s"sf0.01 recall $c2/$t2 (documented 3/3)")
+    val (c3, t3, h3) = recallAt("/root/testdata/sf0.1")
+    assert(t3 == 1, s"sf0.1 true-pair count $t3 (documented 1)")
+    assert(c3 == 0 && h3.head > Dedup.SimhashHamming,
+      s"sf0.1: documented miss (j=0.703 at hamming ${h3.head} > " +
+        s"${Dedup.SimhashHamming}) no longer holds — re-measure and re-document")
+  }
+
   test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
     // NOTE: the synthetic embeddings are near-random unit vectors (best
     // cosine ≈ 0.33), so no LSH can promise top-10 recall here; the

@@ -56,6 +56,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"no o_custkey pre-aggregation exchange:\n$p")
   }
 
+  test("LSH bucket self-joins never broadcast (corpus-sized build side)") {
+    // at 100 TB the bucket tables are corpus-sized; a broadcast here is a
+    // plan that dies at scale (and measured slower locally: the driver
+    // pays the build). shuffle_hash is pinned via hint — assert it held.
+    Seq(
+      "dedup_minhash_lsh" -> graft.operators.Dedup.dedupMinhashLsh(spark, dir),
+      "dedup_simhash" -> graft.operators.Dedup.dedupSimhash(spark, dir),
+      "embedding_neardup_lsh" ->
+        graft.operators.Similarity.embeddingNearDup(spark, dir)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name bucket join is not a shuffled hash join:\n$p")
+    }
+  }
+
   test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
     val p = plan(KvSurface.kvGetallKeys(spark, dir))
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
