@@ -49,6 +49,8 @@ object SparkEntry {
     "mr_odd_key_vals" -> (KvSurface.mrOddKeyVals _),
     // training-data pipeline operators (builder brief)
     "text_stats" -> (TextAnalysis.textStats _),
+    "token_topk" -> (TextAnalysis.tokenTopk _),
+    "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // sketch aggregates: rows-only (sketch internals differ across engines
@@ -58,6 +60,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
@@ -112,7 +115,13 @@ object SparkEntry {
     "mr_all_keys" -> KvSurface.mrAllKeysSql,
     "mr_odd_key_vals" -> KvSurface.mrOddKeyValsSql,
     "text_stats" -> TextAnalysis.textStatsSql,
+    "token_topk" -> TextAnalysis.tokenTopkSql,
+    "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
+    // connected components over the near-dup pair graph; oracle walks the
+    // same graph with a recursive CTE — equality proves the distributed
+    // min-label-propagation loop computes exactly the transitive closure
+    "dedup_clusters" -> Dedup.dedupClustersSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,

@@ -270,4 +270,66 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"), col("hamming"),
         coalesce(col("caught"), lit(false)).as("caught"))
   }
+
+  /** Near-duplicate CLUSTERS: connected components over the exact j≥0.7
+    * pair graph, labeling every clustered doc with the MIN doc_id of its
+    * component — the step a dedup pipeline actually needs after pair
+    * mining (elect one keeper per component, drop the rest; pairs alone
+    * under-delete transitive groups A~B~C where A≁C).
+    *
+    * Execution: iterative min-label propagation over the edge list —
+    * label(n) ← min(label(n), min of neighbors' labels) until fixpoint,
+    * each round one equi-join + one groupBy. Rounds = component diameter;
+    * near-dup components are short chains in practice. At 100 TB the same
+    * loop runs with the alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") to
+    * bound rounds at O(log n); plain propagation keeps this exact,
+    * auditable, and oracle-checkable (the DuckDB oracle walks the same
+    * graph with a recursive CTE). Labels are `localCheckpoint`ed each
+    * round: the loop is DRIVER-CONTROLLED iteration, and without cutting
+    * lineage each round's plan re-derives all prior rounds (exponential
+    * plan growth); the checkpoint also frees the returned DataFrame from
+    * the loop's cached intermediates. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels, edges("d1") === labels("doc_id"))
+        .groupBy(col("d2").as("doc_id2"))
+        .agg(min(col("cluster")).as("ncluster"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
+            .as("cluster"),
+          (col("ncluster") < col("cluster")).as("shrunk"))
+        .localCheckpoint()
+      changed = next.filter(col("shrunk")).count()
+      labels = next.select(col("doc_id"), col("cluster")).localCheckpoint()
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same components via recursive reachability (min label over
+    * every node reachable from each node; UNION dedups so the walk
+    * terminates on the finite slice graph). */
+  val dedupClustersSql: String = {
+    val pairsSql = dedupNgramJaccardSql
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |walk(doc_id, label) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id)
+       |SELECT doc_id, MIN(label) AS cluster FROM walk
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -141,4 +141,65 @@ object TextAnalysis {
       |                   i -> CAST(unicode(nt[i]) AS BIGINT))),
       |    (a, b) -> (a*31 + b) % 1000000007) AS fp_roll
       |FROM (SELECT doc_id, nfc_normalize(text) AS nt FROM documents)""".stripMargin
+
+  /** Corpus vocabulary head: top-50 tokens by frequency. One explode + one
+    * hash-groupBy + a global top-k (TakeOrderedAndProject) — at 100 TB the
+    * shuffle carries one row per DISTINCT token per partition (map-side
+    * partial counts), not one per token occurrence. Ties broken by token
+    * text for a deterministic oracle. */
+  def tokenTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val tokenTopkSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  /** Per-document top-3 salient terms by a TF-IDF-style score. The score
+    * is tf/df — one exact-int by exact-int IEEE division, identical bit
+    * pattern in any engine (ln-based idf would differ by libm ulps across
+    * engines; with N fixed per corpus, tf/df ranks identically to
+    * tf·ln(N/df) for the within-document ordering wherever df differs, and
+    * is exactly reproducible). Shape: explode → two hash-aggs (tf by
+    * (doc, token), df by token) → equi-join on token → per-doc window
+    * top-3. The df side is vocabulary-sized — broadcastable in practice;
+    * Catalyst/AQE picks that up from stats rather than a hardcoded hint. */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("token"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("score"), col("rn"))
+  }
+
+  val tfidfTopkSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, token FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |     FROM documents)
+      |  WHERE length(token) > 0),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1)
+      |SELECT doc_id, token, score, rn FROM (
+      |  SELECT tf.doc_id, tf.token, CAST(tf.tf AS DOUBLE) / df.df AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rn
+      |  FROM tf JOIN df USING (token))
+      |WHERE rn <= 3""".stripMargin
 }

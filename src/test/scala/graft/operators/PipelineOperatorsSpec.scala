@@ -145,6 +145,33 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
         s"${Dedup.SimhashHamming}) no longer holds — re-measure and re-document")
   }
 
+  test("dedup_clusters: components are transitively closed with min-id labels") {
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge endpoint is labeled and both endpoints share a label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) spans clusters")
+    }
+    // the label IS the component min (reference union-find on the driver)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    clusters.foreach { case (doc, label) =>
+      assert(label == find(doc),
+        s"doc $doc labeled $label, union-find says ${find(doc)}")
+    }
+    // only docs that appear in some pair are clustered (no singleton noise)
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
     // NOTE: the synthetic embeddings are near-random unit vectors (best
     // cosine ≈ 0.33), so no LSH can promise top-10 recall here; the
