@@ -76,6 +76,7 @@ object SparkEntry {
     "embedding_neardup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     // distributed sequential quota admission (p4 semantics; SQL can't
     // express the event-joins-window feedback loop → rows-only check,
     // cross-validated against the streaming twin + QuotaTracker in tests)
@@ -137,6 +138,9 @@ object SparkEntry {
     // the format geometry; Spark must reproduce them by really encoding
     // and re-parsing BMP/WAV bytes
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
+    // oracle digests the parquet SOURCE; Spark digests the JSONL
+    // ROUND-TRIP — equality proves the sharded export/import is lossless
+    "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
     // the IVF twins' oracle IS the exact brute-force SQL: equality holds
     // iff the approximate pipeline (centroids, assignment, probe

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.Tables.t
+
+/** Sharded-JSONL export/import for the documents table — the interchange
+  * format LLM training pipelines actually consume (one JSON object per
+  * line, N shard files). The reference engine has no export surface at all
+  * (its only "sink" is the binary KV snapshot); this is pipeline-native
+  * breadth alongside the parquet snapshots and the WAL DSv2 source.
+  *
+  * Scale shape: the export is `repartition(shards).write.json` — one
+  * shuffle to the target shard count, then embarrassingly parallel line
+  * writes; the read-back supplies an explicit schema so no inference scan
+  * runs. Shard count at 100 TB follows file-size targets (~256 MB–1 GB
+  * per shard), not a constant.
+  */
+object JsonlExport {
+
+  val Shards = 8
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  /** Write documents as sharded JSONL under a deterministic tmpdir path,
+    * read them back, and emit a per-document digest of the ROUND-TRIPPED
+    * content. The DuckDB oracle computes the same digests from the parquet
+    * source directly, so a green row proves the export/import cycle is
+    * lossless byte-for-byte on every document (JSON string escaping,
+    * unicode, shard scatter and all). */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(Shards)
+      .write.mode("overwrite").json(out)
+    spark.read.schema(docSchema).json(out)
+      .select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("fp"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT doc_id, lang, md5(text) AS fp,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

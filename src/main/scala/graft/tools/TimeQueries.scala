@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
 /** Ad-hoc timing harness for a subset of registered queries (dev tool). */
-object SimhashCal {
+object TimeQueries {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
