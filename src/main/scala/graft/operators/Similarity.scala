@@ -189,22 +189,25 @@ object Similarity {
     best
   }
 
-  /** Distributed cluster assignment: (vec_id, ev, cluster) — shared by the
-    * inline operator and the index writer so both formulations assign with
-    * the same code by construction. */
-  private def assignClusters(spark: SparkSession, dir: String,
+  /** Distributed cluster assignment over an arbitrary (vec_id, ev) set —
+    * shared by the inline operator, the index writer, AND the append path,
+    * so every formulation assigns with the same code by construction. */
+  private def assignVecs(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
-      .as[(Long, Array[Double])]
+    import vecs.sparkSession.implicits._
+    val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+    vecs.as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
         it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
       }
       .toDF("vec_id", "ev", "cluster")
   }
+
+  private def assignClusters(spark: SparkSession, dir: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    assignVecs(t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev")), centroids)
 
   /** The `nprobe` centroid ids nearest the query — the single probe-
     * selection rule both IVF formulations share. */
@@ -262,6 +265,20 @@ object Similarity {
       .write.partitionBy("cluster").mode("overwrite").parquet(indexPath)
     centroids
   }
+
+  /** INCREMENTAL index maintenance — the append cadence the write-time
+    * layout promises: new vectors are assigned to the FROZEN centroids
+    * (same [[assignVecs]] code the full build uses) and appended as new
+    * files inside the existing `cluster=N/` directories. No existing file
+    * is touched, so concurrent probes keep reading a consistent index and
+    * partition pruning is unchanged. Full re-clustering (centroid drift)
+    * is an offline rebuild via [[ivfWriteIndex]], exactly like SAV
+    * compaction. IvfLayoutSpec proves append ≡ one-shot rebuild under the
+    * same frozen centroids. */
+  def ivfAppend(vecs: DataFrame, centroids: Array[Array[Double]],
+      indexPath: String): Unit =
+    assignVecs(vecs, centroids)
+      .write.partitionBy("cluster").mode("append").parquet(indexPath)
 
   /** ANN over a written IVF index: pick the `nprobe` centroids nearest
     * the query, then scan ONLY those `cluster=` partitions (pruning is

@@ -64,4 +64,33 @@ class IvfLayoutSpec extends AnyFunSuite with SparkSpec {
     assert(indexed.map(_._1).toSeq == inline.map(_._1).toSeq,
       s"indexed=$indexed inline=$inline")
   }
+
+  test("incremental append == one-shot rebuild under frozen centroids") {
+    import spark.implicits._
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ev"))
+    val half = emb.agg(expr("percentile(vec_id, 0.5)")).collect()(0)
+      .getDouble(0).toLong
+    val centroids = Similarity.ivfCentroids(spark, dir)
+
+    // index A: write the first half, then APPEND the rest
+    val idxA = Files.createTempDirectory("graft-ivf-app-").resolve("a").toString
+    Similarity.ivfAppend(emb.filter(col("vec_id") <= half), centroids, idxA)
+    Similarity.ivfAppend(emb.filter(col("vec_id") > half), centroids, idxA)
+    // index B: one-shot write of everything with the same frozen centroids
+    val idxB = Files.createTempDirectory("graft-ivf-app-").resolve("b").toString
+    Similarity.ivfAppend(emb, centroids, idxB)
+
+    val (qid, qv) = emb.orderBy(col("vec_id")).limit(1)
+      .as[(Long, Array[Double])].collect()(0)
+    val a = Similarity.annIvfIndexed(spark, idxA, centroids, qid, qv).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val b = Similarity.annIvfIndexed(spark, idxB, centroids, qid, qv).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b, s"append path diverges from rebuild: a=$a b=$b")
+    // and both contain every appended-half neighbor the full index found —
+    // i.e. the appended files are genuinely probed, not just present
+    assert(a.exists(_._1 > half) || b.forall(_._1 <= half))
+  }
 }
