@@ -31,6 +31,7 @@ object SparkEntry {
     "q4_exists" -> (Relational.q4Exists _),
     "percentiles" -> (Relational.percentiles _),
     "left_outer_orders" -> (Relational.leftOuterOrders _),
+    "salted_join" -> (Relational.saltedJoinAgg _),
     "full_outer_nations" -> (Relational.fullOuterNations _),
     "scalar_funcs" -> (Relational.scalarFuncs _),
     "above_avg_sql" -> (Relational.aboveAvgSql _),
@@ -100,6 +101,9 @@ object SparkEntry {
     "q4_exists" -> Relational.q4ExistsSql,
     "percentiles" -> Relational.percentilesSql,
     "left_outer_orders" -> Relational.leftOuterOrdersSql,
+    // oracle is the PLAIN join: equality proves the salt split +
+    // small-side replication is result-invariant
+    "salted_join" -> Relational.saltedJoinAggSql,
     "full_outer_nations" -> Relational.fullOuterNationsSql,
     "scalar_funcs" -> Relational.scalarFuncsSql,
     "above_avg_sql" -> Relational.aboveAvgSqlOracle,

@@ -218,7 +218,16 @@ object Dedup {
     * sketch itself (hamming vs true similarity; measured per-SF in
     * [[dedupSimhashVerified]]). The sketch is a cheap narrow projection,
     * so nothing is cached (round 2 pinned two corpus-sized sketch caches
-    * for the session lifetime). */
+    * for the session lifetime).
+    *
+    * Hot-bucket note (skew at scale): docs from one near-identical
+    * template share sketch blocks, so template-heavy corpora concentrate
+    * bucket mass. The pipeline answer is ordering, not a cap: run
+    * [[dedupExact]] FIRST — byte-identical mass (the only unbounded
+    * concentration source) collapses to one representative per content
+    * hash before sketching, and the pair contract itself is quadratic in
+    * group size for identical docs anyway. A bucket-size cap here would
+    * silently void the banding recall guarantee. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val b = simhashBuckets(simhashSketch(spark, dir))
     // shuffle_hash, not broadcast: the bucket table is corpus-sized (28

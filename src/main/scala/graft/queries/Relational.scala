@@ -359,6 +359,33 @@ object Relational {
       |        (SELECT COUNT(*) FROM orders) >
       |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,6))) FROM orders)""".stripMargin
 
+  /** The skew-salting machinery as a driver-visible, ORACLE-CHECKED query:
+    * lineitem (big, skewed toward popular orderkeys) joins a filtered
+    * orders slice through [[graft.operators.ScaleLayout.saltedJoin]] —
+    * the hot keys are split across `salts` reducers, the small side is
+    * replicated per salt — and the oracle is the PLAIN join's SQL.
+    * Equality proves salting is result-invariant: no row duplicated by
+    * the replication, none dropped by the salt split. Both inputs are
+    * scan-rooted, satisfying saltedJoin's stable-upstream contract. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("orderkey"), col("l_quantity"))
+    val small = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    graft.operators.ScaleLayout.saltedJoin(big, small, "orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        asDouble(sum(dec(col("l_quantity")))).as("total_qty"))
+  }
+
+  val saltedJoinAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
