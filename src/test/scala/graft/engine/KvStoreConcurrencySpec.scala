@@ -120,4 +120,46 @@ class KvStoreConcurrencySpec extends AnyFunSuite with SparkSpec {
       assert(kv.exists(k) == kv.get(k).isDefined)
     }
   }
+
+  test("doWith increments interleaved with SAV compactions lose nothing") {
+    // doWith PRE-FETCHES the snapshot value outside the CHM bin lock; its
+    // consistency argument is that the snapshot is frozen while the store's
+    // read lock is held (save takes the write lock). This drives the exact
+    // interleaving that argument must survive: counters cycling between
+    // delta and snapshot (each save folds the delta in, so post-save the
+    // key is ONLY in the snapshot and the prefetch path is the one taken)
+    // while saves run concurrently.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dowith-sav-")
+    val kv = new KvStore(spark, Some(dir))
+    val threads = 4
+    val incrementsPerThread = 100
+    kv.insert("ctr", "0".getBytes)
+    kv.save() // ensure the key starts snapshot-resident
+    val pool = Executors.newFixedThreadPool(threads + 1)
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(threads)
+    val saving = new java.util.concurrent.atomic.AtomicBoolean(true)
+    try {
+      (0 until threads).foreach { _ =>
+        pool.execute(() => {
+          start.await()
+          (0 until incrementsPerThread).foreach { _ =>
+            kv.doWith("ctr",
+              v => (new String(v, "UTF-8").toInt + 1).toString.getBytes)
+          }
+          done.countDown()
+        })
+      }
+      pool.execute(() => {
+        start.await()
+        while (saving.get()) { kv.save(); Thread.sleep(5) }
+      })
+      start.countDown()
+      assert(done.await(120, TimeUnit.SECONDS))
+      saving.set(false)
+      val v = new String(kv.get("ctr").get, "UTF-8").toInt
+      assert(v == threads * incrementsPerThread,
+        s"lost ${threads * incrementsPerThread - v} increments across saves")
+    } finally { saving.set(false); pool.shutdownNow() }
+  }
 }
