@@ -177,8 +177,10 @@ object TextAnalysis {
       .filter(length(col("token")) > 0)
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tok.distinct().groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
+    // df falls out of tf's key set — one row per (doc, token) — so the
+    // corpus is exploded and shuffled ONCE, not twice (a separate
+    // tok.distinct() branch re-exploded every document)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("token"))
       .withColumn("score", col("tf").cast("double") / col("df"))
     scored
