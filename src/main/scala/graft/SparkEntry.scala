@@ -52,6 +52,7 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats _),
     "token_topk" -> (TextAnalysis.tokenTopk _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
+    "pack_shards" -> (TextAnalysis.packShards _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // sketch aggregates: rows-only (sketch internals differ across engines
@@ -122,6 +123,10 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.textStatsSql,
     "token_topk" -> TextAnalysis.tokenTopkSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
+    // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
+    // bucket decomposition — equality proves the distributed cumsum
+    // reproduces the sequential packing semantics exactly
+    "pack_shards" -> TextAnalysis.packShardsSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed

@@ -190,6 +190,62 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("score"), col("rn"))
   }
 
+  /** Shard docs per training-token budget. */
+  final val PackBudget = 4096L
+  /** Docs per cumsum bucket — sized so the bucket-offset table is tiny
+    * relative to the corpus (scale it with corpus size so offsets stay
+    * one small exchange; 100 docs/bucket ⇒ offsets are 1% of doc count,
+    * and the reduction nests if even that outgrows a task). */
+  final val PackBucket = 100L
+
+  /** Sequence PACKING: assign each document to the training shard its
+    * first token lands in, under a running token budget of [[PackBudget]]
+    * per shard in doc_id order — the sharding step that turns a cleaned
+    * corpus into fixed-budget training files.
+    *
+    * The semantics are a SEQUENTIAL prefix sum, but the implementation is
+    * the two-phase decomposition that survives 100 TB: a window cumsum
+    * WITHIN doc_id buckets (parallel across buckets) plus exclusive
+    * bucket-level offsets (a bucket-count-sized aggregate, broadcast back)
+    * — no global single-task window anywhere. The DuckDB oracle computes
+    * the straight sequential cumsum, so the green row PROVES the
+    * distributed decomposition is exactly the sequential semantics
+    * (integer arithmetic — no FP slack). */
+  def packShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (col("doc_id") / PackBucket).cast("long").as("bucket"))
+    val inBucket = docs.withColumn("cum_in",
+      sum(col("n_tokens")).over(Window.partitionBy(col("bucket"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bsum"))
+      .withColumn("offset",
+        coalesce(sum(col("bsum")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("offset") + col("cum_in"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / PackBudget).as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val packShardsSql: String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS shard
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val tfidfTopkSql: String =
     """WITH tk AS (
       |  SELECT doc_id, token FROM
