@@ -53,6 +53,7 @@ object SparkEntry {
     "token_topk" -> (TextAnalysis.tokenTopk _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
     "pack_shards" -> (TextAnalysis.packShards _),
+    "corpus_clean" -> (TextAnalysis.corpusClean _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // sketch aggregates: rows-only (sketch internals differ across engines
@@ -127,6 +128,7 @@ object SparkEntry {
     // bucket decomposition — equality proves the distributed cumsum
     // reproduces the sequential packing semantics exactly
     "pack_shards" -> TextAnalysis.packShardsSql,
+    "corpus_clean" -> TextAnalysis.corpusCleanSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed

@@ -19,17 +19,28 @@ object TextAnalysis {
   private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "on")
   private def sqlSet(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
-  /** Per-document stats: chars, tokens, average token length, stopword
-    * ratio, punctuation ratio, and a composite quality score. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("tokens", split(col("text"), " "))
+  /** The composite quality score over the staged stat columns — factored
+    * so the corpus-cleaning pipeline ([[corpusClean]]) filters on exactly
+    * the formula [[textStats]] reports. */
+  private def qualityScoreCol: org.apache.spark.sql.Column =
+    lit(0.4) * (col("stop_hits").cast("double") / col("token_count")) +
+      lit(0.3) * least(lit(1.0), col("token_count").cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - col("punct_chars").cast("double") / length(col("text")))
+
+  /** The staged stat columns the quality score reads. */
+  private def withQualityInputs(df: DataFrame): DataFrame =
+    df.withColumn("tokens", split(col("text"), " "))
       .withColumn("token_count", size(col("tokens")).cast("long"))
       .withColumn("stop_hits",
         size(expr(s"filter(tokens, x -> x IN (${sqlSet(Stopwords)}))")).cast("long"))
       .withColumn("punct_chars",
         (length(col("text")) -
           length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+
+  /** Per-document stats: chars, tokens, average token length, stopword
+    * ratio, punctuation ratio, and a composite quality score. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    withQualityInputs(t(spark, dir, "documents"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
@@ -38,10 +49,7 @@ object TextAnalysis {
           .cast("double") / col("token_count")).as("avg_token_len"),
         (col("stop_hits").cast("double") / col("token_count")).as("stopword_ratio"),
         (col("punct_chars").cast("double") / length(col("text"))).as("punct_ratio"),
-        (lit(0.4) * (col("stop_hits").cast("double") / col("token_count")) +
-          lit(0.3) * least(lit(1.0), col("token_count").cast("double") / lit(100.0)) +
-          lit(0.3) * (lit(1.0) - col("punct_chars").cast("double") / length(col("text"))))
-          .as("quality_score"))
+        qualityScoreCol.as("quality_score"))
 
   val textStatsSql: String =
     s"""SELECT doc_id,
@@ -188,6 +196,54 @@ object TextAnalysis {
         .orderBy(col("score").desc, col("token"))))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("token"), col("score"), col("rn"))
+  }
+
+  /** Quality threshold for the cleaning pipeline. */
+  final val CleanMinQuality = 0.5
+  private val CleanLangs = Seq("en", "de")
+
+  /** The END-TO-END corpus cleaning flow as one query — the composition a
+    * training pipeline actually runs over raw documents:
+    *   1. exact-dedup keeper election (min doc_id per content hash),
+    *   2. quality gate (the same composite formula [[textStats]] reports,
+    *      by construction — shared [[qualityScoreCol]]),
+    *   3. language selection.
+    * Plan shape: the keeper election is one hash-groupBy on the content
+    * hash; the keeper join is a self-semi-join on (fp, doc_id); quality
+    * and language are columnar predicates evaluated in the same codegen'd
+    * scan stage — one shuffle total beyond the scan. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val keepers = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    docs.join(keepers, Seq("fp", "doc_id"), "left_semi")
+      .transform(withQualityInputs)
+      .filter(qualityScoreCol >= CleanMinQuality &&
+        col("lang").isin(CleanLangs: _*))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        qualityScoreCol.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusCleanSql: String = {
+    val q =
+      s"""0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlSet(Stopwords)}))) AS DOUBLE)
+         |           / len(string_split(text, ' '))) +
+         |  0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) +
+         |  0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |           / length(text))""".stripMargin
+    s"""WITH keepers AS (
+       |  SELECT md5(text) AS fp, min(doc_id) AS kid
+       |  FROM documents GROUP BY md5(text))
+       |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       |  $q AS quality_score
+       |FROM documents JOIN keepers
+       |  ON keepers.fp = md5(text) AND keepers.kid = doc_id
+       |WHERE $q >= $CleanMinQuality
+       |  AND lang IN (${sqlSet(CleanLangs)})
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Shard docs per training-token budget. */
