@@ -72,6 +72,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pack_shards: the corpus cumsum window is bucket-partitioned, never global") {
+    // a partition-less window over the documents is ONE task at any scale;
+    // the two-phase decomposition must keep the per-doc window partitioned
+    // by bucket (the only unpartitioned window is over the tiny bucket-
+    // offset table, which orders by bucket, not doc_id)
+    val p = graft.operators.TextAnalysis.packShards(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(bucket#"),
+      s"per-doc window lost its bucket partitioning:\n$p")
+    assert(!p.contains("[], [doc_id#"),
+      s"found a GLOBAL window ordered by doc_id (single task at scale):\n$p")
+  }
+
   test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
     val p = plan(KvSurface.kvGetallKeys(spark, dir))
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
