@@ -70,6 +70,12 @@ object MediaCodec {
     * then a real scan of the pixel array (honoring row padding and the
     * header-declared data offset) for the mean gray value. */
   def decodeBmp(payload: Array[Byte]): Features = {
+    // header-length guard BEFORE any field read: a payload truncated inside
+    // the 54-byte file+DIB header would otherwise escape the geometry
+    // require below via ByteBuffer's own IndexOutOfBounds (found by the
+    // truncation-totality property test)
+    require(payload.length >= 54,
+      s"corrupt BMP: ${payload.length} bytes is shorter than the 54-byte header")
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.get(0) == 'B' && buf.get(1) == 'M', "not a BMP")
     val dataOffset = buf.getInt(10)
@@ -150,6 +156,11 @@ object MediaCodec {
       // a corrupt negative size would advance pos by <= 0 (8 + (-8) = 0):
       // an infinite loop that hangs the executor task — fail the record
       require(size >= 0, s"corrupt RIFF chunk size $size at offset $pos")
+      // and the declared body must actually be present: a file truncated
+      // mid-chunk would otherwise OOB inside the field reads below
+      require(pos + 8L + size <= payload.length,
+        s"corrupt WAV: chunk '$id' at $pos declares $size bytes, " +
+          s"payload ends at ${payload.length}")
       id match {
         case "fmt " =>
           require(buf.getShort(pos + 8) == 1, "not PCM")
