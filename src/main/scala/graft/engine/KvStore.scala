@@ -131,14 +131,19 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       // a torn final line (crash mid-append) must not brick recovery:
       // replay the valid prefix, then TRUNCATE the torn tail so later
       // appends don't concatenate onto the partial record
-      val lines = Files.readAllLines(p).asScala
-      // Format detection: a pre-marker (legacy) WAL has NO marked line at
-      // all. (A new-format file whose first record is torn still has its
-      // later records marked — classifying by "any marker" instead of the
-      // first line keeps the torn-record defense on for it. The only
-      // residual ambiguity is a single-record file torn exactly at a base64
-      // boundary, which is indistinguishable from a valid legacy record.)
-      val legacy = lines.nonEmpty && !lines.exists(_.endsWith("\t#"))
+      val rawLines = Files.readAllLines(p).asScala
+      // Format detection: files written by this version open with a
+      // sentinel line, which decides the format EXACTLY — a torn first
+      // data record can never masquerade as a legacy record (a cut inside
+      // the sentinel itself fails sentinel match AND record replay, so
+      // the whole file quarantines to the empty prefix, which is the
+      // correct crash state for a ≤1-record WAL). Sentinel-less files
+      // fall back to the heuristic: a pre-marker (legacy) WAL has NO
+      // marked line at all; a marker anywhere keeps strict validation on.
+      val hasSentinel = rawLines.headOption.contains(KvStore.WalSentinel)
+      val lines = if (hasSentinel) rawLines.drop(1) else rawLines
+      val legacy =
+        !hasSentinel && lines.nonEmpty && !lines.exists(_.endsWith("\t#"))
       val valid = lines.takeWhile(l =>
         scala.util.Try(replayLine(l, legacy)).isSuccess)
       if (valid.size < lines.size) {
@@ -154,14 +159,16 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
           StandardOpenOption.CREATE, StandardOpenOption.APPEND,
           StandardOpenOption.SYNC)
       }
-      if (valid.size < lines.size || legacy) {
-        // Rewrite the WAL to the valid prefix, MIGRATED to marker format —
-        // legacy leniency lasts exactly one boot; afterwards every record
-        // on disk is self-validating.
+      if (valid.size < lines.size || legacy || !hasSentinel) {
+        // Rewrite the WAL to the valid prefix, MIGRATED to sentinel +
+        // marker format — legacy leniency lasts exactly one boot;
+        // afterwards every file is sentinel-headed and every record
+        // self-validating.
         val repaired = p.resolveSibling(p.getFileName.toString + ".repair")
         Files.writeString(repaired,
-          valid.map(l => if (l.endsWith("\t#")) l + "\n" else l + "\t#\n")
-            .mkString,
+          KvStore.WalSentinel + "\n" +
+            valid.map(l => if (l.endsWith("\t#")) l + "\n" else l + "\t#\n")
+              .mkString,
           StandardOpenOption.CREATE,
           StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.SYNC)
         Files.move(repaired, p, StandardCopyOption.ATOMIC_MOVE,
@@ -204,7 +211,11 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
         case Some(v) => s"$op\t$k\t${enc.encodeToString(v)}\t#\n"
         case None => s"$op\t$k\t#\n"
       }
-      Files.writeString(p, line, StandardOpenOption.CREATE,
+      // a NEW file opens with the version sentinel, making format
+      // detection at boot exact instead of heuristic (see the boot
+      // comment on the torn-first-record ambiguity)
+      val header = if (Files.exists(p)) "" else KvStore.WalSentinel + "\n"
+      Files.writeString(p, header + line, StandardOpenOption.CREATE,
         StandardOpenOption.APPEND, StandardOpenOption.SYNC)
     }
 
@@ -444,4 +455,12 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     * hook for layout/pruning assertions. */
   private[engine] def currentSnapDir: Option[Path] =
     dataDir.map(_ => genDir(gen)).filter(Files.exists(_))
+}
+
+object KvStore {
+  /** First line of every WAL written by this version — exact format
+    * detection at boot (vs the any-marker heuristic needed for older
+    * files). A '#'-led line can never be a valid record (ops are
+    * PUT/DEL), so no data line collides with it. */
+  val WalSentinel = "#graft-wal-v2"
 }
