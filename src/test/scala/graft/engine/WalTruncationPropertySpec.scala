@@ -64,6 +64,57 @@ class WalTruncationPropertySpec extends AnyFunSuite with SparkSpec {
     deleteDir(dir)
   }
 
+  test("every byte truncation of the AUTH log boots to an exact op-prefix state") {
+    // the auth log is strict-marker from record one (no legacy leniency),
+    // so the prefix property must hold with no sentinel involved
+    val dir = Files.createTempDirectory("graft-authcut-")
+    val auth = new AuthStore(spark, dataDir = Some(dir))
+    // REG full-row records interleaved with SET diffs, incl. overwrites
+    val ops: Seq[(String, String)] = Seq(
+      ("REG", "ann"), ("REG", "bob"), ("SET", "ann=p1"),
+      ("SET", "bob=p2"), ("REG", "cid"), ("SET", "ann=p3"))
+    ops.foreach {
+      case ("REG", u) => assert(auth.addUser(u, "pw").succeeded)
+      case ("SET", kv) =>
+        val Array(u, c) = kv.split("=")
+        assert(auth.setUserData(u, "pw", b(c)).succeeded)
+    }
+    def modelAfter(n: Int): (Set[String], Map[String, String]) =
+      ops.take(n).foldLeft((Set.empty[String], Map.empty[String, String])) {
+        case ((us, ps), ("REG", u)) => (us + u, ps)
+        case ((us, ps), ("SET", kv)) =>
+          val Array(u, c) = kv.split("=")
+          (us, ps + (u -> c))
+        case (acc, _) => acc
+      }
+    val log = Files.readAllBytes(dir.resolve("auth_log.jsonl"))
+    val newlines = log.zipWithIndex.collect { case (10, i) => i }.toVector
+
+    (0 to log.length).foreach { cut =>
+      val caseDir = Files.createTempDirectory("graft-authcut-case-")
+      Files.write(caseDir.resolve("auth_log.jsonl"), log.take(cut))
+      val rec = new AuthStore(spark, dataDir = Some(caseDir))
+      val applied = newlines.count(_ <= cut) // no sentinel line here
+      val (users, profiles) = modelAfter(applied)
+      ops.collect { case ("REG", u) => u }.foreach { u =>
+        assert(rec.auth(u, "pw").succeeded == users.contains(u),
+          s"cut=$cut: user $u presence wrong (applied=$applied)")
+      }
+      users.foreach { u =>
+        val got = rec.getUserData(u, "pw", u)
+        profiles.get(u) match {
+          case Some(c) => assert(got.succeeded &&
+            new String(got.data, "UTF-8") == c,
+            s"cut=$cut: $u profile ${got.dataUtf8} != $c")
+          case None => assert(!got.succeeded,
+            s"cut=$cut: $u has phantom profile ${got.dataUtf8}")
+        }
+      }
+      deleteDir(caseDir)
+    }
+    deleteDir(dir)
+  }
+
   private def deleteDir(p: Path): Unit = {
     val s = Files.walk(p)
     try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
