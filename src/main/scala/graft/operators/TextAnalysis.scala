@@ -212,18 +212,23 @@ object TextAnalysis {
     * hash; the keeper join is a self-semi-join on (fp, doc_id); quality
     * and language are columnar predicates evaluated in the same codegen'd
     * scan stage — one shuffle total beyond the scan. */
-  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .withColumn("fp", md5(col("text").cast("binary")))
-    val keepers = docs.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    docs.join(keepers, Seq("fp", "doc_id"), "left_semi")
-      .transform(withQualityInputs)
+  /** The quality+language stage of the cleaning pipeline, factored so the
+    * batch query and the streaming twin filter with the same code by
+    * construction (input needs `doc_id`, `lang`, `text`). */
+  def cleanFilter(docs: DataFrame): DataFrame =
+    withQualityInputs(docs)
       .filter(qualityScoreCol >= CleanMinQuality &&
         col("lang").isin(CleanLangs: _*))
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"),
         qualityScoreCol.as("quality_score"))
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val keepers = docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    cleanFilter(docs.join(keepers, Seq("fp", "doc_id"), "left_semi"))
       .orderBy(col("doc_id"))
   }
 

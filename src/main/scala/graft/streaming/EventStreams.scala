@@ -150,6 +150,25 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming twin of the CLEANING pipeline
+    * (`TextAnalysis.corpusClean`) — the continuous-ingestion form a
+    * 100 TB corpus actually arrives in: exact-dedup keeper election
+    * becomes streaming keep-FIRST state on the content hash
+    * (`dropDuplicates`; when the stream is ordered by doc_id this is
+    * exactly batch's min-doc_id keeper, and the spec pins that
+    * equivalence), then the SAME quality+language filter stage the batch
+    * query runs (`TextAnalysis.cleanFilter` — shared code, not a copy).
+    * For an unbounded stream, bound the dedup state with a timestamp
+    * column + `withWatermark` + `dropDuplicatesWithinWatermark`, as in
+    * [[streamingDedup]] — the semantic price (re-admitting dups older
+    * than the horizon) is the only contract that survives infinity. */
+  def corpusCleanStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.cleanFilter(
+      docs.withColumn("fp",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text").cast("binary")))
+        .dropDuplicates("fp"))
+
   /** Per-user sequential sliding-window admission — the p4 quota contract
     * (admit iff in-window sum + amount ≤ max; admitted events join the
     * window; ref: p4/server/my_quota_tracker.cc:44-77) as distributed

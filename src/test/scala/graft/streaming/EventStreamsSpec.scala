@@ -155,6 +155,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
   }
 
+  test("corpusCleanStream: streaming cleaning equals the batch pipeline across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.corpusCleanStream(
+        mem.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("clean").outputMode("append")
+      .start()
+    try {
+      // several micro-batches, doc_id order — streaming keep-first keeper
+      // election must then equal batch's min-doc_id keeper election
+      docs.grouped(150).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("clean")
+        .select("doc_id", "lang", "n_chars", "quality_score")
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      val expected = graft.operators.TextAnalysis.corpusClean(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(got == expected,
+        s"stream=${got.size} rows, batch=${expected.size} rows; " +
+          s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    } finally q.stop()
+  }
+
   test("quotaAdmission agrees with the engine's driver-side QuotaTracker on integral amounts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
