@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
-/** Ad-hoc timing harness for a subset of registered queries (dev tool). */
+/** Ad-hoc timing/metrics harness for registered queries (dev tool).
+  * args: query names; with -metrics, prints per-operator rows/time. */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +14,30 @@ object TimeQueries {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("dedup_minhash_lsh", "dedup_minhash_verified", "embedding_neardup_lsh")
+    val metrics = args.contains("-metrics")
+    val names = args.filterNot(_ == "-metrics").toSeq match {
+      case Nil => Seq("dedup_simhash")
+      case ns => ns
+    }
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     for (n <- names; pass <- 1 to 3) {
+      val df = SparkEntry.queries(n)(spark, dir)
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      df.write.mode("overwrite").format("noop").save()
       println(f"TIMING $n pass$pass ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      if (metrics && pass == 3) {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+          val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          println(f"METRIC ${" " * d}${p.nodeName}%-40s rows=$rows")
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan, d + 1)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan, d + 1)
+            case _ => p.children.foreach(walk(_, d + 1))
+          }
+        }
+        walk(df.queryExecution.executedPlan, 0)
+      }
     }
     spark.stop()
   }
