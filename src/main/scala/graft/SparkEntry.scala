@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "decontaminate" -> (Dedup.decontaminate _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
@@ -134,6 +135,7 @@ object SparkEntry {
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "decontaminate" -> Dedup.decontaminateSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -279,6 +279,50 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"), col("hamming"),
         coalesce(col("caught"), lit(false)).as("caught"))
   }
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing any
+    * 13-char gram with the evaluation set (stand-in: doc_id < 10 — in
+    * production, the held-out benchmark suite), reporting how many
+    * distinct grams overlap. The standard pre-training hygiene step:
+    * n-gram collision with eval data leaks test answers into training.
+    *
+    * Scale shape: the eval side is benchmark-sized (≪ corpus) BY
+    * CONSTRUCTION, so its distinct gram set broadcasts — the corpus side
+    * streams through one explode + broadcast semi-join + per-doc count,
+    * no corpus-sized shuffle of gram rows (the groupBy shuffles only
+    * matched doc_ids). */
+  final val ContamGram = 13
+  final val ContamEvalCap = 10
+
+  private def contamGrams: Column =
+    array_distinct(expr(
+      s"transform(sequence(1, length(text)-${ContamGram - 1}), " +
+        s"i -> substring(text, i, $ContamGram))"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(length(col("text")) >= ContamGram)
+    val evalGrams = docs.filter(col("doc_id") < ContamEvalCap)
+      .select(explode(contamGrams).as("gram")).distinct()
+    docs.filter(col("doc_id") >= ContamEvalCap)
+      .select(col("doc_id"), explode(contamGrams).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, length(text) - ${ContamGram - 2}),
+       |    i -> substring(text, i, $ContamGram))) AS gram
+       |  FROM documents WHERE length(text) >= $ContamGram),
+       |g AS (SELECT DISTINCT doc_id, gram FROM raw),
+       |e AS (SELECT DISTINCT gram FROM g WHERE doc_id < $ContamEvalCap)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM g JOIN e USING (gram)
+       |WHERE doc_id >= $ContamEvalCap
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Near-duplicate CLUSTERS: connected components over the exact j≥0.7
     * pair graph, labeling every clustered doc with the MIN doc_id of its
