@@ -54,6 +54,7 @@ object SparkEntry {
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
     "pack_shards" -> (TextAnalysis.packShards _),
     "corpus_clean" -> (TextAnalysis.corpusClean _),
+    "pipeline_e2e" -> (graft.operators.Pipeline.pipelineE2e _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // sketch aggregates: rows-only (sketch internals differ across engines
@@ -130,6 +131,10 @@ object SparkEntry {
     // reproduces the sequential packing semantics exactly
     "pack_shards" -> TextAnalysis.packShardsSql,
     "corpus_clean" -> TextAnalysis.corpusCleanSql,
+    // composed oracle over the composed stages: a green row proves the
+    // operators CHAIN correctly (shard boundaries depend on exactly
+    // which docs survived cleaning + decontamination)
+    "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2eSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed

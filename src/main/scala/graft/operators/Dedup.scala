@@ -291,7 +291,12 @@ object Dedup {
     * streams through one explode + broadcast semi-join + per-doc count,
     * no corpus-sized shuffle of gram rows (the groupBy shuffles only
     * matched doc_ids). */
-  final val ContamGram = 13
+  // 20-char grams: on this synthetic corpus, 13 chars flags 482/490 docs
+  // (template substrings shared corpus-wide — every doc "contaminated")
+  // while 20 flags 102/490 — overlap long enough to mean real leakage,
+  // so both the flag set and the surviving set stay non-vacuous at every
+  // SF (asserted in PipelineOperatorsSpec).
+  final val ContamGram = 20
   final val ContamEvalCap = 10
 
   private def contamGrams: Column =

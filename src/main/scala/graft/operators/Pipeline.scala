@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** The END-TO-END pre-training data flow, composed from the library's own
+  * operators — the point of a pipeline LIBRARY is that the stages chain:
+  *
+  *   raw documents
+  *     → exact-dedup keeper election + quality gate + language selection
+  *       ([[TextAnalysis.corpusClean]])
+  *     → benchmark decontamination ([[Dedup.decontaminate]] — drop every
+  *       doc sharing a 13-gram with the eval set)
+  *     → token-budget sequence packing ([[TextAnalysis.packDocs]])
+  *     → (doc_id, n_tokens, shard): the training-shard manifest.
+  *
+  * Each stage is the SAME code its standalone oracle-checked query runs
+  * (shared functions, not copies), and the composition has its own
+  * composed DuckDB oracle — a green row proves the stages agree end to
+  * end, including the interaction the standalone gates cannot see (shard
+  * boundaries depend on exactly which docs survive the earlier stages).
+  *
+  * Scale shape: semi/anti joins on doc_id (broadcastable survivor id
+  * sets; at full scale AQE picks the join side), then the two-phase
+  * packing cumsum — nothing here adds a shuffle beyond the stages' own.
+  */
+object Pipeline {
+
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val cleanedIds = TextAnalysis.corpusClean(spark, dir).select("doc_id")
+    val contaminatedIds = Dedup.decontaminate(spark, dir).select("doc_id")
+    val survivors = t(spark, dir, "documents")
+      .join(cleanedIds, Seq("doc_id"), "left_semi")
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+    TextAnalysis.packDocs(survivors)
+  }
+
+  val pipelineE2eSql: String =
+    s"""WITH clean AS (SELECT doc_id FROM (${TextAnalysis.corpusCleanSql})),
+       |contam AS (SELECT doc_id FROM (${Dedup.decontaminateSql})),
+       |surv AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN clean USING (doc_id)
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam))
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE)
+       |    / ${TextAnalysis.PackBudget}) AS BIGINT) AS shard
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM surv))
+       |ORDER BY doc_id""".stripMargin
+}

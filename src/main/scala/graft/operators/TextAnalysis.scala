@@ -272,9 +272,14 @@ object TextAnalysis {
     * the straight sequential cumsum, so the green row PROVES the
     * distributed decomposition is exactly the sequential semantics
     * (integer arithmetic — no FP slack). */
-  def packShards(spark: SparkSession, dir: String): DataFrame = {
+  def packShards(spark: SparkSession, dir: String): DataFrame =
+    packDocs(t(spark, dir, "documents"))
+
+  /** The packing core over an arbitrary (doc_id, text) set — shared by the
+    * standalone query and the end-to-end pipeline composition. */
+  def packDocs(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(spark, dir, "documents")
+    val docs = input
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         (col("doc_id") / PackBucket).cast("long").as("bucket"))

@@ -172,6 +172,29 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("decontaminate + pipeline_e2e: non-vacuous and stage-consistent") {
+    val flagged = Dedup.decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val corpus = graft.Tables.t(spark, dir, "documents").count()
+    // both directions must be meaningful: some docs flagged, some clean
+    // (gram=13 flagged ~98% of this template-heavy corpus — vacuous)
+    assert(flagged.nonEmpty && flagged.size < corpus - Dedup.ContamEvalCap,
+      s"contamination flags ${flagged.size} of $corpus — vacuous bound")
+    val cleaned = TextAnalysis.corpusClean(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val packed = Pipeline.pipelineE2e(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(packed.nonEmpty, "pipeline produced no training shards")
+    val survivorIds = packed.map(_._1).toSet
+    // stage consistency: survivors passed cleaning and escaped flagging
+    assert(survivorIds.subsetOf(cleaned), "packed doc not in cleaned set")
+    assert(survivorIds.intersect(flagged).isEmpty, "packed doc is flagged")
+    // shards are contiguous from 0 in doc_id order
+    val shards = packed.sortBy(_._1).map(_._2)
+    assert(shards.head == 0L && shards.toSeq == shards.sorted.toSeq,
+      s"shard assignment not monotone from 0: ${shards.toSeq.take(10)}")
+  }
+
   test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
     // NOTE: the synthetic embeddings are near-random unit vectors (best
     // cosine ≈ 0.33), so no LSH can promise top-10 recall here; the
