@@ -300,19 +300,22 @@ object Dedup {
   final val ContamEvalCap = 10
 
   private def contamGrams: Column =
-    array_distinct(expr(
-      s"transform(sequence(1, length(text)-${ContamGram - 1}), " +
-        s"i -> substring(text, i, $ContamGram))"))
+    expr(s"transform(sequence(1, length(text)-${ContamGram - 1}), " +
+      s"i -> substring(text, i, $ContamGram))")
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(length(col("text")) >= ContamGram)
     val evalGrams = docs.filter(col("doc_id") < ContamEvalCap)
       .select(explode(contamGrams).as("gram")).distinct()
+    // corpus grams explode RAW (no per-row array_distinct — a per-doc
+    // sort of ~hundreds of strings that costs more than it saves);
+    // within-doc duplicate grams are deduped AFTER the semi-join, where
+    // only the matched remnant pays (countDistinct)
     docs.filter(col("doc_id") >= ContamEvalCap)
       .select(col("doc_id"), explode(contamGrams).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("n_shared"))
       .orderBy(col("doc_id"))
   }
 
