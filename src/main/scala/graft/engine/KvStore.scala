@@ -175,6 +175,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
           StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    initWal()
   }
 
   /** Record format: `OP\tbase64(key)[\tbase64(value)]\t#` — the terminal
@@ -203,6 +204,15 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     }
   }
 
+  /** Create the WAL file with its sentinel header if absent. Only called
+    * from exclusive contexts (boot constructor, save/clear under the scan
+    * write lock), so no two writers can race the header. */
+  private def initWal(): Unit = logPath.foreach { p =>
+    if (!Files.exists(p))
+      Files.writeString(p, KvStore.WalSentinel + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.SYNC)
+  }
+
   private def logOp(op: String, key: String, value: Option[Array[Byte]]): Unit =
     logPath.foreach { p =>
       val enc = Base64.getEncoder
@@ -211,11 +221,13 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
         case Some(v) => s"$op\t$k\t${enc.encodeToString(v)}\t#\n"
         case None => s"$op\t$k\t#\n"
       }
-      // a NEW file opens with the version sentinel, making format
-      // detection at boot exact instead of heuristic (see the boot
-      // comment on the torn-first-record ambiguity)
-      val header = if (Files.exists(p)) "" else KvStore.WalSentinel + "\n"
-      Files.writeString(p, header + line, StandardOpenOption.CREATE,
+      // the WAL file is pre-created with the version sentinel by
+      // initWal() (boot/save/clear, all exclusive) — writing the header
+      // here instead would be a check-then-act race: two concurrent
+      // first-appends both see a missing file and interleave TWO
+      // sentinels, and the second one fails replay at boot, quarantining
+      // every acknowledged record behind it
+      Files.writeString(p, line, StandardOpenOption.CREATE,
         StandardOpenOption.APPEND, StandardOpenOption.SYNC)
     }
 
@@ -263,10 +275,15 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
     * Per-key atomic: the WAL append happens inside the compute, the analog
     * of the reference's append-inside-bucket-lock callback (§2.2). */
   def insert(key: String, value: Array[Byte]): Boolean = withRead {
+    // snapshot probe (a Spark job) OUTSIDE the CHM bin lock — same
+    // prefetch argument as doWith: the snapshot is frozen under the read
+    // lock, and if the delta gains the key before compute(), cur != null
+    // and the prefetch is never consulted
+    val snapHas = !mem.containsKey(key) && snapshotHas(key)
     var inserted = false
     mem.compute(key, (_, cur) => cur match {
       case null =>
-        if (snapshotHas(key)) null // live in snapshot → reject, delta unchanged
+        if (snapHas) null // live in snapshot → reject, delta unchanged
         else {
           inserted = true; logOp("PUT", key, Some(value)); Some(value)
         }
@@ -279,10 +296,12 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
 
   /** upsert; returns true when it was an insert (ref map.h:43-44). */
   def upsert(key: String, value: Array[Byte]): Boolean = withRead {
+    // snapshot probe outside the bin lock (see insert)
+    val snapHas = !mem.containsKey(key) && snapshotHas(key)
     var wasAbsent = false
     mem.compute(key, (_, cur) => {
       wasAbsent = cur match {
-        case null => !snapshotHas(key)
+        case null => !snapHas
         case None => true
         case _ => false
       }
@@ -293,9 +312,11 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   }
 
   def remove(key: String): Boolean = withRead {
+    // snapshot probe outside the bin lock (see insert)
+    val snapHas = !mem.containsKey(key) && snapshotHas(key)
     var removed = false
     mem.compute(key, (_, cur) => cur match {
-      case null if snapshotHas(key) =>
+      case null if snapHas =>
         removed = true; logOp("DEL", key, None); None
       case null => null
       case None => None
@@ -421,6 +442,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
       view.withColumn("__bucket", bucketOf(col("key")))
         .write.partitionBy("__bucket").mode("overwrite").parquet(d.toString)
       logPath.foreach(Files.deleteIfExists(_))
+      initWal()
       mem.clear()
       // an EMPTY table writes no partition directories (nothing to infer a
       // schema from) — an empty store simply has no snapshot
@@ -447,6 +469,7 @@ final class KvStore(spark: SparkSession, dataDir: Option[Path] = None) {
   def clear(): Unit = withScan {
     mem.clear(); snapshot = None
     logPath.foreach(Files.deleteIfExists(_))
+    initWal()
     listGens().foreach { case (_, p) => deleteRecursively(p) }
     gen = 0L
   }

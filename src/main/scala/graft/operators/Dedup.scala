@@ -281,7 +281,7 @@ object Dedup {
   }
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing any
-    * 13-char gram with the evaluation set (stand-in: doc_id < 10 — in
+    * [[ContamGram]]-char gram with the evaluation set (stand-in: doc_id < 10 — in
     * production, the held-out benchmark suite), reporting how many
     * distinct grams overlap. The standard pre-training hygiene step:
     * n-gram collision with eval data leaks test answers into training.

@@ -85,16 +85,20 @@ object MediaCodec {
     val compression = buf.getInt(30)
     require(bpp == 24 && compression == 0,
       s"unsupported BMP variant (bpp=$bpp compression=$compression)")
-    val rowSize = (width * 3 + 3) / 4 * 4
+    // LONG arithmetic: width near Int.MaxValue/3 overflows `width * 3`
+    // to a small positive rowSize that would slip past the bound below
+    // and OOB in the pixel scan anyway
+    val rowSizeL = (width.toLong * 3 + 3) / 4 * 4
     // bounds-check the header-declared geometry against the actual payload
     // BEFORE the pixel scan: a truncated/corrupt record must fail with a
     // diagnosable message (like the WAV chunk-size guard), not an
     // ArrayIndexOutOfBoundsException mid-scan
     require(width >= 0 && height >= 0 && dataOffset >= 0 &&
-      dataOffset.toLong + rowSize.toLong * height <= payload.length,
+      dataOffset.toLong + rowSizeL * height <= payload.length,
       s"corrupt BMP: declared ${width}x$height@$dataOffset needs " +
-        s"${dataOffset.toLong + rowSize.toLong * height} bytes, " +
+        s"${dataOffset.toLong + rowSizeL * height} bytes, " +
         s"payload has ${payload.length}")
+    val rowSize = rowSizeL.toInt // bounded by payload.length above
     var sum = 0L
     var y = 0
     while (y < height) {
@@ -163,6 +167,10 @@ object MediaCodec {
           s"payload ends at ${payload.length}")
       id match {
         case "fmt " =>
+          // the reads below need 16 bytes of chunk body; a corrupt fmt
+          // chunk declaring fewer would pass the size-vs-payload guard
+          // yet OOB on getShort(pos + 22)
+          require(size >= 16, s"corrupt WAV: fmt chunk declares $size bytes")
           require(buf.getShort(pos + 8) == 1, "not PCM")
           channels = buf.getShort(pos + 10).toInt
           bits = buf.getShort(pos + 22).toInt

@@ -10,8 +10,8 @@ import graft.Tables.t
   *   raw documents
   *     → exact-dedup keeper election + quality gate + language selection
   *       ([[TextAnalysis.corpusClean]])
-  *     → benchmark decontamination ([[Dedup.decontaminate]] — drop every
-  *       doc sharing a 13-gram with the eval set)
+  *     → benchmark decontamination ([[Dedup.decontaminate]] — drop the eval
+  *       docs themselves and every doc sharing a 20-gram with them)
   *     → token-budget sequence packing ([[TextAnalysis.packDocs]])
   *     → (doc_id, n_tokens, shard): the training-shard manifest.
   *
@@ -31,6 +31,11 @@ object Pipeline {
     val cleanedIds = TextAnalysis.corpusClean(spark, dir).select("doc_id")
     val contaminatedIds = Dedup.decontaminate(spark, dir).select("doc_id")
     val survivors = t(spark, dir, "documents")
+      // the eval docs themselves are NOT training data — decontaminate
+      // only flags CORPUS docs overlapping them, so without this filter
+      // the benchmark would be packed into the shards verbatim (the
+      // maximal leak the pipeline exists to prevent)
+      .filter(col("doc_id") >= Dedup.ContamEvalCap)
       .join(cleanedIds, Seq("doc_id"), "left_semi")
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
     TextAnalysis.packDocs(survivors)
@@ -42,7 +47,8 @@ object Pipeline {
        |surv AS (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN clean USING (doc_id)
-       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam))
+       |  WHERE d.doc_id >= ${Dedup.ContamEvalCap}
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam))
        |SELECT doc_id, n_tokens,
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE)
        |    / ${TextAnalysis.PackBudget}) AS BIGINT) AS shard

@@ -192,9 +192,14 @@ object KvSurface {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     // applicationId in the key: a cached broadcast from a stopped
-    // SparkContext (tests build several sessions) must never be served
-    val bc = resultBroadcasts.computeIfAbsent(
-      spark.sparkContext.applicationId + ":" + digest,
+    // SparkContext (tests build several sessions) must never be served.
+    // Evict other applications' entries on the way in — their possibly-MB
+    // broadcast values would otherwise pin heap for the JVM lifetime once
+    // their context stops. (If two sessions were live at once this costs a
+    // re-broadcast on alternation, never correctness.)
+    val appId = spark.sparkContext.applicationId
+    resultBroadcasts.keySet.removeIf(k => !k.startsWith(appId + ":"))
+    val bc = resultBroadcasts.computeIfAbsent(appId + ":" + digest,
       _ => spark.sparkContext.broadcast(s))
     spark.range(1).map(_ => bc.value).toDF("result")
   }

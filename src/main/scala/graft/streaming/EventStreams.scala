@@ -154,9 +154,12 @@ object EventStreams {
     * (`TextAnalysis.corpusClean`) — the continuous-ingestion form a
     * 100 TB corpus actually arrives in: exact-dedup keeper election
     * becomes streaming keep-FIRST state on the content hash
-    * (`dropDuplicates`; when the stream is ordered by doc_id this is
-    * exactly batch's min-doc_id keeper, and the spec pins that
-    * equivalence), then the SAME quality+language filter stage the batch
+    * (`dropDuplicates`; equal to batch's min-doc_id keeper when each
+    * duplicate group's FIRST-arriving row is its min doc_id — guaranteed
+    * for a doc_id-ordered, single-partition-per-batch source as in the
+    * spec; a multi-partition source can surface a later duplicate first
+    * within one micro-batch, so production re-elects canonical keepers
+    * in a periodic batch pass), then the SAME quality+language filter stage the batch
     * query runs (`TextAnalysis.cleanFilter` — shared code, not a copy).
     * For an unbounded stream, bound the dedup state with a timestamp
     * column + `withWatermark` + `dropDuplicatesWithinWatermark`, as in

@@ -277,9 +277,11 @@ class EngineKvSpec extends AnyFunSuite with SparkSpec {
     (1 to 8).foreach(i => e1.kvInsert("alice", "pw", s"k$i", b(s"v$i")))
     e1.kvDelete("alice", "pw", "k3")
     assert(e1.save("alice", "pw").succeeded)
-    // WAL truncated by compaction (ref: format.h:101-103)
-    assert(!Files.exists(dir.resolve("kv_wal.jsonl")) ||
-      Files.size(dir.resolve("kv_wal.jsonl")) == 0)
+    // WAL truncated by compaction (ref: format.h:101-103) — down to the
+    // version-sentinel header only (no data records)
+    val postSav = Files.readAllLines(dir.resolve("kv_wal.jsonl"))
+    assert(postSav.size == 1 && postSav.get(0) == KvStore.WalSentinel,
+      s"post-SAV WAL should be sentinel-only, got $postSav")
     // post-SAV mutations go to the fresh WAL and replay over the snapshot
     e1.kvUpsert("alice", "pw", "k1", b("v1b"))
     val e2 = mkEngine(opts)

@@ -89,8 +89,11 @@ class IvfLayoutSpec extends AnyFunSuite with SparkSpec {
     val b = Similarity.annIvfIndexed(spark, idxB, centroids, qid, qv).collect()
       .map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(a == b, s"append path diverges from rebuild: a=$a b=$b")
-    // and both contain every appended-half neighbor the full index found —
-    // i.e. the appended files are genuinely probed, not just present
-    assert(a.exists(_._1 > half) || b.forall(_._1 <= half))
+    // the appended files must be VISIBLE to the index reader — a reader
+    // that silently ignored appended files would make a == b pass on the
+    // truncated first half, so check the on-disk row count directly
+    assert(spark.read.parquet(idxA).count() == emb.count(),
+      "appended rows are not readable from the index directory")
+    assert(a.length == 10)
   }
 }
