@@ -37,24 +37,41 @@ object ScaleLayout {
     * The salt must NOT be a function of row content (a hash of the row
     * sends byte-identical duplicates of the hot key to ONE salt bucket,
     * defeating the whole point on duplicate-heavy skew). Instead each input
-    * partition deals salts round-robin: `monotonically_increasing_id` is
-    * partitionId·2³³ + a per-partition counter, so `mod salts` cycles
-    * 0,1,2,… within every partition — identical rows land in different
-    * buckets. Any assignment in [0, n) is correct (the small side is
-    * replicated for all n salts), so task-retry nondeterminism is safe —
-    * PROVIDED `big`'s partitions recompute identically (a stable scan, or
-    * a checkpointed/materialized input). If `big` sits downstream of a
-    * shuffle or an AQE-coalesced exchange, a fetch-failure retry can
-    * regenerate different partition contents for map outputs that were
-    * already consumed, and rows re-salted differently would be duplicated
-    * or dropped by the join. CONTRACT: call saltedJoin on scan-rooted (or
-    * persisted) inputs; materialize first otherwise. */
+    * partition deals salts round-robin from an explicit per-partition
+    * counter (`mapPartitionsWithIndex` shape): row i of partition p gets
+    * salt (p + i) mod n — a pure function of (partition, position), so two
+    * materializations of the same input assign identical salts, and a task
+    * retry that replays the same partition contents reproduces them exactly
+    * (the `monotonically_increasing_id`-based formulation this replaces was
+    * flagged nondeterministic by Catalyst, which both blocked optimizer
+    * movement and advertised retry instability). The `p +` stagger keeps
+    * bucket 0 from over-filling when many small partitions each start the
+    * cycle at 0. Identical duplicate rows land in different buckets
+    * (positions differ); any assignment in [0, n) is correct because the
+    * small side is replicated for all n salts. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicatedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+    withSalt(big, salts).join(replicatedSmall, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** The big side with its `__salt` column: (partition + position) mod n,
+    * dealt by an explicit counter per partition. Package-visible so the
+    * determinism spec can assert salt assignments directly. */
+  private[operators] def withSalt(big: DataFrame, salts: Int): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      big.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__salt", org.apache.spark.sql.types.LongType, nullable = false))
+    val saltedRows = big.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = pid % salts
+      it.map { row =>
+        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i.toLong)
+        i = (i + 1) % salts
+        out
+      }
+    }
+    big.sparkSession.createDataFrame(saltedRows, schema)
   }
 }

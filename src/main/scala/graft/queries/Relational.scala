@@ -365,8 +365,9 @@ object Relational {
     * the hot keys are split across `salts` reducers, the small side is
     * replicated per salt — and the oracle is the PLAIN join's SQL.
     * Equality proves salting is result-invariant: no row duplicated by
-    * the replication, none dropped by the salt split. Both inputs are
-    * scan-rooted, satisfying saltedJoin's stable-upstream contract. */
+    * the replication, none dropped by the salt split. The salt itself is
+    * a deterministic (partition, position) deal — ScaleLayoutSpec pins
+    * that two materializations assign identical salts. */
   def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("orderkey"), col("l_quantity"))

@@ -65,12 +65,31 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSpec {
     val small = Seq((7L, "dim")).toDF("k", "dim")
     val salted = ScaleLayout.saltedJoin(big, small, "k", salts = 8)
     assert(salted.count() == 16000) // result-identical to the plain join
-    val buckets = big.withColumn("__salt",
-        pmod(monotonically_increasing_id(), lit(8L)))
+    val buckets = ScaleLayout.withSalt(big, 8)
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(buckets.length == 8, s"only ${buckets.length} salt buckets used")
     // round-robin within partitions ⇒ near-perfectly even
     assert(buckets.max - buckets.min <= big.rdd.getNumPartitions,
       s"uneven salt distribution: ${buckets.toSeq}")
+  }
+
+  test("salt assignment is DETERMINISTIC: two materializations agree row-for-row") {
+    // scan-rooted input (parquet), as in the registered salted_join query;
+    // the salt is a pure function of (partition, position), so re-running
+    // the same plan must deal identical salts — the property that makes a
+    // task retry reproduce, not re-deal, its partition's assignments
+    val big = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    def materialize(): Seq[org.apache.spark.sql.Row] =
+      ScaleLayout.withSalt(big, 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("__salt"))
+        .collect().toSeq
+    val first = materialize()
+    val second = materialize()
+    assert(first == second, "salt assignments differ across materializations")
+    // and the salt really is dealt round-robin, not content-derived:
+    // every bucket in [0, 8) is populated
+    val used = first.map(_.getLong(2)).distinct.sorted
+    assert(used == (0L until 8L), s"expected all 8 salt buckets: $used")
   }
 }
