@@ -254,9 +254,10 @@ object TextAnalysis {
   /** Shard docs per training-token budget. */
   final val PackBudget = 4096L
   /** Docs per cumsum bucket — sized so the bucket-offset table is tiny
-    * relative to the corpus (scale it with corpus size so offsets stay
-    * one small exchange; 100 docs/bucket ⇒ offsets are 1% of doc count,
-    * and the reduction nests if even that outgrows a task). */
+    * relative to the corpus (100 docs/bucket ⇒ offsets are 1% of doc
+    * count). The offset reduction NESTS in levels of this same factor
+    * ([[exclusivePrefix]]), so no single task ever windows more than
+    * PackBucket rows regardless of corpus size. */
   final val PackBucket = 100L
 
   /** Sequence PACKING: assign each document to the training shard its
@@ -276,7 +277,13 @@ object TextAnalysis {
     packDocs(t(spark, dir, "documents"))
 
   /** The packing core over an arbitrary (doc_id, text) set — shared by the
-    * standalone query and the end-to-end pipeline composition. */
+    * standalone query and the end-to-end pipeline composition.
+    *
+    * The bucket-offset reduction NESTS ([[exclusivePrefix]]): every window
+    * in the plan is partitioned, and the terminal reduction is a
+    * constant-bounded θ-join — no single-task window survives at ANY
+    * corpus size (pinned in PlanShapeSpec; round 3 ran one global window
+    * over the bucket table, ~10⁷ rows through one task at 10⁹ docs). */
   def packDocs(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = input
@@ -287,17 +294,64 @@ object TextAnalysis {
       sum(col("n_tokens")).over(Window.partitionBy(col("bucket"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)))
-    val offsets = docs.groupBy(col("bucket"))
+    // materialized once: recursion depth becomes driver-known from one
+    // cheap max() on ~corpus/PackBucket rows, and every recursion level
+    // rereads the materialized sums instead of re-deriving the (possibly
+    // expensive — pipeline_e2e) upstream per level
+    val sums = docs.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bsum"))
-      .withColumn("offset",
-        coalesce(sum(col("bsum")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("offset"))
+      .localCheckpoint()
+    val maxBucket = sums.agg(max(col("bucket"))).first() match {
+      case r if r.isNullAt(0) => -1L // empty corpus
+      case r => r.getLong(0)
+    }
+    val offsets = exclusivePrefix(sums, maxBucket)
     inBucket.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", col("offset") + col("cum_in"))
       .select(col("doc_id"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / PackBudget).as("shard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Exclusive prefix sums over `(bucket, bsum)` → `(bucket, offset)` where
+    * offset = Σ bsum of all smaller buckets — with NO partition-less window
+    * at any level:
+    *
+    *  - while more than [[PackBucket]] buckets may exist (`maxBucket ≥
+    *    PackBucket`), split into super-buckets of [[PackBucket]]: the
+    *    within-super prefix is a window PARTITIONED by super-bucket (≤
+    *    [[PackBucket]] rows each), and the super-level offsets recurse on a
+    *    table [[PackBucket]]× smaller;
+    *  - the terminal level (≤ [[PackBucket]] rows by construction) uses a
+    *    θ-join aggregation (Σ over strictly-smaller keys) — bounded ≤
+    *    [[PackBucket]]² comparisons, a constant — instead of a global
+    *    window, so Spark's "No Partition Defined" single-task path is never
+    *    taken anywhere in the plan.
+    *
+    * Depth is log₁₀₀(buckets): 10⁹ docs → 10⁷ buckets → 3 levels. Each
+    * level's offsets table is PackBucket× smaller than the last, so every
+    * broadcast shrinks geometrically. */
+  private def exclusivePrefix(sums: DataFrame, maxBucket: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (maxBucket < PackBucket) {
+      // ≤ PackBucket rows: bounded θ-join, window-free
+      sums.as("a")
+        .join(sums.as("b"), col("b.bucket") < col("a.bucket"), "left_outer")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bsum")), lit(0L)).as("offset"))
+    } else {
+      val lv = sums.withColumn("sb", (col("bucket") / PackBucket).cast("long"))
+      val within = lv.withColumn("w",
+        coalesce(sum(col("bsum")).over(Window.partitionBy(col("sb"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val superSums = lv.groupBy(col("sb").as("bucket"))
+        .agg(sum(col("bsum")).as("bsum"))
+      val superOffsets = exclusivePrefix(superSums, maxBucket / PackBucket)
+        .select(col("bucket").as("sb"), col("offset").as("soffset"))
+      within.join(broadcast(superOffsets), Seq("sb"))
+        .select(col("bucket"), (col("soffset") + col("w")).as("offset"))
+    }
   }
 
   val packShardsSql: String =

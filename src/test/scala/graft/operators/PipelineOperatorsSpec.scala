@@ -172,6 +172,33 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("packDocs: NESTED offset reduction exact at multi-level depth, window-free at the top") {
+    import spark.implicits._
+    // doc_ids scattered to ~2.6M force maxBucket ≈ 26 000 ≥ PackBucket:
+    // the offset reduction must recurse twice (26 000 → 260 → 2) before
+    // the bounded θ-join — the sf0.01/0.1 corpora never leave level 0, so
+    // this is the only coverage of the recursion actually nesting
+    val ids = (0 until 4000).map(i => i.toLong * 653L + (i % 7))
+    val docs = ids.map(id => (id, "w " * ((id % 37) + 1).toInt + "w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: the straight sequential cumsum on the driver
+    var cum = 0L
+    val expected = ids.sorted.map { id =>
+      val n = (id % 37) + 2 // tokens = split-on-space count
+      cum += n
+      (id, n, (cum - n) / TextAnalysis.PackBudget)
+    }
+    assert(got.toSeq == expected,
+      s"nested packing diverged from sequential cumsum: ${got.take(5).toSeq} vs ${expected.take(5)}")
+    // and even at this depth no partition-less window appears in the plan
+    val p = TextAnalysis.packDocs(docs).queryExecution.executedPlan.toString
+    val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+    assert(globalWindow.findFirstIn(p).isEmpty,
+      s"partition-less window at depth ≥ 2:\n$p")
+  }
+
   test("decontaminate + pipeline_e2e: non-vacuous and stage-consistent") {
     val flagged = Dedup.decontaminate(spark, dir).collect()
       .map(_.getLong(0)).toSet

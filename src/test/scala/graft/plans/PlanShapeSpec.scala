@@ -72,17 +72,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("pack_shards: the corpus cumsum window is bucket-partitioned, never global") {
-    // a partition-less window over the documents is ONE task at any scale;
-    // the two-phase decomposition must keep the per-doc window partitioned
-    // by bucket (the only unpartitioned window is over the tiny bucket-
-    // offset table, which orders by bucket, not doc_id)
-    val p = graft.operators.TextAnalysis.packShards(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("windowspecdefinition(bucket#"),
-      s"per-doc window lost its bucket partitioning:\n$p")
-    assert(!p.contains("[], [doc_id#"),
-      s"found a GLOBAL window ordered by doc_id (single task at scale):\n$p")
+  test("pack_shards + pipeline_e2e: EVERY window in the plan is partitioned — no single-task window at any scale") {
+    // a partition-less window is ONE task at any corpus size (Spark warns
+    // "No Partition Defined for Window operation"); the nested offset
+    // reduction must leave no such window ANYWHERE — the per-doc cumsum is
+    // bucket-partitioned and the terminal offset level is a bounded θ-join,
+    // not a window. In the plan text a global window's windowspecdefinition
+    // starts directly with a SORT column ("col#N ASC/DESC"); a partitioned
+    // one lists partition columns (no sort direction) first.
+    val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+    Seq(
+      "pack_shards" -> graft.operators.TextAnalysis.packShards(spark, dir),
+      "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2e(spark, dir)
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("windowspecdefinition(bucket#"),
+        s"$name: per-doc window lost its bucket partitioning:\n$p")
+      assert(globalWindow.findFirstIn(p).isEmpty,
+        s"$name: found a partition-less window (single task at scale):\n$p")
+    }
   }
 
   test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
