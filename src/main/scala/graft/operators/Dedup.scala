@@ -288,9 +288,10 @@ object Dedup {
     *
     * Scale shape: the eval side is benchmark-sized (≪ corpus) BY
     * CONSTRUCTION, so its distinct gram set broadcasts — the corpus side
-    * streams through one explode + broadcast semi-join + per-doc count,
-    * no corpus-sized shuffle of gram rows (the groupBy shuffles only
-    * matched doc_ids). */
+    * streams through one rolling-hash pass + hashed broadcast semi-join
+    * (stage 1), and only the flagged remnant re-derives string grams for
+    * the exact count (stage 2). No corpus-sized shuffle of gram rows
+    * anywhere (the groupBys shuffle only matched doc_ids). */
   // 20-char grams: on this synthetic corpus, 13 chars flags 482/490 docs
   // (template substrings shared corpus-wide — every doc "contaminated")
   // while 20 flags 102/490 — overlap long enough to mean real leakage,
@@ -304,15 +305,31 @@ object Dedup {
       s"i -> substring(text, i, $ContamGram))")
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GramHashes.gram_hashes
     val docs = t(spark, dir, "documents")
       .filter(length(col("text")) >= ContamGram)
-    val evalGrams = docs.filter(col("doc_id") < ContamEvalCap)
-      .select(explode(contamGrams).as("gram")).distinct()
-    // corpus grams explode RAW (no per-row array_distinct — a per-doc
-    // sort of ~hundreds of strings that costs more than it saves);
-    // within-doc duplicate grams are deduped AFTER the semi-join, where
-    // only the matched remnant pays (countDistinct)
-    docs.filter(col("doc_id") >= ContamEvalCap)
+    val evalDocs = docs.filter(col("doc_id") < ContamEvalCap)
+    // stage 1 — HASHED flag pass over the whole corpus: both sides take
+    // single-pass rolling 64-bit gram hashes ([[graft.functions.GramHashes]]
+    // — no per-gram string allocation, 8-byte probe keys, ~5× smaller
+    // broadcast than the string gram set). Hash equality is a SUPERSET of
+    // string equality (collisions only ADD candidates, never drop one), so
+    // no true contamination can be missed here.
+    val evalHashes = evalDocs
+      .select(explode(gram_hashes(col("text"), ContamGram)).as("gh")).distinct()
+    val flagged = docs.filter(col("doc_id") >= ContamEvalCap)
+      .select(col("doc_id"), explode(gram_hashes(col("text"), ContamGram)).as("gh"))
+      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // stage 2 — EXACT string recount on the flagged remnant only: re-derive
+    // string grams for just the flagged docs and count distinct TRUE
+    // matches. A hash-collision false positive counts zero matched grams
+    // and drops out of the groupBy, so the result is exactly the oracle's.
+    // (broadcast(flagged): the contaminated id set is assumed ≪ corpus —
+    // the premise of decontamination; a corpus-wide flag set would mean
+    // the eval suite overlaps everything and the pipeline has no output.)
+    val evalGrams = evalDocs.select(explode(contamGrams).as("gram")).distinct()
+    docs.join(broadcast(flagged), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(contamGrams).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("n_shared"))

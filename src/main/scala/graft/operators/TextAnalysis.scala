@@ -286,25 +286,31 @@ object TextAnalysis {
     * over the bucket table, ~10⁷ rows through one task at 10⁹ docs). */
   def packDocs(input: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE materialization of the narrow packing projection (3 longs/doc):
+    // the upstream (for pipeline_e2e, the whole clean+decontaminate
+    // composition) is computed exactly once, and every downstream branch —
+    // the per-bucket window, the bucket sums, each offset-recursion level,
+    // and the driver-known recursion depth (one cheap max()) — rereads the
+    // materialized rows. (Round 3 computed the upstream twice, once per
+    // branch.) localCheckpoint keeps the blocks executor-local and lets
+    // ContextCleaner reclaim them when the result is dropped; at cluster
+    // scale with executor churn, swap for a reliable checkpoint dir — the
+    // recomputation-on-block-loss story is the only difference.
     val docs = input
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         (col("doc_id") / PackBucket).cast("long").as("bucket"))
+      .localCheckpoint()
+    val maxBucket = docs.agg(max(col("bucket"))).first() match {
+      case r if r.isNullAt(0) => -1L // empty corpus
+      case r => r.getLong(0)
+    }
     val inBucket = docs.withColumn("cum_in",
       sum(col("n_tokens")).over(Window.partitionBy(col("bucket"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)))
-    // materialized once: recursion depth becomes driver-known from one
-    // cheap max() on ~corpus/PackBucket rows, and every recursion level
-    // rereads the materialized sums instead of re-deriving the (possibly
-    // expensive — pipeline_e2e) upstream per level
     val sums = docs.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bsum"))
-      .localCheckpoint()
-    val maxBucket = sums.agg(max(col("bucket"))).first() match {
-      case r if r.isNullAt(0) => -1L // empty corpus
-      case r => r.getLong(0)
-    }
     val offsets = exclusivePrefix(sums, maxBucket)
     inBucket.join(broadcast(offsets), Seq("bucket"))
       .withColumn("cum", col("offset") + col("cum_in"))

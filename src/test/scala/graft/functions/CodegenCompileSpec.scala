@@ -60,6 +60,35 @@ class CodegenCompileSpec extends AnyFunSuite {
     assert(row.getInt(0) == 3)
   }
 
+  test("gram_hashes generated code compiles and evaluates") {
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      GramHashes(BoundReference(0, StringType, nullable = true), 5)))
+    val s = "the quick brown fox"
+    val row = proj(InternalRow(UTF8String.fromString(s)))
+    val got = row.getArray(0)
+    val want = GramHashes.eval(s, 5)
+    assert(got.numElements() == s.length - 4)
+    assert((0 until got.numElements()).forall(i =>
+      got.getLong(i) == want.getLong(i)))
+  }
+
+  test("gram_hashes: rolling update equals direct per-window hashing; short strings empty") {
+    // the rolling recurrence (subtract leading char · B^(n-1), append
+    // trailing) must agree with hashing each window from scratch — i.e.
+    // gram_hashes(s, n)(i) == gram_hashes(s.substring(i, i+n), n)(0)
+    val s = "abcdefghé世xyz0123 with spaces\tand-tab"
+    for (n <- Seq(1, 3, 7, 20)) {
+      val all = GramHashes.eval(s, n)
+      (0 to s.length - n).foreach { i =>
+        val solo = GramHashes.eval(s.substring(i, i + n), n)
+        assert(all.getLong(i) == solo.getLong(0),
+          s"window $i of n=$n diverges from direct hash")
+      }
+    }
+    assert(GramHashes.eval("abc", 4).numElements() == 0,
+      "short string must yield NO gram hashes (no sentinel window)")
+  }
+
   test("nfc_normalize generated code compiles and evaluates") {
     val proj = GenerateUnsafeProjection.generate(Seq(
       NfcNormalize(BoundReference(0, StringType, nullable = true))))
