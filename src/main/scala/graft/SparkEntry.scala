@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "decontaminate" -> (Dedup.decontaminate _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
@@ -140,6 +141,10 @@ object SparkEntry {
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    // the O(log n) star-contraction engine against the SAME oracle:
+    // equality proves the alternating contraction computes exactly the
+    // transitive closure the propagation loop does
+    "dedup_clusters_star" -> Dedup.dedupClustersSql,
     "decontaminate" -> Dedup.decontaminateSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,

@@ -358,41 +358,140 @@ object Dedup {
     * Execution: iterative min-label propagation over the edge list —
     * label(n) ← min(label(n), min of neighbors' labels) until fixpoint,
     * each round one equi-join + one groupBy. Rounds = component diameter;
-    * near-dup components are short chains in practice. At 100 TB the same
-    * loop runs with the alternating large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond") to
-    * bound rounds at O(log n); plain propagation keeps this exact,
-    * auditable, and oracle-checkable (the DuckDB oracle walks the same
-    * graph with a recursive CTE). Labels are `localCheckpoint`ed each
-    * round: the loop is DRIVER-CONTROLLED iteration, and without cutting
-    * lineage each round's plan re-derives all prior rounds (exponential
-    * plan growth); the checkpoint also frees the returned DataFrame from
-    * the loop's cached intermediates. */
+    * near-dup components are short chains in practice, and the O(log n)
+    * alternating star-contraction tier ([[connectedComponents]], its own
+    * oracle-checked query `dedup_clusters_star`) covers pathological
+    * diameters at corpus scale. Plain propagation keeps THIS query the
+    * simplest auditable formulation (the DuckDB oracle walks the same
+    * graph with a recursive CTE). Rounds are [[materialize]]d — the loop
+    * is DRIVER-CONTROLLED iteration, and without cutting lineage each
+    * round's plan re-derives all prior rounds (exponential plan growth) —
+    * and each superseded round is unpersisted as soon as its successor is
+    * materialized, so block-manager storage holds at most two rounds. */
+  /** Materialize `df` into an OWNED persisted RDD with a flat logical plan
+    * — the driver-controlled-iteration primitive. Cuts lineage like
+    * `localCheckpoint` (each round's plan reads the materialized rows, not
+    * the whole history) but hands back the RDD so the loop can
+    * `unpersist` superseded rounds instead of accumulating one
+    * corpus-node-sized block set per round for the session lifetime. */
+  private def materialize(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(spark, dir).select(col("d1"), col("d2"))
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var labels = edges.select(col("d1").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
+    val (edges, edgesRdd) = materialize(pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("d1").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")))
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels, edges("d1") === labels("doc_id"))
         .groupBy(col("d2").as("doc_id2"))
         .agg(min(col("cluster")).as("ncluster"))
-      val next = labels
+      val (next, nextRdd) = materialize(labels
         .join(neighborMin, labels("doc_id") === col("doc_id2"), "left_outer")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster")))
             .as("cluster"),
-          (col("ncluster") < col("cluster")).as("shrunk"))
-        .localCheckpoint()
+          (col("ncluster") < col("cluster")).as("shrunk")))
       changed = next.filter(col("shrunk")).count()
-      labels = next.select(col("doc_id"), col("cluster")).localCheckpoint()
+      labelsRdd.unpersist(blocking = false) // superseded round, free its blocks
+      labels = next.select(col("doc_id"), col("cluster"))
+      labelsRdd = nextRdd
     }
+    edgesRdd.unpersist(blocking = false) // the result reads only the labels
     labels.orderBy(col("doc_id"))
+  }
+
+  /** The O(log n) TIER the propagation scaladoc cites: alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") over an arbitrary undirected
+    * edge set `(src, dst)` → `(doc_id, cluster)` with cluster = component
+    * min.
+    *
+    *  - large-star: every node u links each LARGER neighbor to the min of
+    *    its closed neighborhood — long chains fold toward their minimum
+    *    from every node at once;
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to that min — stars flatten.
+    *
+    * Round count is O(log n) in component size (vs diameter for plain
+    * propagation — the difference between 8 rounds and 10⁶ on a pathological
+    * chain at corpus scale). Each round is two hash-aggregations + two
+    * equi-joins on the edge set; rounds are materialized via [[materialize]]
+    * and superseded rounds unpersisted immediately. Convergence = the
+    * canonical edge set reaches the composition's fixpoint, which is the
+    * per-component star (equivalence to plain propagation and the round
+    * bound are spec-pinned in PipelineOperatorsSpec; the registered
+    * `dedup_clusters_star` query runs THIS engine against the same
+    * recursive-CTE oracle as `dedup_clusters`). */
+  def connectedComponents(edgesIn: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edgesIn)._1
+
+  private[operators] def connectedComponentsWithRounds(
+      edgesIn: DataFrame): (DataFrame, Int) = {
+    // canonical state: directed (hi > lo), self-loops dropped, distinct
+    var (cur, curRdd) = materialize(edgesIn
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") > col("lo")).distinct())
+    var curCount = cur.count()
+    var rounds = 0
+    var done = curCount == 0L
+    while (!done) {
+      rounds += 1
+      // large-star over the undirected view: u's closed-neighborhood min m,
+      // edge (v, m) for every neighbor v > u (v > u ≥ m keeps it canonical)
+      val bidir = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = bidir.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star on the canonical form: all of u's recorded neighbors are
+      // smaller, so m = min(lo); link them AND u itself to m
+      val smins = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val small = large.join(smins, Seq("hi"))
+        .select(col("lo").as("n"), col("m"))
+        .union(smins.select(col("hi").as("n"), col("m")))
+        .filter(col("n") > col("m")) // the min links itself — drop self-loop
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct()
+      val (next, nextRdd) = materialize(small)
+      val nextCount = next.count()
+      // fixpoint: same count and next ⊆ cur ⇒ set equality
+      done = nextCount == curCount && next.except(cur).isEmpty
+      curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd; curCount = nextCount
+    }
+    // at the fixpoint `cur` is one star per component: (node, component
+    // min) for every non-min node; min nodes label themselves
+    val nodes = edgesIn.select(col("src").as("doc_id"))
+      .union(edgesIn.select(col("dst").as("doc_id"))).distinct()
+    val labels = nodes
+      .join(cur.select(col("hi").as("doc_id"), col("lo").as("cluster")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    (labels, rounds)
+  }
+
+  /** [[dedupClusters]]' oracle-checked twin through the O(log n) star-
+    * contraction engine — same pair graph, same recursive-CTE oracle, so a
+    * green row proves the contraction computes exactly the transitive
+    * closure the propagation loop does. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    connectedComponents(pairs).orderBy(col("doc_id"))
   }
 
   /** Oracle: the same components via recursive reachability (min label over

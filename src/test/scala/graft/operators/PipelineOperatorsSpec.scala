@@ -172,6 +172,47 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("star contraction ≡ plain propagation on the corpus graph; O(log n) rounds on an adversarial chain") {
+    import spark.implicits._
+    // 1. equivalence on the real near-dup pair graph
+    val plain = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.dedupClustersStar(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == plain, "star contraction labels diverge from propagation")
+    // 2. adversarial chain 0-1-2-…-255: plain propagation needs ~diameter
+    //    (255) rounds; the alternating contraction must stay logarithmic.
+    //    Kiveris et al. bound the alternation by O(log n) star rounds —
+    //    pin 3·log₂(256) + 2 = 26 as a generous ceiling (measured: ≤ 8).
+    val chain = (0L until 255L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 256 && got.forall(_._2 == 0L),
+      s"chain not fully contracted to root 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 26, s"contraction took $rounds rounds on a 256-chain")
+    // 3. random-graph property: labels match a driver union-find
+    val rnd = new scala.util.Random(42)
+    val redges = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val rdf = redges.toDF("src", "dst")
+    val rgot = Dedup.connectedComponents(rdf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    redges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = redges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(rgot.keySet == touched)
+    rgot.foreach { case (n, l) =>
+      assert(l == find(n), s"node $n labeled $l, union-find says ${find(n)}")
+    }
+  }
+
   test("packDocs: NESTED offset reduction exact at multi-level depth, window-free at the top") {
     import spark.implicits._
     // doc_ids scattered to ~2.6M force maxBucket ≈ 26 000 ≥ PackBucket:
