@@ -219,12 +219,17 @@ final class Engine(val spark: SparkSession,
   @volatile private var stopped = false
   def isStopped: Boolean = stopped
 
-  /** Release UDF loaders and stop serving (ref shutdown:
-    * p5/server/my_storage.cc:421-424); stops the SparkSession too when the
-    * engine owns it (opts.ownsSession). */
+  /** Release UDF loaders, this application's session artifacts (scratch
+    * dirs, cached KMR result broadcasts — graft.SessionResources), and stop
+    * serving (ref shutdown: p5/server/my_storage.cc:421-424); stops the
+    * SparkSession too when the engine owns it (opts.ownsSession). The
+    * reference process exits at BYE, so nothing it wrote to scratch may
+    * outlive it here either. */
   def shutdown(): Unit = {
     stopped = true
     funcs.close()
+    try graft.SessionResources.release(spark.sparkContext.applicationId)
+    catch { case _: Throwable => () } // context may already be stopped
     if (opts.ownsSession) spark.stop()
   }
 }

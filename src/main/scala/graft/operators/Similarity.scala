@@ -325,16 +325,16 @@ object Similarity {
   }
 
   /** ORACLE-EXACT IVF twin, WRITTEN-INDEX formulation: builds the
-    * cluster-partitioned index under java.io.tmpdir (one deterministic
-    * path per source dir, overwritten per run — index build is part of
-    * the operator), then probes it at [[IvfVerifyProbes]] via partition
-    * pruning. Green oracle row ⇔ the on-disk layout + pruned-probe read
-    * path reproduces exact search end-to-end. */
+    * cluster-partitioned index under a session-scoped scratch path
+    * ([[graft.SessionResources.scratchDir]] — SHA-256 of the source path +
+    * applicationId, GC'd at engine shutdown or context stop; overwritten
+    * per run — index build is part of the operator), then probes it at
+    * [[IvfVerifyProbes]] via partition pruning. Green oracle row ⇔ the
+    * on-disk layout + pruned-probe read path reproduces exact search
+    * end-to-end. */
   def annIvfIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val indexPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val indexPath = graft.SessionResources.scratchDir(spark, "ivf_index", dir)
     val centroids = ivfWriteIndex(spark, dir, indexPath)
     val (qid, qv) = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))

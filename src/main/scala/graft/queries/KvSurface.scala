@@ -199,9 +199,34 @@ object KvSurface {
     // re-broadcast on alternation, never correctness.)
     val appId = spark.sparkContext.applicationId
     resultBroadcasts.keySet.removeIf(k => !k.startsWith(appId + ":"))
+    // BYE/shutdown GC: engine shutdown (or context stop) destroys this
+    // app's cached result broadcasts — possibly-MB blocks must not outlive
+    // the session that built them. Re-registering per call is harmless
+    // (release drains the queue; a destroyed-then-needed result simply
+    // re-broadcasts on the next invocation).
+    graft.SessionResources.onRelease(spark)(() => releaseBroadcasts(appId))
     val bc = resultBroadcasts.computeIfAbsent(appId + ":" + digest,
       _ => spark.sparkContext.broadcast(s))
     spark.range(1).map(_ => bc.value).toDF("result")
+  }
+
+  /** Destroy and drop every cached KMR result broadcast of `appId`. */
+  private def releaseBroadcasts(appId: String): Unit = {
+    val it = resultBroadcasts.entrySet.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(appId + ":")) {
+        try e.getValue.destroy() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** Live cached result broadcasts for an app (spec visibility). */
+  private[graft] def resultBroadcastCount(appId: String): Int = {
+    var n = 0
+    resultBroadcasts.keySet.forEach(k => if (k.startsWith(appId + ":")) n += 1)
+    n
   }
 
   /** KMR(all_keys) over the orders table loaded into the engine: distributed

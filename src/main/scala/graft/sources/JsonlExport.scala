@@ -26,16 +26,16 @@ object JsonlExport {
     StructField("lang", StringType),
     StructField("text", StringType)))
 
-  /** Write documents as sharded JSONL under a deterministic tmpdir path,
-    * read them back, and emit a per-document digest of the ROUND-TRIPPED
-    * content. The DuckDB oracle computes the same digests from the parquet
-    * source directly, so a green row proves the export/import cycle is
-    * lossless byte-for-byte on every document (JSON string escaping,
-    * unicode, shard scatter and all). */
+  /** Write documents as sharded JSONL under a session-scoped scratch path
+    * ([[graft.SessionResources.scratchDir]] — SHA-256 of the source path +
+    * applicationId, GC'd at engine shutdown or context stop), read them
+    * back, and emit a per-document digest of the ROUND-TRIPPED content.
+    * The DuckDB oracle computes the same digests from the parquet source
+    * directly, so a green row proves the export/import cycle is lossless
+    * byte-for-byte on every document (JSON string escaping, unicode, shard
+    * scatter and all). */
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + java.lang.Integer.toHexString(dir.hashCode)).toString
+    val out = graft.SessionResources.scratchDir(spark, "jsonl", dir)
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
       .repartition(Shards)
