@@ -41,18 +41,41 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
   import Codes._
 
   private val users = mutable.LinkedHashMap.empty[String, AuthEntry]
-  // sha256(user ‖ '\0' ‖ pass) digests that already passed the salted-hash
-  // check. Passwords are immutable after REG in this API, so positive
-  // results stay valid; the cache avoids re-hashing the SALTED scheme on
-  // every point op (hot path) while retaining no plaintext credentials
-  // (the '\0' separator kills ("ab","c")/("a","bc") digest collisions —
-  // usernames cannot contain NUL, the log format is line-based text).
+  // HMAC-SHA256(processKey, user ‖ '\0' ‖ pass) digests of pairs that
+  // already passed the salted-hash check. Passwords are immutable after
+  // REG in this API, so positive results stay valid; the cache avoids
+  // re-hashing the SALTED scheme on every point op (hot path). The HMAC
+  // key is per-process SecureRandom (NOT opts.rng — tests seed that for
+  // replayable salts), so a heap dump exposes only keyed digests, useless
+  // for a dictionary attack without the in-memory key — unlike the raw
+  // sha256(user‖pass) digests this replaces (ADVICE r3). The '\0'
+  // separator kills ("ab","c")/("a","bc") digest collisions — usernames
+  // cannot contain NUL, the log format is line-based text. Bounded: the
+  // set is cleared at [[AuthStore.VerifiedCacheCap]] entries (a positive
+  // cache simply refills on demand), so it cannot grow with credential
+  // churn for the process lifetime.
   private val verified =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.math.BigInteger]()
 
-  private def verifiedKey(user: String, pass: String): java.math.BigInteger =
-    new java.math.BigInteger(
-      sha256(user.getBytes("UTF-8"), Array[Byte](0), pass.getBytes("UTF-8")))
+  private val hmacKey = {
+    val k = new Array[Byte](32)
+    new java.security.SecureRandom().nextBytes(k)
+    new javax.crypto.spec.SecretKeySpec(k, "HmacSHA256")
+  }
+  private val hmac = ThreadLocal.withInitial[javax.crypto.Mac](() => {
+    val m = javax.crypto.Mac.getInstance("HmacSHA256")
+    m.init(hmacKey)
+    m
+  })
+
+  private def verifiedKey(user: String, pass: String): java.math.BigInteger = {
+    val m = hmac.get()
+    m.reset()
+    m.update(user.getBytes("UTF-8"))
+    m.update(0.toByte)
+    m.update(pass.getBytes("UTF-8"))
+    new java.math.BigInteger(m.doFinal())
+  }
 
   private val logPath = dataDir.map(_.resolve("auth_log.jsonl"))
 
@@ -155,8 +178,11 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
         case None => false
       }
     }
-    if (ok) { verified.add(key); Result(true, OK) }
-    else Result(false, ERR_LOGIN)
+    if (ok) {
+      if (verified.size >= AuthStore.VerifiedCacheCap) verified.clear()
+      verified.add(key)
+      Result(true, OK)
+    } else Result(false, ERR_LOGIN)
   }
 
   /** SET: replace caller's profile blob, logging the diff before returning
@@ -217,4 +243,11 @@ final class AuthStore(spark: SparkSession, rng: Random = new Random(),
     import spark.implicits._
     spark.createDataset(synchronized(users.values.toSeq))
   }
+}
+
+object AuthStore {
+  /** Verified-credential cache bound: one digest per distinct successful
+    * (user, pass) pair; clearing at the cap keeps the set O(1) in
+    * credential churn (re-verification refills it). */
+  final val VerifiedCacheCap = 16384
 }

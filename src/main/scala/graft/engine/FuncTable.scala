@@ -194,13 +194,33 @@ object BuiltinFuncs {
         .mkString("\n").getBytes("UTF-8")
   }
 
-  /** Associative flavor of AllKeys for the tree-reduction scale path. */
+  /** Associative flavor of AllKeys for the tree-reduction scale path.
+    * `combine` MERGES two sorted newline lists, so it is associative AND
+    * commutative over multisets — the contract `AssociativeMapReduceFn`
+    * documents and `treeReduce` requires. (The previous plain concat was
+    * associative only: tree reduction could emit any partition order run
+    * to run. Now the output is the sorted key list regardless of combine
+    * order or grouping — determinism spec-pinned in EngineMapReduceSpec.)
+    * Map outputs are single lines (trivially sorted), so every combine
+    * input is sorted by induction. */
   object AllKeysAssoc extends AssociativeMapReduceFn {
     def map(key: String, value: Array[Byte]): Array[Byte] = key.getBytes("UTF-8")
     def zero: Array[Byte] = Array.emptyByteArray
     def combine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
       if (a.isEmpty) b else if (b.isEmpty) a
-      else (new String(a, "UTF-8") + "\n" + new String(b, "UTF-8"))
-        .getBytes("UTF-8")
+      else {
+        val xs = new String(a, "UTF-8").split("\n", -1)
+        val ys = new String(b, "UTF-8").split("\n", -1)
+        val out = new Array[String](xs.length + ys.length)
+        var i = 0; var j = 0; var k = 0
+        while (i < xs.length && j < ys.length) {
+          if (xs(i) <= ys(j)) { out(k) = xs(i); i += 1 }
+          else { out(k) = ys(j); j += 1 }
+          k += 1
+        }
+        while (i < xs.length) { out(k) = xs(i); i += 1; k += 1 }
+        while (j < ys.length) { out(k) = ys(j); j += 1; k += 1 }
+        out.mkString("\n").getBytes("UTF-8")
+      }
   }
 }

@@ -126,18 +126,32 @@ class EngineMapReduceSpec extends AnyFunSuite with SparkSpec {
     assert(e.registerBuiltin("alice", "pw", name, BuiltinFuncs.AllKeys).msg == ERR_REQ_FMT)
   }
 
-  test("associative flavor: treeReduce path matches holistic result as a set") {
+  test("associative flavor: treeReduce path is DETERMINISTIC (sorted), not just set-equal") {
     val e = mkEngine()
     val r = MapReduce.runTree(e.kv.view, BuiltinFuncs.AllKeysAssoc)
     assert(r.succeeded)
-    assert(r.dataUtf8.split("\n").sorted.toSeq == (1 to 8).map(i => s"k$i"))
+    // no pre-sort here: the sorted-merge combine makes the output exactly
+    // the sorted key list regardless of tree grouping or partition order
+    assert(r.dataUtf8.split("\n").toSeq == (1 to 8).map(i => s"k$i"))
   }
 
-  test("MrAggregator: Catalyst-aggregate execution matches holistic result as a set") {
+  test("AllKeysAssoc.combine is commutative and associative (the treeReduce contract)") {
+    val f = BuiltinFuncs.AllKeysAssoc
+    def b(ss: String*) = ss.mkString("\n").getBytes("UTF-8")
+    def s(a: Array[Byte]) = new String(a, "UTF-8")
+    val (x, y, z) = (b("a", "m"), b("c"), b("b", "z"))
+    assert(s(f.combine(x, y)) == s(f.combine(y, x)), "combine not commutative")
+    assert(s(f.combine(f.combine(x, y), z)) == s(f.combine(x, f.combine(y, z))),
+      "combine not associative")
+    assert(s(f.combine(x, z)) == "a\nb\nm\nz", "combine must merge sorted")
+    assert(s(f.combine(f.zero, x)) == s(x) && s(f.combine(x, f.zero)) == s(x))
+  }
+
+  test("MrAggregator: Catalyst-aggregate execution is deterministic (sorted merge combine)") {
     val e = mkEngine()
     val r = MrAggregator.run(e.kv.view, BuiltinFuncs.AllKeysAssoc)
     assert(r.succeeded)
-    assert(r.dataUtf8.split("\n").sorted.toSeq == (1 to 8).map(i => s"k$i"))
+    assert(r.dataUtf8.split("\n").toSeq == (1 to 8).map(i => s"k$i"))
     // empty table: the aggregation yields the reducer's zero
     val empty = new Engine(spark, EngineOptions())
     val r0 = MrAggregator.run(empty.kv.view, BuiltinFuncs.AllKeysAssoc)
