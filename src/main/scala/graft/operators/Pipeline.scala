@@ -10,6 +10,10 @@ import graft.Tables.t
   *   raw documents
   *     → exact-dedup keeper election + quality gate + language selection
   *       ([[TextAnalysis.corpusClean]])
+  *     → NEAR-dup cluster keeper election ([[Dedup.connectedComponents]]
+  *       over the j≥0.7 pair graph — exact dedup only collapses
+  *       byte-identical docs; every non-min member of a near-dup
+  *       component is dropped here)
   *     → benchmark decontamination ([[Dedup.decontaminate]] — drop the eval
   *       docs themselves and every doc sharing a 20-gram with them)
   *     → token-budget sequence packing ([[TextAnalysis.packDocs]])
@@ -20,6 +24,9 @@ import graft.Tables.t
   * composed DuckDB oracle — a green row proves the stages agree end to
   * end, including the interaction the standalone gates cannot see (shard
   * boundaries depend on exactly which docs survive the earlier stages).
+  * The near-dup stage runs the O(log n) star-contraction engine; its
+  * equivalence to plain propagation is itself oracle-pinned
+  * (`dedup_clusters` vs `dedup_clusters_star`).
   *
   * Scale shape: semi/anti joins on doc_id (broadcastable survivor id
   * sets; at full scale AQE picks the join side), then the two-phase
@@ -29,6 +36,10 @@ object Pipeline {
 
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val cleanedIds = TextAnalysis.corpusClean(spark, dir).select("doc_id")
+    // near-dup keeper election: every clustered doc that is NOT its
+    // component's min is a near-duplicate of a kept doc — drop it
+    val nonKeepers = Dedup.dedupClustersStar(spark, dir)
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
     val contaminatedIds = Dedup.decontaminate(spark, dir).select("doc_id")
     val survivors = t(spark, dir, "documents")
       // the eval docs themselves are NOT training data — decontaminate
@@ -37,17 +48,21 @@ object Pipeline {
       // maximal leak the pipeline exists to prevent)
       .filter(col("doc_id") >= Dedup.ContamEvalCap)
       .join(cleanedIds, Seq("doc_id"), "left_semi")
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
     TextAnalysis.packDocs(survivors)
   }
 
   val pipelineE2eSql: String =
     s"""WITH clean AS (SELECT doc_id FROM (${TextAnalysis.corpusCleanSql})),
+       |nonkeep AS (SELECT doc_id FROM (${Dedup.dedupClustersSql})
+       |            WHERE doc_id <> cluster),
        |contam AS (SELECT doc_id FROM (${Dedup.decontaminateSql})),
        |surv AS (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN clean USING (doc_id)
        |  WHERE d.doc_id >= ${Dedup.ContamEvalCap}
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
        |    AND d.doc_id NOT IN (SELECT doc_id FROM contam))
        |SELECT doc_id, n_tokens,
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE)

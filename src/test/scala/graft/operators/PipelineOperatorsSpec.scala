@@ -254,13 +254,39 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(packed.nonEmpty, "pipeline produced no training shards")
     val survivorIds = packed.map(_._1).toSet
-    // stage consistency: survivors passed cleaning and escaped flagging
+    // stage consistency: survivors passed cleaning, near-dup keeper
+    // election, and escaped flagging
     assert(survivorIds.subsetOf(cleaned), "packed doc not in cleaned set")
     assert(survivorIds.intersect(flagged).isEmpty, "packed doc is flagged")
+    val nonKeepers = Dedup.dedupClustersStar(spark, dir).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
+    assert(survivorIds.intersect(nonKeepers).isEmpty,
+      "packed doc is a non-keeper near-duplicate")
     // shards are contiguous from 0 in doc_id order
     val shards = packed.sortBy(_._1).map(_._2)
     assert(shards.head == 0L && shards.toSeq == shards.sorted.toSeq,
       s"shard assignment not monotone from 0: ${shards.toSeq.take(10)}")
+  }
+
+  test("pipeline near-dup stage VISIBLY changes survivors at sf0.01") {
+    // at sf0.01 doc 185 is a j>=0.7 near-dup (cluster min 178) that passes
+    // cleaning and decontamination — without the keeper-election stage it
+    // would be packed into the training shards
+    val sf01 = "/root/testdata/sf0.01"
+    val survivorIds = Pipeline.pipelineE2e(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    val nonKeepers = Dedup.dedupClustersStar(spark, sf01).collect()
+      .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }.toSet
+    val flagged = Dedup.decontaminate(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    val cleaned = TextAnalysis.corpusClean(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    val wouldSurvive = nonKeepers
+      .filter(d => d >= Dedup.ContamEvalCap && cleaned(d) && !flagged(d))
+    assert(wouldSurvive.nonEmpty,
+      "near-dup stage dropped nothing the other stages would have kept — vacuous")
+    assert(wouldSurvive.forall(!survivorIds(_)),
+      s"non-keepers ${wouldSurvive.filter(survivorIds)} survived the pipeline")
   }
 
   test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
