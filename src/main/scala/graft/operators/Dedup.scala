@@ -452,10 +452,12 @@ object Dedup {
         .union(cur.select(col("lo").as("u"), col("hi").as("v")))
       val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct here: duplicate (hi, lo) emissions collapse for free in
+      // small-star's groupBy and final distinct — skipping the intermediate
+      // dedup saves one full shuffle per round
       val large = bidir.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // small-star on the canonical form: all of u's recorded neighbors are
       // smaller, so m = min(lo); link them AND u itself to m
       val smins = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))

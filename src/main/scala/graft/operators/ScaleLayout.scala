@@ -38,15 +38,11 @@ object ScaleLayout {
     * sends byte-identical duplicates of the hot key to ONE salt bucket,
     * defeating the whole point on duplicate-heavy skew). Instead each input
     * partition deals salts round-robin from an explicit per-partition
-    * counter (`mapPartitionsWithIndex` shape): row i of partition p gets
+    * counter ([[graft.functions.SaltCounter]]): row i of partition p gets
     * salt (p + i) mod n — a pure function of (partition, position), so two
     * materializations of the same input assign identical salts, and a task
-    * retry that replays the same partition contents reproduces them exactly
-    * (the `monotonically_increasing_id`-based formulation this replaces was
-    * flagged nondeterministic by Catalyst, which both blocked optimizer
-    * movement and advertised retry instability). The `p +` stagger keeps
-    * bucket 0 from over-filling when many small partitions each start the
-    * cycle at 0. Identical duplicate rows land in different buckets
+    * retry that replays the same partition contents reproduces them
+    * exactly. Identical duplicate rows land in different buckets
     * (positions differ); any assignment in [0, n) is correct because the
     * small side is replicated for all n salts. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
@@ -58,20 +54,10 @@ object ScaleLayout {
   }
 
   /** The big side with its `__salt` column: (partition + position) mod n,
-    * dealt by an explicit counter per partition. Package-visible so the
-    * determinism spec can assert salt assignments directly. */
-  private[operators] def withSalt(big: DataFrame, salts: Int): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(
-      big.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "__salt", org.apache.spark.sql.types.LongType, nullable = false))
-    val saltedRows = big.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = pid % salts
-      it.map { row =>
-        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i.toLong)
-        i = (i + 1) % salts
-        out
-      }
-    }
-    big.sparkSession.createDataFrame(saltedRows, schema)
-  }
+    * dealt by the codegen'd per-partition counter expression
+    * ([[graft.functions.SaltCounter]] — no RDD round-trip, the scan stays
+    * inside whole-stage codegen). Package-visible so the determinism spec
+    * can assert salt assignments directly. */
+  private[operators] def withSalt(big: DataFrame, salts: Int): DataFrame =
+    big.withColumn("__salt", graft.functions.SaltCounter.salt_counter(salts))
 }

@@ -89,6 +89,13 @@ class CodegenCompileSpec extends AnyFunSuite {
       "short string must yield NO gram hashes (no sentinel window)")
   }
 
+  test("salt_counter generated code compiles; deals (partition + i) mod n") {
+    val proj = GenerateUnsafeProjection.generate(Seq(SaltCounter(4)))
+    proj.initialize(3) // partition 3 of 4 salts → starts the cycle at 3
+    val got = (0 until 6).map(_ => proj(InternalRow.empty).getLong(0))
+    assert(got == Seq(3L, 0L, 1L, 2L, 3L, 0L), s"unexpected deal: $got")
+  }
+
   test("nfc_normalize generated code compiles and evaluates") {
     val proj = GenerateUnsafeProjection.generate(Seq(
       NfcNormalize(BoundReference(0, StringType, nullable = true))))
