@@ -57,6 +57,12 @@ object SparkEntry {
     "pipeline_e2e" -> (graft.operators.Pipeline.pipelineE2e _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    // corpus-hygiene extensions: repetition quality gate, PII scrubbing,
+    // deterministic data mixing, fixed-budget chunking
+    "quality_gopher" -> (graft.operators.CorpusOps.qualityGopher _),
+    "pii_redact" -> (graft.operators.CorpusOps.piiRedact _),
+    "sample_mix" -> (graft.operators.CorpusOps.sampleMix _),
+    "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     // sketch aggregates: rows-only (sketch internals differ across engines
     // by design; error bounds vs exact are pinned in ScalaTest)
     "approx_stats" -> (TextAnalysis.approxStats _),
@@ -137,6 +143,10 @@ object SparkEntry {
     // which docs survived cleaning + decontamination)
     "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2eSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
+    "quality_gopher" -> graft.operators.CorpusOps.qualityGopherSql,
+    "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,
+    "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
+    "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-hygiene operators a pre-training pipeline runs beyond dedup +
+  * decontamination (builder brief): repetition-based quality gating
+  * (Gopher-style), PII scrubbing, deterministic data mixing, and
+  * fixed-budget sequence chunking. All pure DataFrame pipelines —
+  * codegen'd built-ins, integer-exact ratios — each with a DuckDB oracle.
+  *
+  * 100 TB shapes: [[qualityGopher]] is two explodes + hash-aggregations
+  * with map-side partials (one row per doc out); [[piiRedact]] and
+  * [[sampleMix]] are narrow per-row projections/filters on the scan;
+  * [[chunkDocs]] explodes one row per CHUNK (output-sized, ~n_tokens/512
+  * of the token count). No joins beyond doc-count-sized equi-joins, no
+  * windows, no driver round-trips.
+  */
+object CorpusOps {
+
+  // ---- Gopher-style repetition/quality signals (Rae et al. 2021) ----
+
+  /** Thresholds tuned non-vacuously against the synthetic corpus (both
+    * keep=true and keep=false populated at every SF — same discipline as
+    * [[Dedup.ContamGram]]; distributions: top_word_frac q05≈0.065 /
+    * q95≈0.16, distinct_word_frac q25≈0.36 / q75≈0.6). */
+  final val MinWords = 20L
+  final val MaxTopWordFrac = 0.10
+  final val MinDistinctWordFrac = 0.4
+  final val MaxDupBigramFrac = 0.05
+  final val MinMeanWordLen = 3.0
+  final val MaxMeanWordLen = 10.0
+
+  /** Per-document repetition & shape signals with a composite keep flag:
+    * word count, mean word length, top-word mass fraction, distinct-word
+    * fraction, duplicated-bigram fraction. Every ratio is an exact-int
+    * IEEE division, so the keep DECISION is bit-identical to the oracle's. */
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2) // sequence(1, size-1) must not descend
+    val words = docs.select(col("doc_id"), explode(col("ws")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val wstats = tf.groupBy(col("doc_id")).agg(
+      max(col("c")).as("mx"),
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"))
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws)-1), " +
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
+      .as("bigram"))
+    val bstats = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("c")) - count(lit(1))).as("dup_b"),
+        sum(col("c")).as("n_b"))
+    val chars = docs.select(col("doc_id"),
+      length(expr("replace(text, ' ', '')")).cast("long").as("alpha_chars"))
+    val scored = wstats.join(bstats, Seq("doc_id")).join(chars, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("alpha_chars").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("mx").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("n_distinct").cast("double") / col("n_words")).as("distinct_word_frac"),
+        (col("dup_b").cast("double") / col("n_b")).as("dup_bigram_frac"))
+    scored.withColumn("keep",
+      col("n_words") >= MinWords &&
+        col("top_word_frac") <= MaxTopWordFrac &&
+        col("distinct_word_frac") >= MinDistinctWordFrac &&
+        col("dup_bigram_frac") <= MaxDupBigramFrac &&
+        col("mean_word_len") >= MinMeanWordLen &&
+        col("mean_word_len") <= MaxMeanWordLen)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGopherSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+       |wstats AS (
+       |  SELECT doc_id, max(c) AS mx, sum(c) AS n_words,
+       |         count(*) AS n_distinct
+       |  FROM tf GROUP BY 1),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |      WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       |  FROM d),
+       |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bstats AS (
+       |  SELECT doc_id, sum(c) - count(*) AS dup_b, sum(c) AS n_b
+       |  FROM bc GROUP BY 1),
+       |chars AS (
+       |  SELECT doc_id,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_chars
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |scored AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(alpha_chars AS DOUBLE) / n_words AS mean_word_len,
+       |    CAST(mx AS DOUBLE) / n_words AS top_word_frac,
+       |    CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_frac,
+       |    CAST(dup_b AS DOUBLE) / n_b AS dup_bigram_frac
+       |  FROM wstats JOIN bstats USING (doc_id) JOIN chars USING (doc_id))
+       |SELECT doc_id, n_words, mean_word_len, top_word_frac,
+       |  distinct_word_frac, dup_bigram_frac,
+       |  (n_words >= $MinWords AND top_word_frac <= $MaxTopWordFrac
+       |   AND distinct_word_frac >= $MinDistinctWordFrac
+       |   AND dup_bigram_frac <= $MaxDupBigramFrac
+       |   AND mean_word_len >= $MinMeanWordLen
+       |   AND mean_word_len <= $MaxMeanWordLen) AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---- PII scrubbing ----
+
+  // patterns restricted to the java.util.regex ∩ RE2 common subset
+  // (char classes, +, bounded repeats — no backrefs, no lookaround), so
+  // Spark and DuckDB compile them identically
+  final val EmailPattern = "[a-z0-9#._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  final val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing over a user-profile projection: redact emails and IPv4
+    * addresses, reporting per-profile redaction counts. The engine's
+    * profile blobs (SET/GET content) are arbitrary user text — the
+    * testdata carries none, so the demo input PLANTS pii deterministically
+    * from customer columns (documented stand-in, not discovery: the gate
+    * proves redaction and counting are exact, and the spec separately
+    * proves clean text passes through byte-identical with count 0). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val prof = t(spark, dir, "customer").select(col("c_custkey"),
+      concat(col("c_name"), lit(" <"), lower(col("c_name")),
+        lit("@corp.example> from 10.0."),
+        pmod(col("c_custkey"), lit(256L)).cast("string"), lit("."),
+        pmod(col("c_nationkey").cast("long"), lit(256L)).cast("string"))
+        .as("profile"))
+    prof.select(
+      col("c_custkey"),
+      regexp_count(col("profile"), lit(EmailPattern)).as("n_emails"),
+      regexp_count(col("profile"), lit(Ipv4Pattern)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(col("profile"), EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]").as("redacted"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val piiRedactSql: String =
+    s"""SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(profile, '$EmailPattern')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(profile, '$Ipv4Pattern')) AS INT) AS n_ips,
+       |  regexp_replace(regexp_replace(profile, '$EmailPattern', '[EMAIL]', 'g'),
+       |                 '$Ipv4Pattern', '[IP]', 'g') AS redacted
+       |FROM (
+       |  SELECT c_custkey,
+       |    c_name || ' <' || lower(c_name) || '@corp.example> from 10.0.' ||
+       |    CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+       |    CAST(CAST(c_nationkey AS BIGINT) % 256 AS VARCHAR) AS profile
+       |  FROM customer)
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---- deterministic data mixing ----
+
+  /** Per-language sampling-rate ceilings: the first md5 byte of the doc id
+    * (lexical hex compare — engine-neutral) must fall below the language's
+    * ceiling. en 25%, de 50%, fr 12.5%, everything else ~100%. */
+  final val MixCeilings: Seq[(String, String)] =
+    Seq("en" -> "40", "de" -> "80", "fr" -> "20")
+  final val MixDefaultCeiling = "ff"
+
+  /** Deterministic stratified sampling for data mixing: keep a
+    * language-dependent fraction of documents, selected by the md5 of the
+    * doc id — reproducible across engines, runs and partitionings (no RNG:
+    * the sample is a pure function of the id). The standard knob for
+    * up/down-weighting sources when composing a training mix. */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val ceiling = MixCeilings.foldRight(lit(MixDefaultCeiling): org.apache.spark.sql.Column) {
+      case ((lang, ceil), els) => when(col("lang") === lang, lit(ceil)).otherwise(els)
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          .as("bucket"))
+      .filter(col("bucket") < ceiling)
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleMixSql: String = {
+    val cases = MixCeilings.map { case (l, c) => s"WHEN lang = '$l' THEN '$c'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, bucket FROM (
+       |  SELECT doc_id, lang,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+       |  FROM documents)
+       |WHERE bucket < (CASE $cases ELSE '$MixDefaultCeiling' END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- fixed-budget sequence chunking ----
+
+  final val ChunkTokens = 32L
+
+  /** Split every document into fixed-token training chunks: one output row
+    * per (doc, chunk) with the token offset and length — the step that
+    * turns variable-length documents into model-context-sized sequences
+    * (complement of [[TextAnalysis.packDocs]], which packs SHORT docs
+    * together; chunking splits LONG ones). Integer arithmetic only. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(s"sequence(0L, (n_tokens - 1) div $ChunkTokens)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkTokens).as("tok_start"),
+        least(lit(ChunkTokens), col("n_tokens") - col("chunk_idx") * ChunkTokens)
+          .as("n_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkDocsSql: String =
+    s"""SELECT doc_id, chunk_idx, chunk_idx * $ChunkTokens AS tok_start,
+       |  least($ChunkTokens, n_tokens - chunk_idx * $ChunkTokens) AS n_tok
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    unnest(range(0, ((n_tokens - 1) // $ChunkTokens) + 1)) AS chunk_idx
+       |  FROM (SELECT doc_id,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM documents))
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Corpus-hygiene operators: properties the DuckDB equality gate cannot
+  * express — non-vacuous thresholds, passthrough guarantees, structural
+  * invariants, driver-side reconciliation. */
+class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("quality_gopher: thresholds split the corpus (both keep values), ratios in range") {
+    val rows = CorpusOps.qualityGopher(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getBoolean(6))
+    assert(kept > 0 && kept < rows.length,
+      s"keep flag vacuous: $kept of ${rows.length}")
+    rows.foreach { r =>
+      val (top, dist, dupb) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(top > 0 && top <= 1 && dist > 0 && dist <= 1 && dupb >= 0 && dupb < 1,
+        s"ratio out of range: $r")
+    }
+    // driver-side reconciliation of one document's signals
+    val doc = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+    val ws = doc.split(" ")
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == ws.length)
+    val counts = ws.groupBy(identity).view.mapValues(_.length)
+    assert(r0.getDouble(3) == counts.values.max.toDouble / ws.length)
+    assert(r0.getDouble(4) == counts.size.toDouble / ws.length)
+    val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+    assert(r0.getDouble(5) ==
+      (bgs.size - bgs.distinct.size).toDouble / bgs.size)
+  }
+
+  test("pii_redact: every planted email/ip is found; nothing matchable survives; clean text passes through") {
+    val rows = CorpusOps.piiRedact(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(2) >= 1,
+        s"profile ${r.getLong(0)} missed planted pii: $r")
+      val red = r.getString(3)
+      assert(red.contains("[EMAIL]") && red.contains("[IP]"))
+      assert(!red.matches(s".*${CorpusOps.EmailPattern}.*") &&
+        !red.matches(s".*${CorpusOps.Ipv4Pattern}.*"),
+        s"redacted text still matches a pii pattern: $red")
+    }
+    // clean text must pass through BYTE-IDENTICAL with zero counts
+    val clean = graft.Tables.t(spark, dir, "documents").limit(20)
+      .select(col("text"),
+        regexp_count(col("text"), lit(CorpusOps.EmailPattern)).as("ne"),
+        regexp_replace(
+          regexp_replace(col("text"), CorpusOps.EmailPattern, "[EMAIL]"),
+          CorpusOps.Ipv4Pattern, "[IP]").as("red"))
+      .collect()
+    clean.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getString(2) == r.getString(0),
+        "pii-free text was altered by redaction")
+    }
+  }
+
+  test("sample_mix: per-language rates land near their ceilings; sample is id-deterministic") {
+    val total = graft.Tables.t(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CorpusOps.sampleMix(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ceilings = CorpusOps.MixCeilings.toMap
+    total.foreach { case (lang, n) =>
+      val want = Integer.parseInt(
+        ceilings.getOrElse(lang, CorpusOps.MixDefaultCeiling), 16) / 256.0
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      // md5 buckets are uniform; ±12pp absorbs small-n noise at sf0.001
+      assert(math.abs(got - want) < 0.12,
+        s"$lang: kept ${(got * 100).round}% want ${(want * 100).round}%")
+    }
+    // determinism: the sample is a pure function of doc_id — rerun equal
+    val a = CorpusOps.sampleMix(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = CorpusOps.sampleMix(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("chunk_docs: chunks tile each document exactly") {
+    val chunks = CorpusOps.chunkDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tokens = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong),
+        s"doc $doc chunk indices not contiguous")
+      sorted.foreach { case (_, idx, start, n) =>
+        assert(start == idx * CorpusOps.ChunkTokens && n >= 1 &&
+          n <= CorpusOps.ChunkTokens)
+      }
+      assert(sorted.map(_._4).sum == tokens(doc),
+        s"doc $doc chunks do not tile its ${tokens(doc)} tokens")
+    }
+    assert(chunks.map(_._1).distinct.length == tokens.size,
+      "every document must be chunked")
+  }
+}
