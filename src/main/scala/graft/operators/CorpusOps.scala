@@ -47,7 +47,10 @@ object CorpusOps {
     val wstats = tf.groupBy(col("doc_id")).agg(
       max(col("c")).as("mx"),
       sum(col("c")).as("n_words"),
-      count(lit(1)).as("n_distinct"))
+      count(lit(1)).as("n_distinct"),
+      // Σ c·len(word) ≡ length(text without spaces): chars fall out of the
+      // word aggregate, saving a third corpus scan + a doc-level join
+      sum(col("c") * length(col("word"))).as("alpha_chars"))
     val bigrams = docs.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(ws)-1), " +
         "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
@@ -57,9 +60,7 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg((sum(col("c")) - count(lit(1))).as("dup_b"),
         sum(col("c")).as("n_b"))
-    val chars = docs.select(col("doc_id"),
-      length(expr("replace(text, ' ', '')")).cast("long").as("alpha_chars"))
-    val scored = wstats.join(bstats, Seq("doc_id")).join(chars, Seq("doc_id"))
+    val scored = wstats.join(bstats, Seq("doc_id"))
       .select(
         col("doc_id"),
         col("n_words"),
@@ -84,7 +85,8 @@ object CorpusOps {
        |tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
        |wstats AS (
        |  SELECT doc_id, max(c) AS mx, sum(c) AS n_words,
-       |         count(*) AS n_distinct
+       |         count(*) AS n_distinct,
+       |         sum(c * length(word)) AS alpha_chars
        |  FROM tf GROUP BY 1),
        |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |      WHERE len(string_split(text, ' ')) >= 2),
@@ -96,17 +98,13 @@ object CorpusOps {
        |bstats AS (
        |  SELECT doc_id, sum(c) - count(*) AS dup_b, sum(c) AS n_b
        |  FROM bc GROUP BY 1),
-       |chars AS (
-       |  SELECT doc_id,
-       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS alpha_chars
-       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
        |scored AS (
        |  SELECT doc_id, n_words,
        |    CAST(alpha_chars AS DOUBLE) / n_words AS mean_word_len,
        |    CAST(mx AS DOUBLE) / n_words AS top_word_frac,
        |    CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_frac,
        |    CAST(dup_b AS DOUBLE) / n_b AS dup_bigram_frac
-       |  FROM wstats JOIN bstats USING (doc_id) JOIN chars USING (doc_id))
+       |  FROM wstats JOIN bstats USING (doc_id))
        |SELECT doc_id, n_words, mean_word_len, top_word_frac,
        |  distinct_word_frac, dup_bigram_frac,
        |  (n_words >= $MinWords AND top_word_frac <= $MaxTopWordFrac
