@@ -63,6 +63,8 @@ object SparkEntry {
     "pii_redact" -> (graft.operators.CorpusOps.piiRedact _),
     "sample_mix" -> (graft.operators.CorpusOps.sampleMix _),
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
+    "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
+    "asof_join" -> (Relational.asofJoin _),
     // sketch aggregates: rows-only (sketch internals differ across engines
     // by design; error bounds vs exact are pinned in ScalaTest)
     "approx_stats" -> (TextAnalysis.approxStats _),
@@ -147,6 +149,8 @@ object SparkEntry {
     "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
+    "token_bpe" -> graft.operators.CorpusOps.tokenBpeSql,
+    "asof_join" -> Relational.asofJoinSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure

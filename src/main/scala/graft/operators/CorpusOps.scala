@@ -197,6 +197,44 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- BPE-ish regex tokenization ----
+
+  /** GPT-2-style pre-tokenizer classes, restricted to the java-regex/RE2
+    * common subset: letter runs, digit runs, non-alphanumeric runs (the
+    * split a byte-pair tokenizer applies before merges). */
+  final val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+  final val AlphaPattern = "[A-Za-z]+"
+  final val NumPattern = "[0-9]+"
+  final val PunctPattern = "[^A-Za-z0-9 ]+"
+
+  /** Token counting with a BPE-ish regex (builder brief): per-row counts of
+    * pre-tokenizer units and their classes over the events `props` column
+    * (JSON-ish strings — the one testdata column where letters, digits AND
+    * punctuation all occur, so every class is non-vacuous). Whitespace
+    * token count included for comparison with the regex view. */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("props"),
+        size(split(col("props"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("props"), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"),
+        size(regexp_extract_all(col("props"), lit(AlphaPattern), lit(0)))
+          .as("n_alpha"),
+        size(regexp_extract_all(col("props"), lit(NumPattern), lit(0)))
+          .as("n_num"),
+        size(regexp_extract_all(col("props"), lit(PunctPattern), lit(0)))
+          .as("n_punct"))
+      .orderBy(col("event_id"))
+
+  val tokenBpeSql: String =
+    s"""SELECT event_id, props,
+       |  CAST(len(string_split(props, ' ')) AS INT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(props, '$BpePattern')) AS INT) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(props, '$AlphaPattern')) AS INT) AS n_alpha,
+       |  CAST(len(regexp_extract_all(props, '$NumPattern')) AS INT) AS n_num,
+       |  CAST(len(regexp_extract_all(props, '$PunctPattern')) AS INT) AS n_punct
+       |FROM events ORDER BY event_id""".stripMargin
+
   // ---- fixed-budget sequence chunking ----
 
   final val ChunkTokens = 32L

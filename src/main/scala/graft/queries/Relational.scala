@@ -305,6 +305,43 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** AS-OF JOIN (SURVEY §2.7 absence — an operator Spark has no native
+    * node for): each `click` event is joined to the MOST RECENT prior
+    * `view` of the same user. The naive formulation is a range join
+    * (every click × every earlier view, then argmax — quadratic in events
+    * per user); the scale formulation composed here carries the view
+    * columns forward with `last(…, ignoreNulls)` over (user, time) — ONE
+    * shuffle by user, linear work, no range explosion. Events at equal
+    * timestamps order by event_id (deterministic tie-break, pinned in the
+    * oracle's identical window). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
+    t(spark, dir, "events")
+      .withColumn("prior_view_id",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("prior_view_value",
+        last(when(col("event_type") === "view", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("prior_view_id"), col("prior_view_value"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT user_id, event_id, ts, prior_view_id, prior_view_value FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER w AS prior_view_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER w AS prior_view_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |WHERE event_type = 'click'""".stripMargin
+
   /** Calendar aggregation: monthly revenue via date_trunc (SURVEY §2.7 —
     * the ref has no date functions at all; native here). */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =

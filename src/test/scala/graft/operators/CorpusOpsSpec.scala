@@ -83,6 +83,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("token_bpe: classes partition the BPE tokens; every class non-vacuous") {
+    val rows = CorpusOps.tokenBpe(spark, dir).collect()
+      .map(r => (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    // the three class patterns partition the alternation exactly
+    rows.foreach { case (bpe, a, n, p) =>
+      assert(bpe == a + n + p, s"classes don't partition: bpe=$bpe a=$a n=$n p=$p")
+    }
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0) && rows.exists(_._4 > 0),
+      "some token class never occurs — vacuous input")
+  }
+
   test("chunk_docs: chunks tile each document exactly") {
     val chunks = CorpusOps.chunkDocs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
