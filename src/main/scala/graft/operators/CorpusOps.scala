@@ -216,14 +216,12 @@ object CorpusOps {
     t(spark, dir, "events")
       .select(col("event_id"), col("props"),
         size(split(col("props"), " ")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("props"), lit(BpePattern), lit(0)))
-          .as("n_bpe_tokens"),
-        size(regexp_extract_all(col("props"), lit(AlphaPattern), lit(0)))
-          .as("n_alpha"),
-        size(regexp_extract_all(col("props"), lit(NumPattern), lit(0)))
-          .as("n_num"),
-        size(regexp_extract_all(col("props"), lit(PunctPattern), lit(0)))
-          .as("n_punct"))
+        // regexp_count, not size(regexp_extract_all): counting must not
+        // materialize a match array per row
+        regexp_count(col("props"), lit(BpePattern)).as("n_bpe_tokens"),
+        regexp_count(col("props"), lit(AlphaPattern)).as("n_alpha"),
+        regexp_count(col("props"), lit(NumPattern)).as("n_num"),
+        regexp_count(col("props"), lit(PunctPattern)).as("n_punct"))
       .orderBy(col("event_id"))
 
   val tokenBpeSql: String =

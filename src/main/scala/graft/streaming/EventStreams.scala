@@ -15,6 +15,9 @@ final case class SessionUpdate(user_id: Long, session_start_us: Long,
 final case class QuotaVerdict(user_id: Long, event_id: Long, admitted: Boolean,
     window_sum: Double)
 
+final case class ClickEnriched(user_id: Long, event_id: Long, ts_us: Long,
+    prior_view_id: Option[Long], prior_view_value: Option[Double])
+
 /** Event carrying a real TimestampType column (required for watermarks /
   * event-time timeouts). */
 final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
@@ -171,6 +174,37 @@ object EventStreams {
         org.apache.spark.sql.functions.md5(
           org.apache.spark.sql.functions.col("text").cast("binary")))
         .dropDuplicates("fp"))
+
+  /** Streaming AS-OF enrichment — the streaming twin of
+    * [[graft.queries.Relational.asofJoin]]: every click is emitted with
+    * the most recent prior view of its user. The carried state is ONE
+    * view per user — (ts, id, value), O(1) — where the batch window holds
+    * the whole ordering, so the stream runs forever at a bounded
+    * footprint. Same (ts_us, event_id) order and strictly-earlier
+    * semantics as the batch window; in-order delivery per user across
+    * micro-batches assumed (the [[quotaAdmission]] contract).
+    * EventStreamsSpec proves EXACT batch parity over in-order
+    * micro-batch splits. */
+  def asofEnrich(events: Dataset[Event]): Dataset[ClickEnriched] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double), ClickEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          var last = state.getOption // latest view's (ts_us, event_id, value)
+          val out = List.newBuilder[ClickEnriched]
+          batch.toList.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "click")
+              out += ClickEnriched(userId, e.event_id, e.ts_us,
+                last.map(_._2), last.map(_._3))
+            if (e.event_type == "view" && last.forall(l =>
+              l._1 < e.ts_us || (l._1 == e.ts_us && l._2 < e.event_id)))
+              last = Some((e.ts_us, e.event_id, e.value))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Per-user sequential sliding-window admission — the p4 quota contract
     * (admit iff in-window sum + amount ≤ max; admitted events join the

@@ -80,6 +80,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("asofEnrich: stream output EXACTLY equals the batch as-of join across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode("append")
+      .start()
+    try {
+      // three in-order micro-batches: the last-view state must carry across
+      val sorted = rows.sortBy(e => (e.ts_us, e.event_id))
+      sorted.grouped(math.max(1, sorted.length / 3)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("asof").as[ClickEnriched].collect()
+        .map(c => c.event_id -> (c.prior_view_id, c.prior_view_value)).toMap
+      val batch = graft.queries.Relational.asofJoin(spark, dir).collect()
+        .map { r =>
+          r.getLong(1) -> (
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+        }.toMap
+      assert(streamed == batch,
+        s"stream/batch as-of divergence on ${
+          (streamed.keySet | batch.keySet).count(k =>
+            streamed.get(k) != batch.get(k))} clicks")
+      assert(streamed.nonEmpty && streamed.values.exists(_._1.isDefined))
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
