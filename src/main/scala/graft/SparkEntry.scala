@@ -69,6 +69,7 @@ object SparkEntry {
     // by design; error bounds vs exact are pinned in ScalaTest)
     "approx_stats" -> (TextAnalysis.approxStats _),
     "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
@@ -162,6 +163,9 @@ object SparkEntry {
     "decontaminate" -> Dedup.decontaminateSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
+    // the corpus fingerprint set + delta-internal keeper election)
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     // the verified LSH twins' oracle IS the exact-Jaccard SQL: equality
     // holds iff the candidate generators caught every true >=0.7 pair on

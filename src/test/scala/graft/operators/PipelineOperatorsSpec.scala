@@ -172,6 +172,28 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("dedup_incremental ≡ full keeper election restricted to the delta; non-vacuous") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    // the full-rebuild truth: a delta doc survives iff it is the GLOBAL
+    // min of its signature group (delta ids all exceed corpus ids, so
+    // global-min ∈ delta ⇔ no corpus member ∧ delta-internal min)
+    val fullKeepers = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, Dedup.PrefixSigLen).cast("binary"))
+          .as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (_, g) => g.map(_._1).min }
+      .filter(_ >= Dedup.IncrementalCut).toSet
+    val got = Dedup.dedupIncremental(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == fullKeepers,
+      "incremental survivors diverge from the full rebuild")
+    val deltaSize = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") >= Dedup.IncrementalCut).count()
+    assert(got.size < deltaSize,
+      "incremental dedup dropped nothing — vacuous signature")
+  }
+
   test("star contraction ≡ plain propagation on the corpus graph; O(log n) rounds on an adversarial chain") {
     import spark.implicits._
     // 1. equivalence on the real near-dup pair graph
