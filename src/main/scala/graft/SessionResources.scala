@@ -21,14 +21,22 @@ object SessionResources {
 
   private val actions =
     new ConcurrentHashMap[String, ConcurrentLinkedQueue[() => Unit]]
+  // one listener per app EVER (never cleared on release: the listener is
+  // already attached to the context and calling addSparkListener again
+  // after each engine restart would accumulate listeners on the bus)
   private val listened = ConcurrentHashMap.newKeySet[String]()
 
   /** Register a cleanup action for this session's application; hooks the
     * application-end listener once per app so artifacts never outlive the
-    * SparkContext even when no engine shutdown runs. */
+    * SparkContext even when no engine shutdown runs. Synchronized with
+    * [[release]]: an action can never land in a queue a concurrent
+    * release has already drained (it would silently never run). */
   def onRelease(spark: SparkSession)(action: () => Unit): Unit = {
     val appId = spark.sparkContext.applicationId
-    actions.computeIfAbsent(appId, _ => new ConcurrentLinkedQueue).add(action)
+    synchronized {
+      actions.computeIfAbsent(appId, _ => new ConcurrentLinkedQueue)
+        .add(action)
+    }
     if (listened.add(appId))
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
@@ -38,8 +46,7 @@ object SessionResources {
 
   /** Run (once) and drop every cleanup action registered for `appId`. */
   def release(appId: String): Unit = {
-    val q = actions.remove(appId)
-    listened.remove(appId)
+    val q = synchronized { actions.remove(appId) }
     if (q != null) q.forEach(a => try a() catch { case _: Throwable => () })
   }
 

@@ -82,7 +82,7 @@ object Dedup {
        |  SELECT fp, min(doc_id) AS doc_id, count(*) AS n_delta_copies
        |  FROM fps WHERE doc_id >= $IncrementalCut GROUP BY fp)
        |SELECT doc_id, fp, n_delta_copies FROM delta
-       |WHERE fp NOT IN (SELECT fp FROM corpus)
+       |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = delta.fp)
        |ORDER BY doc_id""".stripMargin
 
   /** Character-trigram sets per doc, doc_id-bounded (candidate universe).
@@ -483,17 +483,25 @@ object Dedup {
     * per-component star (equivalence to plain propagation and the round
     * bound are spec-pinned in PipelineOperatorsSpec; the registered
     * `dedup_clusters_star` query runs THIS engine against the same
-    * recursive-CTE oracle as `dedup_clusters`). */
+    * recursive-CTE oracle as `dedup_clusters`). Node universe: endpoints
+    * of at least one NON-self-loop edge (a node appearing only as (x, x)
+    * names no pair and is dropped with the loop). */
   def connectedComponents(edgesIn: DataFrame): DataFrame =
     connectedComponentsWithRounds(edgesIn)._1
 
   private[operators] def connectedComponentsWithRounds(
       edgesIn: DataFrame): (DataFrame, Int) = {
-    // canonical state: directed (hi > lo), self-loops dropped, distinct
-    var (cur, curRdd) = materialize(edgesIn
+    // canonical state: directed (hi > lo), self-loops dropped, distinct.
+    // The input plan (for dedupClustersStar, the whole gram self-join) is
+    // computed EXACTLY ONCE into this materialization; the node set for
+    // the final labeling derives from it too, never from edgesIn (which
+    // would re-run the expensive upstream on every downstream action).
+    val (canon0, canon0Rdd) = materialize(edgesIn
       .select(greatest(col("src"), col("dst")).as("hi"),
         least(col("src"), col("dst")).as("lo"))
       .filter(col("hi") > col("lo")).distinct())
+    var cur = canon0
+    var curRdd = canon0Rdd
     var curCount = cur.count()
     var rounds = 0
     var done = curCount == 0L
@@ -524,13 +532,16 @@ object Dedup {
       val nextCount = next.count()
       // fixpoint: same count and next ⊆ cur ⇒ set equality
       done = nextCount == curCount && next.except(cur).isEmpty
-      curRdd.unpersist(blocking = false)
+      // never unpersist the INITIAL canonical set — the final labeling's
+      // node universe reads it (ContextCleaner reclaims it with the result)
+      if (curRdd ne canon0Rdd) curRdd.unpersist(blocking = false)
       cur = next; curRdd = nextRdd; curCount = nextCount
     }
     // at the fixpoint `cur` is one star per component: (node, component
-    // min) for every non-min node; min nodes label themselves
-    val nodes = edgesIn.select(col("src").as("doc_id"))
-      .union(edgesIn.select(col("dst").as("doc_id"))).distinct()
+    // min) for every non-min node; min nodes label themselves. Canonical
+    // edges have hi > lo (no self-loops), so hi ∪ lo is the node universe.
+    val nodes = canon0.select(col("hi").as("doc_id"))
+      .union(canon0.select(col("lo").as("doc_id"))).distinct()
     val labels = nodes
       .join(cur.select(col("hi").as("doc_id"), col("lo").as("cluster")),
         Seq("doc_id"), "left_outer")

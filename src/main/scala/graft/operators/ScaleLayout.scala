@@ -44,7 +44,16 @@ object ScaleLayout {
     * retry that replays the same partition contents reproduces them
     * exactly. Identical duplicate rows land in different buckets
     * (positions differ); any assignment in [0, n) is correct because the
-    * small side is replicated for all n salts. */
+    * small side is replicated for all n salts.
+    *
+    * CONTRACT (unchanged from the m_i_i formulation): position is only
+    * reproducible if `big`'s partitions recompute identically — a stable
+    * scan, or a checkpointed/persisted input. If `big` sits downstream of
+    * a shuffle or an AQE-coalesced exchange, a fetch-failure retry can
+    * regenerate different partition contents for map outputs that were
+    * already consumed, and rows re-salted differently would be duplicated
+    * or dropped by the join. Call saltedJoin on scan-rooted (or
+    * persisted) inputs; materialize first otherwise. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val replicatedSmall = small.withColumn("__salt",

@@ -182,7 +182,11 @@ object KvSurface {
     * otherwise pin a fresh possibly-MB broadcast block on driver and
     * executors per call for the session lifetime. Destroying after
     * materialization isn't safe here — the returned DataFrame is lazy and
-    * may be re-executed (the bench runs every query twice). */
+    * may be re-executed (the bench runs every query twice) — so entries
+    * live until ENGINE SHUTDOWN / application end (SessionResources),
+    * the reference's process-exit point: DataFrames handed out before a
+    * BYE are dead with the server that produced them BY DESIGN; a fresh
+    * invocation after shutdown simply re-broadcasts. */
   private val resultBroadcasts =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.broadcast.Broadcast[String]]()

@@ -29,6 +29,11 @@ class SessionResourcesSpec extends AnyFunSuite with SparkSpec {
     assert(graft.queries.KvSurface.resultBroadcastCount(appId) >= 1,
       "no cached KMR result broadcast before shutdown")
 
+    // NOTE: release is app-wide by design (BYE = process exit). The only
+    // sibling suite that creates KMR broadcasts (SparkEntrySpec) never
+    // re-executes its DataFrames, so a concurrent destroy cannot fail it;
+    // the count==0 assert below runs immediately after release, inside a
+    // microseconds-wide window.
     val engine = new Engine(spark) // shares the session; does not own it
     engine.shutdown()
 
