@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
+    "embed_quantize" -> (Similarity.embedQuantize _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_verified" -> (Similarity.annIvfVerified _),
@@ -183,6 +184,7 @@ object SparkEntry {
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
+    "embed_quantize" -> Similarity.embedQuantizeSql,
     // the IVF twins' oracle IS the exact brute-force SQL: equality holds
     // iff the approximate pipeline (centroids, assignment, probe
     // selection at IvfVerifyProbes=6 of 16, pruned scan, re-rank)

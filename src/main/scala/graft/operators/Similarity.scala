@@ -343,6 +343,44 @@ object Similarity {
     annIvfIndexed(spark, indexPath, centroids, qid, qv, IvfVerifyProbes)
   }
 
+  /** Per-vector affine INT8 quantization — the storage/bandwidth path for
+    * embedding columns at 100 TB (4× smaller than float32 inverted lists;
+    * codes live beside the IVF partitions, full-precision re-rank only for
+    * the probed candidates). Emits the quantization parameters (per-vector
+    * min/max), an exact integer checksum of the codes, and the maximum
+    * absolute dequantization error — every arithmetic step an identical
+    * IEEE op sequence in both engines, so the driver gate proves code
+    * assignment AND error accounting exactly. The error contract (max_err
+    * strictly under one quantization step) is spec-pinned. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .withColumn("mn", array_min(col("ev")))
+      .withColumn("mx", array_max(col("ev")))
+      .withColumn("codes",
+        expr("transform(ev, x -> floor((x - mn) / (mx - mn) * 255))"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        expr("array_max(transform(sequence(1, size(ev)), i -> " +
+          "abs(mn + (CAST(element_at(codes, i) AS DOUBLE) / 255) * (mx - mn)" +
+          " - element_at(ev, i))))").as("max_err"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      |m AS (SELECT vec_id, ev, list_min(ev) AS mn, list_max(ev) AS mx FROM e),
+      |c AS (SELECT vec_id, ev, mn, mx,
+      |        list_transform(ev,
+      |          x -> CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)) AS codes
+      |      FROM m)
+      |SELECT vec_id, mn, mx,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+      |    (a, b) -> a + b) AS code_sum,
+      |  list_max(list_transform(range(1, len(ev) + 1),
+      |    i -> abs(mn + (CAST(codes[i] AS DOUBLE) / 255) * (mx - mn) - ev[i])))
+      |    AS max_err
+      |FROM c ORDER BY vec_id""".stripMargin
+
   // Near-dup knobs, tuned to the synthetic corpus: the testdata embeddings
   // are near-random unit vectors with NO planted cosine-0.95 dups (max
   // pairwise cosine ≈ 0.49), so the "duplicate" contract is parametric and

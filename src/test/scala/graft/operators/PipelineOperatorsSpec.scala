@@ -311,6 +311,29 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       s"non-keepers ${wouldSurvive.filter(survivorIds)} survived the pipeline")
   }
 
+  test("embed_quantize: dequantization error strictly under one step; checksum reconciles") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = Similarity.embedQuantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, mn, mx, _, err) =>
+      val step = (mx - mn) / 255
+      assert(err >= 0 && err < step,
+        s"vec $id: max dequant error $err not under one step $step")
+    }
+    // driver reconciliation of the integer checksum for the first vectors
+    val evs = graft.Tables.t(spark, dir, "embeddings")
+      .filter(c("vec_id") < 5)
+      .select(c("vec_id"), c("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.filter(_._1 < 5).foreach { case (id, mn, mx, sum, _) =>
+      val want = evs(id).map(x => math.floor((x - mn) / (mx - mn) * 255).toLong).sum
+      assert(sum == want, s"vec $id checksum $sum != driver $want")
+    }
+  }
+
   test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
     // NOTE: the synthetic embeddings are near-random unit vectors (best
     // cosine ≈ 0.33), so no LSH can promise top-10 recall here; the
