@@ -64,6 +64,7 @@ object SparkEntry {
     "sample_mix" -> (graft.operators.CorpusOps.sampleMix _),
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
+    "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
     "asof_join" -> (Relational.asofJoin _),
     // sketch aggregates: rows-only (sketch internals differ across engines
     // by design; error bounds vs exact are pinned in ScalaTest)
@@ -152,6 +153,7 @@ object SparkEntry {
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
     "token_bpe" -> graft.operators.CorpusOps.tokenBpeSql,
+    "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
     "asof_join" -> Relational.asofJoinSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed

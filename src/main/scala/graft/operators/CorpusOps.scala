@@ -197,6 +197,61 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- pipeline integrity audit ----
+
+  private val KnownLangs = Seq("en", "de", "fr", "es", "zh")
+
+  /** Data-integrity audit across the corpus tables — the invariants a
+    * pipeline run asserts before training: doc↔embedding alignment (both
+    * directions), no empty text, declared metadata (`n_chars`) consistent
+    * with the payload, language labels in the known set. One row per
+    * check with its violation count; zero is a meaningful answer (the
+    * sf0.1 corpus REALLY has 3000 docs without embeddings — spec-pinned
+    * non-vacuous there). Shape: two anti-joins on ids + three columnar
+    * predicate counts, each a map-side-partial aggregate. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    def row(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    row("docs_without_embedding",
+      docs.join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_anti"))
+      .unionAll(row("embeddings_without_doc",
+        emb.select(col("vec_id").as("doc_id"))
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")))
+      .unionAll(row("empty_text",
+        docs.filter(col("text").isNull || length(col("text")) === 0)))
+      .unionAll(row("n_chars_mismatch",
+        docs.filter(col("n_chars") =!= length(col("text")))))
+      .unionAll(row("unknown_lang",
+        docs.filter(!col("lang").isin(KnownLangs: _*))))
+      .orderBy(col("check_name"))
+  }
+
+  val integrityAuditSql: String = {
+    val langs = KnownLangs.map(l => s"'$l'").mkString(", ")
+    s"""SELECT check_name, n_violations FROM (
+       |  SELECT 'docs_without_embedding' AS check_name, count(*) AS n_violations
+       |  FROM documents d WHERE NOT EXISTS
+       |    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+       |  UNION ALL
+       |  SELECT 'embeddings_without_doc', count(*)
+       |  FROM embeddings e WHERE NOT EXISTS
+       |    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+       |  UNION ALL
+       |  SELECT 'empty_text', count(*)
+       |  FROM documents WHERE text IS NULL OR length(text) = 0
+       |  UNION ALL
+       |  SELECT 'n_chars_mismatch', count(*)
+       |  FROM documents WHERE n_chars <> length(text)
+       |  UNION ALL
+       |  SELECT 'unknown_lang', count(*)
+       |  FROM documents WHERE lang NOT IN ($langs))
+       |ORDER BY check_name""".stripMargin
+  }
+
   // ---- BPE-ish regex tokenization ----
 
   /** GPT-2-style pre-tokenizer classes, restricted to the java-regex/RE2

@@ -95,6 +95,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       "some token class never occurs — vacuous input")
   }
 
+  test("integrity_audit: all five checks present; sf0.1's missing embeddings detected") {
+    val small = CorpusOps.integrityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(small.keySet == Set("docs_without_embedding",
+      "embeddings_without_doc", "empty_text", "n_chars_mismatch",
+      "unknown_lang"))
+    // the aligned small corpus audits clean — zero is the correct answer
+    assert(small.values.forall(_ == 0L), s"unexpected violations: $small")
+    // the sf0.1 corpus REALLY ships 5000 docs but 2000 embeddings
+    val big = CorpusOps.integrityAudit(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(big("docs_without_embedding") == 3000L,
+      s"expected 3000 unembedded docs at sf0.1: $big")
+  }
+
   test("chunk_docs: chunks tile each document exactly") {
     val chunks = CorpusOps.chunkDocs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
