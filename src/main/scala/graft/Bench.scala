@@ -52,8 +52,12 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // pass 2 runs in REVERSE order: min-of-two same-order passes cannot
+    // cancel order-correlated contention (round 4: a heavy alphabetical
+    // neighbor contaminated both samples of the same victims) — reversing
+    // gives every query a different predecessor in each sample
     val pass1 = names.map(n => n -> once(n)).toMap
-    val pass2 = names.map(n => n -> once(n)).toMap
+    val pass2 = names.reverse.map(n => n -> once(n)).toMap
     val results = names.map { n =>
       val runs = Seq(pass1(n), pass2(n)).filterNot(_.isNaN)
       n -> (if (runs.isEmpty) -1.0 else runs.min)

@@ -33,16 +33,22 @@ object SessionResources {
     * release has already drained (it would silently never run). */
   def onRelease(spark: SparkSession)(action: () => Unit): Unit = {
     val appId = spark.sparkContext.applicationId
-    synchronized {
-      actions.computeIfAbsent(appId, _ => new ConcurrentLinkedQueue)
-        .add(action)
-    }
+    registerAction(appId)(action)
     if (listened.add(appId))
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
           release(appId)
       })
   }
+
+  /** Registration seam without the listener hook — lets specs exercise the
+    * register/release lifecycle under a synthetic appId that cannot touch
+    * any live application's artifacts. */
+  private[graft] def registerAction(appId: String)(action: () => Unit): Unit =
+    synchronized {
+      actions.computeIfAbsent(appId, _ => new ConcurrentLinkedQueue)
+        .add(action)
+    }
 
   /** Run (once) and drop every cleanup action registered for `appId`. */
   def release(appId: String): Unit = {

@@ -219,17 +219,24 @@ final class Engine(val spark: SparkSession,
   @volatile private var stopped = false
   def isStopped: Boolean = stopped
 
-  /** Release UDF loaders, this application's session artifacts (scratch
-    * dirs, cached KMR result broadcasts — graft.SessionResources), and stop
-    * serving (ref shutdown: p5/server/my_storage.cc:421-424); stops the
-    * SparkSession too when the engine owns it (opts.ownsSession). The
-    * reference process exits at BYE, so nothing it wrote to scratch may
-    * outlive it here either. */
+  /** Release this engine's UDF loaders and stop serving (ref shutdown:
+    * p5/server/my_storage.cc:421-424). Application-wide session artifacts
+    * (scratch dirs, cached KMR result broadcasts — graft.SessionResources)
+    * are released ONLY when the engine owns the SparkSession: they belong
+    * to the application, and an engine that merely borrows a shared
+    * session must not delete scratch dirs or destroy broadcasts that
+    * sibling engines / lazily-returned DataFrames in the same application
+    * still reference. A non-owning BYE maps to "this server stops
+    * serving"; the process-exit artifact sweep happens at application end
+    * (the SessionResources listener) or at the owning engine's BYE —
+    * whichever comes first, exactly once. */
   def shutdown(): Unit = {
     stopped = true
     funcs.close()
-    try graft.SessionResources.release(spark.sparkContext.applicationId)
-    catch { case _: Throwable => () } // context may already be stopped
-    if (opts.ownsSession) spark.stop()
+    if (opts.ownsSession) {
+      try graft.SessionResources.release(spark.sparkContext.applicationId)
+      catch { case _: Throwable => () } // context may already be stopped
+      spark.stop()
+    }
   }
 }

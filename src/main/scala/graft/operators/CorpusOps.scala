@@ -84,7 +84,9 @@ object CorpusOps {
        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
        |tf AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
        |wstats AS (
-       |  SELECT doc_id, max(c) AS mx, sum(c) AS n_words,
+       |  -- CAST: DuckDB widens integer sum() to HUGEINT; Spark emits BIGINT
+       |  -- and the driver's hash is type-sensitive (round-4 red row)
+       |  SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_words,
        |         count(*) AS n_distinct,
        |         sum(c * length(word)) AS alpha_chars
        |  FROM tf GROUP BY 1),

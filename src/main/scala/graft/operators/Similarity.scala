@@ -353,12 +353,25 @@ object Similarity {
     * assignment AND error accounting exactly. The error contract (max_err
     * strictly under one quantization step) is spec-pinned. */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+    embedQuantizeCore(
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("ev")))
+
+  /** Core of [[embedQuantize]] over any (vec_id, ev: array<double>) frame —
+    * factored so the constant-vector edge is spec-testable on synthetic
+    * input (the corpus has no constant embeddings). */
+  def embedQuantizeCore(vecs: DataFrame): DataFrame =
+    vecs
       .withColumn("mn", array_min(col("ev")))
       .withColumn("mx", array_max(col("ev")))
-      .withColumn("codes",
-        expr("transform(ev, x -> floor((x - mn) / (mx - mn) * 255))"))
+      // mx = mn (constant vector): (x-mn)/(mx-mn) is 0/0 = NaN — floor(NaN)
+      // nulls the codes in Spark and ERRORS the DuckDB oracle's CAST. A
+      // degenerate range carries zero information: emit all-zero codes (the
+      // dequantized value mn + 0·0 = mn is already exact, so max_err folds
+      // to 0 with no further special-casing).
+      .withColumn("codes", expr(
+        "transform(ev, x -> CASE WHEN mx = mn THEN 0L " +
+          "ELSE floor((x - mn) / (mx - mn) * 255) END)"))
       .select(col("vec_id"), col("mn"), col("mx"),
         expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
         expr("array_max(transform(sequence(1, size(ev)), i -> " +
@@ -371,7 +384,9 @@ object Similarity {
       |m AS (SELECT vec_id, ev, list_min(ev) AS mn, list_max(ev) AS mx FROM e),
       |c AS (SELECT vec_id, ev, mn, mx,
       |        list_transform(ev,
-      |          x -> CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)) AS codes
+      |          x -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |               ELSE CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)
+      |               END) AS codes
       |      FROM m)
       |SELECT vec_id, mn, mx,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),

@@ -382,8 +382,8 @@ object TextAnalysis {
       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1)
       |SELECT doc_id, token, score, rn FROM (
       |  SELECT tf.doc_id, tf.token, CAST(tf.tf AS DOUBLE) / df.df AS score,
-      |    row_number() OVER (PARTITION BY tf.doc_id
-      |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS rn
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS INT) AS rn
       |  FROM tf JOIN df USING (token))
       |WHERE rn <= 3""".stripMargin
 }

@@ -190,6 +190,11 @@ object KvSurface {
   private val resultBroadcasts =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.broadcast.Broadcast[String]]()
+  // apps whose releaseBroadcasts hook is already queued: one registration
+  // per app, not one per KMR invocation (the cleanup queue would otherwise
+  // grow unboundedly with call count over the session lifetime)
+  private val gcHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def singleRowResult(spark: SparkSession, s: String): DataFrame = {
     import spark.implicits._
@@ -203,12 +208,16 @@ object KvSurface {
     // re-broadcast on alternation, never correctness.)
     val appId = spark.sparkContext.applicationId
     resultBroadcasts.keySet.removeIf(k => !k.startsWith(appId + ":"))
-    // BYE/shutdown GC: engine shutdown (or context stop) destroys this
-    // app's cached result broadcasts — possibly-MB blocks must not outlive
-    // the session that built them. Re-registering per call is harmless
-    // (release drains the queue; a destroyed-then-needed result simply
-    // re-broadcasts on the next invocation).
-    graft.SessionResources.onRelease(spark)(() => releaseBroadcasts(appId))
+    // application-end GC: context stop (or an owning engine's BYE) destroys
+    // this app's cached result broadcasts — possibly-MB blocks must not
+    // outlive the session that built them. Hooked ONCE per app: the hook
+    // sweeps the whole app-prefixed cache, so per-call re-registration
+    // would only duplicate work in the cleanup queue. If a release already
+    // drained the hook (owning-engine BYE mid-app), re-arm it so later
+    // invocations' broadcasts still get swept at application end.
+    if (gcHooked.add(appId))
+      graft.SessionResources.onRelease(spark)(() =>
+        { gcHooked.remove(appId); releaseBroadcasts(appId) })
     val bc = resultBroadcasts.computeIfAbsent(appId + ":" + digest,
       _ => spark.sparkContext.broadcast(s))
     spark.range(1).map(_ => bc.value).toDF("result")

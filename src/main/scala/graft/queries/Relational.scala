@@ -123,7 +123,7 @@ object Relational {
 
   val windowRunningSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  ROW_NUMBER() OVER w AS order_seq,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS running_spend
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -319,24 +319,29 @@ object Relational {
       .orderBy(unix_micros(col("ts")), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1) // strictly earlier rows
     t(spark, dir, "events")
-      .withColumn("prior_view_id",
-        last(when(col("event_type") === "view", col("event_id")),
-          ignoreNulls = true).over(w))
-      .withColumn("prior_view_value",
-        last(when(col("event_type") === "view", col("value")),
+      // ONE last() over a struct, not two independent last()s per column:
+      // a view event carrying a NULL value would otherwise pair the latest
+      // view's id with an OLDER view's value (ignoreNulls skips per-column)
+      // — the (id, value) pair must travel atomically, exactly as the
+      // streaming twin [[graft.streaming.EventStreams.asofEnrich]] carries
+      // it in one state object.
+      .withColumn("pv",
+        last(when(col("event_type") === "view",
+          struct(col("event_id"), col("value"))),
           ignoreNulls = true).over(w))
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"),
-        col("prior_view_id"), col("prior_view_value"))
+        col("pv.event_id").as("prior_view_id"),
+        col("pv.value").as("prior_view_value"))
   }
 
   val asofJoinSql: String =
-    """SELECT user_id, event_id, ts, prior_view_id, prior_view_value FROM (
+    """SELECT user_id, event_id, ts,
+      |  (pv).event_id AS prior_view_id, (pv).value AS prior_view_value FROM (
       |  SELECT user_id, event_id, ts, event_type,
-      |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
-      |      OVER w AS prior_view_id,
-      |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
-      |      OVER w AS prior_view_value
+      |    last_value(CASE WHEN event_type = 'view'
+      |        THEN {'event_id': event_id, 'value': value} END IGNORE NULLS)
+      |      OVER w AS pv
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
@@ -346,7 +351,9 @@ object Relational {
     * the ref has no date functions at all; native here). */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      // .cast("date"): Spark's date_trunc returns TIMESTAMP, DuckDB's
+      // returns DATE for a DATE input — harmonize to the natural month type
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
       .orderBy(col("month"))

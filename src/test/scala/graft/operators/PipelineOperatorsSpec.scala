@@ -334,6 +334,25 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embed_quantize: constant vector (mx = mn) quantizes to zero codes, zero error — no NaN") {
+    // the corpus has no constant embeddings, so the 0/0 range edge is
+    // pinned on synthetic input: codes must be 0 (not null from
+    // floor(NaN)), the checksum 0, and max_err exactly 0
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val in = Seq(
+      (1L, Array(0.5, 0.5, 0.5)),  // constant
+      (2L, Array(1.0)),            // single element (mn == mx trivially)
+      (3L, Array(0.0, 1.0))        // sanity: normal vector unaffected
+    ).toDF("vec_id", "ev")
+    val out = Similarity.embedQuantizeCore(in)
+      .select(c("vec_id"), c("code_sum"), c("max_err")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((0L, 0.0)), s"constant vector: ${out(1L)}")
+    assert(out(2L) == ((0L, 0.0)), s"single element: ${out(2L)}")
+    assert(out(3L) == ((255L, 0.0)), s"normal vector: ${out(3L)}")
+  }
+
   test("ann_lsh: exact re-rank inside buckets, biased toward high cosine") {
     // NOTE: the synthetic embeddings are near-random unit vectors (best
     // cosine ≈ 0.33), so no LSH can promise top-10 recall here; the

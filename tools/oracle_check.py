@@ -36,9 +36,24 @@ def main():
             got = con.sql(
                 f"SELECT * FROM read_parquet({files!r})").df()
             exp = con.sql(sql).df()
+            gt = {r[0]: r[1] for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+            et = {r[0]: r[1] for r in con.sql(f"DESCRIBE {sql}").fetchall()}
         except Exception as e:
             failures.append((name, f"query error: {e}"))
             print(f"FAIL {name}: {e}")
+            continue
+        # type-parity gate (round-4 verdict item #2): the driver's hash is
+        # type/byte-sensitive — a HUGEINT-vs-BIGINT or DATE-vs-TIMESTAMP skew
+        # red-flags a query whose VALUES match. Assert DuckDB-level types of
+        # the Spark parquet output == the oracle result, exactly.
+        tdiff = [(c, gt.get(c), et.get(c)) for c in sorted(set(gt) | set(et))
+                 if type_key(gt.get(c)) != type_key(et.get(c))]
+        if tdiff:
+            msg = "type skew: " + ", ".join(
+                f"{c} spark={g} oracle={e}" for c, g, e in tdiff)
+            print(f"FAIL {name}: {msg}")
+            failures.append((name, msg))
             continue
         ok, msg = compare(got, exp)
         status = "ok  " if ok else "FAIL"
@@ -47,6 +62,13 @@ def main():
             failures.append((name, msg))
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
     sys.exit(1 if failures else 0)
+
+
+def type_key(t):
+    # strict identity, no widening tolerance: INTEGER != BIGINT != HUGEINT,
+    # DATE != TIMESTAMP. Only notational aliases collapse.
+    return None if t is None else str(t).upper().replace(
+        "TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ")
 
 
 def compare(got, exp):
