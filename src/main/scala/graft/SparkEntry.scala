@@ -94,13 +94,16 @@ object SparkEntry {
       Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
-    // distributed sequential quota admission (p4 semantics; SQL can't
-    // express the event-joins-window feedback loop → rows-only check,
-    // cross-validated against the streaming twin + QuotaTracker in tests)
+    // distributed sequential quota admission (p4 semantics), oracle'd via
+    // a recursive CTE that replays the same per-user fold (r4 item #6)
     "quota_admission_replay" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStreams.quotaReplayBatch(s, d,
-        maxAmount = 100.0, windowUs = 7L * 24 * 3600 * 1000000)),
+        maxAmount = QuotaReplayMax, windowUs = QuotaReplayWindowUs)),
   )
+
+  // quota replay knobs shared by the query and its oracle (can't drift)
+  private val QuotaReplayMax = 100.0
+  private val QuotaReplayWindowUs = 7L * 24 * 3600 * 1000000
 
   /** DuckDB-runnable ANSI SQL per query key (same column names!). */
   def oracleSql: Map[String, String] = Map(
@@ -195,12 +198,19 @@ object SparkEntry {
     "ann_ivf_verified" -> Similarity.annBruteForceSql,
     "ann_ivf_indexed" -> Similarity.annBruteForceSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
+    // oracle replays the sequential per-user admission fold as a
+    // recursive CTE carrying the admitted window as a list — equality
+    // proves the distributed secondary-sort replay (and therefore the
+    // streaming twin, bit-identical by shared admitOne) computes exactly
+    // the reference quota semantics, doubles included
+    "quota_admission_replay" -> graft.streaming.EventStreams
+      .quotaReplaySql(QuotaReplayMax, QuotaReplayWindowUs),
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf /
-    // embedding_neardup_lsh / quota_admission_replay / approx_stats:
-    // hash/LSH/sketch internals and sequential admission aren't
-    // DuckDB-expressible → driver records the weaker rows-only check;
-    // each has an oracle-checked exact twin (dedup_*_verified,
-    // embedding_neardup, ann_cosine_topk, quota_window) and/or ScalaTest
-    // recall/error-bound pins against the exact operators.
+    // embedding_neardup_lsh / approx_stats:
+    // hash/LSH/sketch internals aren't DuckDB-expressible → driver
+    // records the weaker rows-only check; each has an oracle-checked
+    // exact twin (dedup_*_verified, embedding_neardup, ann_cosine_topk)
+    // and/or ScalaTest recall/error-bound pins against the exact
+    // operators.
   )
 }

@@ -358,10 +358,21 @@ object Dedup {
       s"i -> substring(text, i, $ContamGram))")
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GramHashes.gram_hashes
     val docs = t(spark, dir, "documents")
-      .filter(length(col("text")) >= ContamGram)
-    val evalDocs = docs.filter(col("doc_id") < ContamEvalCap)
+    decontaminateFrom(docs.filter(col("doc_id") >= ContamEvalCap),
+      docs.filter(col("doc_id") < ContamEvalCap))
+  }
+
+  /** Decontamination core over explicit (corpus, eval) doc sets — shared by
+    * the standalone query (corpus = everything ≥ [[ContamEvalCap]]) and the
+    * end-to-end pipeline, which probes only its materialized survivor set
+    * (flagging a doc an earlier stage already dropped cannot change an
+    * anti-join — restricting the corpus side is result-identical and skips
+    * hashing dropped docs). */
+  def decontaminateFrom(corpusIn: DataFrame, evalIn: DataFrame): DataFrame = {
+    import graft.functions.GramHashes.gram_hashes
+    val corpus = corpusIn.filter(length(col("text")) >= ContamGram)
+    val evalDocs = evalIn.filter(length(col("text")) >= ContamGram)
     // stage 1 — HASHED flag pass over the whole corpus: both sides take
     // single-pass rolling 64-bit gram hashes ([[graft.functions.GramHashes]]
     // — no per-gram string allocation, 8-byte probe keys, ~5× smaller
@@ -370,7 +381,7 @@ object Dedup {
     // no true contamination can be missed here.
     val evalHashes = evalDocs
       .select(explode(gram_hashes(col("text"), ContamGram)).as("gh")).distinct()
-    val flagged = docs.filter(col("doc_id") >= ContamEvalCap)
+    val flagged = corpus
       .select(col("doc_id"), explode(gram_hashes(col("text"), ContamGram)).as("gh"))
       .join(broadcast(evalHashes), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
@@ -382,7 +393,7 @@ object Dedup {
     // the premise of decontamination; a corpus-wide flag set would mean
     // the eval suite overlaps everything and the pipeline has no output.)
     val evalGrams = evalDocs.select(explode(contamGrams).as("gram")).distinct()
-    docs.join(broadcast(flagged), Seq("doc_id"), "left_semi")
+    corpus.join(broadcast(flagged), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(contamGrams).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("n_shared"))
@@ -427,7 +438,7 @@ object Dedup {
     * the whole history) but hands back the RDD so the loop can
     * `unpersist` superseded rounds instead of accumulating one
     * corpus-node-sized block set per round for the session lifetime. */
-  private def materialize(df: DataFrame)
+  private[operators] def materialize(df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

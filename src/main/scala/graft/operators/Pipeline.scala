@@ -31,26 +31,47 @@ import graft.Tables.t
   * Scale shape: semi/anti joins on doc_id (broadcastable survivor id
   * sets; at full scale AQE picks the join side), then the two-phase
   * packing cumsum — nothing here adds a shuffle beyond the stages' own.
+  * The cleaned+keeper survivor rows are materialized once and feed both
+  * decontamination and packing (the raw table is scanned by each stage's
+  * own mining, never re-scanned for the composition glue).
   */
 object Pipeline {
 
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val cleanedIds = TextAnalysis.corpusClean(spark, dir).select("doc_id")
     // near-dup keeper election: every clustered doc that is NOT its
-    // component's min is a near-duplicate of a kept doc — drop it
+    // component's min is a near-duplicate of a kept doc — drop it.
+    // The pair graph is mined over the RAW doc slice, not the cleaned
+    // survivors: a near-dup of a doc the quality gate dropped is still a
+    // near-dup (mining over survivors only would resurface it — and is
+    // measured VACUOUS on this corpus: zero j≥0.7 pairs survive cleaning
+    // at sf0.01/0.1, so the stage would silently do nothing).
     val nonKeepers = Dedup.dedupClustersStar(spark, dir)
       .filter(col("doc_id") =!= col("cluster")).select("doc_id")
-    val contaminatedIds = Dedup.decontaminate(spark, dir).select("doc_id")
-    val survivors = t(spark, dir, "documents")
-      // the eval docs themselves are NOT training data — decontaminate
-      // only flags CORPUS docs overlapping them, so without this filter
-      // the benchmark would be packed into the shards verbatim (the
-      // maximal leak the pipeline exists to prevent)
-      .filter(col("doc_id") >= Dedup.ContamEvalCap)
-      .join(cleanedIds, Seq("doc_id"), "left_semi")
-      .join(nonKeepers, Seq("doc_id"), "left_anti")
-      .join(contaminatedIds, Seq("doc_id"), "left_anti")
-    TextAnalysis.packDocs(survivors)
+    // materialize the (doc_id, text) rows that survived cleaning + keeper
+    // election ONCE — decontamination and packing both read these rows
+    // instead of re-deriving their inputs from the raw table. Restricting
+    // decontamination's corpus side to this set is RESULT-IDENTICAL (its
+    // ids are only ever anti-joined against this same set: flagging a doc
+    // already dropped upstream cannot change an intersection) but skips
+    // gram-hashing every dropped doc (~4× fewer docs at sf0.1). The
+    // composed oracle is unchanged — it flags the full corpus and
+    // intersects, which is the same set.
+    val (cleaned, _) = Dedup.materialize(
+      t(spark, dir, "documents")
+        // the eval docs themselves are NOT training data — decontaminate
+        // only flags CORPUS docs overlapping them, so without this filter
+        // the benchmark would be packed into the shards verbatim (the
+        // maximal leak the pipeline exists to prevent)
+        .filter(col("doc_id") >= Dedup.ContamEvalCap)
+        .join(cleanedIds, Seq("doc_id"), "left_semi")
+        .join(nonKeepers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text")))
+    val contaminatedIds = Dedup.decontaminateFrom(cleaned,
+      t(spark, dir, "documents").filter(col("doc_id") < Dedup.ContamEvalCap))
+      .select("doc_id")
+    TextAnalysis.packDocs(
+      cleaned.join(contaminatedIds, Seq("doc_id"), "left_anti"))
   }
 
   val pipelineE2eSql: String =

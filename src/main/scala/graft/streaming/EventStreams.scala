@@ -278,4 +278,44 @@ object EventStreams {
         }
       }.toDF()
   }
+
+  /** DuckDB oracle for [[quotaReplayBatch]] — the event-joins-window
+    * feedback loop IS SQL-expressible: users are independent and each
+    * user's fold is a linear recurrence over its `row_number()`-ordered
+    * events, so a recursive CTE that carries the admitted window as a
+    * LIST column replays every user in lockstep (iterations = max events
+    * per user, not total events). Float parity is exact by construction:
+    * the window list stays oldest-first (filter preserves order, admits
+    * append), and the sum is the same strict left fold
+    * [[admitOne]] runs — `list_reduce(list_prepend(0.0, amounts), +)`
+    * ≡ `foldLeft(0.0)(_ + _)`. */
+  def quotaReplaySql(maxAmount: Double, windowUs: Long): String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY epoch_us(ts), event_id) AS seq
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, event_id, seq, ts_us, value,
+       |         CAST(0 AS DOUBLE) AS window_sum,
+       |         (0 + value <= $maxAmount) AS admitted,
+       |         CASE WHEN 0 + value <= $maxAmount
+       |              THEN [{'t': ts_us, 'a': value}]
+       |              ELSE CAST([] AS STRUCT(t BIGINT, a DOUBLE)[]) END AS win
+       |  FROM ev WHERE seq = 1
+       |  UNION ALL
+       |  SELECT user_id, event_id, seq, ts_us, value,
+       |         kept_sum AS window_sum,
+       |         kept_sum + value <= $maxAmount AS admitted,
+       |         CASE WHEN kept_sum + value <= $maxAmount
+       |              THEN list_append(kept, {'t': ts_us, 'a': value})
+       |              ELSE kept END AS win
+       |  FROM (
+       |    SELECT q.*, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |             list_transform(kept, w -> w.a)), (a, b) -> a + b) AS kept_sum
+       |    FROM (
+       |      SELECT e.user_id, e.event_id, e.seq, e.ts_us, e.value,
+       |             list_filter(r.win, w -> e.ts_us - w.t < $windowUs) AS kept
+       |      FROM r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1) q))
+       |SELECT user_id, event_id, admitted, window_sum FROM r""".stripMargin
 }
