@@ -64,6 +64,7 @@ object SparkEntry {
     "sample_mix" -> (graft.operators.CorpusOps.sampleMix _),
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
+    "bpe_vocab" -> (graft.operators.CorpusOps.bpeVocab _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
     "asof_join" -> (Relational.asofJoin _),
     // sketch aggregates: rows-only (sketch internals differ across engines
@@ -156,6 +157,9 @@ object SparkEntry {
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
     "token_bpe" -> graft.operators.CorpusOps.tokenBpeSql,
+    // oracle unrolls the same merge rounds as static SQL — equality proves
+    // the iterative pair election, tie-break and merge application exactly
+    "bpe_vocab" -> graft.operators.CorpusOps.bpeVocabSql,
     "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
     "asof_join" -> Relational.asofJoinSql,
     // connected components over the near-dup pair graph; oracle walks the

@@ -290,6 +290,99 @@ object CorpusOps {
        |  CAST(len(regexp_extract_all(props, '$PunctPattern')) AS INT) AS n_punct
        |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- BPE tokenizer TRAINING: the iterative merge loop ----
+
+  /** Merge rounds trained by [[bpeVocab]] — small and fixed so the DuckDB
+    * oracle (the same rounds unrolled as static SQL) stays tractable. */
+  final val BpeMerges = 10
+
+  /** Every merged pair is assigned a fresh single CHARACTER from the CJK
+    * block (codepoint [[BpeMergeCharBase]] + rank): with every symbol one
+    * char, words stay plain strings, adjacent-pair extraction is a 2-char
+    * substring, and applying a merge is plain `replace` — whose
+    * left-to-right, continue-after-match scan IS the standard BPE
+    * non-overlapping run semantics ("aaaa" under (a,a) → "zz") and is
+    * identical in Spark and DuckDB. The corpus is lowercase-ASCII words,
+    * so merge characters can never collide with input symbols. */
+  final val BpeMergeCharBase = 0x4E00
+
+  /** BPE tokenizer TRAINING (the stage [[tokenBpe]] pre-tokenizes for):
+    * iterative most-frequent-adjacent-pair election and merge, producing
+    * the ranked merge table (rank, pair, fresh merged symbol, pair count).
+    * Ties break lexicographically on the pair — deterministic across
+    * engines (binary collation both sides; merge chars sort above ASCII).
+    *
+    * Scale shape: ONE corpus-sized aggregation builds the word-frequency
+    * table (the classic BPE-training reduction — merges never rescan the
+    * corpus); each of the [[BpeMerges]] rounds is then a pair-count
+    * hash-aggregate over the VOCAB-sized table plus a one-row driver fetch
+    * of the argmax (driver-controlled iteration, the [[Dedup.dedupClusters]]
+    * pattern) and a narrow replace projection. The vocab table is
+    * materialized once; rounds stack ≤ [[BpeMerges]] narrow projections on
+    * top of its in-memory blocks. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (w0, w0Rdd) = Dedup.materialize(
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("repr"))
+        .filter(length(col("repr")) > 0)
+        .groupBy(col("repr")).agg(count(lit(1)).as("cnt")))
+    var w = w0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val best = w
+        // length-1 reprs carry no pairs (and Spark's sequence(1, 0) would
+        // DESCEND and fabricate bogus grams — same guard as Dedup.grams)
+        .filter(length(col("repr")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(repr)-1), i -> substring(repr, i, 2))"))
+          .as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()(0) // ONE row per round: the elected pair
+      val m = (BpeMergeCharBase + r).toChar.toString
+      merges += ((r, best.getString(0), m, best.getLong(1)))
+      w = w.select(
+        replace(col("repr"), lit(best.getString(0)), lit(m)).as("repr"),
+        col("cnt"))
+    }
+    w0Rdd.unpersist(blocking = false) // result is the driver-held merge table
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "pair", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The same [[BpeMerges]] rounds unrolled as static SQL: each round is a
+    * pair-count CTE, a LIMIT-1 argmax CTE, and a replace projection; the
+    * fresh merge character chr(base + r) depends only on the round number,
+    * so the text is data-independent. */
+  val bpeVocabSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT pair, sum(cnt) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, length(repr)),
+         |      i -> repr[i:i+1])) AS pair, cnt
+         |    FROM w${r - 1})
+         |  GROUP BY pair),
+         |b$r AS (SELECT pair, CAST(c AS BIGINT) AS c FROM p$r
+         |        ORDER BY c DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(repr, (SELECT pair FROM b$r),
+         |          chr(${BpeMergeCharBase + r})) AS repr, cnt FROM w${r - 1})"""
+        .stripMargin
+    }
+    val sel = (1 to BpeMerges).map { r =>
+      s"""SELECT $r AS merge_rank, pair, chr(${BpeMergeCharBase + r}) AS merged,
+         |  c AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word AS repr, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (
+       |$sel
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   // ---- fixed-budget sequence chunking ----
 
   final val ChunkTokens = 32L

@@ -110,6 +110,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"expected 3000 unembedded docs at sf0.1: $big")
   }
 
+  test("bpe_vocab: merge loop elects pairs recursively with a driver-checked round") {
+    val rows = CorpusOps.bpeVocab(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // every round found a pair (the loop never went dry), ranks contiguous
+    assert(rows.map(_._1).toSeq == (1 to CorpusOps.BpeMerges),
+      "merge ranks not contiguous — a round elected nothing")
+    assert(rows.forall(_._4 > 0), "non-positive pair count")
+    // fresh single-char symbols, in rank order, outside the input alphabet
+    assert(rows.map(_._3).toSeq ==
+      (1 to CorpusOps.BpeMerges).map(r => (CorpusOps.BpeMergeCharBase + r).toChar.toString))
+    assert(rows.map(_._2).distinct.length == rows.length,
+      "a pair was elected twice — merges must consume their pair")
+    // RECURSION is non-vacuous on this corpus: some elected pair contains
+    // an earlier round's merged symbol (a merge built on a merge)
+    assert(rows.exists(_._2.exists(_ >= CorpusOps.BpeMergeCharBase.toChar)),
+      "no elected pair contains a merged symbol — merge recursion vacuous")
+    // driver-checked round 1: the most frequent adjacent char pair of the
+    // raw word-frequency table, ties broken lexicographically
+    val words = graft.Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach(w => w.sliding(2).filter(_.length == 2)
+      .foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1))
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert((rows(0)._2, rows(0)._4) == expect,
+      s"round 1 elected ${rows(0)} but driver says $expect")
+  }
+
   test("chunk_docs: chunks tile each document exactly") {
     val chunks = CorpusOps.chunkDocs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
