@@ -66,7 +66,11 @@ object SparkEntry {
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
     "bpe_vocab" -> (graft.operators.CorpusOps.bpeVocab _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
+    "lm_bigram_score" -> (graft.operators.CorpusOps.lmBigramScore _),
     "asof_join" -> (Relational.asofJoin _),
+    // co-located join through the bucketed physical layout (no Exchange on
+    // either join side — plan shape pinned in ScaleLayoutSpec)
+    "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
     // sketch aggregates: rows-only (sketch internals differ across engines
     // by design; error bounds vs exact are pinned in ScalaTest)
     "approx_stats" -> (TextAnalysis.approxStats _),
@@ -91,6 +95,7 @@ object SparkEntry {
     // r1's "embedding_neardup" was the LSH computation — r1→r2 numbers
     // under this name compare different computations; r2 onward is stable.
     "embedding_neardup" -> (Similarity.embeddingNearDupExact _),
+    "semdedup" -> (Similarity.semDedup _),
     "embedding_neardup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -161,7 +166,11 @@ object SparkEntry {
     // the iterative pair election, tie-break and merge application exactly
     "bpe_vocab" -> graft.operators.CorpusOps.bpeVocabSql,
     "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
+    "lm_bigram_score" -> graft.operators.CorpusOps.lmBigramScoreSql,
     "asof_join" -> Relational.asofJoinSql,
+    // oracle is the PLAIN join aggregate: equality proves the bucketed
+    // write + co-located join path is result-invariant
+    "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure
@@ -202,6 +211,11 @@ object SparkEntry {
     "ann_ivf_verified" -> Similarity.annBruteForceSql,
     "ann_ivf_indexed" -> Similarity.annBruteForceSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
+    // SemDeDup: the oracle replays centroid assignment AND the
+    // within-cluster lower-id prune — strict-left-fold cosines make every
+    // comparison bit-identical, so equality proves cluster assignment,
+    // tie-breaks and keeper election exactly
+    "semdedup" -> Similarity.semDedupSql,
     // oracle replays the sequential per-user admission fold as a
     // recursive CTE carrying the admitted window as a list — equality
     // proves the distributed secondary-sort replay (and therefore the

@@ -116,6 +116,68 @@ object CorpusOps {
        |   AND mean_word_len <= $MaxMeanWordLen) AS keep
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ---- corpus-LM fluency scoring (the CCNet-style quality signal) ----
+
+  /** A bigram is "rare" if the whole corpus contains it fewer than this
+    * many times. Tuned non-vacuously (keep split at rare<5: 475/25 sf0.001,
+    * 475/25 sf0.01, 4985/15 sf0.1). */
+  final val LmRareBelow = 5L
+
+  /** Language-model fluency scoring against a model trained ON the corpus
+    * itself — the CCNet/Wikipedia-LM filter shape (Wenzek et al. 2020):
+    * docs whose n-grams the corpus LM finds familiar score high; docs full
+    * of rare transitions score low and get gated. The statistic is
+    * integer-exact by construction (bigram-frequency counts and an exact
+    * final division) rather than a floating log-prob: a sum of per-bigram
+    * log-probabilities is order-dependent in IEEE doubles, so two engines
+    * summing in different orders could disagree in the last ulp — counts
+    * cannot. keep = "no rare bigram at all" ([[LmRareBelow]]).
+    *
+    * 100 TB shape: train = ONE corpus-sized hash-aggregate over the bigram
+    * explode (map-side partials); score = an equi-join of the same explode
+    * against the model table (vocab-sized, but never broadcast — bigram
+    * vocab at corpus scale exceeds executor memory) and a doc-keyed
+    * hash-aggregate. No windows, no driver round-trips, no double sums. */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1, size-1) must not descend
+    val bigrams = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws)-1), " +
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
+      .as("bigram"))
+    val model = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cc"))
+    bigrams.join(model, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cc") < LmRareBelow, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("cc")).as("sum_freq"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"),
+        (col("sum_freq").cast("double") / col("n_bigrams"))
+          .as("mean_bigram_freq"),
+        (col("n_rare") === 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBigramScoreSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |         i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM d),
+       |model AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cc
+       |          FROM bg GROUP BY 1),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        CAST(sum(CASE WHEN cc < $LmRareBelow THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_rare,
+       |        CAST(sum(cc) AS BIGINT) AS sum_freq
+       |      FROM bg JOIN model USING (bigram) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_rare,
+       |  CAST(n_rare AS DOUBLE) / n_bigrams AS rare_frac,
+       |  CAST(sum_freq AS DOUBLE) / n_bigrams AS mean_bigram_freq,
+       |  (n_rare = 0) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ---- PII scrubbing ----
 
   // patterns restricted to the java.util.regex ∩ RE2 common subset

@@ -57,7 +57,7 @@ object Pipeline {
     // gram-hashing every dropped doc (~4× fewer docs at sf0.1). The
     // composed oracle is unchanged — it flags the full corpus and
     // intersects, which is the same set.
-    val (cleaned, _) = Dedup.materialize(
+    val cleaned =
       t(spark, dir, "documents")
         // the eval docs themselves are NOT training data — decontaminate
         // only flags CORPUS docs overlapping them, so without this filter
@@ -66,7 +66,7 @@ object Pipeline {
         .filter(col("doc_id") >= Dedup.ContamEvalCap)
         .join(cleanedIds, Seq("doc_id"), "left_semi")
         .join(nonKeepers, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"))
     val contaminatedIds = Dedup.decontaminateFrom(cleaned,
       t(spark, dir, "documents").filter(col("doc_id") < Dedup.ContamEvalCap))
       .select("doc_id")

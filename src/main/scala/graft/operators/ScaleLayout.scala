@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.{t, dec, asDouble}
 
 /** Physical-layout utilities for the 100 TB shape (builder brief:
   * "bucketing for co-located joins, salting for skew"):
@@ -61,6 +62,65 @@ object ScaleLayout {
     withSalt(big, salts).join(replicatedSmall, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** [[bucketize]] variant with an EXPLICIT storage path (external table):
+    * the artifact lands under a session-scoped scratch dir and both the
+    * catalog entry and the files are registered for release — the same
+    * lifecycle discipline as the IVF index ([[Similarity.annIvf]]). The
+    * table name carries the appId so two concurrent sessions in one JVM
+    * can never collide in the shared in-memory catalog. */
+  def bucketizeAt(spark: SparkSession, df: DataFrame, name: String,
+      keyCol: String, numBuckets: Int, path: String): DataFrame = {
+    val table =
+      s"${name}_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .option("path", path)
+      .saveAsTable(table)
+    graft.SessionResources.onRelease(spark)(() =>
+      spark.sql(s"DROP TABLE IF EXISTS $table"))
+    spark.table(table)
+  }
+
+  final val JoinBuckets = 8
+
+  /** The registered co-located-join query: persist orders and lineitem
+    * bucketed by the join key, then join WITHOUT an Exchange on either side
+    * (hinted sort-merge; bucket layouts align, so the shuffle was paid once
+    * at write time — the amortization that matters when the same key joins
+    * repeatedly at 100 TB). The oracle is the PLAIN join aggregate:
+    * equality proves the bucketed layout is result-invariant; the
+    * no-Exchange plan shape is pinned in ScaleLayoutSpec. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.SessionResources.scratchDir(spark, "bucketed", dir)
+    val o = bucketizeAt(spark,
+      t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      "orders_bkt", "o_orderkey", JoinBuckets, s"$scratch/orders")
+    val l = bucketizeAt(spark,
+      t(spark, dir, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount")),
+      "lineitem_bkt", "l_orderkey", JoinBuckets, s"$scratch/lineitem")
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        asDouble(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+      |    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))))
+      |    AS VARCHAR) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** The big side with its `__salt` column: (partition + position) mod n,
     * dealt by the codegen'd per-partition counter expression

@@ -466,4 +466,94 @@ object Similarity {
       .select(col("v1"), col("v2"), col("cosine"))
       .orderBy(col("v1"), col("v2"))
   }
+
+  // ---- SemDeDup: semantic deduplication via cluster-then-prune ----
+
+  /** Centroid count for the registered [[semDedup]] query. Fixed and small
+    * so the DuckDB oracle can replay the assignment; at 100 TB K grows
+    * ∝ corpus size (keeping cluster populations bounded) and the centroids
+    * come from a trained quantizer (the [[annIvf]] k-means path) — the
+    * pruning stage below is UNCHANGED by where centroids come from, which
+    * is why [[semDedupCore]] takes them as a plain DataFrame. */
+  final val SemDedupK = 8
+  /** Within-cluster prune threshold, tuned on the synthetic corpus so both
+    * kept=true and kept=false are populated at every SF (drops at τ=0.35:
+    * 63/500 sf0.001, 76/500 sf0.01, 759/2000 sf0.1). */
+  final val SemDedupTau = 0.35
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): assign every embedding
+    * to its nearest centroid, then drop any vector that is cosine-≥ τ to a
+    * LOWER-id vector in the SAME cluster (first-seen-wins keeper election —
+    * order-free and engine-neutral). Clustering bounds the pairwise stage:
+    * candidate pairs are an equi-join on cluster id, never an all-pairs
+    * product — with K ∝ n, per-cluster populations (and so per-cluster
+    * pair counts) stay constant as the corpus grows. One row per vector
+    * with its cluster, centroid affinity and keep verdict, so the output
+    * doubles as the cluster-assignment audit table. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    // deterministic stand-in centroids: the K lowest-id vectors (the oracle
+    // must be able to derive the same set; see SemDedupK scaladoc)
+    val centroids = e.filter(col("vec_id") < SemDedupK)
+      .select(col("vec_id").as("cid"), col("ev").as("cv"), col("nrm").as("cn"))
+    semDedupCore(e, centroids, SemDedupTau)
+  }
+
+  /** Core of [[semDedup]] over any (vec_id, ev, nrm) frame and any centroid
+    * table — K rows broadcast, so assignment is a map-side argmax scan. */
+  def semDedupCore(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", dot(col("ev"), col("cv")) / (col("nrm") * col("cn")))
+      // argmax over K centroid rows per vector; ties (only possible with
+      // duplicate centroids) break to the lowest centroid id
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("cos_c").as("cos_centroid"), col("ev"), col("nrm"))
+    // a vector is dropped iff some LOWER-id vector in its cluster is ≥ τ
+    // close — an equi-join on cluster, bounded by cluster populations
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(dot(col("x.ev"), col("y.ev")) /
+        (col("x.nrm") * col("y.nrm")) >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("cos_centroid"),
+        col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semDedupSql: String = {
+    // the same strict-left-fold dot product as every other embedding oracle
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |n AS (SELECT vec_id, ev, sqrt(${fold("ev", "ev")}) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, ev AS cv, nrm AS cn FROM n
+       |      WHERE vec_id < $SemDedupK),
+       |a0 AS (SELECT x.vec_id, c.cid,
+       |         ${fold("x.ev", "c.cv")} / (x.nrm * c.cn) AS cos_c
+       |       FROM n x CROSS JOIN c),
+       |a AS (SELECT vec_id, cid AS cluster, cos_c AS cos_centroid FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+       |        FROM a0) WHERE rn = 1),
+       |p AS (SELECT DISTINCT x.vec_id
+       |      FROM a x JOIN a y
+       |        ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+       |      JOIN n nx ON nx.vec_id = x.vec_id
+       |      JOIN n ny ON ny.vec_id = y.vec_id
+       |      WHERE ${fold("nx.ev", "ny.ev")} / (nx.nrm * ny.nrm)
+       |        >= $SemDedupTau)
+       |SELECT a.vec_id, a.cluster, a.cos_centroid,
+       |  (a.vec_id NOT IN (SELECT vec_id FROM p)) AS kept
+       |FROM a ORDER BY a.vec_id""".stripMargin
+  }
 }

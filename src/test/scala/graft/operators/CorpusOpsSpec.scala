@@ -35,6 +35,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       (bgs.size - bgs.distinct.size).toDouble / bgs.size)
   }
 
+  test("lm_bigram_score: non-vacuous keep split; full driver-side replay of the model and scores") {
+    val rows = CorpusOps.lmBigramScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getBoolean(5))
+    assert(kept > 0 && kept < rows.length,
+      s"keep flag vacuous: $kept of ${rows.length}")
+    // replay the whole train+score computation with Scala collections
+    val texts = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docBigrams = texts.view.mapValues(t =>
+      t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq).toMap
+    val model = docBigrams.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val bgs = docBigrams(r.getLong(0))
+      assert(r.getLong(1) == bgs.size)
+      val rare = bgs.count(model(_) < CorpusOps.LmRareBelow)
+      assert(r.getLong(2) == rare)
+      assert(r.getDouble(4) == bgs.map(model).sum.toDouble / bgs.size)
+      assert(r.getBoolean(5) == (rare == 0))
+    }
+  }
+
   test("pii_redact: every planted email/ip is found; nothing matchable survives; clean text passes through") {
     val rows = CorpusOps.piiRedact(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -30,6 +30,22 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bucketed_join (registered query): join stage shuffles NEITHER side; agg values sane") {
+    val df = ScaleLayout.bucketedJoin(spark, dir)
+    val plan = aqeFinalPlan(df)
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the only allowed Exchange is the post-join aggregation — never a
+    // shuffle on the join key itself (that would mean the bucket layout
+    // was not reused)
+    assert(!plan.contains("hashpartitioning(o_orderkey") &&
+      !plan.contains("hashpartitioning(l_orderkey"),
+      s"bucketed join re-shuffled a join side:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.Tables.t(spark, dir, "lineitem").count())
+  }
+
   test("saltedJoin: result-identical to the plain join on a skewed dataset") {
     import spark.implicits._
     // pathological skew: 90% of the big side shares one key

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SemDeDup properties beyond the DuckDB equality gate: the keeper rule on
+  * constructed vectors (known answers), threshold non-vacuity, and
+  * cluster-assignment sanity on the corpus. */
+class SemDedupSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.001"
+
+  test("semDedupCore: cluster assignment and lower-id keeper election on constructed vectors") {
+    import spark.implicits._
+    // two near-orthogonal centroids; 10 and 11 are near-dups in cluster 0
+    // (cos ≈ 0.9997); 12 sits alone in cluster 1 (cos to the centroid
+    // vector ≈ 0.9945, under τ)
+    val e = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(0.0, 1.0)),
+      (10L, Array(0.9, 0.1)),
+      (11L, Array(0.92, 0.08)),
+      (12L, Array(0.1, 0.95))
+    ).toDF("vec_id", "ev")
+      .withColumn("nrm",
+        sqrt(graft.functions.VecDot.vec_dot(col("ev"), col("ev"))))
+    val cents = e.filter(col("vec_id") < 2L)
+      .select(col("vec_id").as("cid"), col("ev").as("cv"),
+        col("nrm").as("cn"))
+    val out = Similarity.semDedupCore(e, cents, tau = 0.995)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(1L) == ((1L, true)))
+    assert(out(10L) == ((0L, true))) // cos(0,10) ≈ 0.9939 < τ
+    assert(out(11L) == ((0L, false))) // near-dup of lower-id 10 (and of 0)
+    assert(out(12L) == ((1L, true))) // only member above τ with nobody
+  }
+
+  test("semdedup: non-vacuous keep split; clusters in [0, K); affinity in [-1, 1]") {
+    val rows = Similarity.semDedup(spark, dir).collect()
+    assert(rows.length == graft.Tables.t(spark, dir, "embeddings").count())
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length,
+      s"keep flag vacuous: $kept of ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < Similarity.SemDedupK)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+    }
+    // a centroid vector is its own nearest centroid with affinity 1
+    val c0 = rows.find(_.getLong(0) == 0L).get
+    assert(c0.getLong(1) == 0L && math.abs(c0.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("semdedup: no vector kept while a lower-id same-cluster near-dup exists (rule replayed driver-side)") {
+    import spark.implicits._
+    val rows = Similarity.semDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val vecs = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ev"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = rows.groupBy(_._2)
+    rows.foreach { case (id, cl, kept) =>
+      val hasLowerDup = byCluster(cl).exists { case (o, _, _) =>
+        o < id && cos(vecs(o), vecs(id)) >= Similarity.SemDedupTau
+      }
+      assert(kept == !hasLowerDup, s"vec $id in cluster $cl: kept=$kept")
+    }
+  }
+}
