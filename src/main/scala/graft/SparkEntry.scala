@@ -65,8 +65,15 @@ object SparkEntry {
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
     "bpe_vocab" -> (graft.operators.CorpusOps.bpeVocab _),
+    // tokenizer APPLICATION with the trained merges (train→apply loop)
+    "bpe_encode" -> (graft.operators.CorpusOps.bpeEncode _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
     "lm_bigram_score" -> (graft.operators.CorpusOps.lmBigramScore _),
+    // per-source upsampling to a common token budget (materialized plan)
+    "epoch_mix" -> (graft.operators.CorpusOps.epochMix _),
+    // deterministic global training-order shuffle: bucket-decomposed rank,
+    // oracle = the naive global row_number
+    "global_shuffle" -> (TextAnalysis.globalShuffle _),
     "asof_join" -> (Relational.asofJoin _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
@@ -165,8 +172,17 @@ object SparkEntry {
     // oracle unrolls the same merge rounds as static SQL — equality proves
     // the iterative pair election, tie-break and merge application exactly
     "bpe_vocab" -> graft.operators.CorpusOps.bpeVocabSql,
+    // encode rides the SAME unrolled rounds (word carried through), so
+    // equality proves the trained merges apply identically to every doc
+    "bpe_encode" -> graft.operators.CorpusOps.bpeEncodeSql,
     "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
     "lm_bigram_score" -> graft.operators.CorpusOps.lmBigramScoreSql,
+    // integer lottery (lot·src_tokens < remainder·2^16) — bit-identical
+    // replication counts, so equality proves the whole mixing plan
+    "epoch_mix" -> graft.operators.CorpusOps.epochMixSql,
+    // oracle is the partition-less global row_number: equality proves the
+    // bucket-decomposed distributed rank ≡ the sequential rank
+    "global_shuffle" -> TextAnalysis.globalShuffleSql,
     "asof_join" -> Relational.asofJoinSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant

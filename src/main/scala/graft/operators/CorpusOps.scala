@@ -383,11 +383,29 @@ object CorpusOps {
     * materialized once; rounds stack ≤ [[BpeMerges]] narrow projections on
     * top of its in-memory blocks. */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrain(spark, dir)
+    import spark.implicits._
+    merges.toDF("merge_rank", "pair", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The shared training fold behind [[bpeVocab]] and [[bpeEncode]]: runs
+    * the [[BpeMerges]] election/merge rounds and returns BOTH products —
+    * the driver-held merge table, and the final word→representation frame
+    * (each word of the vocab with its fully-merged symbol string; every
+    * symbol is one char, so `length(repr)` IS the encoded token count).
+    * The word-frequency table is persisted for the rounds and released
+    * before returning — a downstream action on the word frame recomputes
+    * the (deterministic) w0 aggregate once, keeping persisted residency
+    * bounded (BenchHygieneSpec). */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val (w0, w0Rdd) = Dedup.materialize(
       t(spark, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("repr"))
-        .filter(length(col("repr")) > 0)
-        .groupBy(col("repr")).agg(count(lit(1)).as("cnt")))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("word").as("repr"), col("cnt")))
     var w = w0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to BpeMerges) {
@@ -403,21 +421,49 @@ object CorpusOps {
         .collect()(0) // ONE row per round: the elected pair
       val m = (BpeMergeCharBase + r).toChar.toString
       merges += ((r, best.getString(0), m, best.getLong(1)))
-      w = w.select(
+      w = w.select(col("word"),
         replace(col("repr"), lit(best.getString(0)), lit(m)).as("repr"),
         col("cnt"))
     }
-    w0Rdd.unpersist(blocking = false) // result is the driver-held merge table
-    import spark.implicits._
-    merges.result().toDF("merge_rank", "pair", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
+    w0Rdd.unpersist(blocking = false)
+    (merges.result(), w.select(col("word"), col("repr")))
+  }
+
+  /** Tokenizer APPLICATION — encode the corpus with the merges [[bpeVocab]]
+    * trained, closing the train→apply loop: per document, the word count,
+    * character count, encoded BPE token count, and the compression ratio
+    * chars/tokens (the statistic tokenizer training is judged by; one
+    * exact-int IEEE division). Encoding rides the word-frequency table:
+    * each DISTINCT word is merged once during training, and documents join
+    * their words against that vocab — the classic trick that makes BPE
+    * encoding corpus-scale-free (merge work ∝ vocab, not ∝ corpus).
+    *
+    * 100 TB shape: token explode → equi-join with the vocab-sized repr
+    * table (never broadcast — real vocabs outgrow executor memory) → one
+    * doc-keyed hash-aggregate with map-side partials. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words) = bpeTrain(spark, dir)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(words, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(length(col("repr")).cast("long")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("compression"))
+      .orderBy(col("doc_id"))
   }
 
   /** The same [[BpeMerges]] rounds unrolled as static SQL: each round is a
     * pair-count CTE, a LIMIT-1 argmax CTE, and a replace projection; the
     * fresh merge character chr(base + r) depends only on the round number,
     * so the text is data-independent. */
-  val bpeVocabSql: String = {
+  /** The shared rounds CTE chain (w0 … w[[BpeMerges]], carrying the
+    * original word next to its evolving repr — the extra column is dead
+    * weight for [[bpeVocabSql]] and the join key for [[bpeEncodeSql]]). */
+  private def bpeRoundsCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       s"""p$r AS (
          |  SELECT pair, sum(cnt) AS c FROM (
@@ -427,23 +473,111 @@ object CorpusOps {
          |  GROUP BY pair),
          |b$r AS (SELECT pair, CAST(c AS BIGINT) AS c FROM p$r
          |        ORDER BY c DESC, pair LIMIT 1),
-         |w$r AS (SELECT replace(repr, (SELECT pair FROM b$r),
+         |w$r AS (SELECT word, replace(repr, (SELECT pair FROM b$r),
          |          chr(${BpeMergeCharBase + r})) AS repr, cnt FROM w${r - 1})"""
         .stripMargin
     }
+    s"""w0 AS (
+       |  SELECT word, word AS repr, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  val bpeVocabSql: String = {
     val sel = (1 to BpeMerges).map { r =>
       s"""SELECT $r AS merge_rank, pair, chr(${BpeMergeCharBase + r}) AS merged,
          |  c AS pair_count FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
-       |  SELECT word AS repr, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE length(word) > 0 GROUP BY word),
-       |${rounds.mkString(",\n")}
+    s"""WITH $bpeRoundsCtes
        |SELECT * FROM (
        |$sel
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeRoundsCtes,
+       |tok AS (SELECT doc_id, word FROM (
+       |          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |          FROM documents)
+       |        WHERE length(word) > 0),
+       |j AS (SELECT tok.doc_id, length(tok.word) AS nchr,
+       |        length(w$BpeMerges.repr) AS ntok
+       |      FROM tok JOIN w$BpeMerges ON tok.word = w$BpeMerges.word)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nchr) AS BIGINT) AS n_chars,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(sum(nchr) AS BIGINT) AS DOUBLE)
+       |    / CAST(sum(ntok) AS BIGINT) AS compression
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- token-budget epoch mixing (per-source upsampling) ----
+
+  /** Seed prefix for the fractional-epoch lottery — a pure function of the
+    * doc id, so the mix is reproducible across engines/runs (no RNG; the
+    * [[sampleMix]] discipline). */
+  final val EpochSeed = "graft-epoch-1:"
+
+  /** The lottery draws 4 hex chars = 16 bits: lot ∈ [0, 65536). */
+  final val EpochLotterySpace = 65536L
+
+  /** Token-budget epoch mixing — the "upsample small sources to a common
+    * token budget" step of composing a training mix (each source trained
+    * for budget/|source| epochs; the budget here is the LARGEST source's
+    * token count, i.e. uniform mixing). Every document is replicated
+    * `floor(budget / src_tokens)` times; the fractional remainder epoch is
+    * dealt by an integer lottery — doc included iff
+    * `lot · src_tokens < (budget mod src_tokens) · 65536` — so the expected
+    * extra token mass is exactly the remainder, and the comparison is pure
+    * BIGINT arithmetic (bit-identical across engines, no float fraction).
+    * One output row per (doc, epoch): the materialized mixing plan a
+    * trainer consumes.
+    *
+    * 100 TB shape: the per-source table is tiny (sources are few) and
+    * broadcast back; the budget is a one-row aggregate broadcast the same
+    * way; per-doc work is a narrow projection plus an explode bounded by
+    * the epoch count. No windows, no corpus-sized shuffles beyond the one
+    * source aggregate (map-side partials). */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        conv(substring(
+          md5(concat(lit(EpochSeed), col("doc_id").cast("string"))
+            .cast("binary")), 1, 4), 16, 10).cast("long").as("lot"))
+    val src = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val budget = src.agg(max(col("src_tokens")).as("budget"))
+    docs.join(broadcast(src), Seq("source"))
+      .crossJoin(broadcast(budget))
+      .withColumn("n_copies",
+        expr("budget div src_tokens") +
+          when(col("lot") * col("src_tokens") <
+            (col("budget") % col("src_tokens")) * EpochLotterySpace, 1L)
+            .otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  val epochMixSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST('0x' || substring(md5('$EpochSeed' || CAST(doc_id AS VARCHAR)),
+       |      1, 4) AS BIGINT) AS lot
+       |  FROM documents),
+       |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |      FROM d GROUP BY 1),
+       |b AS (SELECT max(src_tokens) AS budget FROM s),
+       |p AS (SELECT d.doc_id, d.source, d.n_tokens,
+       |        CAST((b.budget // s.src_tokens) +
+       |          (CASE WHEN d.lot * s.src_tokens <
+       |             (b.budget % s.src_tokens) * $EpochLotterySpace
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+       |      FROM d JOIN s USING (source) CROSS JOIN b)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS epoch
+       |FROM p ORDER BY doc_id, epoch""".stripMargin
 
   // ---- fixed-budget sequence chunking ----
 

@@ -360,6 +360,61 @@ object TextAnalysis {
     }
   }
 
+  // ---- deterministic global training-order shuffle ----
+
+  /** Seed prefix for the shuffle key — changing it deals a fresh epoch
+    * order; the key is a pure function of (seed, doc_id), so the order is
+    * reproducible across engines, runs and partitionings (no RNG). */
+  final val ShuffleSeed = "graft-shuffle-1:"
+
+  /** Hex chars of the key that pick the rank bucket: 2 → 256 buckets.
+    * Fixed-width lowercase hex compares lexicographically exactly as it
+    * does numerically, so bucket order IS key-prefix order — the property
+    * the decomposition below rests on. At 100 TB widen the prefix (3 chars
+    * → 4096 buckets, 4 → 65536) to keep per-bucket row counts near the
+    * target partition size; nothing else changes. */
+  final val ShuffleHexChars = 2
+
+  /** Assign every document a deterministic pseudo-random GLOBAL training
+    * position (the "shuffle the corpus once per epoch" step trainers need:
+    * stable to re-runs, resumable mid-epoch by position range). A naive
+    * global `row_number() OVER (ORDER BY key)` funnels the corpus through
+    * ONE task; instead the rank decomposes by the key's leading hex bucket:
+    * rank within bucket (a PARTITIONED window) + exclusive prefix of bucket
+    * counts ([[exclusivePrefix]], the [[packDocs]] machinery — θ-join
+    * terminal, no partition-less window at any level). The DuckDB oracle IS
+    * the naive global row_number, so the driver gate proves the
+    * decomposition ≡ the sequential rank. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))
+          .cast("binary")).as("shuffle_key"))
+      .withColumn("bucket",
+        conv(substring(col("shuffle_key"), 1, ShuffleHexChars), 16, 10)
+          .cast("long"))
+    val inBucket = docs.withColumn("rn",
+      row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+    val offsets = exclusivePrefix(
+      docs.groupBy(col("bucket")).agg(count(lit(1)).as("bsum")),
+      (1L << (4 * ShuffleHexChars)) - 1)
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("offset") + col("rn")).as("position"))
+      .orderBy(col("doc_id"))
+  }
+
+  val globalShuffleSql: String =
+    s"""SELECT doc_id, shuffle_key,
+       |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+       |    AS position
+       |FROM (SELECT doc_id,
+       |        md5('$ShuffleSeed' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   val packShardsSql: String =
     s"""SELECT doc_id, n_tokens,
        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS shard

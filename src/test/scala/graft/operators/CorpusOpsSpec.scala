@@ -165,6 +165,69 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"round 1 elected ${rows(0)} but driver says $expect")
   }
 
+  test("bpe_encode: per-doc token counts match a driver-side greedy replay of the trained merges; merges non-vacuous") {
+    val rows = CorpusOps.bpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // replay: apply the trained merge table (rank order, plain replace —
+    // the same left-to-right non-overlapping semantics) to every word
+    val merges = CorpusOps.bpeVocab(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encodeLen(word: String): Long =
+      merges.foldLeft(word) { case (w, (p, m)) => w.replace(p, m) }.length.toLong
+    val texts = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    rows.foreach { case (id, nWords, nChars, nTokens, compression) =>
+      val ws = texts(id)
+      assert(nWords == ws.length)
+      assert(nChars == ws.map(_.length.toLong).sum)
+      assert(nTokens == ws.map(encodeLen).sum,
+        s"doc $id: engine says $nTokens tokens, replay disagrees")
+      assert(compression == nChars.toDouble / nTokens)
+    }
+    // the tokenizer actually compresses (some doc has tokens < chars) and
+    // never expands (each merge only shortens representations)
+    assert(rows.exists(r => r._4 < r._3), "no merge ever applied — vacuous")
+    assert(rows.forall(r => r._4 <= r._3 && r._4 >= r._2),
+      "token count must sit between word count and char count")
+  }
+
+  test("epoch_mix: exact driver replay of budget, full epochs and lottery; upsampling non-vacuous") {
+    val rows = CorpusOps.epochMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val srcTokens = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val budget = srcTokens.values.max
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def lot(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"${CorpusOps.EpochSeed}$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString, 16)
+    val expected = docs.flatMap { case (id, src, nt) =>
+      val st = srcTokens(src)
+      val copies = budget / st +
+        (if (lot(id) * st < (budget % st) * CorpusOps.EpochLotterySpace) 1L
+         else 0L)
+      (1L to copies).map(e => (id, src, nt, e))
+    }
+    assert(rows.sorted.toSeq == expected.sorted.toSeq,
+      "mixing plan diverges from the driver replay")
+    val copiesPerDoc = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(copiesPerDoc.values.exists(_ >= 2), "no doc was upsampled")
+    assert(copiesPerDoc.values.exists(_ == 1), "every doc was upsampled")
+    // every source reaches at least its full-epoch token mass
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val mass = rs.map(_._3).sum
+      assert(mass >= (budget / srcTokens(src)) * srcTokens(src),
+        s"source $src under its full-epoch mass")
+    }
+  }
+
   test("chunk_docs: chunks tile each document exactly") {
     val chunks = CorpusOps.chunkDocs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -520,4 +520,25 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(agg.map(_.getLong(1)).sum == 500)
     assert(agg.map(_.getString(0)).toSet == Set("image/bmp", "audio/wav"))
   }
+
+  test("global_shuffle: positions are a permutation of 1..N; ≡ the sequential rank over driver-computed keys; order actually shuffles") {
+    val rows = TextAnalysis.globalShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.length == n)
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "positions are not a permutation of 1..N")
+    // replay: java MD5 of the seeded id, global sort, sequential rank
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"${TextAnalysis.ShuffleSeed}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.foreach { case (id, k, _) => assert(k == key(id)) }
+    val expected = rows.map { case (id, k, _) => (k, id) }.sorted
+      .zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, _, pos) =>
+      assert(pos == expected(id), s"doc $id: position $pos != rank") }
+    // the deal is a real shuffle, not the identity order
+    assert(rows.sortBy(_._1).map(_._3).toSeq != (1L to n).toSeq)
+  }
 }
