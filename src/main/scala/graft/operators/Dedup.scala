@@ -85,32 +85,40 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = delta.fp)
        |ORDER BY doc_id""".stripMargin
 
-  /** Character-trigram sets per doc, doc_id-bounded (candidate universe).
-    * Texts shorter than 3 chars yield NO grams — Spark's sequence(1, 0)
-    * would otherwise DESCEND ([1,0]) and fabricate bogus grams, diverging
-    * from the oracle's empty range(1, length-1). */
-  private def grams(spark: SparkSession, dir: String, cap: Int): DataFrame =
+  /** Character-trigram SET per doc as one sorted packed-long array row
+    * ([[graft.functions.GramPackSet]] — injective code-point packing, not
+    * a hash), doc_id-bounded (candidate universe). Texts shorter than 3
+    * chars yield an empty set and are dropped here — they cannot pair. */
+  private def gramSets(spark: SparkSession, dir: String, cap: Int): DataFrame =
     t(spark, dir, "documents")
       .filter(col("doc_id") < cap && length(col("text")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")))
-        .as("gram"))
+      .select(col("doc_id"),
+        graft.functions.GramPackSet.gram_pack_set(col("text"), 3).as("gset"))
+      .withColumn("sz", size(col("gset")).cast("long"))
 
-  /** n-gram Jaccard near-dup pairs (≥ 0.7) among the first 200 docs —
-    * the exact-verification primitive (gram equi-join, group, ratio). */
+  /** n-gram Jaccard near-dup pairs (≥ 0.7) among the first 200 docs — the
+    * exact-verification primitive. Intersection counts come from ONE
+    * broadcast θ-join over per-doc packed trigram SETS with a codegen'd
+    * two-pointer merge per pair ([[graft.functions.SortedIntersectCount]])
+    * — NOT a gram-exploded equi-join: the trigram alphabet is tiny, so
+    * ubiquitous grams make the exploded self-join Σ df(g)² rows (tens of
+    * millions on this slice — rounds 1–4's dominant cluster-stage cost),
+    * where the θ-join is exactly |slice|²/2 narrow rows with O(|a|+|b|)
+    * primitive compares each. Identical result by construction: packing
+    * is injective, so long-set intersection IS gram-set intersection (the
+    * equivalence is additionally spec-pinned against the exploded
+    * formulation). The doc cap bounds the quadratic BY CONTRACT — the
+    * unbounded-corpus candidate path is [[dedupMinhashLsh]], never this
+    * primitive. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = grams(spark, dir, 200)
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = g.as("a")
-      .join(g.as("b"), col("a.gram") === col("b.gram") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+    val g = gramSets(spark, dir, 200)
+    g.as("a").join(broadcast(g.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("a.gset"), col("b.gset")).as("i"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .withColumn("jaccard",
-        col("i").cast("double") / (col("s1.sz") + col("s2.sz") - col("i")))
+        col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
       .filter(col("jaccard") >= 0.7)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
@@ -500,8 +508,22 @@ object Dedup {
   def connectedComponents(edgesIn: DataFrame): DataFrame =
     connectedComponentsWithRounds(edgesIn)._1
 
+  /** Once the CONTRACTED edge set fits this many rows, stop iterating and
+    * finish with a driver union-find over the collected remnant — the
+    * standard hybrid in production CC engines: every distributed round on
+    * a dwindling tail costs 3–4 full job round-trips to move a few
+    * thousand rows, where one collect + an O(E α(E)) fold is microseconds.
+    * The asymptotic path is untouched (rounds keep halving structure until
+    * the remnant FITS; a 10⁹-node graph still contracts O(log n) times
+    * before any collect), and the hybrid is exactness-preserving: each
+    * round's output has the same components as the input, so union-find on
+    * the remnant computes the same minima (spec-pinned hybrid ≡ pure, and
+    * the registered queries stay on the same DuckDB oracle). */
+  private[operators] final val CcDriverFinish = 10000L
+
   private[operators] def connectedComponentsWithRounds(
-      edgesIn: DataFrame): (DataFrame, Int) = {
+      edgesIn: DataFrame,
+      driverFinishAt: Long = CcDriverFinish): (DataFrame, Int) = {
     // canonical state: directed (hi > lo), self-loops dropped, distinct.
     // The input plan (for dedupClustersStar, the whole gram self-join) is
     // computed EXACTLY ONCE into this materialization; the node set for
@@ -516,7 +538,7 @@ object Dedup {
     var curCount = cur.count()
     var rounds = 0
     var done = curCount == 0L
-    while (!done) {
+    while (!done && curCount > driverFinishAt) {
       rounds += 1
       // large-star over the undirected view: u's closed-neighborhood min m,
       // edge (v, m) for every neighbor v > u (v > u ≥ m keeps it canonical)
@@ -547,6 +569,38 @@ object Dedup {
       // node universe reads it (ContextCleaner reclaims it with the result)
       if (curRdd ne canon0Rdd) curRdd.unpersist(blocking = false)
       cur = next; curRdd = nextRdd; curCount = nextCount
+    }
+    // driver finish: the loop exited with a small UNCONVERGED remnant —
+    // union-find it on the driver (path-halving; roots are component
+    // minima because union always attaches the larger root). Every
+    // contraction round preserves components, so the remnant's components
+    // are the original components, and the star it yields is exactly the
+    // star more distributed rounds would have reached.
+    if (!done && curCount > 0) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.getOrDefault(x, x)
+          parent.put(x, parent.getOrDefault(p, p)) // halve the path
+          x = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      cur.collect().foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) {
+          if (a < b) parent.put(b, a) else parent.put(a, b)
+        }
+      }
+      val star = Seq.newBuilder[(Long, Long)]
+      parent.keySet().forEach { n =>
+        val root = find(n)
+        if (root != n) star += ((n, root))
+      }
+      val session = cur.sparkSession
+      import session.implicits._
+      cur = star.result().toDF("hi", "lo")
     }
     // at the fixpoint `cur` is one star per component: (node, component
     // min) for every non-min node; min nodes label themselves. Canonical

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, NfcNormalize, RollingHash, SigAgree, SimHash64, VecDot}
+import graft.functions.{GramPackSet, MinHashSig, NfcNormalize, RollingHash, SigAgree, SimHash64, SortedIntersectCount, VecDot}
 
 /** Engine extension point (SparkSessionExtensions): registers the library's
   * native Catalyst expressions into the SQL function registry so
@@ -39,6 +39,22 @@ object GraftExtensions {
     d("vec_dot", classOf[VecDot], es => VecDot(es(0), es(1))),
     d("sig_agree", classOf[SigAgree], es => SigAgree(es(0), es(1))),
     d("simhash64", classOf[SimHash64], es => SimHash64(es.head)),
+    d("sorted_intersect_count", classOf[SortedIntersectCount],
+      es => SortedIntersectCount(es(0), es(1))),
+    d("gram_pack_set", classOf[GramPackSet], {
+      case Seq(child, n) if n.foldable && (n.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }) =>
+        GramPackSet(child, n.eval().asInstanceOf[Number].intValue())
+      case Seq(_, n) => throw new IllegalArgumentException(
+        s"gram_pack_set(text, n): n must be an integer literal, got $n")
+      case other => throw new IllegalArgumentException(
+        s"gram_pack_set(text, n) expects 2 args, got ${other.size}")
+    }),
     d("minhash_sig", classOf[MinHashSig], {
       case Seq(child, k) if k.foldable && (k.dataType match {
         case org.apache.spark.sql.types.IntegerType |

@@ -89,6 +89,38 @@ class CodegenCompileSpec extends AnyFunSuite {
       "short string must yield NO gram hashes (no sentinel window)")
   }
 
+  test("gram_pack_set generated code compiles; packing is injective, sorted, distinct") {
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      GramPackSet(BoundReference(0, StringType, nullable = true), 3)))
+    val s = "abcabcd"
+    val row = proj(InternalRow(UTF8String.fromString(s)))
+    val got = row.getArray(0)
+    // driver replay: distinct sorted packed code-point triples
+    val want = s.sliding(3).map(g =>
+      g.codePoints().toArray.foldLeft(0L)((p, c) => (p << 21) | c))
+      .toSeq.distinct.sorted
+    assert((0 until got.numElements()).map(got.getLong) == want)
+    // distinct grams pack to distinct longs even when char sums collide
+    // ("ac" vs "bb" style aliasing a weaker packing could produce)
+    val a = GramPackSet.eval("ac", 2)
+    val b = GramPackSet.eval("bb", 2)
+    assert(a.getLong(0) != b.getLong(0), "packing must be injective")
+    assert(GramPackSet.eval("ab", 3).numElements() == 0,
+      "short string must yield an empty set")
+  }
+
+  test("sorted_intersect_count generated code compiles; counts exact set intersection") {
+    val at = ArrayType(LongType, containsNull = false)
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      SortedIntersectCount(BoundReference(0, at, nullable = true),
+        BoundReference(1, at, nullable = true))))
+    val a = ArrayData.toArrayData(Array(1L, 3L, 5L, 9L))
+    val b = ArrayData.toArrayData(Array(2L, 3L, 5L, 10L, 11L))
+    assert(proj(InternalRow(a, b)).getLong(0) == 2L)
+    assert(proj(InternalRow(a, ArrayData.toArrayData(Array.emptyLongArray)))
+      .getLong(0) == 0L)
+  }
+
   test("salt_counter generated code compiles; deals (partition + i) mod n") {
     val proj = GenerateUnsafeProjection.generate(Seq(SaltCounter(4)))
     proj.initialize(3) // partition 3 of 4 salts → starts the cycle at 3

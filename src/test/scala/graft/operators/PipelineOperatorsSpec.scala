@@ -206,12 +206,26 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     //    (255) rounds; the alternating contraction must stay logarithmic.
     //    Kiveris et al. bound the alternation by O(log n) star rounds —
     //    pin 3·log₂(256) + 2 = 26 as a generous ceiling (measured: ≤ 8).
+    //    driverFinishAt = 0 forces the PURE distributed path: the round
+    //    bound must hold without the small-remnant union-find shortcut.
     val chain = (0L until 255L).map(i => (i, i + 1)).toDF("src", "dst")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain, driverFinishAt = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 256 && got.forall(_._2 == 0L),
       s"chain not fully contracted to root 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
-    assert(rounds <= 26, s"contraction took $rounds rounds on a 256-chain")
+    assert(rounds > 0 && rounds <= 26,
+      s"contraction took $rounds rounds on a 256-chain")
+    // 2b. the hybrid (driver union-find once the remnant fits) computes
+    //     EXACTLY the pure-distributed labels — on the chain, where the
+    //     default cutoff collects immediately, and mid-contraction at a
+    //     cutoff that forces one distributed round first
+    for (cutoff <- Seq(Dedup.CcDriverFinish, 100L)) {
+      val hybrid = Dedup.connectedComponentsWithRounds(chain, cutoff)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hybrid == got.toMap,
+        s"hybrid (cutoff $cutoff) diverges from pure-distributed labels")
+    }
     // 3. random-graph property: labels match a driver union-find
     val rnd = new scala.util.Random(42)
     val redges = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))

@@ -52,4 +52,10 @@ class CodegenSpanSpec extends AnyFunSuite with SparkSpec {
     val plan = finalPlan(graft.operators.Similarity.annBruteForce(spark, dir))
     assertInCodegenSpan(plan, "vec_dot")
   }
+
+  test("gram_pack_set and sorted_intersect_count run inside whole-stage codegen (dedup_ngram_jaccard)") {
+    val plan = finalPlan(graft.operators.Dedup.dedupNgramJaccard(spark, dir))
+    assertInCodegenSpan(plan, "gram_pack_set")
+    assertInCodegenSpan(plan, "sorted_intersect_count")
+  }
 }
