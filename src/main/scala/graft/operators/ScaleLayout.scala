@@ -68,19 +68,35 @@ object ScaleLayout {
     * catalog entry and the files are registered for release — the same
     * lifecycle discipline as the IVF index ([[Similarity.annIvf]]). The
     * table name carries the appId so two concurrent sessions in one JVM
-    * can never collide in the shared in-memory catalog. */
+    * can never collide in the shared in-memory catalog.
+    *
+    * Idempotent per session: if the table already exists, the existing
+    * layout is returned without rewriting. That IS the bucketing
+    * contract — the write shuffle is paid ONCE and every subsequent join
+    * on the key rides the layout (a caller therefore must treat a
+    * (name, path) pair as an immutable snapshot of its source for the
+    * session; [[bucketedJoin]]'s inputs are the immutable testdata
+    * tables, and the path is content-addressed by source dir). */
   def bucketizeAt(spark: SparkSession, df: DataFrame, name: String,
       keyCol: String, numBuckets: Int, path: String): DataFrame = {
+    // the name keys on appId AND the storage path: the same logical name
+    // over two source dirs (e.g. two SFs in one test JVM) must be two
+    // catalog entries, or the idempotence check would serve stale data
+    val pathTag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val table =
-      s"${name}_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, keyCol)
-      .sortBy(keyCol)
-      .format("parquet")
-      .option("path", path)
-      .saveAsTable(table)
-    graft.SessionResources.onRelease(spark)(() =>
-      spark.sql(s"DROP TABLE IF EXISTS $table"))
+      s"${name}_${pathTag}_" +
+        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    if (!spark.catalog.tableExists(table)) {
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(numBuckets, keyCol)
+        .sortBy(keyCol)
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(table)
+      graft.SessionResources.onRelease(spark)(() =>
+        spark.sql(s"DROP TABLE IF EXISTS $table"))
+    }
     spark.table(table)
   }
 
