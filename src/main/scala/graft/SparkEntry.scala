@@ -74,6 +74,12 @@ object SparkEntry {
     // deterministic global training-order shuffle: bucket-decomposed rank,
     // oracle = the naive global row_number
     "global_shuffle" -> (TextAnalysis.globalShuffle _),
+    // quality-ranked curriculum tiers (same rank decomposition, score-
+    // prefix buckets)
+    "curriculum" -> (TextAnalysis.curriculum _),
+    // consecutive-duplicate-word removal (the repetition TRANSFORM; the
+    // scrubbed text itself is oracle-compared)
+    "repeat_scrub" -> (graft.operators.CorpusOps.repeatScrub _),
     "asof_join" -> (Relational.asofJoin _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
@@ -183,6 +189,9 @@ object SparkEntry {
     // oracle is the partition-less global row_number: equality proves the
     // bucket-decomposed distributed rank ≡ the sequential rank
     "global_shuffle" -> TextAnalysis.globalShuffleSql,
+    // same proof shape over the quality ordering (score-prefix buckets)
+    "curriculum" -> TextAnalysis.curriculumSql,
+    "repeat_scrub" -> graft.operators.CorpusOps.repeatScrubSql,
     "asof_join" -> Relational.asofJoinSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant

@@ -511,6 +511,42 @@ object CorpusOps {
        |    / CAST(sum(ntok) AS BIGINT) AS compression
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- within-doc repetition scrub ----
+
+  /** Collapse CONSECUTIVE duplicate words inside each document — the
+    * Gopher/C4-family repetition-removal TRANSFORM ([[qualityGopher]] only
+    * gates on repetition; this rewrites the text): "batch batch batch
+    * stream" → "batch stream". One indexed-lambda filter per row (kept(i)
+    * ⇔ i = 0 ∨ ws(i) ≠ ws(i−1)) — identical semantics in DuckDB's
+    * `list_filter((x, i) -> ...)` with its 1-based index, so the scrubbed
+    * TEXT is oracle-compared byte-for-byte, not just the counts.
+    *
+    * 100 TB shape: a narrow per-row projection on the scan — no joins, no
+    * windows, no shuffle (the orderBy is presentation only). */
+  def repeatScrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_before"),
+        // Spark's filter lambda index is 0-based and element_at 1-based,
+        // so element_at(ws, i) IS the previous element at index i
+        expr("filter(ws, (x, i) -> i = 0 OR x != element_at(ws, i))")
+          .as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        array_join(col("kept"), " ").as("text_scrubbed"))
+      .orderBy(col("doc_id"))
+
+  val repeatScrubSql: String =
+    """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_before,
+      |  CAST(len(kept) AS BIGINT) AS n_after,
+      |  array_to_string(kept, ' ') AS text_scrubbed
+      |FROM (SELECT doc_id, ws,
+      |        list_filter(ws, (x, i) -> i = 1 OR x <> ws[i-1]) AS kept
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   // ---- token-budget epoch mixing (per-source upsampling) ----
 
   /** Seed prefix for the fractional-epoch lottery — a pure function of the

@@ -360,6 +360,61 @@ object TextAnalysis {
     }
   }
 
+  // ---- curriculum ordering (quality-ranked tiers) ----
+
+  /** Score-prefix buckets for the curriculum rank decomposition. The
+    * quality score lives in [0, 1], so `floor(score · 64)` is a monotone
+    * bucketing — global (bucket, score, doc_id) order IS (score, doc_id)
+    * order, the property the distributed rank rests on. Buckets can skew
+    * with the score distribution (unlike [[globalShuffle]]'s uniform md5
+    * prefix); at cluster scale derive split points from a quantile sketch
+    * ([[approxStats]]' primitive) instead of a fixed grid — the rank
+    * composition below is unchanged by where the cut points come from. */
+  final val CurriculumBuckets = 64
+  final val CurriculumTiers = 10L
+
+  /** Curriculum data ordering: rank every document by ascending quality
+    * score (train easy-to-score docs first, the curriculum-learning
+    * schedule) and assign decile tiers — rank and tier are what a
+    * curriculum dataloader consumes. The global rank decomposes exactly
+    * like [[globalShuffle]]: a bucket-partitioned window plus nested
+    * exclusive-prefix offsets, no partition-less window anywhere; the
+    * oracle is the naive global row_number, so the gate proves the
+    * decomposition ≡ the sequential rank. Ordering compares the SAME
+    * bit-equal doubles on both engines ([[textStats]]' quality score is
+    * oracle-exact), tie-broken by doc_id. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = withQualityInputs(t(spark, dir, "documents"))
+      .select(col("doc_id"), qualityScoreCol.as("quality_score"))
+      .withColumn("bucket",
+        floor(col("quality_score") * CurriculumBuckets).cast("long"))
+    val inBucket = scored.withColumn("rn",
+      row_number().over(Window.partitionBy(col("bucket"))
+        .orderBy(col("quality_score"), col("doc_id"))).cast("long"))
+    val offsets = exclusivePrefix(
+      scored.groupBy(col("bucket")).agg(count(lit(1)).as("bsum")),
+      CurriculumBuckets.toLong)
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality_score"),
+        (col("offset") + col("rn")).as("rank"),
+        expr(s"(offset + rn - 1) * $CurriculumTiers div n_total").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH ts AS ($textStatsSql),
+       |r AS (SELECT doc_id, quality_score,
+       |        CAST(row_number() OVER (ORDER BY quality_score, doc_id)
+       |          AS BIGINT) AS rank
+       |      FROM ts),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r)
+       |SELECT doc_id, quality_score, rank,
+       |  (rank - 1) * $CurriculumTiers // n_total AS tier
+       |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin
+
   // ---- deterministic global training-order shuffle ----
 
   /** Seed prefix for the shuffle key — changing it deals a fresh epoch

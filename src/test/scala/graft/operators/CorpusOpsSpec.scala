@@ -228,6 +228,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("repeat_scrub: collapses exactly the consecutive duplicates; non-vacuous; idempotent") {
+    val rows = CorpusOps.repeatScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val texts = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def scrub(ws: Array[String]): Array[String] =
+      ws.zipWithIndex.filter { case (w, i) => i == 0 || w != ws(i - 1) }
+        .map(_._1)
+    rows.foreach { case (id, nBefore, nAfter, scrubbed) =>
+      val ws = texts(id).split(" ", -1)
+      assert(nBefore == ws.length)
+      val want = scrub(ws)
+      assert(nAfter == want.length)
+      assert(scrubbed == want.mkString(" "),
+        s"doc $id scrubbed text diverges from the driver replay")
+      // idempotence: a scrubbed text has no consecutive duplicates left
+      val again = scrub(scrubbed.split(" ", -1))
+      assert(scrubbed == again.mkString(" "), s"doc $id scrub not idempotent")
+    }
+    assert(rows.exists(r => r._3 < r._2),
+      "no doc had a consecutive duplicate — transform vacuous on this corpus")
+  }
+
   test("chunk_docs: chunks tile each document exactly") {
     val chunks = CorpusOps.chunkDocs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

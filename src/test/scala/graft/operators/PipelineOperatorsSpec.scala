@@ -535,6 +535,26 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(agg.map(_.getString(0)).toSet == Set("image/bmp", "audio/wav"))
   }
 
+  test("curriculum: ranks are a permutation of 1..N ordered by (quality, id); tiers balanced") {
+    val rows = TextAnalysis.curriculum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length.toLong
+    assert(n == graft.Tables.t(spark, dir, "documents").count())
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "ranks are not a permutation of 1..N")
+    // the distributed rank equals the sequential rank over (score, id)
+    val expected = rows.map { case (id, s, _, _) => (s, id) }.sorted
+      .zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, _, rank, tier) =>
+      assert(rank == expected(id), s"doc $id: rank $rank != sequential")
+      assert(tier == (rank - 1) * TextAnalysis.CurriculumTiers / n)
+    }
+    // every tier is populated and balanced to within one document
+    val sizes = rows.groupBy(_._4).values.map(_.length)
+    assert(sizes.size == TextAnalysis.CurriculumTiers)
+    assert(sizes.max - sizes.min <= 1, s"tier sizes skewed: $sizes")
+  }
+
   test("global_shuffle: positions are a permutation of 1..N; ≡ the sequential rank over driver-computed keys; order actually shuffles") {
     val rows = TextAnalysis.globalShuffle(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

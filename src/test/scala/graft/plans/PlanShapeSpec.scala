@@ -84,7 +84,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     Seq(
       "pack_shards" -> graft.operators.TextAnalysis.packShards(spark, dir),
       "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2e(spark, dir),
-      "global_shuffle" -> graft.operators.TextAnalysis.globalShuffle(spark, dir)
+      "global_shuffle" -> graft.operators.TextAnalysis.globalShuffle(spark, dir),
+      "curriculum" -> graft.operators.TextAnalysis.curriculum(spark, dir)
     ).foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("windowspecdefinition(bucket#"),
