@@ -358,15 +358,20 @@ object CorpusOps {
     * oracle (the same rounds unrolled as static SQL) stays tractable. */
   final val BpeMerges = 10
 
-  /** Every merged pair is assigned a fresh single CHARACTER from the CJK
-    * block (codepoint [[BpeMergeCharBase]] + rank): with every symbol one
-    * char, words stay plain strings, adjacent-pair extraction is a 2-char
-    * substring, and applying a merge is plain `replace` — whose
-    * left-to-right, continue-after-match scan IS the standard BPE
-    * non-overlapping run semantics ("aaaa" under (a,a) → "zz") and is
-    * identical in Spark and DuckDB. The corpus is lowercase-ASCII words,
-    * so merge characters can never collide with input symbols. */
-  final val BpeMergeCharBase = 0x4E00
+  /** Every merged pair is assigned a fresh single CHARACTER from the
+    * Unicode PRIVATE USE AREA (codepoint [[BpeMergeCharBase]] + rank):
+    * with every symbol one char, words stay plain strings, adjacent-pair
+    * extraction is a 2-char substring, and applying a merge is plain
+    * `replace` — whose left-to-right, continue-after-match scan IS the
+    * standard BPE non-overlapping run semantics ("aaaa" under (a,a) →
+    * "zz") and is identical in Spark and DuckDB. The PUA is the reserved
+    * symbol space: no interchange text legitimately carries U+E000.. (the
+    * same contract real tokenizers enforce by reserving token ids) —
+    * unlike a natural-script block, where an input character would be
+    * indistinguishable from a merge symbol and silently corrupt training
+    * on BOTH engines at once (the one bug class the oracle gate is
+    * structurally blind to). */
+  final val BpeMergeCharBase = 0xE000
 
   /** BPE tokenizer TRAINING (the stage [[tokenBpe]] pre-tokenizes for):
     * iterative most-frequent-adjacent-pair election and merge, producing
@@ -408,7 +413,8 @@ object CorpusOps {
         .select(col("word"), col("word").as("repr"), col("cnt")))
     var w = w0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to BpeMerges) {
+    var dry = false
+    for (r <- 1 to BpeMerges if !dry) {
       val best = w
         // length-1 reprs carry no pairs (and Spark's sequence(1, 0) would
         // DESCEND and fabricate bogus grams — same guard as Dedup.grams)
@@ -418,12 +424,21 @@ object CorpusOps {
           .as("pair"), col("cnt"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
-        .collect()(0) // ONE row per round: the elected pair
-      val m = (BpeMergeCharBase + r).toChar.toString
-      merges += ((r, best.getString(0), m, best.getLong(1)))
-      w = w.select(col("word"),
-        replace(col("repr"), lit(best.getString(0)), lit(m)).as("repr"),
-        col("cnt"))
+        .collect() // ONE row per round: the elected pair
+      if (best.isEmpty) {
+        // vocabulary ran dry (every repr is a single symbol) — no pair to
+        // elect this round or ever again (the table is unchanged from here
+        // on). The oracle agrees by construction: its b$r CTE is empty, so
+        // the round contributes no merge row and its replace() coalesces
+        // to a no-op '' pattern.
+        dry = true
+      } else {
+        val m = (BpeMergeCharBase + r).toChar.toString
+        merges += ((r, best(0).getString(0), m, best(0).getLong(1)))
+        w = w.select(col("word"),
+          replace(col("repr"), lit(best(0).getString(0)), lit(m)).as("repr"),
+          col("cnt"))
+      }
     }
     w0Rdd.unpersist(blocking = false)
     (merges.result(), w.select(col("word"), col("repr")))
@@ -456,13 +471,13 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
-  /** The same [[BpeMerges]] rounds unrolled as static SQL: each round is a
-    * pair-count CTE, a LIMIT-1 argmax CTE, and a replace projection; the
-    * fresh merge character chr(base + r) depends only on the round number,
-    * so the text is data-independent. */
-  /** The shared rounds CTE chain (w0 … w[[BpeMerges]], carrying the
-    * original word next to its evolving repr — the extra column is dead
-    * weight for [[bpeVocabSql]] and the join key for [[bpeEncodeSql]]). */
+  /** The shared rounds CTE chain (w0 … w[[BpeMerges]] — the same
+    * [[BpeMerges]] rounds [[bpeTrain]] runs, unrolled as static SQL: each
+    * round a pair-count CTE, a LIMIT-1 argmax CTE, and a replace
+    * projection; chr(base + r) depends only on the round number, so the
+    * text is data-independent. The chain carries the original word next
+    * to its evolving repr — dead weight for [[bpeVocabSql]], the join key
+    * for [[bpeEncodeSql]]. */
   private def bpeRoundsCtes: String = {
     val rounds = (1 to BpeMerges).map { r =>
       s"""p$r AS (
@@ -473,8 +488,14 @@ object CorpusOps {
          |  GROUP BY pair),
          |b$r AS (SELECT pair, CAST(c AS BIGINT) AS c FROM p$r
          |        ORDER BY c DESC, pair LIMIT 1),
-         |w$r AS (SELECT word, replace(repr, (SELECT pair FROM b$r),
-         |          chr(${BpeMergeCharBase + r})) AS repr, cnt FROM w${r - 1})"""
+         |w$r AS (SELECT word,
+         |          -- a DRY round (empty b: vocabulary fully merged) must
+         |          -- be a no-op, not a NULL poison: replace with the ''
+         |          -- pattern returns the input unchanged, matching the
+         |          -- engine loop's early stop
+         |          replace(repr, coalesce((SELECT pair FROM b$r), ''),
+         |            chr(${BpeMergeCharBase + r})) AS repr, cnt
+         |        FROM w${r - 1})"""
         .stripMargin
     }
     s"""w0 AS (
@@ -581,8 +602,13 @@ object CorpusOps {
         conv(substring(
           md5(concat(lit(EpochSeed), col("doc_id").cast("string"))
             .cast("binary")), 1, 4), 16, 10).cast("long").as("lot"))
+    // one row per source — localCheckpoint so the budget aggregate reads
+    // these few rows instead of re-running the corpus aggregate (the md5
+    // lottery column is never referenced by the aggregate branch, so
+    // column pruning already keeps it probe-side only)
     val src = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
+      .localCheckpoint()
     val budget = src.agg(max(col("src_tokens")).as("budget"))
     docs.join(broadcast(src), Seq("source"))
       .crossJoin(broadcast(budget))

@@ -87,18 +87,27 @@ object ScaleLayout {
     val table =
       s"${name}_${pathTag}_" +
         spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    if (!spark.catalog.tableExists(table)) {
-      df.write.mode(SaveMode.Overwrite)
-        .bucketBy(numBuckets, keyCol)
-        .sortBy(keyCol)
-        .format("parquet")
-        .option("path", path)
-        .saveAsTable(table)
-      graft.SessionResources.onRelease(spark)(() =>
-        spark.sql(s"DROP TABLE IF EXISTS $table"))
+    // the exists-check and the write are one atomic unit: two concurrent
+    // callers (suites share a session) would otherwise both observe
+    // "absent" and race Overwrite writes onto the same path, one deleting
+    // the other's files mid-write
+    bucketLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        df.write.mode(SaveMode.Overwrite)
+          .bucketBy(numBuckets, keyCol)
+          .sortBy(keyCol)
+          .format("parquet")
+          .option("path", path)
+          .saveAsTable(table)
+        graft.SessionResources.onRelease(spark)(() =>
+          spark.sql(s"DROP TABLE IF EXISTS $table"))
+      }
     }
     spark.table(table)
   }
+
+  private val bucketLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   final val JoinBuckets = 8
 

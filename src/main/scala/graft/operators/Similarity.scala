@@ -503,6 +503,9 @@ object Similarity {
     * table — K rows broadcast, so assignment is a map-side argmax scan. */
   def semDedupCore(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the assignment feeds THREE consumers (both sides of the pair join +
+    // the final verdict join) — materialize it once or the K-way
+    // crossJoin and argmax window execute three times per query
     val assigned = e.crossJoin(broadcast(centroids))
       .withColumn("cos_c", dot(col("ev"), col("cv")) / (col("nrm") * col("cn")))
       // argmax over K centroid rows per vector; ties (only possible with
@@ -513,6 +516,7 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cluster"),
         col("cos_c").as("cos_centroid"), col("ev"), col("nrm"))
+      .localCheckpoint()
     // a vector is dropped iff some LOWER-id vector in its cluster is ≥ τ
     // close — an equi-join on cluster, bounded by cluster populations
     val dropped = assigned.as("x").join(assigned.as("y"),

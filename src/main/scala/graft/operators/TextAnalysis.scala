@@ -385,10 +385,15 @@ object TextAnalysis {
     * oracle-exact), tie-broken by doc_id. */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE scoring scan: the window, the bucket-count aggregate and the
+    // total count all reread this narrow (3-long-ish) materialization —
+    // without it each branch re-runs the split/regex quality stage (the
+    // packDocs discipline; ContextCleaner reclaims with the result)
     val scored = withQualityInputs(t(spark, dir, "documents"))
       .select(col("doc_id"), qualityScoreCol.as("quality_score"))
       .withColumn("bucket",
         floor(col("quality_score") * CurriculumBuckets).cast("long"))
+      .localCheckpoint()
     val inBucket = scored.withColumn("rn",
       row_number().over(Window.partitionBy(col("bucket"))
         .orderBy(col("quality_score"), col("doc_id"))).cast("long"))
@@ -442,6 +447,8 @@ object TextAnalysis {
     * decomposition ≡ the sequential rank. */
   def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE keying scan shared by the window and the bucket counts (the
+    // same single-materialization discipline as [[curriculum]])
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"),
         md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))
@@ -449,6 +456,7 @@ object TextAnalysis {
       .withColumn("bucket",
         conv(substring(col("shuffle_key"), 1, ShuffleHexChars), 16, 10)
           .cast("long"))
+      .localCheckpoint()
     val inBucket = docs.withColumn("rn",
       row_number().over(Window.partitionBy(col("bucket"))
         .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))

@@ -45,8 +45,10 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     val texts = graft.Tables.t(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // split(" ", -1) keeps trailing empty tokens — Spark's split does too,
+    // so the replay must (a trailing space would otherwise desync it)
     val docBigrams = texts.view.mapValues(t =>
-      t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+      t.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
         .map(_.mkString(" ")).toSeq).toMap
     val model = docBigrams.values.flatten
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
@@ -225,6 +227,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       val mass = rs.map(_._3).sum
       assert(mass >= (budget / srcTokens(src)) * srcTokens(src),
         s"source $src under its full-epoch mass")
+    }
+  }
+
+  test("bpe training: a vocabulary that runs DRY stops electing instead of crashing; encode stays consistent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe-dry-").toString
+    // two 2-char words: round 1 merges "ab", round 2 merges "cd", round 3
+    // finds every repr a single symbol — the dry path 10 fixed rounds
+    // would otherwise hit with an empty collect
+    Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val merges = CorpusOps.bpeVocab(spark, tmp).collect()
+    assert(merges.length == 2, s"expected 2 merges then dry: ${merges.toSeq}")
+    assert(merges.map(_.getString(1)).toSeq == Seq("ab", "cd"))
+    assert(merges.forall(_.getLong(3) == 3L)) // both pairs occur 3×
+    val enc = CorpusOps.bpeEncode(spark, tmp).collect()
+    assert(enc.length == 2)
+    // every word collapsed to ONE symbol → tokens == words, 2 chars/token
+    enc.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1), s"tokens != words: $r")
+      assert(r.getDouble(4) == 2.0)
     }
   }
 
