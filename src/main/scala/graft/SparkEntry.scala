@@ -248,12 +248,19 @@ object SparkEntry {
     // the reference quota semantics, doubles included
     "quota_admission_replay" -> graft.streaming.EventStreams
       .quotaReplaySql(QuotaReplayMax, QuotaReplayWindowUs),
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf /
-    // embedding_neardup_lsh / approx_stats:
-    // hash/LSH/sketch internals aren't DuckDB-expressible → driver
-    // records the weaker rows-only check; each has an oracle-checked
-    // exact twin (dedup_*_verified, embedding_neardup, ann_cosine_topk)
-    // and/or ScalaTest recall/error-bound pins against the exact
-    // operators.
+    // the hyperplane-LSH paths are fully deterministic (driver-constant
+    // planes + strict-fold projections whose SIGNS are bit-reproducible),
+    // so the oracle replays bucketing, candidate generation AND the exact
+    // re-rank with the plane values inlined as SQL literals — equality
+    // proves the whole approximate pipeline, not just its exact twin
+    "ann_lsh" -> Similarity.annLshSql,
+    "embedding_neardup_lsh" -> Similarity.embeddingNearDupLshSql,
+    // dedup_minhash_lsh / dedup_simhash(_verified) / ann_ivf /
+    // approx_stats: the remaining native hash/sketch internals
+    // (xxhash-based minhash, simhash, HLL/quantile sketches, the k-means
+    // float path) aren't DuckDB-expressible → driver records the weaker
+    // rows-only check; each has an oracle-checked exact twin
+    // (dedup_*_verified, ann_ivf_verified/indexed, percentiles) and/or
+    // ScalaTest recall/error-bound pins against the exact operators.
   )
 }

@@ -85,6 +85,71 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  // ---- SQL twins of the bucketing, for the DuckDB oracles ----
+  // The hyperplanes are plain driver-side constants (a spec-fixed LCG
+  // sequence — no JVM-dependent state), and the projections are the same
+  // strict-left-fold dot both engines already share bit-exactly, so the
+  // SIGN of every projection — and therefore every bucket, the candidate
+  // set, and the final exact cosines — is reproducible in SQL by
+  // embedding the plane values as literals. That upgrades the LSH paths
+  // from rows-only checks to full oracle equality.
+
+  /** The strict-left-fold dot product as DuckDB SQL (same op order as
+    * [[graft.functions.VecDot]] ⇒ bit-identical doubles). */
+  private[operators] def foldSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** One `(vec_id, tbl, bucket)` SELECT per hash table over CTE `e`,
+    * with the plane constants inlined (Double.toString is shortest
+    * round-trip decimal, which DuckDB parses back to the identical
+    * double). */
+  private def bucketsSql(tables: Int, planes: Int): String =
+    (0 until tables).map { tb =>
+      val bits = (0 until planes).map { p =>
+        val lit = planeVector(tb, p).mkString("[", ", ", "]")
+        s"(CASE WHEN ${foldSql("ev", lit)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"""SELECT vec_id, $tb AS tbl,
+         |    $bits AS bucket
+         |  FROM e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
+       |b AS (
+       |${bucketsSql(Tables, PlanesPerTable)}),
+       |q AS (SELECT min(vec_id) AS qid FROM e),
+       |qb AS (SELECT b.tbl, b.bucket FROM b JOIN q ON b.vec_id = q.qid),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM b
+       |  JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+       |  WHERE b.vec_id <> (SELECT qid FROM q)),
+       |qv AS (SELECT n.ev AS qe, n.nrm AS qnrm FROM n JOIN q ON n.vec_id = q.qid)
+       |SELECT (SELECT qid FROM q) AS qid, n.vec_id,
+       |  ${foldSql("n.ev", "qv.qe")} / (n.nrm * qv.qnrm) AS cosine
+       |FROM cand JOIN n USING (vec_id) CROSS JOIN qv
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  val embeddingNearDupLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
+       |b AS (
+       |${bucketsSql(NearDupTables, NearDupPlanes)}),
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+       |  FROM b x JOIN b y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT v1, v2,
+       |  ${foldSql("n1.ev", "n2.ev")} / (n1.nrm * n2.nrm) AS cosine
+       |FROM pairs
+       |JOIN n n1 ON n1.vec_id = v1
+       |JOIN n n2 ON n2.vec_id = v2
+       |WHERE ${foldSql("n1.ev", "n2.ev")} / (n1.nrm * n2.nrm) >= $NearDupTau
+       |ORDER BY v1, v2""".stripMargin
+
   /** Embeddings with vector + precomputed norm (norms once per vector, not
     * once per candidate pair). */
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
