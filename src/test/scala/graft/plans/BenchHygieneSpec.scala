@@ -64,8 +64,12 @@ class BenchHygieneSpec extends AnyFunSuite with SparkSpec {
   }
 
   // the materialize()/localCheckpoint users plus a plain-pipeline control
+  // (curriculum/global_shuffle/epoch_mix/semdedup/bpe_encode joined the
+  // checkpoint users in round 5 — their single-materialization stages
+  // must obey the same bound)
   private val Sampled = Seq("q1_agg", "decontaminate", "dedup_clusters",
-    "dedup_clusters_star", "pack_shards", "pipeline_e2e")
+    "dedup_clusters_star", "pack_shards", "pipeline_e2e",
+    "curriculum", "global_shuffle", "epoch_mix", "semdedup", "bpe_encode")
 
   for (name <- Sampled)
     test(s"$name: persisted-RDD residency bounded, no growth across runs") {
