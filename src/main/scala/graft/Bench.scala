@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
@@ -10,11 +14,33 @@ import org.apache.spark.sql.SparkSession
   *  - results are materialized through the `noop` sink — `count()` can be
   *    answered from parquet row-group metadata without executing the plan;
   *  - queries run in sorted name order (stable across runs).
+  *
+  * Robustness measures (round 5's run was killed at the harness ceiling with
+  * ZERO output — a single stall erased all 75 numbers):
+  *  - every query (and the warmup) runs on a watchdog: a worker thread with a
+  *    per-query budget; on breach the query's Spark job group is cancelled,
+  *    the worker interrupted, and the query recorded as a timeout naming
+  *    itself — the suite moves on instead of hanging;
+  *  - a heartbeat line on stderr before and after every run, so even a
+  *    hard-killed session names its culprit;
+  *  - a global soft budget: once breached, remaining runs are skipped (pass-1
+  *    samples stand) and the JSON prints immediately;
+  *  - the final JSON is also wired to a JVM shutdown hook, so SIGTERM from an
+  *    external `timeout` still yields every number collected so far (printed
+  *    exactly once — guarded by an AtomicBoolean).
+  *
+  * Per-query sentinels in the JSON: -1.0 = failed every attempted pass,
+  * -2.0 = timed out (watchdog fired), -3.0 = never ran (global budget breach
+  * or killed before reaching it).
   */
 object Bench {
+  private val printed = new AtomicBoolean(false)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val queryBudgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET", "120").toInt
+    val globalBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2400").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,50 +50,103 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
 
-    def once(name: String): Double = {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Double.NaN // a failed run must never win the min()
-      }
-    }
-    // warmup: run the flagship shape once, untimed
-    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    val suiteT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
 
-    // two FULL passes over the sorted suite, per-query min across passes:
-    // back-to-back repeats of one query share any time-local machine
-    // contention window (round 2: a contiguous alphabetical band regressed
-    // while unchanged), so the two samples must be taken far apart; a
-    // query that failed both passes reports -1, not a fast-failure time
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it
     // unset, so the contract run always covers the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    val samples = TrieMap.empty[String, List[Double]] // successful secs per query
+    val statuses = TrieMap.empty[String, String] // worst non-ok outcome seen
+
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      val results = names.map { n =>
+        val ok = samples.getOrElse(n, Nil)
+        n -> (if (ok.nonEmpty) ok.min
+              else statuses.get(n) match {
+                case Some("timeout") => -2.0
+                case Some(_)         => -1.0
+                case None            => -3.0
+              })
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // sentinels are kept visible per-query but never subtract from the total
+      val total = results.map(_._2).filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    sys.addShutdownHook(emit())
+
+    /** Run one query under the watchdog; records its sample/status. */
+    def once(name: String, pass: Int, action: () => Unit): Unit = {
+      val group = s"bench-$name-p$pass"
+      System.err.println(f"[bench] start $name pass=$pass elapsed=$elapsedSec%.1fs")
+      @volatile var secs = Double.NaN
+      @volatile var err: Throwable = null
+      val worker = new Thread(() => {
+        // job-group properties are thread-local, so set inside the worker:
+        // everything this query submits lands in a cancellable group
+        sc.setJobGroup(group, name, interruptOnCancel = true)
+        val t0 = System.nanoTime()
+        try { action(); secs = (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => err = e }
+        finally sc.clearJobGroup()
+      }, s"bench-$name-p$pass")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(queryBudgetSec * 1000L)
+      if (worker.isAlive) {
+        sc.cancelJobGroup(group)
+        worker.join(10000L)
+        if (worker.isAlive) { worker.interrupt(); worker.join(5000L) }
+        statuses.put(name, "timeout")
+        val tail = if (worker.isAlive) " (worker abandoned)" else ""
+        System.err.println(s"[bench] TIMEOUT $name pass=$pass after ${queryBudgetSec}s$tail")
+      } else if (err != null) {
+        if (!statuses.contains(name)) statuses.put(name, "fail")
+        System.err.println(s"[bench] FAIL $name pass=$pass: ${err.getMessage}")
+      } else {
+        samples.put(name, secs :: samples.getOrElse(name, Nil))
+        System.err.println(f"[bench] ok $name pass=$pass $secs%.3fs")
+      }
+    }
+
+    // warmup: run the flagship shape once, untimed but watchdogged — a hung
+    // warmup must not eat the whole session
+    once("warmup", 0, () =>
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save())
+    samples.remove("warmup"); statuses.remove("warmup")
+
+    def run(name: String, pass: Int): Unit =
+      once(name, pass, () =>
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save())
+
+    // two FULL passes over the sorted suite, per-query min across passes:
+    // back-to-back repeats of one query share any time-local machine
+    // contention window (round 2: a contiguous alphabetical band regressed
+    // while unchanged), so the two samples must be taken far apart.
     // pass 2 runs in REVERSE order: min-of-two same-order passes cannot
     // cancel order-correlated contention (round 4: a heavy alphabetical
     // neighbor contaminated both samples of the same victims) — reversing
-    // gives every query a different predecessor in each sample
-    val pass1 = names.map(n => n -> once(n)).toMap
-    val pass2 = names.reverse.map(n => n -> once(n)).toMap
-    val results = names.map { n =>
-      val runs = Seq(pass1(n), pass2(n)).filterNot(_.isNaN)
-      n -> (if (runs.isEmpty) -1.0 else runs.min)
+    // gives every query a different predecessor in each sample.
+    // Global-budget breach mid-suite: remaining runs are skipped (already-
+    // collected samples stand) so the JSON always prints well before any
+    // external ceiling.
+    val schedule = names.map(n => (n, 1)) ++ names.reverse.map(n => (n, 2))
+    schedule.foreach { case (n, pass) =>
+      if (elapsedSec < globalBudgetSec) run(n, pass)
+      else System.err.println(s"[bench] SKIP $n pass=$pass (global budget ${globalBudgetSec}s breached)")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // -1.0 marks a doubly-failed query; keep it visible per-query but do
-    // not let the sentinel subtract from the headline total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    emit()
     spark.stop()
   }
 }
