@@ -116,6 +116,10 @@ object Bench {
         samples.put(name, secs :: samples.getOrElse(name, Nil))
         System.err.println(f"[bench] ok $name pass=$pass $secs%.3fs")
       }
+      // free the query's shared intermediates NOW — deterministic, never
+      // ContextCleaner/GC-paced (safe even after an abandoned worker:
+      // shared frames keep lineage, so a straggler read recomputes)
+      SharedFrames.releaseAll()
     }
 
     // warmup: run the flagship shape once, untimed but watchdogged — a hung

@@ -1,0 +1,59 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scope registry of persisted intermediates with OWNED release.
+  *
+  * Several operators materialize a multi-consumer intermediate (packDocs'
+  * narrow packing projection, the pipeline's survivor set, SemDeDup's
+  * cluster assignment, …). Through round 5 those sites used an eager
+  * `localCheckpoint()` and left reclamation to Spark's ContextCleaner —
+  * which drains only when DRIVER GC collects the weak reference to the
+  * result. Under a large driver heap (the round harness runs ~50 GiB) full
+  * collections are rare, so blocks from 150 back-to-back query runs can
+  * pile up in the block manager with nothing contractually draining them —
+  * the leading suspect for round 5's bench stall. This registry replaces
+  * the GC dependence with ownership: operators mark intermediates
+  * [[shared]], and harnesses (Bench, Verify, the hygiene specs) call
+  * [[releaseAll]] after each query's terminal action.
+  *
+  * [[shared]] persists WITH lineage (no checkpoint truncation), so
+  * releasing a frame that some straggler thread still reads degrades to
+  * recomputation instead of "checkpoint block not found" — the property
+  * that makes [[releaseAll]] safe to call even after a bench watchdog
+  * abandoned a worker mid-query.
+  */
+object SharedFrames {
+  private val live = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Materialize `df` once (MEMORY_AND_DISK) for multi-branch reuse: every
+    * downstream consumer reads the cached blocks instead of re-running the
+    * upstream plan. Eager — the registering operator decides WHEN the
+    * one computation happens, exactly like the `localCheckpoint` it
+    * replaces. */
+  def shared(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    live.add(() => { p.unpersist(blocking = false); () })
+    p
+  }
+
+  /** Register a loop-owned RDD whose FINAL generation outlives its loop:
+    * the iterative operators (connected components, BPE training)
+    * unpersist superseded rounds inline, but the last round feeds the
+    * returned frame and can only be freed after the consuming action. */
+  def sharedRdd(rdd: RDD[_]): Unit =
+    live.add(() => { rdd.unpersist(blocking = false); () })
+
+  /** Free every registered intermediate. Idempotent and thread-safe; call
+    * after a query's terminal action (between bench runs, after each
+    * Verify dump). Releasing is never unsafe mid-flight — see class doc. */
+  def releaseAll(): Unit = {
+    var f = live.poll()
+    while (f != null) { f(); f = live.poll() }
+  }
+}

@@ -57,12 +57,12 @@ object Pipeline {
     // gram-hashing every dropped doc (~4× fewer docs at sf0.1). The
     // composed oracle is unchanged — it flags the full corpus and
     // intersects, which is the same set.
-    // localCheckpoint: BOTH downstream consumers (the decontamination
+    // SharedFrames.shared: BOTH downstream consumers (the decontamination
     // probe and the packing cumsum) reread these rows instead of
     // re-running clean + keeper join; blocks are executor-local and the
-    // ContextCleaner reclaims them with the result (same residency story
-    // as packDocs' own checkpoint — BenchHygieneSpec pins boundedness)
-    val cleaned =
+    // harness releases them right after the consuming action
+    // (BenchHygieneSpec pins the zero-residue contract)
+    val cleaned = graft.SharedFrames.shared(
       t(spark, dir, "documents")
         // the eval docs themselves are NOT training data — decontaminate
         // only flags CORPUS docs overlapping them, so without this filter
@@ -71,8 +71,7 @@ object Pipeline {
         .filter(col("doc_id") >= Dedup.ContamEvalCap)
         .join(cleanedIds, Seq("doc_id"), "left_semi")
         .join(nonKeepers, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("text")))
     val contaminatedIds = Dedup.decontaminateFrom(cleaned,
       t(spark, dir, "documents").filter(col("doc_id") < Dedup.ContamEvalCap))
       .select("doc_id")

@@ -1,93 +1,86 @@
 package graft.plans
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.{SparkEntry, SparkSpec}
+import graft.{SharedFrames, SparkEntry, SparkSpec}
 
-/** Storage-hygiene pin (VERDICT r4 item #7): registered queries must not
-  * accumulate persisted RDD blocks across invocations — the mechanism by
-  * which one bench query could contaminate its neighbors (executor memory
-  * pinned by a predecessor's blocks shrinks the unified region every later
-  * query runs in; the bench runs every query twice in one JVM).
+/** Storage-hygiene pin (VERDICT r4 item #7, hardened after r5's bench
+  * stall): registered queries must not accumulate persisted RDD blocks
+  * across invocations — the mechanism by which one bench query could
+  * contaminate its neighbors (executor memory pinned by a predecessor's
+  * blocks shrinks the unified region every later query runs in; the bench
+  * runs every query twice in one JVM).
   *
-  * What is (and isn't) promised: the driver-iterated operators
-  * (dedup_clusters, dedup_clusters_star, pipeline_e2e, pack_shards)
-  * legitimately persist loop rounds; superseded rounds are unpersisted
-  * inline, and the FINAL generation's blocks are reclaimed by Spark's
-  * ContextCleaner once the result Dataset is unreachable — asynchronously,
-  * on driver GC, with JIT-dependent reference visibility. Probing showed
-  * reclamation of run k's generation reliably completes while run k+1
-  * executes, but "reclaimed within N idle seconds" is flaky to assert
-  * (the cleaner drains serially behind accumulated broadcast/accumulator
-  * refs). What IS deterministic — and what actually protects the bench —
-  * is BOUNDED RESIDENCY: after repeated runs, at most ~two generations
-  * of blocks resident (the newest plus the one the cleaner is still
-  * draining), with no growth in run count. An r2-style session-lifetime
-  * cache, or a loop that forgot to unpersist superseded rounds, grows
-  * linearly with runs and fails the 4-run bound at any generation size
-  * (4g > 2g+1 for all g ≥ 1). */
+  * The round-5 contract was "bounded residency, reclaimed by
+  * ContextCleaner on driver GC" — which is exactly the dependence the r5
+  * bench stall implicated (a ~50 GiB driver heap collects weak refs
+  * rarely, so nothing contractually drained the blocks). The contract is
+  * now OWNERSHIP: every shared intermediate and every loop's final
+  * generation registers with [[graft.SharedFrames]], the harness calls
+  * `releaseAll()` after each query's terminal action, and release is
+  * SYNCHRONOUS in the registry (`getPersistentRDDs` reflects it without
+  * any GC). What this spec pins:
+  *
+  *  1. DURING a run, residency stays bounded by one generation — the
+  *     iterative operators unpersist superseded rounds inline;
+  *  2. AFTER `releaseAll()`, residency returns to exactly the baseline —
+  *     zero residue, deterministically, no `System.gc()` anywhere. */
 class BenchHygieneSpec extends AnyFunSuite with SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
   /** One generation of persisted intermediates: pipeline_e2e's is the
     * largest (survivor materialization + star loop's canonical edge set +
-    * final contraction round + packing checkpoint). */
+    * final contraction round + packing materialization). */
   private val GenerationBound = 6
 
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  /** Run exactly what Bench runs (materialize through the noop sink) in
-    * its OWN stack frame: an interpreted test-body frame can keep the
-    * result Dataset reachable through a dead local slot, which would hold
-    * its generation resident for the whole measurement. */
-  @noinline
+  /** Run exactly what Bench runs (materialize through the noop sink). */
   private def runOnce(name: String): Unit =
     SparkEntry.queries(name)(spark, dir)
       .write.mode("overwrite").format("noop").save()
 
-  /** Poll (with explicit GC — ContextCleaner triggers on weak-ref
-    * collection) until the extra-persisted set is stable for a full
-    * second, then return it. */
+  /** Registry removal is synchronous; give the block-manager scrub (the
+    * `blocking = false` part) a short grace, never a GC. */
   private def settledExtra(base: Set[Int]): Set[Int] = {
-    val deadline = System.currentTimeMillis() + 30000
-    var prev = persistedIds -- base
-    var stable = 0
-    while (stable < 5 && System.currentTimeMillis() < deadline) {
-      System.gc()
-      Thread.sleep(200)
-      val cur = persistedIds -- base
-      stable = if (cur == prev && cur.isEmpty) 5
-        else if (cur == prev) stable + 1 else 0
-      prev = cur
+    val deadline = System.currentTimeMillis() + 10000
+    var cur = persistedIds -- base
+    while (cur.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      cur = persistedIds -- base
     }
-    prev
+    cur
   }
 
-  // the materialize()/localCheckpoint users plus a plain-pipeline control
-  // (curriculum/global_shuffle/epoch_mix/semdedup/bpe_encode joined the
-  // checkpoint users in round 5 — their single-materialization stages
-  // must obey the same bound)
+  // the SharedFrames users plus a plain-pipeline control (curriculum /
+  // global_shuffle / epoch_mix / semdedup / bpe_encode joined the shared-
+  // materialization users in round 5)
   private val Sampled = Seq("q1_agg", "decontaminate", "dedup_clusters",
     "dedup_clusters_star", "pack_shards", "pipeline_e2e",
     "curriculum", "global_shuffle", "epoch_mix", "semdedup", "bpe_encode")
 
   for (name <- Sampled)
-    test(s"$name: persisted-RDD residency bounded, no growth across runs") {
+    test(s"$name: bounded residency during runs, ZERO residue after release") {
+      SharedFrames.releaseAll() // drain any prior suite's leftovers
       val base = persistedIds
       runOnce(name)
-      val gen = math.max(settledExtra(base).size, 1)
-      assert(gen <= GenerationBound,
-        s"$name left $gen persisted RDDs after one run " +
+      // during-run bound: inline unpersist of superseded loop rounds keeps
+      // at most ~one generation resident while the query executes
+      val during = (persistedIds -- base).size
+      assert(during <= GenerationBound,
+        s"$name held $during persisted RDDs after one run " +
           s"— more than one generation")
-      runOnce(name)
-      settledExtra(base) // give the cleaner its GC trigger between runs
-      runOnce(name)
-      settledExtra(base)
-      runOnce(name)
-      val afterFour = settledExtra(base)
-      assert(afterFour.size <= 2 * gen + 1,
-        s"$name grows persisted residency with invocation count: " +
-          s"$gen after 1 run, ${afterFour.size} after 4 " +
-          s"(ids ${afterFour.toSeq.sorted}) — session-lifetime leak")
+      SharedFrames.releaseAll()
+      val after1 = settledExtra(base)
+      assert(after1.isEmpty,
+        s"$name left persisted RDDs ${after1.toSeq.sorted} after " +
+          "releaseAll — an intermediate escaped the ownership registry")
+      // and repeated run/release cycles leave nothing behind either
+      runOnce(name); SharedFrames.releaseAll()
+      runOnce(name); SharedFrames.releaseAll()
+      val after3 = settledExtra(base)
+      assert(after3.isEmpty,
+        s"$name accumulates residue across run/release cycles: " +
+          s"ids ${after3.toSeq.sorted}")
     }
 }
