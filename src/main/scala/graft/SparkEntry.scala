@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
+    "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
@@ -204,6 +205,9 @@ object SparkEntry {
     // equality proves the alternating contraction computes exactly the
     // transitive closure the propagation loop does
     "dedup_clusters_star" -> Dedup.dedupClustersSql,
+    // the distributed-rounds twin shares the oracle: ADVICE r5 — the
+    // star-contraction loop itself stays under the DuckDB equality gate
+    "dedup_clusters_star_dist" -> Dedup.dedupClustersSql,
     "decontaminate" -> Dedup.decontaminateSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,

@@ -271,26 +271,36 @@ object CorpusOps {
     * with the payload, language labels in the known set. One row per
     * check with its violation count; zero is a meaningful answer (the
     * sf0.1 corpus REALLY has 3000 docs without embeddings — spec-pinned
-    * non-vacuous there). Shape: two anti-joins on ids + three columnar
-    * predicate counts, each a map-side-partial aggregate. */
+    * non-vacuous there). Shape: two anti-joins on ids + ONE conditional
+    * aggregate for all three predicate checks — the audit reads
+    * `documents` three times total, not five (round 5 ran one scan per
+    * predicate; at 100 TB that's two corpus scans saved), with every
+    * count a map-side-partial aggregate. Filter-as-sum keeps the null
+    * semantics of the filters it replaced: a NULL predicate (null text /
+    * lang) contributes 0 exactly as a filter would drop the row. */
   def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
     def row(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check_name"), col("n_violations"))
+    def cnt(pred: org.apache.spark.sql.Column) =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+    val predicateRows = docs
+      .agg(cnt(col("text").isNull || length(col("text")) === 0)
+          .as("empty_text"),
+        cnt(col("n_chars") =!= length(col("text"))).as("n_chars_mismatch"),
+        cnt(!col("lang").isin(KnownLangs: _*)).as("unknown_lang"))
+      .select(expr("stack(3, 'empty_text', empty_text, " +
+        "'n_chars_mismatch', n_chars_mismatch, " +
+        "'unknown_lang', unknown_lang) AS (check_name, n_violations)"))
     row("docs_without_embedding",
       docs.join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
         "left_anti"))
       .unionAll(row("embeddings_without_doc",
         emb.select(col("vec_id").as("doc_id"))
           .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")))
-      .unionAll(row("empty_text",
-        docs.filter(col("text").isNull || length(col("text")) === 0)))
-      .unionAll(row("n_chars_mismatch",
-        docs.filter(col("n_chars") =!= length(col("text")))))
-      .unionAll(row("unknown_lang",
-        docs.filter(!col("lang").isin(KnownLangs: _*))))
+      .unionAll(predicateRows)
       .orderBy(col("check_name"))
   }
 
@@ -394,15 +404,25 @@ object CorpusOps {
       .orderBy(col("merge_rank"))
   }
 
+  /** Partition count for the materialized word-frequency table: the merge
+    * rounds are VOCAB-sized aggregates (a few thousand rows at test SF),
+    * and running each of the ~[[BpeMerges]] rounds across the session's
+    * full shuffle width paid ~10 rounds of 32-partition fixed overhead for
+    * microseconds of real work (round 5's two heaviest new queries). Size
+    * ∝ vocab, not corpus: a production vocab of a few million words still
+    * fits a handful of partitions; the ONE corpus-sized aggregate that
+    * builds the table keeps the full width upstream of the coalesce. */
+  private val BpeVocabPartitions = 4
+
   /** The shared training fold behind [[bpeVocab]] and [[bpeEncode]]: runs
     * the [[BpeMerges]] election/merge rounds and returns BOTH products —
     * the driver-held merge table, and the final word→representation frame
     * (each word of the vocab with its fully-merged symbol string; every
     * symbol is one char, so `length(repr)` IS the encoded token count).
-    * The word-frequency table is persisted for the rounds and released
-    * before returning — a downstream action on the word frame recomputes
-    * the (deterministic) w0 aggregate once, keeping persisted residency
-    * bounded (BenchHygieneSpec). */
+    * The word-frequency table is persisted for the rounds AND for the
+    * caller's consuming action (the encode join reads the same blocks
+    * instead of re-running the corpus aggregate); release is the
+    * harness's, via [[graft.SharedFrames]]. */
   private def bpeTrain(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val (w0, w0Rdd) = Dedup.materialize(
@@ -410,7 +430,8 @@ object CorpusOps {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(col("word"), col("word").as("repr"), col("cnt")))
+        .select(col("word"), col("word").as("repr"), col("cnt"))
+        .coalesce(BpeVocabPartitions))
     var w = w0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var dry = false
@@ -440,7 +461,7 @@ object CorpusOps {
           col("cnt"))
       }
     }
-    w0Rdd.unpersist(blocking = false)
+    graft.SharedFrames.sharedRdd(w0Rdd)
     (merges.result(), w.select(col("word"), col("repr")))
   }
 
@@ -585,8 +606,10 @@ object CorpusOps {
     * `floor(budget / src_tokens)` times; the fractional remainder epoch is
     * dealt by an integer lottery — doc included iff
     * `lot · src_tokens < (budget mod src_tokens) · 65536` — so the expected
-    * extra token mass is exactly the remainder, and the comparison is pure
-    * BIGINT arithmetic (bit-identical across engines, no float fraction).
+    * extra token mass approximates the remainder (exact only up to the
+    * 2^16 lottery quantization, and per-DOC uniform rather than
+    * token-weighted), and the comparison is pure BIGINT arithmetic
+    * (bit-identical across engines, no float fraction).
     * One output row per (doc, epoch): the materialized mixing plan a
     * trainer consumes.
     *
@@ -602,13 +625,12 @@ object CorpusOps {
         conv(substring(
           md5(concat(lit(EpochSeed), col("doc_id").cast("string"))
             .cast("binary")), 1, 4), 16, 10).cast("long").as("lot"))
-    // one row per source — localCheckpoint so the budget aggregate reads
+    // one row per source — materialized so the budget aggregate reads
     // these few rows instead of re-running the corpus aggregate (the md5
     // lottery column is never referenced by the aggregate branch, so
     // column pruning already keeps it probe-side only)
-    val src = docs.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("src_tokens"))
-      .localCheckpoint()
+    val src = graft.SharedFrames.shared(docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens")))
     val budget = src.agg(max(col("src_tokens")).as("budget"))
     docs.join(broadcast(src), Seq("source"))
       .crossJoin(broadcast(budget))

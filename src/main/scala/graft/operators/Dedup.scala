@@ -478,6 +478,9 @@ object Dedup {
       labelsRdd = nextRdd
     }
     edgesRdd.unpersist(blocking = false) // the result reads only the labels
+    // the FINAL round's blocks feed the returned frame — the harness frees
+    // them after the consuming action (ownership, not ContextCleaner)
+    graft.SharedFrames.sharedRdd(labelsRdd)
     labels.orderBy(col("doc_id"))
   }
 
@@ -566,7 +569,7 @@ object Dedup {
       // fixpoint: same count and next ⊆ cur ⇒ set equality
       done = nextCount == curCount && next.except(cur).isEmpty
       // never unpersist the INITIAL canonical set — the final labeling's
-      // node universe reads it (ContextCleaner reclaims it with the result)
+      // node universe reads it (registered for harness release below)
       if (curRdd ne canon0Rdd) curRdd.unpersist(blocking = false)
       cur = next; curRdd = nextRdd; curCount = nextCount
     }
@@ -612,6 +615,10 @@ object Dedup {
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    // canon0 (the node universe) and the final round both feed the
+    // returned labeling — harness-released after the consuming action
+    graft.SharedFrames.sharedRdd(canon0Rdd)
+    if (curRdd ne canon0Rdd) graft.SharedFrames.sharedRdd(curRdd)
     (labels, rounds)
   }
 
@@ -623,6 +630,21 @@ object Dedup {
     val pairs = dedupNgramJaccard(spark, dir)
       .select(col("d1").as("src"), col("d2").as("dst"))
     connectedComponents(pairs).orderBy(col("doc_id"))
+  }
+
+  /** [[dedupClustersStar]] with the driver-finish hybrid DISABLED
+    * (driverFinishAt = 0): every contraction round runs distributed to
+    * the fixpoint. At test scale the hybrid's cutoff short-circuits the
+    * whole graph to the driver union-find, so without this registration
+    * the distributed large-star/small-star rounds would face only spec
+    * pins, never the DuckDB equality gate. Same pair graph, same oracle
+    * — a green row proves the distributed rounds compute the transitive
+    * closure exactly. */
+  def dedupClustersStarDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    connectedComponentsWithRounds(pairs, driverFinishAt = 0L)._1
+      .orderBy(col("doc_id"))
   }
 
   /** Oracle: the same components via recursive reachability (min label over

@@ -101,6 +101,19 @@ object ScaleLayout {
           .saveAsTable(table)
         graft.SessionResources.onRelease(spark)(() =>
           spark.sql(s"DROP TABLE IF EXISTS $table"))
+      } else {
+        // idempotence guard: a reuse of the same (name, path) with a
+        // DIFFERENT layout request must fail loudly — silently serving
+        // the first caller's buckets would hand back a wrong co-location
+        // promise (and possibly different columns)
+        val existing = spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val bucketSpec = (existing.getOrElse("Num Buckets", "?"),
+          existing.getOrElse("Bucket Columns", "?"))
+        val want = (numBuckets.toString, s"[`$keyCol`]")
+        require(bucketSpec == want,
+          s"bucketizeAt('$name', '$path'): existing layout " +
+            s"$bucketSpec does not match requested $want")
       }
     }
     spark.table(table)

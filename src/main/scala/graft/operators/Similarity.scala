@@ -534,13 +534,26 @@ object Similarity {
 
   // ---- SemDeDup: semantic deduplication via cluster-then-prune ----
 
-  /** Centroid count for the registered [[semDedup]] query. Fixed and small
-    * so the DuckDB oracle can replay the assignment; at 100 TB K grows
-    * ∝ corpus size (keeping cluster populations bounded) and the centroids
-    * come from a trained quantizer (the [[annIvf]] k-means path) — the
-    * pruning stage below is UNCHANGED by where centroids come from, which
-    * is why [[semDedupCore]] takes them as a plain DataFrame. */
+  /** Centroid count for the registered [[semDedup]] query. At 100 TB K
+    * grows ∝ corpus size — that is what keeps per-cluster populations
+    * (and so the within-cluster pair join) CONSTANT as the corpus grows;
+    * a fixed K would let candidates grow O(n²/K). K = 8 at test SF keeps
+    * populations in the tens; the pruning stage is UNCHANGED by K or by
+    * where centroids come from, which is why [[semDedupCore]] takes them
+    * as a plain DataFrame. */
   final val SemDedupK = 8
+  /** Lloyd iterations for [[semDedupCentroids]] (same small cap as
+    * [[IvfIters]] — convergence on this data is 2-3 rounds). */
+  final val SemDedupIters = 3
+  /** Fixed-point scale (2^20) for the EXACT centroid-update arithmetic in
+    * [[semDedupCentroids]]: component sums are Σ floor(x·2^20) over
+    * BIGINT — associative, so order-independent across partitions and
+    * engines — and the mean is a truncating integer division followed by
+    * a (binary-exact) division by 2^20. That makes the TRAINED centroids
+    * a pure function of the data, replayable bit-identically in DuckDB
+    * SQL — the property the [[semDedupSql]] oracle rests on. Headroom:
+    * |Σ floor(x·2^20)| ≤ n·2^20 stays under 2^63 to n ≈ 8.8e12 vectors. */
+  final val SemDedupQScale = 1L << 20
   /** Within-cluster prune threshold, tuned on the synthetic corpus so both
     * kept=true and kept=false are populated at every SF (drops at τ=0.35:
     * 63/500 sf0.001, 76/500 sf0.01, 759/2000 sf0.1). */
@@ -556,12 +569,57 @@ object Similarity {
     * with its cluster, centroid affinity and keep verdict, so the output
     * doubles as the cluster-assignment audit table. */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = withNorm(spark, dir)
-    // deterministic stand-in centroids: the K lowest-id vectors (the oracle
-    // must be able to derive the same set; see SemDedupK scaladoc)
-    val centroids = e.filter(col("vec_id") < SemDedupK)
-      .select(col("vec_id").as("cid"), col("ev").as("cv"), col("nrm").as("cn"))
-    semDedupCore(e, centroids, SemDedupTau)
+    // TRAINED centroids (quantized Lloyd's over the corpus — the scale
+    // path; round 5 registered a K-lowest-id stand-in). cid = training
+    // index; norms through the same strict-fold dot as every oracle.
+    val cents = semDedupCentroids(spark, dir).zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }.toSeq
+      .toDF("cid", "cv")
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    semDedupCore(e, cents, SemDedupTau)
+  }
+
+  /** Deterministic k-means for [[semDedup]]: Lloyd's assignment exactly as
+    * [[ivfCentroids]] (L2 argmin, lowest-index ties), but the UPDATE step
+    * runs in exact fixed-point ([[SemDedupQScale]]) so the result is
+    * independent of partition/aggregation order — the plain double `avg`
+    * the IVF path uses is order-dependent in its last ulp, which is fine
+    * for ANN (verified against brute force with probe margin) but would
+    * make a bit-exact oracle replay impossible. Init = the k lowest
+    * vec_ids; empty clusters keep their previous centroid. */
+  def semDedupCentroids(spark: SparkSession, dir: String,
+      k: Int = SemDedupK, iters: Int = SemDedupIters): Array[Array[Double]] = {
+    import spark.implicits._
+    val vecs = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+    var centroids = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().map(_._2)
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, v) => (nearestCentroid(v, cs), v) }
+      }.toDF("cluster", "ev")
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("x") * SemDedupQScale)).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
+        rows.sortBy(_.getInt(1)).map { r =>
+          // JVM long division truncates toward zero — the SQL twin
+          // emulates exactly this (CASE on sign over `//`)
+          (r.getLong(2) / r.getLong(3)).toDouble / SemDedupQScale
+        }
+      }.toMap
+      centroids = centroids.indices
+        .map(c => upd.getOrElse(c, centroids(c))).toArray
+    }
+    centroids
   }
 
   /** Core of [[semDedup]] over any (vec_id, ev, nrm) frame and any centroid
@@ -571,7 +629,7 @@ object Similarity {
     // the assignment feeds THREE consumers (both sides of the pair join +
     // the final verdict join) — materialize it once or the K-way
     // crossJoin and argmax window execute three times per query
-    val assigned = e.crossJoin(broadcast(centroids))
+    val assigned = graft.SharedFrames.shared(e.crossJoin(broadcast(centroids))
       .withColumn("cos_c", dot(col("ev"), col("cv")) / (col("nrm") * col("cn")))
       // argmax over K centroid rows per vector; ties (only possible with
       // duplicate centroids) break to the lowest centroid id
@@ -580,8 +638,7 @@ object Similarity {
           .orderBy(col("cos_c").desc, col("cid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cluster"),
-        col("cos_c").as("cos_centroid"), col("ev"), col("nrm"))
-      .localCheckpoint()
+        col("cos_c").as("cos_centroid"), col("ev"), col("nrm")))
     // a vector is dropped iff some LOWER-id vector in its cluster is ≥ τ
     // close — an equi-join on cluster, bounded by cluster populations
     val dropped = assigned.as("x").join(assigned.as("y"),
@@ -597,18 +654,59 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The training-time L2 distance as the same strict left fold the Scala
+    * `nearestCentroid` loop computes (ascending index, one accumulator). */
+  private def l2FoldSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len($a)+1),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Oracle: replays the ENTIRE operator — [[SemDedupIters]] quantized
+    * Lloyd rounds (assignment argmin = same fold, same lowest-cid ties;
+    * update = the identical BIGINT fixed-point arithmetic, with `//`
+    * wrapped to match JVM truncating division) and then the assignment +
+    * prune stages — bit-identically, at any scale factor. No inlined
+    * constants beyond [[SemDedupQScale]]: the centroids the oracle prunes
+    * with are DERIVED from the data exactly as the operator derives them. */
   val semDedupSql: String = {
-    // the same strict-left-fold dot product as every other embedding oracle
-    def fold(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])),
-         |  (acc, v) -> acc + v)""".stripMargin
+    val q = SemDedupQScale
+    val train = (1 to SemDedupIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT x.vec_id, c.cid, row_number() OVER (
+         |        PARTITION BY x.vec_id
+         |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
+         |    FROM e x CROSS JOIN $prev c) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT a.cid, t.i AS pos,
+         |    SUM(CAST(floor(e.ev[t.i] * $q) AS BIGINT)) AS sq,
+         |    COUNT(*) AS n
+         |  FROM a$i a JOIN e ON e.vec_id = a.vec_id,
+         |    UNNEST(range(1, len(e.ev)+1)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |u$i AS (
+         |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
+         |  FROM (SELECT cid, pos,
+         |          CASE WHEN sq >= 0 THEN sq // n
+         |               ELSE -((-sq) // n) END AS td
+         |        FROM s$i) GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
+    }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-       |n AS (SELECT vec_id, ev, sqrt(${fold("ev", "ev")}) AS nrm FROM e),
-       |c AS (SELECT vec_id AS cid, ev AS cv, nrm AS cn FROM n
-       |      WHERE vec_id < $SemDedupK),
+       |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |         AS cid, ev AS cv
+       |       FROM e WHERE vec_id IN
+       |         (SELECT vec_id FROM e ORDER BY vec_id LIMIT $SemDedupK)),
+       |$train,
+       |c AS (SELECT cid, cv, sqrt(${foldSql("cv", "cv")}) AS cn
+       |      FROM c$SemDedupIters),
        |a0 AS (SELECT x.vec_id, c.cid,
-       |         ${fold("x.ev", "c.cv")} / (x.nrm * c.cn) AS cos_c
+       |         ${foldSql("x.ev", "c.cv")} / (x.nrm * c.cn) AS cos_c
        |       FROM n x CROSS JOIN c),
        |a AS (SELECT vec_id, cid AS cluster, cos_c AS cos_centroid FROM (
        |        SELECT *, row_number() OVER (
@@ -619,7 +717,7 @@ object Similarity {
        |        ON x.cluster = y.cluster AND y.vec_id < x.vec_id
        |      JOIN n nx ON nx.vec_id = x.vec_id
        |      JOIN n ny ON ny.vec_id = y.vec_id
-       |      WHERE ${fold("nx.ev", "ny.ev")} / (nx.nrm * ny.nrm)
+       |      WHERE ${foldSql("nx.ev", "ny.ev")} / (nx.nrm * ny.nrm)
        |        >= $SemDedupTau)
        |SELECT a.vec_id, a.cluster, a.cos_centroid,
        |  (a.vec_id NOT IN (SELECT vec_id FROM p)) AS kept

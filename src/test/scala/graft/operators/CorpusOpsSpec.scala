@@ -137,6 +137,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"expected 3000 unembedded docs at sf0.1: $big")
   }
 
+  test("integrity_audit plan: the three predicate checks share ONE documents scan") {
+    // the audit reads documents exactly 3× — one conditional aggregate for
+    // all predicate rows plus one side of each anti-join (round 5 scanned
+    // it 5×: one scan per predicate; two corpus scans saved at 100 TB)
+    val plan = aqeFinalPlan(CorpusOps.integrityAudit(spark, dir))
+    val docScans = plan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans == 3,
+      s"expected 3 documents scans (1 predicates + 2 anti-joins), " +
+        s"got $docScans:\n$plan")
+  }
+
   test("bpe_vocab: merge loop elects pairs recursively with a driver-checked round") {
     val rows = CorpusOps.bpeVocab(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

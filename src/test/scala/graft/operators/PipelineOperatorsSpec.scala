@@ -555,6 +555,35 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"tier sizes skewed: $sizes")
   }
 
+  test("curriculum buckets: sketch cut points keep windows balanced on a SKEWED score distribution") {
+    import spark.implicits._
+    // 10k scores concentrated in [0.9, 1.0) — round 5's fixed ×64 grid
+    // would funnel ~all of them into ~6 of 64 cells (worst cell ≈ n/6);
+    // the equi-population sketch must keep every window small
+    val n = 10000
+    val skewed = (0 until n)
+      .map(i => (i.toLong, 0.9 + 0.1 * (i.toDouble * i / n / n)))
+      .toDF("doc_id", "quality_score")
+    val pops = TextAnalysis.scoreBuckets(skewed)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pops.keys.forall(b =>
+      b >= 0 && b < TextAnalysis.CurriculumBuckets))
+    val target = n.toDouble / TextAnalysis.CurriculumBuckets
+    assert(pops.values.max <= 3 * target,
+      s"worst bucket ${pops.values.max} vs target $target — sketch cuts " +
+        s"did not adapt to the skew (populations: ${pops.toSeq.sorted})")
+    // and the bucketing stays monotone: sort by (bucket, score) must equal
+    // sort by score — the invariant the rank decomposition rests on
+    val rows = TextAnalysis.scoreBuckets(skewed)
+      .select("bucket", "quality_score", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byBucket = rows.sortBy { case (b, s, id) => (b, s, id) }.map(_._3)
+    val byScore = rows.sortBy { case (_, s, id) => (s, id) }.map(_._3)
+    assert(byBucket.sameElements(byScore),
+      "bucket order disagrees with score order — non-monotone cuts")
+  }
+
   test("global_shuffle: positions are a permutation of 1..N; ≡ the sequential rank over driver-computed keys; order actually shuffles") {
     val rows = TextAnalysis.globalShuffle(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

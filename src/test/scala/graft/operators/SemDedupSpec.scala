@@ -47,9 +47,39 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(1) >= 0 && r.getLong(1) < Similarity.SemDedupK)
       assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
     }
-    // a centroid vector is its own nearest centroid with affinity 1
-    val c0 = rows.find(_.getLong(0) == 0L).get
-    assert(c0.getLong(1) == 0L && math.abs(c0.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("semdedup: trained centroids bound the pair join — every cluster populated, none dominant") {
+    // the scale contract (SemDedupK scaladoc): the within-cluster pair
+    // join is bounded by cluster POPULATIONS; k-means earns that only if
+    // the clustering actually spreads the corpus. Pin it: all K clusters
+    // attract vectors, and no cluster holds a majority (a degenerate
+    // training collapse — e.g. centroids never moving off a bad init —
+    // would concentrate mass and quietly re-grow the O(n²) pair join).
+    val rows = Similarity.semDedup(spark, dir).collect()
+    val pops = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(pops.size == Similarity.SemDedupK,
+      s"only ${pops.size} of ${Similarity.SemDedupK} clusters populated")
+    val maxPop = pops.values.max
+    assert(maxPop * 2 < rows.length,
+      s"dominant cluster holds $maxPop of ${rows.length} vectors")
+  }
+
+  test("semDedupCentroids: training moves centroids off the init and is idempotent") {
+    val init = graft.Tables.t(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("ev"))
+      .orderBy("vec_id").limit(Similarity.SemDedupK)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val t1 = Similarity.semDedupCentroids(spark, dir)
+    val t2 = Similarity.semDedupCentroids(spark, dir)
+    // exact reproducibility is the whole point of the fixed-point update:
+    // two trainings over different partition orders agree bit-for-bit
+    assert(t1.length == t2.length &&
+      t1.zip(t2).forall { case (a, b) => a.sameElements(b) })
+    assert(t1.zip(init).exists { case (a, b) => !a.sameElements(b) },
+      "training left every centroid exactly at its init vector")
   }
 
   test("semdedup: no vector kept while a lower-id same-cluster near-dup exists (rule replayed driver-side)") {
