@@ -65,6 +65,10 @@ object SparkEntry {
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
     "bpe_vocab" -> (graft.operators.CorpusOps.bpeVocab _),
+    // rows-only by design: 256 merge rounds are past unrolled-SQL oracle
+    // tractability; exactness at depth is spec-pinned by a full driver
+    // replay of the election rule (CorpusOpsSpec)
+    "bpe_vocab_256" -> (graft.operators.CorpusOps.bpeVocabLarge _),
     // tokenizer APPLICATION with the trained merges (train→apply loop)
     "bpe_encode" -> (graft.operators.CorpusOps.bpeEncode _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),

@@ -414,17 +414,28 @@ object CorpusOps {
     * builds the table keeps the full width upstream of the coalesce. */
   private val BpeVocabPartitions = 4
 
-  /** The shared training fold behind [[bpeVocab]] and [[bpeEncode]]: runs
-    * the [[BpeMerges]] election/merge rounds and returns BOTH products —
-    * the driver-held merge table, and the final word→representation frame
-    * (each word of the vocab with its fully-merged symbol string; every
-    * symbol is one char, so `length(repr)` IS the encoded token count).
-    * The word-frequency table is persisted for the rounds AND for the
-    * caller's consuming action (the encode join reads the same blocks
-    * instead of re-running the corpus aggregate); release is the
-    * harness's, via [[graft.SharedFrames]]. */
-  private def bpeTrain(spark: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+  /** Re-materialize the evolving vocab frame every this-many merge rounds
+    * (realistic merge counts only — [[BpeMerges]] never reaches it): each
+    * round stacks one `replace` projection on the materialized vocab, and
+    * a few hundred stacked string projections would grow the plan (and
+    * the generated code) linearly with rank. Cutting the stack keeps
+    * every round's plan O([[BpeRematerializeEvery]]) deep; superseded
+    * materializations are unpersisted inline, so residency stays at one
+    * generation (the [[Dedup.dedupClusters]] loop discipline). */
+  private val BpeRematerializeEvery = 32
+
+  /** The shared training fold behind [[bpeVocab]], [[bpeVocabLarge]] and
+    * [[bpeEncode]]: runs `rounds` election/merge rounds and returns BOTH
+    * products — the driver-held merge table, and the final
+    * word→representation frame (each word of the vocab with its
+    * fully-merged symbol string; every symbol is one char, so
+    * `length(repr)` IS the encoded token count). The word-frequency table
+    * is persisted for the rounds AND for the caller's consuming action
+    * (the encode join reads the same blocks instead of re-running the
+    * corpus aggregate); release is the harness's, via
+    * [[graft.SharedFrames]]. */
+  private def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = BpeMerges): (Seq[(Int, String, String, Long)], DataFrame) = {
     val (w0, w0Rdd) = Dedup.materialize(
       t(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
@@ -433,9 +444,10 @@ object CorpusOps {
         .select(col("word"), col("word").as("repr"), col("cnt"))
         .coalesce(BpeVocabPartitions))
     var w = w0
+    var wRdd = w0Rdd
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var dry = false
-    for (r <- 1 to BpeMerges if !dry) {
+    for (r <- 1 to rounds if !dry) {
       val best = w
         // length-1 reprs carry no pairs (and Spark's sequence(1, 0) would
         // DESCEND and fabricate bogus grams — same guard as Dedup.grams)
@@ -459,10 +471,34 @@ object CorpusOps {
         w = w.select(col("word"),
           replace(col("repr"), lit(best(0).getString(0)), lit(m)).as("repr"),
           col("cnt"))
+        if (r % BpeRematerializeEvery == 0) {
+          val (nw, nwRdd) = Dedup.materialize(w)
+          wRdd.unpersist(blocking = false) // superseded generation
+          w = nw; wRdd = nwRdd
+        }
       }
     }
-    graft.SharedFrames.sharedRdd(w0Rdd)
+    graft.SharedFrames.sharedRdd(wRdd)
     (merges.result(), w.select(col("word"), col("repr")))
+  }
+
+  /** Merge count for [[bpeVocabLarge]] — past the point where the
+    * unrolled-SQL oracle stays tractable (256 CTE rounds), so the query
+    * registers rows-only; exactness at this depth is pinned by a spec
+    * that replays ALL merges against a driver-side reference
+    * implementation of the identical election rule. */
+  final val BpeMergesLarge = 256
+
+  /** BPE training at a realistic merge count ([[BpeMergesLarge]]): the
+    * same driver-controlled loop as [[bpeVocab]] — proving the design
+    * (one corpus aggregate, vocab-sized rounds, periodic
+    * re-materialization) holds past the toy merge count. May return fewer
+    * rows than requested on a corpus whose vocabulary runs dry. */
+  def bpeVocabLarge(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrain(spark, dir, rounds = BpeMergesLarge)
+    import spark.implicits._
+    merges.toDF("merge_rank", "pair", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
   }
 
   /** Tokenizer APPLICATION — encode the corpus with the merges [[bpeVocab]]

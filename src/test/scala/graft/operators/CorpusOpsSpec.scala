@@ -149,6 +149,50 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
         s"got $docScans:\n$plan")
   }
 
+  test("bpe_vocab_256: EVERY merge matches a driver-side replay of the election rule") {
+    // the unrolled-SQL oracle gates the 10-merge query; at 256 merges
+    // that oracle is intractable, so exactness comes from replaying the
+    // identical algorithm (overlapping-pair counts weighted by word
+    // frequency; elect max count, ties to the lexicographically least
+    // pair; non-overlapping left-to-right replace) in plain Scala over
+    // the same word-frequency table
+    val rows = CorpusOps.bpeVocabLarge(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    var vocab = graft.Tables.t(spark, dir, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (w, c) => (w, c) } // (repr, cnt); words collapse
+    var expected = Vector.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= CorpusOps.BpeMergesLarge && !dry) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (repr, cnt) =>
+        if (repr.length >= 2)
+          repr.sliding(2).foreach(p =>
+            counts.update(p, counts.getOrElse(p, 0L) + cnt))
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val (pair, c) = counts.minBy { case (p, n) => (-n, p) }
+        val m = (CorpusOps.BpeMergeCharBase + r).toChar.toString
+        expected :+= ((r, pair, m, c))
+        vocab = vocab.map { case (repr, cnt) => (repr.replace(pair, m), cnt) }
+      }
+      r += 1
+    }
+    assert(rows.length == expected.length,
+      s"merge count ${rows.length} != replay's ${expected.length}")
+    rows.zip(expected).foreach { case (got, want) =>
+      assert(got == want, s"merge ${want._1}: $got != replay $want")
+    }
+    // depth is non-toy: the corpus must actually sustain enough merges
+    // for the rematerialization path (every 32 rounds) to be exercised
+    assert(rows.length > CorpusOps.BpeMerges * 3,
+      s"only ${rows.length} merges — corpus too small to prove depth")
+  }
+
   test("bpe_vocab: merge loop elects pairs recursively with a driver-checked round") {
     val rows = CorpusOps.bpeVocab(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
