@@ -117,6 +117,10 @@ object SparkEntry {
     "embedding_neardup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // decode → nearest-neighbor resize → re-encode → re-decode round trip
+    "multimodal_resize" -> (Multimodal.resizeImages _),
+    // PCM frame tiling + strided temporal subsampling (video-frame shape)
+    "multimodal_frames" -> (Multimodal.audioFrames _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     // distributed sequential quota admission (p4 semantics), oracle'd via
     // a recursive CTE that replays the same per-user fold (r4 item #6)
@@ -231,6 +235,11 @@ object SparkEntry {
     // the format geometry; Spark must reproduce them by really encoding
     // and re-parsing BMP/WAV bytes
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
+    // pixel-exact: the synthesized pixel/sample values are pure integer
+    // functions of the text bytes, so resize checksums and frame stats
+    // are replayed byte-for-byte from first principles
+    "multimodal_resize" -> Multimodal.resizeImagesSql,
+    "multimodal_frames" -> Multimodal.audioFramesSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,

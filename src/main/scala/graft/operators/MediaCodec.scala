@@ -115,6 +115,48 @@ object MediaCodec {
     (width, height, 3, if (n == 0) 0.0 else sum.toDouble / n / 255.0)
   }
 
+  /** Parse a 24bpp BI_RGB BMP into its gray pixel matrix, row-major
+    * TOP-DOWN (image coordinates — buffer rows are stored bottom-up and
+    * re-flipped here). Same header validation as [[decodeBmp]]. */
+  def decodeBmpPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (width, height, _, _) = decodeBmp(payload) // full header validation
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val px = new Array[Int](width * height)
+    var iy = 0
+    while (iy < height) { // image row iy lives in buffer row (height-1-iy)
+      val rowStart = dataOffset + (height - 1 - iy) * rowSize
+      var x = 0
+      while (x < width) {
+        px(iy * width + x) = java.lang.Byte.toUnsignedInt(payload(rowStart + x * 3))
+        x += 1
+      }
+      iy += 1
+    }
+    (width, height, px)
+  }
+
+  /** Nearest-neighbor resize of a top-down row-major gray matrix: output
+    * pixel (X,Y) takes source pixel (X*w/W, Y*h/H) — plain floor mapping,
+    * integer-exact (the property the DuckDB oracle replays). */
+  def resizeNearest(w: Int, h: Int, px: Array[Int], outW: Int,
+      outH: Int): Array[Int] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0)
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = px(sy * w + x * w / outW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ---- WAV (RIFF container, PCM signed 16-bit little-endian) ----
 
   /** Encode PCM16 samples as a fully valid WAV: RIFF header + `fmt ` chunk +
@@ -139,6 +181,27 @@ object MediaCodec {
     buf.putInt(dataSize)
     samples.foreach(buf.putShort)
     buf.array()
+  }
+
+  /** Parse a PCM16 WAV (same chunk walk as [[decodeWav]]) and return the
+    * raw interleaved samples — the input to frame-level processing. */
+  def decodeWavSamples(payload: Array[Byte]): Array[Short] = {
+    decodeWav(payload) // full chunk/corruption validation
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var out = Array.emptyShortArray
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      if (id == "data") {
+        val n = size / 2
+        out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+      }
+      pos += 8 + size + (size & 1)
+    }
+    out
   }
 
   /** Parse a PCM16 WAV with a REAL chunk walk (fmt/data are not assumed at

@@ -85,6 +85,150 @@ object Multimodal {
         avg(col("height")).as("avg_height"))
       .orderBy(col("media_type"))
 
+  /** Resize target — fixed 8×8 thumbnails (the embedding-input shape). A
+    * production pipeline parameterizes this; the oracle inlines it. */
+  final val ResizeW = 8
+  final val ResizeH = 8
+
+  /** Image RESIZE over the binary corpus: decode each BMP's real pixel
+    * array, nearest-neighbor it to [[ResizeW]]×[[ResizeH]], RE-ENCODE the
+    * thumbnail as a real BMP, then decode that product again for the
+    * checksum — so the registered row proves the full decode→transform→
+    * encode→decode round trip, not just the arithmetic. Partition-local
+    * batch transform like [[extractFeatures]] (mapInPandas analog); at
+    * 100 TB the payload column never leaves the executor.
+    *
+    * Output per image: source dims, thumbnail file size, and the exact
+    * integer gray sum of the re-decoded thumbnail — which the DuckDB
+    * oracle reproduces from first principles (the synthesized pixel at
+    * (x,y) is text byte ((x + y·w) mod len), so the resized sum is pure
+    * integer math over the text column — [[resizeImagesSql]]). */
+  def resizeImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.media_type == "image/bmp")
+      .mapPartitions(_.map { a =>
+        val (w, h, px) = MediaCodec.decodeBmpPixels(a.payload)
+        val small = MediaCodec.resizeNearest(w, h, px, ResizeW, ResizeH)
+        val thumb = MediaCodec.encodeBmp(ResizeW, ResizeH,
+          (x, y) => small(y * ResizeW + x))
+        val (tw, th, back) = MediaCodec.decodeBmpPixels(thumb)
+        require(tw == ResizeW && th == ResizeH)
+        (a.doc_id, w.toLong, h.toLong, thumb.length.toLong,
+          back.foldLeft(0L)(_ + _))
+      })
+      .toDF("doc_id", "src_width", "src_height", "out_bytes", "gray_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Audio frame-sampling stride: analyze every 2nd frame (temporal
+    * subsampling — the video-frame-sample shape applied to PCM frames). */
+  final val FrameStride = 2
+
+  /** Frame length in samples (non-overlapping, trailing partial dropped). */
+  final val FrameLen = 512
+
+  /** Audio FRAME-SAMPLE over the binary corpus: decode each WAV's real
+    * PCM samples, tile into non-overlapping [[FrameLen]]-sample frames,
+    * keep every [[FrameStride]]-th frame (temporal subsampling — the same
+    * access pattern as sampling every k-th video frame), and emit each
+    * kept frame's exact integer energy (Σ s²) and peak (max |s|).
+    * Partition-local; one output row per kept frame, so output size is
+    * corpus-duration-bounded, not sample-bounded.
+    *
+    * Synthesized sample i is ((text byte (i mod len)) − 128)·256, so both
+    * stats are pure integer functions of the text column — the DuckDB
+    * oracle ([[audioFramesSql]]) replays them exactly. */
+  def audioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.media_type == "audio/wav")
+      .mapPartitions(_.flatMap { a =>
+        val s = MediaCodec.decodeWavSamples(a.payload)
+        val nFrames = s.length / FrameLen
+        (0 until nFrames by FrameStride).iterator.map { f =>
+          var energy = 0L
+          var peak = 0L
+          var i = f * FrameLen
+          val end = i + FrameLen
+          while (i < end) {
+            val v = s(i).toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          (a.doc_id, f.toLong, energy, peak)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "energy", "peak")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Byte i (0-based, unsigned) of the UTF-8 encoding of `text` in DuckDB
+    * SQL — hex-substring idiom (DuckDB has no BLOB subscript). */
+  private def byteAtSql(hx: String, idx: String): String =
+    s"CAST('0x' || substr($hx, 2 * ($idx) + 1, 2) AS INTEGER)"
+
+  /** Shared oracle CTE: per-document UTF-8 byte string as hex + length,
+    * with the Spark synthesis's empty/null → single-zero-byte rule (hx
+    * NULL marks that case; readers treat byte value as 0). */
+  private def bytesCte(parity: Int): String =
+    s"""b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR text = '' THEN NULL
+       |         ELSE hex(encode(text)) END AS hx,
+       |    CASE WHEN text IS NULL OR text = '' THEN 1
+       |         ELSE octet_length(encode(text)) END AS len
+       |  FROM documents WHERE doc_id % 2 = $parity)""".stripMargin
+
+  /** First-principles oracle for [[resizeImages]]: nearest-neighbor source
+    * index (X·w/8, Y·h/8) into the synthesized pixel function
+    * byte((x + y·w) mod len) — exact integer arithmetic end to end. The
+    * thumbnail file size is format geometry: 54 + rowSize(8)·8 where
+    * rowSize(8) = (8·3+3)/4·4 = 24 → 246 bytes. */
+  val resizeImagesSql: String = {
+    val srcIdx = s"((x.g * w // ${ResizeW}) + (y.g * h // ${ResizeH}) * w)"
+    val gray = s"CASE WHEN hx IS NULL THEN 0 ELSE " +
+      byteAtSql("hx", s"$srcIdx % len") + " END"
+    s"""WITH ${bytesCte(0)},
+       |geo AS (
+       |  SELECT doc_id, hx, len, 64 + doc_id % 64 AS w,
+       |         64 + (doc_id // 2) % 64 AS h
+       |  FROM b),
+       |px AS (
+       |  SELECT doc_id, w, h, $gray AS gray
+       |  FROM geo, generate_series(0, ${ResizeW - 1}) x(g),
+       |       generate_series(0, ${ResizeH - 1}) y(g))
+       |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS src_width,
+       |  CAST(MIN(h) AS BIGINT) AS src_height,
+       |  CAST(246 AS BIGINT) AS out_bytes,
+       |  CAST(SUM(gray) AS BIGINT) AS gray_sum
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** First-principles oracle for [[audioFrames]]: sample i of odd doc is
+    * (byte(i mod len) − 128)·256, so frame energy = 65536·Σ(b−128)² and
+    * peak = 256·max|b−128| — exact integers (≤ 512·32768² ≈ 5.5e11, well
+    * inside BIGINT). Frame count = (2048 + doc_id mod 2048) / 512, strided
+    * by [[FrameStride]]. */
+  val audioFramesSql: String = {
+    val d = s"(CASE WHEN hx IS NULL THEN 0 ELSE " +
+      byteAtSql("hx", s"(frame_idx * ${FrameLen} + i.g) % len") +
+      " END) - 128"
+    s"""WITH ${bytesCte(1)},
+       |f AS (
+       |  SELECT doc_id, hx, len, fr.g AS frame_idx
+       |  FROM b, generate_series(0, 7, ${FrameStride}) fr(g)
+       |  WHERE fr.g < (2048 + doc_id % 2048) // ${FrameLen}),
+       |s AS (
+       |  SELECT doc_id, frame_idx, ($d) AS d
+       |  FROM f, generate_series(0, ${FrameLen - 1}) i(g))
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(65536 * SUM(d * d) AS BIGINT) AS energy,
+       |  CAST(256 * MAX(abs(d)) AS BIGINT) AS peak
+       |FROM s GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** DuckDB oracle derived from FIRST PRINCIPLES: the synthesized dims/
     * lengths are pure functions of doc_id ([[assets]]), so the expected
     * widths, heights, and exact FILE SIZES (BMP row padding, WAV header)

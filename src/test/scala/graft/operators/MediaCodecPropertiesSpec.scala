@@ -39,6 +39,33 @@ class MediaCodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP pixel-matrix decode: exact values in image coordinates (flip honored)") {
+    forAllSeeded(bmpGen) { case (w, h, seed) =>
+      val px = (x: Int, y: Int) => (x * 31 + y * 17 + seed) % 256
+      val (dw, dh, got) = MediaCodec.decodeBmpPixels(MediaCodec.encodeBmp(w, h, px))
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got(y * w + x) == px(x, y), s"pixel ($x,$y) at ${w}x$h seed=$seed")
+    }
+  }
+
+  private val resizeGen = for {
+    t <- bmpGen
+    ow <- Gen.choose(1, 50)
+    oh <- Gen.choose(1, 50)
+  } yield (t, ow, oh)
+
+  test("nearest-neighbor resize: floor mapping exact; same-size resize is identity") {
+    forAllSeeded(resizeGen) { case ((w, h, seed), ow, oh) =>
+      val src = Array.tabulate(w * h)(i => (i * 13 + seed) % 256)
+      val out = MediaCodec.resizeNearest(w, h, src, ow, oh)
+      for (y <- 0 until oh; x <- 0 until ow)
+        assert(out(y * ow + x) == src((y * h / oh) * w + (x * w / ow)))
+      assert(MediaCodec.resizeNearest(w, h, src, w, h).toSeq == src.toSeq,
+        "identity resize must return the source matrix")
+    }
+  }
+
   private val wavGen = for {
     n <- Gen.choose(1, 500)
     chans <- Gen.choose(1, 2)
@@ -55,6 +82,16 @@ class MediaCodecPropertiesSpec extends AnyFunSuite {
       assert((frames, dch) == (n, chans))
       val exact = samples.map(s => math.abs(s.toInt)).map(_.toLong).sum
       assert(math.abs(amp - exact.toDouble / samples.length / 32768.0) < 1e-12)
+    }
+  }
+
+  test("WAV sample decode: raw PCM values round-trip exactly") {
+    forAllSeeded(wavGen) { case (n, chans, rate, seed) =>
+      val samples = Array.tabulate(n * chans)(i =>
+        ((i * 7919 + seed) % 65536 - 32768).toShort)
+      val got = MediaCodec.decodeWavSamples(
+        MediaCodec.encodeWav(samples, rate, chans))
+      assert(got.toSeq == samples.toSeq)
     }
   }
 

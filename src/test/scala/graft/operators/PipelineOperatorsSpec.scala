@@ -535,6 +535,57 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(agg.map(_.getString(0)).toSet == Set("image/bmp", "audio/wav"))
   }
 
+  test("multimodal resize + frame-sample: exact driver replay from the text bytes") {
+    val texts = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bytesOf(id: Long): Array[Byte] = {
+      val t = texts(id)
+      val b = if (t == null) Array.emptyByteArray else t.getBytes("UTF-8")
+      if (b.isEmpty) Array[Byte](0) else b
+    }
+
+    val resized = Multimodal.resizeImages(spark, dir).collect()
+    assert(resized.length == texts.keys.count(_ % 2 == 0))
+    resized.foreach { r =>
+      val id = r.getLong(0)
+      val b = bytesOf(id)
+      val w = 64 + (id % 64).toInt
+      val h = 64 + ((id / 2) % 64).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(3) == 246L) // 54 + rowSize(8)*8, format geometry
+      val expect = (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val idx = (x * w / 8) + (y * h / 8) * w
+        java.lang.Byte.toUnsignedInt(b(idx % b.length)).toLong
+      }).sum
+      assert(r.getLong(4) == expect, s"gray_sum doc=$id")
+    }
+
+    val frames = Multimodal.audioFrames(spark, dir).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    texts.keys.filter(_ % 2 == 1).foreach { id =>
+      val n = 2048 + (id % 2048).toInt
+      val want = (0 until n / Multimodal.FrameLen by Multimodal.FrameStride)
+      assert(byDoc(id).map(_.getLong(1)).sorted.toSeq == want.map(_.toLong),
+        s"strided frame set doc=$id")
+    }
+    frames.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getLong(1).toInt
+      val b = bytesOf(id)
+      var energy = 0L
+      var peak = 0L
+      (0 until Multimodal.FrameLen).foreach { i =>
+        val s = (java.lang.Byte.toUnsignedInt(
+          b((f * Multimodal.FrameLen + i) % b.length)) - 128).toLong * 256
+        energy += s * s
+        peak = math.max(peak, math.abs(s))
+      }
+      assert(r.getLong(2) == energy && r.getLong(3) == peak,
+        s"frame stats doc=$id frame=$f")
+    }
+  }
+
   test("curriculum: ranks are a permutation of 1..N ordered by (quality, id); tiers balanced") {
     val rows = TextAnalysis.curriculum(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
