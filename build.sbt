@@ -23,8 +23,28 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Driver/executor heap for forked runs. CAPPED at 12 GiB regardless of the
+// requested SPARK_DRIVER_MEM: the round-5 bench stall reproduced 3/3 on this
+// microVM at a 48 GiB heap (minutes-long, self-clearing, whole-VM slowdowns
+// — 20-100x per-query; even jstack attach took seconds) and 0/3 at 8 GiB
+// with the identical suite. Guest-side forensics were clean every time (GC
+// healthy, code cache healthy, cleaner idle, no THP stalls, dispatchers
+// idle), pointing at host-level memory pressure from the oversized touched
+// footprint — which the guest cannot observe directly. local[32] at sf0.1
+// measures identically under 8 GiB, so a bigger heap only buys exposure.
+val forkHeap: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+  val gib = "^(\\d+)[gG]$".r
+  req match {
+    case gib(n) if n.toInt > 12 => "12g"
+    case _ => req
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx$forkHeap",
+) ++
+  // diagnosis hook: extra -D flags (e.g. spark.* conf A/B experiments)
+  // without editing the mains — space-separated, empty by default
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -48,6 +48,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ROOT CAUSE of the round-5 bench stall (reproduced 3/3 at a 48 GiB
+      // heap, never at 8 GiB): Spark 4.1's session-artifact classloader
+      // isolation routes class lookups through loopback netty stream
+      // requests (/artifacts/<session>/classes/...) even in local[*].
+      // Every Janino codegen compile probes the artifact server for
+      // nonexistent package-local names (the captured storm is thousands
+      // of .../catalyst/expressions/Object.class misses); when the
+      // single-threaded stream channel degrades, each miss stalls the
+      // compile up to spark.network.timeout — observed as minutes-long,
+      // self-clearing, suite-wide molasses (20-100x per-query slowdown;
+      // stalls of 2-121 s, each ending at the next Object.class probe).
+      // One JVM, one session, no UDF jars => isolation buys nothing here;
+      // disable it and class loads stay in-process.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext

@@ -23,6 +23,8 @@ object KvBench {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: single-JVM harness disables artifact-isolation
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

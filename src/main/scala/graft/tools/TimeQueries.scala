@@ -12,6 +12,8 @@ object TimeQueries {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench.scala: single-JVM harness disables artifact-isolation
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = args.contains("-metrics")

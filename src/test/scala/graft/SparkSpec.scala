@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh-").toString)
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: single-JVM harness disables artifact-isolation
+      // classloading (loopback stream per generated-class lookup)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

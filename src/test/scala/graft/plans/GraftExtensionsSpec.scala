@@ -40,6 +40,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: single-JVM harness disables artifact-isolation
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
