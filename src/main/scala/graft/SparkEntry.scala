@@ -93,6 +93,9 @@ object SparkEntry {
     "approx_stats" -> (TextAnalysis.approxStats _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
+    // substring-level dedup (Lee et al. 2021): maximal cross-doc
+    // duplicated token spans, integer-exact island merge
+    "dup_spans" -> (Dedup.dupSpans _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
@@ -219,6 +222,7 @@ object SparkEntry {
     "decontaminate" -> Dedup.decontaminateSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
+    "dup_spans" -> Dedup.dupSpansSql,
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)
     "dedup_incremental" -> Dedup.dedupIncrementalSql,

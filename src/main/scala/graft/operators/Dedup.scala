@@ -140,6 +140,111 @@ object Dedup {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.7""".stripMargin
 
+  /** Dup-span gram width (tokens): a span must repeat at least this many
+    * consecutive tokens across ≥2 documents to be reported. */
+  final val DupSpanGram = 8
+
+  /** Cross-document duplicated-substring spans — the substring-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (2021), at token granularity: report, per
+    * document, every maximal span whose [[DupSpanGram]]-token substrings
+    * all occur in at least one OTHER document. Doc-level dedup
+    * ([[dedupExact]], MinHash) misses these: boilerplate headers, quoted
+    * passages, and templated sentences embedded in otherwise-unique
+    * documents. Downstream policy consumes the spans (drop, keep-first,
+    * or weight); this operator is the detector, same contract as the
+    * pipeline's other report-then-apply stages.
+    *
+    * Shape: tokenize (positions re-indexed over non-empty tokens) →
+    * sliding gram via `lead` windows (narrow after ONE doc_id shuffle) →
+    * gram-frequency aggregate keeps grams spanning ≥2 distinct docs →
+    * semi-join back → per-doc gaps-and-islands merge of overlapping hits
+    * (positions ≤ [[DupSpanGram]] apart fuse) into maximal spans. At
+    * 100 TB the gram STRINGS never shuffle: fingerprint them to 8-byte
+    * hashes first (the [[minhashSignatures]] trick) and count distinct
+    * docs two-level; the literal-string formulation here is what keeps
+    * the DuckDB oracle exact (the [[dedupNgramJaccardSql]] precedent).
+    * Per-doc windows are bounded by document length, never corpus size.
+    *
+    * Integer-only output: (doc_id, span_start, span_end, span_tokens) in
+    * re-indexed token coordinates — hash-exact against the oracle. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .filter(col("col") =!= "")
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos"))) - 1)
+    val grams = toks
+      .withColumn("gram", concat_ws(" ",
+        col("col") +: (1 until n).map(k => lead(col("col"), k).over(byDoc)): _*))
+      .withColumn("tail", lead(col("col"), n - 1).over(byDoc))
+      .filter(col("tail").isNotNull)
+      .select(col("doc_id"), col("idx"), col("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+    hits
+      .withColumn("prev", lag(col("idx"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("idx") - col("prev") > n, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("idx")).cast("long").as("span_start"),
+        (max(col("idx")) + (n - 1)).cast("long").as("span_end"),
+        (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Oracle: the identical tokenize → gram → ≥2-distinct-docs → islands
+    * pipeline as static SQL (lead/lag/row_number semantics match Spark's;
+    * concat_ws never sees an interior NULL because the tail guard keeps
+    * full grams only). */
+  val dupSpansSql: String = {
+    val n = DupSpanGram
+    val leads = (1 until n).map(k => s"lead(tok, $k) OVER w").mkString(", ")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, unnest(parts) AS tok,
+       |         unnest(range(1, len(parts) + 1)) AS o
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |        FROM documents)),
+       |toks AS (
+       |  SELECT doc_id, tok,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY o) - 1 AS idx
+       |  FROM toks0 WHERE tok <> ''),
+       |grams0 AS (
+       |  SELECT doc_id, idx, concat_ws(' ', tok, $leads) AS gram,
+       |    lead(tok, ${n - 1}) OVER w AS tail
+       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+       |grams AS (SELECT doc_id, idx, gram FROM grams0 WHERE tail IS NOT NULL),
+       |dup AS (
+       |  SELECT gram FROM grams GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (
+       |  SELECT doc_id, idx FROM grams WHERE gram IN (SELECT gram FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, idx,
+       |    SUM(CASE WHEN prev IS NULL OR idx - prev > $n THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |  FROM (SELECT doc_id, idx,
+       |          lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+       |        FROM hits))
+       |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
+       |  CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
+       |  CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // 6 bands × 4 rows: keeps per-band selectivity high (r=4) against this
   // corpus's high background trigram similarity while P(catch | j≥0.7) ≈ 0.8
   // and ≥ 0.95 at j≥0.8; more bands = better recall at equal join cost.

@@ -586,6 +586,45 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dup_spans: exact driver replay (tokenize, gram, >=2-doc filter, island merge); non-vacuous") {
+    val n = Dedup.DupSpanGram
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    // driver-side reference of the identical algorithm
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty)
+    }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    toks.foreach { case (id, ts) =>
+      (0 to ts.length - n).foreach { i =>
+        gramDocs.getOrElseUpdate(ts.slice(i, i + n).mkString(" "),
+          scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val expected = toks.toSeq.sortBy(_._1).flatMap { case (id, ts) =>
+      val hitIdx = (0 to ts.length - n).filter(i =>
+        gramDocs(ts.slice(i, i + n).mkString(" ")).size >= 2)
+      // gaps-and-islands: hits within n positions fuse into one span
+      val islands = hitIdx.foldLeft(Vector.empty[Vector[Int]]) { (acc, i) =>
+        if (acc.nonEmpty && i - acc.last.last <= n) acc.init :+ (acc.last :+ i)
+        else acc :+ Vector(i)
+      }
+      islands.map(is =>
+        (id, is.head.toLong, (is.last + n - 1).toLong,
+          (is.last - is.head + n).toLong))
+    }
+    val got = Dedup.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"${got.take(5)} vs ${expected.take(5)}")
+    assert(expected.nonEmpty, "corpus has no duplicated spans — vacuous gate")
+    // spans must include at least one PARTIAL overlap (not a whole-doc
+    // duplicate), or the operator degenerates to doc-level dedup
+    assert(expected.exists { case (id, s, e, _) =>
+      s > 0 || e < toks(id).length - 1
+    }, "every span covers its whole document — substring-level signal absent")
+  }
+
   test("curriculum: ranks are a permutation of 1..N ordered by (quality, id); tiers balanced") {
     val rows = TextAnalysis.curriculum(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
