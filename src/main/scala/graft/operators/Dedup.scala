@@ -178,12 +178,15 @@ object Dedup {
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("pos"))) - 1)
-    val grams = toks
+    // materialized once: both the dup-gram aggregate and the semi-join
+    // probe read these blocks — without it Spark recomputes the scan +
+    // doc-shuffle + gram windows twice (the corpus-heavy stage at scale)
+    val grams = graft.SharedFrames.shared(toks
       .withColumn("gram", concat_ws(" ",
         col("col") +: (1 until n).map(k => lead(col("col"), k).over(byDoc)): _*))
       .withColumn("tail", lead(col("col"), n - 1).over(byDoc))
       .filter(col("tail").isNotNull)
-      .select(col("doc_id"), col("idx"), col("gram"))
+      .select(col("doc_id"), col("idx"), col("gram")))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
