@@ -96,6 +96,9 @@ object SparkEntry {
     // substring-level dedup (Lee et al. 2021): maximal cross-doc
     // duplicated token spans, integer-exact island merge
     "dup_spans" -> (Dedup.dupSpans _),
+    // keep-first APPLY of dup_spans: excise non-first occurrences,
+    // rebuild cleaned token stream (byte-exact vs the oracle)
+    "dup_span_scrub" -> (Dedup.dupSpanScrub _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
@@ -223,6 +226,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dup_spans" -> Dedup.dupSpansSql,
+    "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)
     "dedup_incremental" -> Dedup.dedupIncrementalSql,

@@ -168,23 +168,27 @@ object Dedup {
     *
     * Integer-only output: (doc_id, span_start, span_end, span_tokens) in
     * re-indexed token coordinates — hash-exact against the oracle. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared internals of [[dupSpans]] and [[dupSpanScrub]]: the re-indexed
+    * token frame (doc_id, idx, tok) and the unordered span frame, both
+    * materialized once ([[graft.SharedFrames]]) — the gram aggregate, the
+    * semi-join probe, and the scrub's excision/rebuild all read the same
+    * blocks instead of re-running the scan + doc-shuffle + windows. */
+  private def dupSpanParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val toks = t(spark, dir, "documents")
+    val toks = graft.SharedFrames.shared(t(spark, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .filter(col("col") =!= "")
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("pos"))) - 1)
-    // materialized once: both the dup-gram aggregate and the semi-join
-    // probe read these blocks — without it Spark recomputes the scan +
-    // doc-shuffle + gram windows twice (the corpus-heavy stage at scale)
+      .select(col("doc_id"), col("idx"), col("col").as("tok")))
     val grams = graft.SharedFrames.shared(toks
       .withColumn("gram", concat_ws(" ",
-        col("col") +: (1 until n).map(k => lead(col("col"), k).over(byDoc)): _*))
-      .withColumn("tail", lead(col("col"), n - 1).over(byDoc))
+        col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
+      .withColumn("tail", lead(col("tok"), n - 1).over(byDoc))
       .filter(col("tail").isNotNull)
       .select(col("doc_id"), col("idx"), col("gram")))
     val dup = grams.groupBy(col("gram"))
@@ -193,7 +197,7 @@ object Dedup {
       .select(col("gram"))
     val hits = grams.join(dup, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("idx"))
-    hits
+    val spans = hits
       .withColumn("prev", lag(col("idx"), 1).over(byDoc))
       .withColumn("brk",
         when(col("prev").isNull || col("idx") - col("prev") > n, 1)
@@ -205,14 +209,19 @@ object Dedup {
         (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"))
-      .orderBy(col("doc_id"), col("span_start"))
+    (toks, spans)
   }
 
-  /** Oracle: the identical tokenize → gram → ≥2-distinct-docs → islands
-    * pipeline as static SQL (lead/lag/row_number semantics match Spark's;
-    * concat_ws never sees an interior NULL because the tail guard keeps
-    * full grams only). */
-  val dupSpansSql: String = {
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanParts(spark, dir)._2
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Shared oracle CTE chain: tokenize → gram → ≥2-distinct-docs → islands
+    * → spans, identical to [[dupSpanParts]] as static SQL (lead/lag/
+    * row_number semantics match Spark's; concat_ws never sees an interior
+    * NULL because the tail guard keeps full grams only; DuckDB lacks WITH
+    * ORDINALITY, so tokenization zips two parallel unnests). */
+  private val dupSpanPrefixSql: String = {
     val n = DupSpanGram
     val leads = (1 until n).map(k => s"lead(tok, $k) OVER w").mkString(", ")
     s"""WITH toks0 AS (
@@ -240,13 +249,113 @@ object Dedup {
        |      OVER (PARTITION BY doc_id ORDER BY idx) AS island
        |  FROM (SELECT doc_id, idx,
        |          lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
-       |        FROM hits))
-       |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
-       |  CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
-       |  CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens
-       |FROM isl GROUP BY doc_id, island
-       |ORDER BY doc_id, span_start""".stripMargin
+       |        FROM hits)),
+       |spans AS (
+       |  SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
+       |    CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
+       |    CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
   }
+
+  val dupSpansSql: String =
+    s"""$dupSpanPrefixSql
+       |SELECT doc_id, span_start, span_end, span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** APPLY step for [[dupSpans]] — keep-first substring dedup, the policy
+    * of Lee et al. 2021: group detected spans by their exact text, keep
+    * the corpus-first occurrence (lowest (doc_id, span_start)), excise
+    * every other occurrence from its document, and rebuild the cleaned
+    * token stream. Two identical spans collapse to one surviving copy;
+    * non-identical overlapping spans each form their own group — the
+    * exact-span approximation of the paper's suffix-level dedup,
+    * documented rather than hidden.
+    *
+    * Per doc: token counts before/after, excised-span count, and the
+    * cleaned text (tokens joined with single spaces — token-stream
+    * coordinates, same contract as the chunker). Shapes: span_text and
+    * the excision anti-join are doc_id equi-joins with a range predicate
+    * (never a θ-join); rebuilds are per-doc sorted aggregates bounded by
+    * document length. Every frame reads the ONE materialized token/span
+    * generation from [[dupSpanParts]]. */
+  def dupSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (toks, spans) = dupSpanParts(spark, dir)
+    def joined(c: Column): Column = array_join(
+      transform(array_sort(c), x => x.getField("k")), " ")
+    val spanText = spans.alias("s")
+      .join(toks.alias("t"), col("s.doc_id") === col("t.doc_id") &&
+        col("t.idx") >= col("s.span_start") &&
+        col("t.idx") <= col("s.span_end"))
+      .groupBy(col("s.doc_id").as("doc_id"), col("span_start"),
+        col("span_end"))
+      .agg(joined(collect_list(struct(col("t.idx").as("i"),
+        col("t.tok").as("k")))).as("span_text"))
+    val excised = spanText
+      .withColumn("rn", row_number().over(Window.partitionBy(col("span_text"))
+        .orderBy(col("doc_id"), col("span_start"))))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val kept = toks.alias("t").join(excised.alias("e"),
+      col("t.doc_id") === col("e.doc_id") &&
+        col("t.idx") >= col("e.span_start") &&
+        col("t.idx") <= col("e.span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_n"),
+        joined(collect_list(struct(col("idx").as("i"),
+          col("tok").as("k")))).as("kept_text"))
+    val before = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("before_n"))
+    val exCnt = excised.groupBy(col("doc_id")).agg(count(lit(1)).as("ex_n"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(before, Seq("doc_id"), "left_outer")
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .join(exCnt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("before_n"), lit(0L)).as("n_before"),
+        coalesce(col("kept_n"), lit(0L)).as("n_after"),
+        coalesce(col("ex_n"), lit(0L)).as("n_excised"),
+        coalesce(col("kept_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the identical keep-first excision over the shared span CTEs
+    * (string_agg ORDER BY replays the sorted-struct rebuild). */
+  val dupSpanScrubSql: String =
+    s"""$dupSpanPrefixSql,
+       |span_text AS (
+       |  SELECT s.doc_id, s.span_start, s.span_end,
+       |    string_agg(t.tok, ' ' ORDER BY t.idx) AS stext
+       |  FROM spans s JOIN toks t ON t.doc_id = s.doc_id
+       |    AND t.idx BETWEEN s.span_start AND s.span_end
+       |  GROUP BY 1, 2, 3),
+       |excised AS (
+       |  SELECT doc_id, span_start, span_end FROM (
+       |    SELECT doc_id, span_start, span_end,
+       |      row_number() OVER (PARTITION BY stext
+       |                         ORDER BY doc_id, span_start) AS rn
+       |    FROM span_text) WHERE rn > 1),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok FROM toks t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM excised e WHERE e.doc_id = t.doc_id
+       |      AND t.idx BETWEEN e.span_start AND e.span_end)),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS kept_n,
+       |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+       |  FROM kept GROUP BY doc_id),
+       |before_n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |ex_n AS (SELECT doc_id, count(*) AS n FROM excised GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(r.kept_n, 0) AS BIGINT) AS n_after,
+       |  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_excised,
+       |  COALESCE(r.kept_text, '') AS cleaned_text
+       |FROM documents d
+       |LEFT JOIN before_n b ON b.doc_id = d.doc_id
+       |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+       |LEFT JOIN ex_n e ON e.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // 6 bands × 4 rows: keeps per-band selectivity high (r=4) against this
   // corpus's high background trigram similarity while P(catch | j≥0.7) ≈ 0.8

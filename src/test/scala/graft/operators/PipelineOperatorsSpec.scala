@@ -625,6 +625,44 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     }, "every span covers its whole document — substring-level signal absent")
   }
 
+  test("dup_span_scrub: keep-first excision invariants; cleaned text drops exactly the excised ranges") {
+    val spans = Dedup.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = Dedup.dupSpanScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty))
+      .toMap
+    // reconstruct the keep-first policy driver-side from the span report
+    val spanText = spans.map { case (id, s, e) =>
+      (id, s, e, toks(id).slice(s.toInt, e.toInt + 1).mkString(" "))
+    }
+    val keptFirst = spanText.groupBy(_._4).values.flatMap { g =>
+      g.sortBy(x => (x._1, x._2)).tail // all but corpus-first are excised
+    }.toSeq
+    val excByDoc = keptFirst.groupBy(_._1)
+    rows.foreach { case (id, nb, na, nx, cleaned) =>
+      assert(nb == toks(id).length.toLong, s"n_before doc=$id")
+      val ex = excByDoc.getOrElse(id, Seq.empty)
+      assert(nx == ex.size.toLong, s"n_excised doc=$id")
+      val drop = ex.flatMap(x => x._2.toInt to x._3.toInt).toSet
+      val want = toks(id).zipWithIndex.collect {
+        case (t, i) if !drop.contains(i) => t
+      }
+      assert(na == want.length.toLong, s"n_after doc=$id")
+      assert(cleaned == want.mkString(" "), s"cleaned_text doc=$id")
+    }
+    // non-vacuous: something was excised, and at least one doc shrank
+    // without being emptied (partial scrub, not just whole-doc dedup)
+    assert(rows.exists(_._4 > 0), "no excisions — vacuous")
+    assert(rows.exists(r => r._4 > 0 && r._3 > 0 && r._3 < r._2),
+      "no partial excision observed")
+  }
+
   test("curriculum: ranks are a permutation of 1..N ordered by (quality, id); tiers balanced") {
     val rows = TextAnalysis.curriculum(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
