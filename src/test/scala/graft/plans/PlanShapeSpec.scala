@@ -95,6 +95,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dup_spans: the tokenize+gram stage is computed once and shared; windows are doc-partitioned") {
+    graft.SharedFrames.releaseAll()
+    val df = graft.operators.Dedup.dupSpans(spark, dir)
+    // walk the physical TREE (InMemoryTableScanExec is a leaf — the
+    // cached relation's plan is not a child), so a live FileSourceScan
+    // can't hide in a relation's printed dump and a cached one can't
+    // trigger a false positive
+    val phys = df.queryExecution.sparkPlan
+    val liveScans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val sharedReads = phys.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    // both the dup-gram aggregate and the probe must read the ONE
+    // materialized gram generation — a live parquet scan means the
+    // corpus-heavy stage runs again at 100 TB
+    assert(sharedReads.nonEmpty,
+      s"gram frame not shared (no InMemoryTableScan):\n$phys")
+    assert(liveScans.isEmpty,
+      s"dup_spans recomputes ${liveScans.size} live parquet scans outside the shared frames:\n$phys")
+    val p = phys.toString
+    // every window is doc_id-partitioned (bounded by document length) —
+    // a partition-less window would be one task at any corpus size
+    val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+    assert(globalWindow.findFirstIn(p).isEmpty,
+      s"dup_spans: found a partition-less window:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
     val p = plan(KvSurface.kvGetallKeys(spark, dir))
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
