@@ -127,6 +127,8 @@ object SparkEntry {
     "multimodal_resize" -> (Multimodal.resizeImages _),
     // PCM frame tiling + strided temporal subsampling (video-frame shape)
     "multimodal_frames" -> (Multimodal.audioFrames _),
+    // real video container walk: decode only the sampled keyframes
+    "multimodal_video" -> (Multimodal.videoFrames _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     // distributed sequential quota admission (p4 semantics), oracle'd via
     // a recursive CTE that replays the same per-user fold (r4 item #6)
@@ -248,6 +250,7 @@ object SparkEntry {
     // are replayed byte-for-byte from first principles
     "multimodal_resize" -> Multimodal.resizeImagesSql,
     "multimodal_frames" -> Multimodal.audioFramesSql,
+    "multimodal_video" -> Multimodal.videoFramesSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,

@@ -157,6 +157,46 @@ object MediaCodec {
     out
   }
 
+  // ---- GVID (minimal real video container: indexed BMP frames) ----
+
+  /** Encode a frame sequence as a GVID container: "GVID" magic, LE int32
+    * frame count, then each frame as LE int32 length + a fully valid BMP.
+    * Deliberately minimal but REAL — a parser must walk the index, honor
+    * per-frame lengths, and decode each embedded image; production swaps
+    * the BMP payloads for keyframe JPEGs without touching the walk. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + frames.map(4 + _.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII"))
+    buf.putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Parse a GVID container into its frame payloads, with the same
+    * corruption totality as the other decoders: declared lengths are
+    * bounds-checked BEFORE any slice, truncation fails with a diagnosable
+    * message, never an out-of-bounds error. */
+  def decodeVideo(payload: Array[Byte]): Seq[Array[Byte]] = {
+    require(payload.length >= 8 &&
+      new String(payload, 0, 4, "US-ASCII") == "GVID", "not a GVID")
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getInt(4)
+    require(n >= 0, s"corrupt GVID: negative frame count $n")
+    var pos = 8
+    (0 until n).map { i =>
+      require(pos + 4 <= payload.length,
+        s"corrupt GVID: frame $i index at $pos past end ${payload.length}")
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 4L + len <= payload.length,
+        s"corrupt GVID: frame $i declares $len bytes at $pos, " +
+          s"payload ends at ${payload.length}")
+      val out = java.util.Arrays.copyOfRange(payload, pos + 4, pos + 4 + len)
+      pos += 4 + len
+      out
+    }
+  }
+
   // ---- WAV (RIFF container, PCM signed 16-bit little-endian) ----
 
   /** Encode PCM16 samples as a fully valid WAV: RIFF header + `fmt ` chunk +

@@ -164,6 +164,94 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Every this-many docs carries a synthesized video (sparse modality —
+    * most corpora have far fewer videos than text rows; the pruning
+    * predicate is the point at 100 TB). */
+  final val VideoEvery = 5
+
+  /** Frame pixel offset per frame index: consecutive frames read the text
+    * bytes at a 7·frame shift, so frames DIFFER and temporal sampling is
+    * observable (a static video would make stride-sampling vacuous). */
+  final val VideoFrameShift = 7
+
+  /** Deterministic video corpus: every [[VideoEvery]]-th doc becomes a
+    * GVID container of 2–5 small BMP frames whose pixels are the doc's
+    * bytes at a per-frame shift. Same first-principles synthesis contract
+    * as [[assets]]: dims, frame counts, and every pixel are pure integer
+    * functions of (doc_id, text), so the oracle needs no codec. */
+  def videoAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .filter(col("doc_id") % VideoEvery === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b0 = if (text == null) Array.emptyByteArray
+          else text.getBytes("UTF-8")
+        val bytes = if (b0.isEmpty) Array[Byte](0) else b0
+        val w = 16 + (id % 16).toInt
+        val h = 16 + ((id / 2) % 16).toInt
+        val nFrames = 2 + ((id / VideoEvery) % 4).toInt
+        val frames = (0 until nFrames).map { f =>
+          MediaCodec.encodeBmp(w, h, (x, y) => java.lang.Byte.toUnsignedInt(
+            bytes((x + y * w + f * VideoFrameShift) % bytes.length)))
+        }
+        MediaAsset(id, "video/gvid", MediaCodec.encodeVideo(frames))
+      })
+  }
+
+  /** Video FRAME-SAMPLE: walk each container's real frame index, decode
+    * every [[FrameStride]]-th frame's embedded BMP, and emit its exact
+    * integer gray sum — the keyframe-extraction access pattern (decode
+    * only sampled frames; skipped frames cost an index hop, not a
+    * decode). Partition-local like every other media transform. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoAssets(spark, dir)
+      .mapPartitions(_.flatMap { a =>
+        val frames = MediaCodec.decodeVideo(a.payload)
+        (0 until frames.length by FrameStride).iterator.map { f =>
+          val (w, h, px) = MediaCodec.decodeBmpPixels(frames(f))
+          (a.doc_id, f.toLong, w.toLong, h.toLong, px.foldLeft(0L)(_ + _))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "gray_sum")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** First-principles oracle for [[videoFrames]]: frame f's pixel (x,y)
+    * is byte((x + y·w + ${VideoFrameShift}·f) mod len) — the gray sum is
+    * exact integer arithmetic over the text column, no codec needed. */
+  val videoFramesSql: String = {
+    val gray = s"CASE WHEN hx IS NULL THEN 0 ELSE " + byteAtSql("hx",
+      s"(x.g + y.g * w + ${VideoFrameShift} * frame_idx) % len") + " END"
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR text = '' THEN NULL
+       |         ELSE hex(encode(text)) END AS hx,
+       |    CASE WHEN text IS NULL OR text = '' THEN 1
+       |         ELSE octet_length(encode(text)) END AS len
+       |  FROM documents WHERE doc_id % ${VideoEvery} = 0),
+       |geo AS (
+       |  SELECT doc_id, hx, len, 16 + doc_id % 16 AS w,
+       |    16 + (doc_id // 2) % 16 AS h,
+       |    2 + (doc_id // ${VideoEvery}) % 4 AS nf
+       |  FROM b),
+       |f AS (
+       |  SELECT doc_id, hx, len, w, h, fr.g AS frame_idx
+       |  FROM geo, generate_series(0, 4, ${FrameStride}) fr(g)
+       |  WHERE fr.g < nf),
+       |px AS (
+       |  SELECT doc_id, frame_idx, w, h, $gray AS gray
+       |  FROM f, generate_series(0, 30) x(g), generate_series(0, 30) y(g)
+       |  WHERE x.g < w AND y.g < h)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(MIN(w) AS BIGINT) AS width, CAST(MIN(h) AS BIGINT) AS height,
+       |  CAST(SUM(gray) AS BIGINT) AS gray_sum
+       |FROM px GROUP BY doc_id, frame_idx
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** Byte i (0-based, unsigned) of the UTF-8 encoding of `text` in DuckDB
     * SQL — hex-substring idiom (DuckDB has no BLOB subscript). */
   private def byteAtSql(hx: String, idx: String): String =

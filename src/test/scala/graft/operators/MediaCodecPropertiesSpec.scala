@@ -95,6 +95,29 @@ class MediaCodecPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  private val videoGen = for {
+    nf <- Gen.choose(0, 6)
+    t <- bmpGen
+  } yield (nf, t)
+
+  test("GVID round-trip: frame payloads exact; every truncation fails cleanly, never AIOOBE") {
+    forAllSeeded(videoGen) { case (nf, (w, h, seed)) =>
+      val frames = (0 until nf).map(f =>
+        MediaCodec.encodeBmp(w, h, (x, y) => (x + y + f + seed) % 256))
+      val enc = MediaCodec.encodeVideo(frames)
+      val dec = MediaCodec.decodeVideo(enc)
+      assert(dec.length == nf)
+      dec.zip(frames).foreach { case (d, f) => assert(d.toSeq == f.toSeq) }
+      (0 until enc.length by math.max(1, enc.length / 23)).foreach { cut =>
+        try MediaCodec.decodeVideo(enc.take(cut))
+        catch {
+          case _: IllegalArgumentException => // clean require failure
+          case e: Throwable => fail(s"cut=$cut threw ${e.getClass}", e)
+        }
+      }
+    }
+  }
+
   test("every truncation of a valid BMP/WAV fails cleanly or parses — never AIOOBE") {
     val bmp = MediaCodec.encodeBmp(5, 4, (x, y) => (x + y) % 256)
     val wav = MediaCodec.encodeWav(Array[Short](5, -9, 300), 8000, 1)

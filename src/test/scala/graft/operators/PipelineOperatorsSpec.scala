@@ -584,6 +584,28 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(2) == energy && r.getLong(3) == peak,
         s"frame stats doc=$id frame=$f")
     }
+
+    // video: sampled keyframes only, gray sums exact per the synthesis
+    val vid = Multimodal.videoFrames(spark, dir).collect()
+    val vByDoc = vid.groupBy(_.getLong(0))
+    texts.keys.filter(_ % Multimodal.VideoEvery == 0).foreach { id =>
+      val nf = 2 + ((id / Multimodal.VideoEvery) % 4).toInt
+      val want = (0 until nf by Multimodal.FrameStride).map(_.toLong)
+      assert(vByDoc(id).map(_.getLong(1)).sorted.toSeq == want,
+        s"sampled video frame set doc=$id")
+    }
+    vid.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getLong(1).toInt
+      val b = bytesOf(id)
+      val w = 16 + (id % 16).toInt
+      val h = 16 + ((id / 2) % 16).toInt
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"video dims doc=$id")
+      val expect = (for (y <- 0 until h; x <- 0 until w) yield
+        java.lang.Byte.toUnsignedInt(b(
+          (x + y * w + f * Multimodal.VideoFrameShift) % b.length)).toLong).sum
+      assert(r.getLong(4) == expect, s"video gray_sum doc=$id frame=$f")
+    }
   }
 
   test("dup_spans: exact driver replay (tokenize, gram, >=2-doc filter, island merge); non-vacuous") {
