@@ -23,11 +23,12 @@ import graft.{SharedFrames, SparkEntry, SparkSpec}
 class BenchSoakSpec extends AnyFunSuite with SparkSpec {
   val dir = "/root/testdata/sf0.001"
 
-  /** Generous ceiling: the double pass measures ~9 min on local[4] when
-    * the full test suite shares the JVM (~5 min standalone). 2× headroom:
-    * a hang or a compounding leak parks on a single query for its
-    * remainder, honest variance cannot double the whole-suite time. */
-  private val WallBoundSec = 1800.0
+  /** Generous ceiling: with artifact-isolation classloading disabled
+    * (round 6 — the whole 24-suite test run now finishes in ~3 min) the
+    * double pass is a small fraction of the old ~9 min. 600 s is still
+    * several-fold headroom; a hang or a compounding leak parks on a
+    * single query for its remainder, honest variance cannot. */
+  private val WallBoundSec = 600.0
 
   test("full suite twice in one JVM: bounded wall-clock, zero residue") {
     SharedFrames.releaseAll()
