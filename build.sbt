@@ -34,10 +34,20 @@ val jdk17AddOpens = Seq(
 // measures identically under 8 GiB, so a bigger heap only buys exposure.
 val forkHeap: String = {
   val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-  val gib = "^(\\d+)[gG]$".r
-  req match {
-    case gib(n) if n.toInt > 12 => "12g"
-    case _ => req
+  // parse every -Xmx-legal form (bytes, k/K, m/M, g/G) so a harness
+  // exporting megabyte units can't slip past the cap; unparseable
+  // values get the cap too rather than reaching the JVM unchecked
+  val capBytes = 12L << 30
+  "^(\\d+)([kKmMgG]?)$".r.findFirstMatchIn(req) match {
+    case Some(m) =>
+      val mult = m.group(2).toLowerCase match {
+        case "k" => 1L << 10
+        case "m" => 1L << 20
+        case "g" => 1L << 30
+        case _   => 1L
+      }
+      if (m.group(1).toLong * mult > capBytes) "12g" else req
+    case None => "12g"
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -37,8 +37,12 @@ object SharedFrames {
     * replaces. */
   def shared(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    p.count()
+    // register BEFORE the materializing action: if count() dies (watchdog
+    // cancel, executor failure), the persisted plan is already in the
+    // cache manager and must still be releasable — unpersisting a frame
+    // that never computed is safe and frees whatever partials landed
     live.add(() => { p.unpersist(blocking = false); () })
+    p.count()
     p
   }
 

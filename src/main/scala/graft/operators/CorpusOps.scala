@@ -422,7 +422,7 @@ object CorpusOps {
     * every round's plan O([[BpeRematerializeEvery]]) deep; superseded
     * materializations are unpersisted inline, so residency stays at one
     * generation (the [[Dedup.dedupClusters]] loop discipline). */
-  private val BpeRematerializeEvery = 32
+  private[operators] final val BpeRematerializeEvery = 32
 
   /** The shared training fold behind [[bpeVocab]], [[bpeVocabLarge]] and
     * [[bpeEncode]]: runs `rounds` election/merge rounds and returns BOTH
@@ -473,6 +473,11 @@ object CorpusOps {
           col("cnt"))
         if (r % BpeRematerializeEvery == 0) {
           val (nw, nwRdd) = Dedup.materialize(w)
+          // materialize() persists LAZILY — force the new generation's
+          // blocks before dropping the old one, or the next election
+          // recomputes the whole lineage back to the corpus aggregate
+          // (the connectedComponents loop discipline)
+          nwRdd.count()
           wRdd.unpersist(blocking = false) // superseded generation
           w = nw; wRdd = nwRdd
         }

@@ -592,34 +592,42 @@ object Similarity {
   def semDedupCentroids(spark: SparkSession, dir: String,
       k: Int = SemDedupK, iters: Int = SemDedupIters): Array[Array[Double]] = {
     import spark.implicits._
+    // persisted for the training loop: init + every Lloyd iteration read
+    // these blocks instead of re-scanning the embeddings parquet per
+    // iteration; released as soon as training collects its last update
+    // (the loop owns the lifetime — no registry needed)
     val vecs = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
       .as[(Long, Array[Double])]
-    var centroids = vecs.orderBy(col("vec_id")).limit(k)
-      .collect().map(_._2)
-    (0 until iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = vecs.mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (_, v) => (nearestCentroid(v, cs), v) }
-      }.toDF("cluster", "ev")
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(floor(col("x") * SemDedupQScale)).as("sq"),
-          count(lit(1)).as("n"))
-        .collect()
-      val upd = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
-        rows.sortBy(_.getInt(1)).map { r =>
-          // JVM long division truncates toward zero — the SQL twin
-          // emulates exactly this (CASE on sign over `//`)
-          (r.getLong(2) / r.getLong(3)).toDouble / SemDedupQScale
-        }
-      }.toMap
-      centroids = centroids.indices
-        .map(c => upd.getOrElse(c, centroids(c))).toArray
-    }
-    centroids
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = vecs.orderBy(col("vec_id")).limit(k)
+        .collect().map(_._2)
+      (0 until iters).foreach { _ =>
+        val bc = spark.sparkContext.broadcast(centroids)
+        val assigned = vecs.mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, v) => (nearestCentroid(v, cs), v) }
+        }.toDF("cluster", "ev")
+        val sums = assigned
+          .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(floor(col("x") * SemDedupQScale)).as("sq"),
+            count(lit(1)).as("n"))
+          .collect()
+        bc.unpersist(blocking = false) // iteration-scoped, release inline
+        val upd = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
+          rows.sortBy(_.getInt(1)).map { r =>
+            // JVM long division truncates toward zero — the SQL twin
+            // emulates exactly this (CASE on sign over `//`)
+            (r.getLong(2) / r.getLong(3)).toDouble / SemDedupQScale
+          }
+        }.toMap
+        centroids = centroids.indices
+          .map(c => upd.getOrElse(c, centroids(c))).toArray
+      }
+      centroids
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Core of [[semDedup]] over any (vec_id, ev, nrm) frame and any centroid

@@ -18,6 +18,9 @@ object ExplainAll {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
+      // construction of iterative queries registers shared frames even
+      // when only explaining — release per query like every harness
+      graft.SharedFrames.releaseAll()
     }
     spark.stop()
   }

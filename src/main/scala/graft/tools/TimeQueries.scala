@@ -45,6 +45,10 @@ object TimeQueries {
         }
         walk(df.queryExecution.executedPlan, 0)
       }
+      // owned release per pass — without it the registry's strong closure
+      // references keep every shared frame resident across the 3×N loop,
+      // distorting the very timings this tool reports
+      graft.SharedFrames.releaseAll()
     }
     spark.stop()
   }

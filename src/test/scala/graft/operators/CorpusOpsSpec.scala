@@ -187,10 +187,11 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     rows.zip(expected).foreach { case (got, want) =>
       assert(got == want, s"merge ${want._1}: $got != replay $want")
     }
-    // depth is non-toy: the corpus must actually sustain enough merges
-    // for the rematerialization path (every 32 rounds) to be exercised
-    assert(rows.length > CorpusOps.BpeMerges * 3,
-      s"only ${rows.length} merges — corpus too small to prove depth")
+    // depth is non-toy: the corpus must sustain enough merges that the
+    // rematerialization path actually ran (round BpeRematerializeEvery
+    // must have merged) — a 31-merge corpus would silently un-pin it
+    assert(rows.length >= CorpusOps.BpeRematerializeEvery,
+      s"only ${rows.length} merges — rematerialization path never ran")
   }
 
   test("bpe_vocab: merge loop elects pairs recursively with a driver-checked round") {
