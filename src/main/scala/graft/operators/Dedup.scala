@@ -578,7 +578,7 @@ object Dedup {
   final val ContamGram = 20
   final val ContamEvalCap = 10
 
-  private def contamGrams: Column =
+  private[graft] def contamGrams: Column =
     expr(s"transform(sequence(1, length(text)-${ContamGram - 1}), " +
       s"i -> substring(text, i, $ContamGram))")
 

@@ -175,6 +175,38 @@ object EventStreams {
           org.apache.spark.sql.functions.col("text").cast("binary")))
         .dropDuplicates("fp"))
 
+  /** Streaming DECONTAMINATION — the stream-static twin of
+    * [[graft.operators.Dedup.decontaminateFrom]]: documents arrive as a
+    * stream and are probed against a STATIC eval-set gram table (the one
+    * streaming join shape no other twin exercises). The static side is
+    * tiny by the decontamination premise, so the per-batch probe is a
+    * broadcast stream-static join; gram derivation is the SAME
+    * `contamGrams` column the batch operator uses — shared code, not a
+    * copy. Per-doc distinct-gram counting on a stream needs bounded
+    * state: `dropDuplicatesWithinWatermark` on (doc_id, gram) expires
+    * per-gram state at the horizon, and the windowed count emits each
+    * doc's verdict once its event-time window closes. The batch
+    * operator's hash PREFILTER stage is deliberately absent — it is a
+    * corpus-scan optimization; a micro-batch is already small, and the
+    * exact string join keeps stream ≡ batch results (spec-pinned). */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowSize: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val evalGrams = evalDocs
+      .filter(length(col("text")) >= Dedup.ContamGram)
+      .select(explode(Dedup.contamGrams).as("gram")).distinct()
+    docs
+      .filter(length(col("text")) >= Dedup.ContamGram)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), explode(Dedup.contamGrams).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .dropDuplicatesWithinWatermark("doc_id", "gram")
+      .groupBy(window(col("ts"), windowSize), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   /** Streaming AS-OF enrichment — the streaming twin of
     * [[graft.queries.Relational.asofJoin]]: every click is emitted with
     * the most recent prior view of its user. The carried state is ONE

@@ -46,6 +46,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream: stream-static probe equals the batch operator doc-for-doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val evalDocs = docs.filter(col("doc_id") < graft.operators.Dedup.ContamEvalCap)
+    val corpus = docs.filter(col("doc_id") >= graft.operators.Dedup.ContamEvalCap)
+    val batch = graft.operators.Dedup.decontaminateFrom(corpus, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty, "batch decontaminate found nothing — vacuous")
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.decontaminateStream(df, evalDocs)
+      .writeStream.format("memory").queryName("sdecon").outputMode("append")
+      .start()
+    try {
+      val t0 = 1700000000000L
+      val rows = corpus.select(col("doc_id"), col("text")).collect()
+      // two micro-batches, then a far-future sentinel to advance the
+      // watermark past every real doc's window so append mode emits
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.map(r => (r.getLong(0), new java.sql.Timestamp(t0),
+        r.getString(1))).toSeq)
+      q.processAllAvailable()
+      mem.addData(b.map(r => (r.getLong(0), new java.sql.Timestamp(t0),
+        r.getString(1))).toSeq)
+      q.processAllAvailable()
+      mem.addData(Seq((-1L, new java.sql.Timestamp(t0 + 3600L * 1000),
+        "sentinel far beyond the watermark horizon for flushing")))
+      q.processAllAvailable()
+      val got = spark.table("sdecon").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).filter(_._1 >= 0).toMap
+      assert(got == batch,
+        s"stream/batch divergence: only-stream=${(got.keySet -- batch.keySet).take(5)} " +
+          s"only-batch=${(batch.keySet -- got.keySet).take(5)}")
+    } finally q.stop()
+  }
+
   test("sessionize (flatMapGroupsWithState): closed sessions match batch truth across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
