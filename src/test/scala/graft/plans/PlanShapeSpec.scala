@@ -125,6 +125,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("dup_span_scrub: only the doc-spine scan is live; span/excision work reads shared frames") {
+    graft.SharedFrames.releaseAll()
+    val df = graft.operators.Dedup.dupSpanScrub(spark, dir)
+    val phys = df.queryExecution.sparkPlan
+    val liveScans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // exactly ONE live parquet scan is contractual: the documents
+    // doc_id spine of the final left joins. Everything span-shaped
+    // (tokens, grams, spans, excisions, rebuilds) must come from the
+    // materialized generations — a second live scan means the
+    // corpus-heavy stage re-runs at 100 TB
+    assert(liveScans.size == 1,
+      s"expected 1 live scan (doc spine), got ${liveScans.size}:\n$phys")
+    assert(liveScans.head.schema.fieldNames.toSeq == Seq("doc_id"),
+      s"doc-spine scan must prune to doc_id only, read ${liveScans.head.schema.fieldNames.toSeq}")
+    assert(phys.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }.nonEmpty, s"span work not reading shared frames:\n$phys")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("kv_getall_keys: column pruning — the scan reads ONLY the projected key") {
     val p = plan(KvSurface.kvGetallKeys(spark, dir))
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
