@@ -130,6 +130,9 @@ object SparkEntry {
     // real video container walk: decode only the sampled keyframes
     "multimodal_video" -> (Multimodal.videoFrames _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
+    // DSv2 SINK: engine WAL format written via the two-phase committer,
+    // read back with the DSv2 reader — lossless round trip
+    "wal_sink_roundtrip" -> (graft.sources.WalSink.walSinkRoundtrip _),
     // distributed sequential quota admission (p4 semantics), oracle'd via
     // a recursive CTE that replays the same per-user fold (r4 item #6)
     "quota_admission_replay" -> ((s: SparkSession, d: String) =>
@@ -254,6 +257,9 @@ object SparkEntry {
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,
+    // oracle digests the parquet SOURCE; Spark digests the WAL SINK
+    // round trip — equality proves format + committer are lossless
+    "wal_sink_roundtrip" -> graft.sources.WalSink.walSinkRoundtripSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
     "embed_quantize" -> Similarity.embedQuantizeSql,
     // the IVF twins' oracle IS the exact brute-force SQL: equality holds

@@ -2,9 +2,10 @@ package graft.sources
 
 import java.util
 import java.util.Base64
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,13 +67,31 @@ object WalDataSource {
   }
 }
 
-final class WalTable(paths: Seq[String]) extends Table with SupportsRead {
+final class WalTable(paths: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_wal(${paths.mkString(",")})"
   override def schema(): StructType = WalDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WalScanBuilder(resolvePaths(options))
+
+  /** Write side (SINK): `df.write.format("graft.sources.WalDataSource")
+    * .mode(...).save(dir)` emits the engine's exact record format
+    * (`OP\tb64(key)[\tb64(value)]\t#`), one segment file per task, with
+    * the standard two-phase commit: every task writes a hidden temp file
+    * and reports it in its commit message; only the DRIVER's job commit
+    * renames temps to `part-NNNNN.wal` (so a speculative or failed task
+    * attempt can never publish), and abort deletes temps. Input schema is
+    * `(op STRING, key STRING, value BINARY)` — `seq` is derived from line
+    * offsets on read, exactly like the engine's replay. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = Option(info.options.get("path")).orElse(paths.headOption)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-wal sink: no target path — use save(dir)"))
+    new WalWriteBuilder(dir, info.schema())
+  }
 
   private def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val fromOpts = Option(options.get("path")).toSeq ++
@@ -81,8 +100,146 @@ final class WalTable(paths: Seq[String]) extends Table with SupportsRead {
   }
 }
 
+final class WalWriteBuilder(dir: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    // fail DRIVER-SIDE before any task launches. The analyzer has already
+    // resolved the input against the table schema, so `seq` arrives too —
+    // it is positional storage metadata (line offset), so the sink
+    // accepts it and IGNORES it; the read side assigns the authoritative
+    // value, exactly like the engine's replay.
+    val want = Seq(("seq", LongType), ("op", StringType),
+      ("key", StringType), ("value", BinaryType))
+    val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"graft-wal sink expects (seq LONG, op STRING, key STRING, value BINARY), got $got")
+    new WalWrite(dir, doTruncate)
+  }
+}
+
+final class WalWrite(dir: String, truncate: Boolean) extends Write {
+  override def toBatch: BatchWrite = new WalBatchWrite(dir, truncate)
+}
+
+final case class WalCommitMessage(tmpPath: String)
+  extends WriterCommitMessage
+
+final class WalBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    new WalWriterFactory(dir)
+  }
+
+  /** Job commit (driver, once, after every task succeeded): truncate-then
+    * -publish. Deleting old segments here — not at factory creation —
+    * keeps the previous generation readable until the new one is fully
+    * staged (the KvStore generation-snapshot discipline). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    if (truncate) {
+      val old = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.matches("part-\\d{5}\\.wal")).toSeq
+      old.foreach(java.nio.file.Files.delete)
+    }
+    messages.zipWithIndex.foreach { case (m, i) =>
+      val tmp = java.nio.file.Paths.get(
+        m.asInstanceOf[WalCommitMessage].tmpPath)
+      java.nio.file.Files.move(tmp, d.resolve(f"part-$i%05d.wal"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case WalCommitMessage(tmp) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+final class WalWriterFactory(dir: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new WalDataWriter(dir, partitionId, taskId)
+}
+
+/** Task-scope segment writer: records stream to a hidden temp file named
+  * by (partition, task attempt, uuid) — unique per ATTEMPT, so retries
+  * never collide — and task commit merely reports the temp path; the
+  * rename that publishes it is the driver's. */
+final class WalDataWriter(dir: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val tmp = java.nio.file.Paths.get(dir,
+    f".part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.tmp")
+  private val out = java.nio.file.Files.newBufferedWriter(tmp)
+  private val enc = Base64.getEncoder
+
+  override def write(row: InternalRow): Unit = {
+    // field 0 is `seq` — storage-positional, ignored on write (see
+    // WalWriteBuilder.build)
+    val op = row.getUTF8String(1).toString
+    require(!op.contains("\t") && !op.contains("\n"),
+      s"graft-wal sink: op must not contain separators: $op")
+    val key = enc.encodeToString(row.getUTF8String(2).getBytes)
+    val sb = new StringBuilder(op).append('\t').append(key)
+    if (!row.isNullAt(3))
+      sb.append('\t').append(enc.encodeToString(row.getBinary(3)))
+    out.write(sb.append("\t#\n").toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    WalCommitMessage(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  override def close(): Unit = ()
+}
+
 final class WalScanBuilder(paths: Seq[String]) extends ScanBuilder {
   override def build(): Scan = new WalScan(paths)
+}
+
+/** Registered round-trip through the DSv2 WAL SINK: project a KV insert
+  * stream out of `customer`, write it through the two-phase committer,
+  * read the published segments back with the DSv2 reader, and emit the
+  * decoded records. The oracle digests the parquet SOURCE directly (the
+  * [[JsonlExport.jsonlRoundtrip]] pattern) — equality proves the sink's
+  * record format, the base64 round trip, and the committer's publish are
+  * all lossless. */
+object WalSink {
+  def walSinkRoundtrip(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val src = graft.Tables.t(spark, dir, "customer").select(
+      lit(0L).as("seq"), // positional; reassigned by the read side
+      lit("PUT").as("op"),
+      concat(lit("cust-"), col("c_custkey").cast("string")).as("key"),
+      col("c_name").cast("binary").as("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft-walsink-")
+    src.repartition(4, col("key")).write
+      .format("graft.sources.WalDataSource")
+      .mode("overwrite").save(out.toString)
+    val parts = java.nio.file.Files.list(out).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".wal")).toSeq.sorted
+    require(parts.nonEmpty, s"wal sink published no segments under $out")
+    spark.read.format("graft.sources.WalDataSource").load(parts: _*)
+      .select(col("op"), col("key"),
+        col("value").cast("string").as("value_str"))
+      .orderBy(col("key"))
+  }
+
+  val walSinkRoundtripSql: String =
+    """SELECT 'PUT' AS op, 'cust-' || c_custkey AS key,
+      |  c_name AS value_str
+      |FROM customer ORDER BY key""".stripMargin
 }
 
 final class WalScan(paths: Seq[String]) extends Scan with Batch {

@@ -53,6 +53,67 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
       Seq("a1", "a2", "b1"))
   }
 
+  test("DSv2 sink: two-phase commit publishes clean segments the ENGINE can replay; overwrite truncates") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-walsink-spec-")
+    val rows = Seq(("PUT", "a", "v1"), ("PUT", "b", "v2"), ("PUT", "c", "v3"))
+    def writeIt(): Unit = rows.toDF("op", "key", "v")
+      .select(lit(0L).as("seq"), col("op"), col("key"),
+        col("v").cast("binary").as("value"))
+      .repartition(2)
+      .write.format("graft.sources.WalDataSource")
+      .mode("overwrite").save(out.toString)
+    writeIt()
+    val listed = Files.list(out).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(listed)
+      .asScala.map(_.getFileName.toString).toSeq.sorted
+    // committer hygiene: only published segments remain, no temp residue
+    assert(names.forall(_.matches("part-\\d{5}\\.wal")), s"residue: $names")
+    assert(names.size == 2, s"expected one segment per partition: $names")
+    // round trip through the DSv2 reader
+    val back = spark.read.format("graft.sources.WalDataSource")
+      .load(names.map(out.resolve(_).toString): _*)
+      .select(col("op"), col("key"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(back.sorted.toSeq == rows.sorted)
+    // overwrite truncates: a second write does not accumulate segments
+    writeIt()
+    val again = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(out).iterator()).asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(again.size == 2, s"overwrite duplicated segments: $again")
+    // the format IS the engine's: a sink-written segment (plus the boot
+    // sentinel) replays through a REAL Engine as its kv WAL, and the
+    // values come back through the query API
+    val dataDir = Files.createTempDirectory("graft-walsink-replay-")
+    val segments = again.map(n => Files.readString(out.resolve(n))).mkString
+    Files.writeString(dataDir.resolve("kv_wal.jsonl"),
+      graft.engine.KvStore.WalSentinel + "\n" + segments)
+    val eng = new graft.engine.Engine(spark,
+      graft.engine.EngineOptions(dataDir = Some(dataDir)))
+    eng.register("alice", "pw")
+    rows.foreach { case (_, k, v) =>
+      val r = eng.kvGet("alice", "pw", k)
+      assert(r.succeeded && r.dataUtf8 == v,
+        s"engine replay of sink segment lost $k: $r")
+    }
+  }
+
+  test("DSv2 sink: wrong input schema fails driver-side with a diagnosable message") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-walsink-bad-")
+    // the analyzer rejects a missing column before our builder runs; a
+    // TYPE-mismatched value column reaches the builder's own gate
+    val e = intercept[Exception] {
+      Seq((0L, "PUT", "x", "not-binary"))
+        .toDF("seq", "op", "key", "value")
+        .write.format("graft.sources.WalDataSource")
+        .mode("overwrite").save(out.toString)
+    }
+    assert(e.getMessage.contains("graft-wal sink expects") ||
+      e.getMessage.contains("Cannot"), e.getMessage)
+  }
+
   test("parsePaths handles JSON arrays and bare comma lists") {
     assert(WalDataSource.parsePaths(Some("""["/a/w1","/b/w2"]""")) ==
       Seq("/a/w1", "/b/w2"))
