@@ -134,7 +134,22 @@ object Bench {
       // ContextCleaner/GC-paced (safe even after an abandoned worker:
       // shared frames keep lineage, so a straggler read recomputes)
       SharedFrames.releaseAll()
+      // CUMULATIVE map-so-far after every run: round 6's artifact kept only
+      // the TAIL of the output and lost the first 17 queries' numbers, so
+      // each line must make every earlier line redundant — truncation from
+      // either end leaves one complete map standing
+      System.err.println(s"[bench] sofar ${partialJson()}")
     }
+
+    /** Every number collected so far as one JSON object (min across passes;
+      * sentinel for non-ok outcomes; untouched queries omitted). */
+    def partialJson(): String = names.flatMap { n =>
+      samples.get(n).map(s => "\"" + n + "\":" + s.min)
+        .orElse(statuses.get(n).map {
+          case "timeout" => "\"" + n + "\":-2.0"
+          case _         => "\"" + n + "\":-1.0"
+        })
+    }.mkString("{", ",", "}")
 
     // warmup: run the flagship shape once, untimed but watchdogged — a hung
     // warmup must not eat the whole session

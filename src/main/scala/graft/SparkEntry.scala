@@ -96,6 +96,10 @@ object SparkEntry {
     // substring-level dedup (Lee et al. 2021): maximal cross-doc
     // duplicated token spans, integer-exact island merge
     "dup_spans" -> (Dedup.dupSpans _),
+    // the 100 TB twin of dup_spans: grams keyed by xxhash64 over the token
+    // window (no gram string anywhere in the plan), two-level distinct-doc
+    // counting; oracle = the string formulation's SQL (verified twin)
+    "dup_spans_hashed" -> (Dedup.dupSpansHashed _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -231,6 +235,10 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dup_spans" -> Dedup.dupSpansSql,
+    // verified twin: the oracle is the STRING formulation's SQL — equality
+    // proves the fingerprinted plan (8-byte gram keys, two-level doc
+    // counting) reports byte-identical spans
+    "dup_spans_hashed" -> Dedup.dupSpansSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)

@@ -23,20 +23,32 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microsecond timestamps —
-    * the same truncation DuckDB applies, so oracle comparisons line up.
+  /** events.parquet's `ts` physical type varies by test-data generation:
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    * nanos as long, truncate to micros: DuckDB's truncation, so oracle
+    * comparisons line up), TIMESTAMP(MICROS) naive (read as NTZ — cast to
+    * the session type; every consumer session here pins UTC, where the
+    * cast is value-identity), or already session-adjusted. All three
+    * normalize to one TimestampType column so downstream code sees a
+    * single shape.
     *
-    * NOTE the conf below is SESSION-GLOBAL: after the first events() call,
-    * any int64-timestamp-annotated parquet in this session reads as LONG
-    * nanos instead of TIMESTAMP. Verify/Bench also set it at session build;
-    * it is re-set here defensively because the driver calls queries with a
-    * session it constructed itself. None of this repo's other tables carry
-    * int64 timestamp annotations, so the reach is confined to events. */
+    * NOTE the nanosAsLong conf is SESSION-GLOBAL: after the first events()
+    * call, any int64-timestamp-annotated parquet in this session reads as
+    * LONG nanos instead of TIMESTAMP. Verify/Bench also set it at session
+    * build; it is re-set here defensively because the driver calls queries
+    * with a session it constructed itself. None of this repo's other
+    * tables carry int64 timestamp annotations, so the reach is confined
+    * to events. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Exact-arithmetic staging for a double measure column. */

@@ -414,51 +414,88 @@ object CorpusOps {
     * builds the table keeps the full width upstream of the coalesce. */
   private val BpeVocabPartitions = 4
 
-  /** Re-materialize the evolving vocab frame every this-many merge rounds
-    * (realistic merge counts only — [[BpeMerges]] never reaches it): each
-    * round stacks one `replace` projection on the materialized vocab, and
-    * a few hundred stacked string projections would grow the plan (and
-    * the generated code) linearly with rank. Cutting the stack keeps
-    * every round's plan O([[BpeRematerializeEvery]]) deep; superseded
-    * materializations are unpersisted inline, so residency stays at one
-    * generation (the [[Dedup.dedupClusters]] loop discipline). */
-  private[operators] final val BpeRematerializeEvery = 32
+  /** UTF-8 byte-order comparison — the binary collation BOTH engines sort
+    * `pair` with (Spark UTF8String, DuckDB blob collation), used for the
+    * election tie-break so driver and executors agree with the oracle on
+    * any input, BMP or not. */
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
 
   /** The shared training fold behind [[bpeVocab]], [[bpeVocabLarge]] and
     * [[bpeEncode]]: runs `rounds` election/merge rounds and returns BOTH
     * products — the driver-held merge table, and the final
     * word→representation frame (each word of the vocab with its
     * fully-merged symbol string; every symbol is one char, so
-    * `length(repr)` IS the encoded token count). The word-frequency table
-    * is persisted for the rounds AND for the caller's consuming action
-    * (the encode join reads the same blocks instead of re-running the
-    * corpus aggregate); release is the harness's, via
-    * [[graft.SharedFrames]]. */
+    * `length(repr)` IS the encoded token count).
+    *
+    * The rounds are driver-controlled iteration over the VOCAB-sized
+    * word-frequency table, so they run on the table's persisted RDD
+    * directly — per round ONE job (pair-count `reduceByKey` + a
+    * per-partition argmax, ≤ [[BpeVocabPartitions]] candidate rows to the
+    * driver), with no per-round Catalyst analysis/codegen. The round-6
+    * formulation re-planned a stacked-projection DataFrame every round:
+    * ~24 ms of fixed scheduling+planning per round — 6.1 s at 256 merges,
+    * extrapolating to ~20 min of pure overhead at a production 50k-merge
+    * vocab. Here each generation is persisted eagerly and its predecessor
+    * freed as soon as the next election job has materialized it
+    * (residency ≤ 2 generations — the [[Dedup.dedupClusters]] loop
+    * discipline). Election semantics are IDENTICAL: overlapping pair
+    * counts weighted by word frequency (code-point windows, exactly
+    * Spark's `substring` semantics), max count, ties to the
+    * lexicographically least pair under binary collation, left-to-right
+    * non-overlapping replace. The distributed shape is unchanged — the
+    * pair aggregate still reduces vocab-partitioned, the driver still
+    * sees O(partitions) rows per round, and the one corpus-sized
+    * aggregate still runs as a full-width DataFrame plan. */
   private def bpeTrain(spark: SparkSession, dir: String,
       rounds: Int = BpeMerges): (Seq[(Int, String, String, Long)], DataFrame) = {
-    val (w0, w0Rdd) = Dedup.materialize(
-      t(spark, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-        .select(col("word"), col("word").as("repr"), col("cnt"))
-        .coalesce(BpeVocabPartitions))
-    var w = w0
-    var wRdd = w0Rdd
+    import spark.implicits._
+    val base = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .rdd.map { case (w, c) => (w, w, c) } // (word, repr, cnt)
+      .coalesce(BpeVocabPartitions)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = base
+    var prev: org.apache.spark.rdd.RDD[(String, String, Long)] = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var dry = false
     for (r <- 1 to rounds if !dry) {
-      val best = w
-        // length-1 reprs carry no pairs (and Spark's sequence(1, 0) would
-        // DESCEND and fabricate bogus grams — same guard as Dedup.grams)
-        .filter(length(col("repr")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, length(repr)-1), i -> substring(repr, i, 2))"))
-          .as("pair"), col("cnt"))
-        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("pair")).limit(1)
-        .collect() // ONE row per round: the elected pair
-      if (best.isEmpty) {
+      // ONE job: per-partition pair-count maps → reduceByKey (map-side
+      // pre-combined, vocab-partitioned — never a driver-side merge of
+      // vocab-sized maps) → per-partition argmax → ≤ 4 candidates out
+      val candidates = cur.mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]()
+        it.foreach { case (_, repr, cnt) =>
+          // code-point windows (not UTF-16 units) — the unit Spark's
+          // substring and DuckDB's repr[i:i+1] both count
+          val cps = repr.codePoints().toArray
+          var i = 0
+          while (i < cps.length - 1) {
+            m.merge(new String(cps, i, 2), cnt, (a, b) => a + b)
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+      }.reduceByKey(_ + _, BpeVocabPartitions)
+        .mapPartitions { it =>
+          var bp: String = null
+          var bc = 0L
+          it.foreach { case (p, c) =>
+            if (bp == null || c > bc || (c == bc && utf8Less(p, bp))) {
+              bp = p; bc = c
+            }
+          }
+          if (bp == null) Iterator.empty else Iterator.single((bp, bc))
+        }.collect()
+      // the election materialized `cur` — its predecessor is now free
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (candidates.isEmpty) {
         // vocabulary ran dry (every repr is a single symbol) — no pair to
         // elect this round or ever again (the table is unchanged from here
         // on). The oracle agrees by construction: its b$r CTE is empty, so
@@ -466,25 +503,24 @@ object CorpusOps {
         // to a no-op '' pattern.
         dry = true
       } else {
-        val m = (BpeMergeCharBase + r).toChar.toString
-        merges += ((r, best(0).getString(0), m, best(0).getLong(1)))
-        w = w.select(col("word"),
-          replace(col("repr"), lit(best(0).getString(0)), lit(m)).as("repr"),
-          col("cnt"))
-        if (r % BpeRematerializeEvery == 0) {
-          val (nw, nwRdd) = Dedup.materialize(w)
-          // materialize() persists LAZILY — force the new generation's
-          // blocks before dropping the old one, or the next election
-          // recomputes the whole lineage back to the corpus aggregate
-          // (the connectedComponents loop discipline)
-          nwRdd.count()
-          wRdd.unpersist(blocking = false) // superseded generation
-          w = nw; wRdd = nwRdd
+        val (bp, bc) = candidates.reduce { (x, y) =>
+          if (x._2 > y._2 || (x._2 == y._2 && utf8Less(x._1, y._1))) x else y
         }
+        val m = (BpeMergeCharBase + r).toChar.toString
+        merges += ((r, bp, m, bc))
+        val next = cur
+          .map { case (w, repr, cnt) => (w, repr.replace(bp, m), cnt) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev = cur
+        cur = next
       }
     }
-    graft.SharedFrames.sharedRdd(wRdd)
-    (merges.result(), w.select(col("word"), col("repr")))
+    // the final (and its feeding) generation outlive the loop — the
+    // harness frees them after the consuming action
+    graft.SharedFrames.sharedRdd(cur)
+    if (prev != null) graft.SharedFrames.sharedRdd(prev)
+    (merges.result(),
+      cur.map { case (w, repr, _) => (w, repr) }.toDF("word", "repr"))
   }
 
   /** Merge count for [[bpeVocabLarge]] — past the point where the
@@ -496,9 +532,10 @@ object CorpusOps {
 
   /** BPE training at a realistic merge count ([[BpeMergesLarge]]): the
     * same driver-controlled loop as [[bpeVocab]] — proving the design
-    * (one corpus aggregate, vocab-sized rounds, periodic
-    * re-materialization) holds past the toy merge count. May return fewer
-    * rows than requested on a corpus whose vocabulary runs dry. */
+    * (one corpus aggregate, one bounded vocab-table job per round,
+    * generation-at-a-time residency) holds past the toy merge count. May
+    * return fewer rows than requested on a corpus whose vocabulary runs
+    * dry. */
   def bpeVocabLarge(spark: SparkSession, dir: String): DataFrame = {
     val (merges, _) = bpeTrain(spark, dir, rounds = BpeMergesLarge)
     import spark.implicits._

@@ -173,18 +173,46 @@ object Dedup {
     * materialized once ([[graft.SharedFrames]]) — the gram aggregate, the
     * semi-join probe, and the scrub's excision/rebuild all read the same
     * blocks instead of re-running the scan + doc-shuffle + windows. */
-  private def dupSpanParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** Re-indexed token stream (doc_id, idx, tok) — the spine both gram
+    * formulations and the scrub read. */
+  private def tokFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = DupSpanGram
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val toks = graft.SharedFrames.shared(t(spark, dir, "documents")
+    t(spark, dir, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .filter(col("col") =!= "")
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("pos"))) - 1)
-      .select(col("doc_id"), col("idx"), col("col").as("tok")))
+      .select(col("doc_id"), col("idx"), col("col").as("tok"))
+  }
+
+  /** Gaps-and-islands merge of duplicated-gram hit positions into maximal
+    * spans — shared verbatim by the string and fingerprinted formulations
+    * (identical hits ⇒ identical spans by construction). */
+  private def spanIslands(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    hits
+      .withColumn("prev", lag(col("idx"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("idx") - col("prev") > n, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("idx")).cast("long").as("span_start"),
+        (max(col("idx")) + (n - 1)).cast("long").as("span_end"),
+        (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
+
+  private def dupSpanParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
     val grams = graft.SharedFrames.shared(toks
       .withColumn("gram", concat_ws(" ",
         col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
@@ -197,24 +225,57 @@ object Dedup {
       .select(col("gram"))
     val hits = grams.join(dup, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("idx"))
-    val spans = hits
-      .withColumn("prev", lag(col("idx"), 1).over(byDoc))
-      .withColumn("brk",
-        when(col("prev").isNull || col("idx") - col("prev") > n, 1)
-          .otherwise(0))
-      .withColumn("island", sum(col("brk")).over(byDoc))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("idx")).cast("long").as("span_start"),
-        (max(col("idx")) + (n - 1)).cast("long").as("span_end"),
-        (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        col("span_tokens"))
-    (toks, spans)
+    (toks, spanIslands(hits))
   }
 
   def dupSpans(spark: SparkSession, dir: String): DataFrame =
     dupSpanParts(spark, dir)._2
       .orderBy(col("doc_id"), col("span_start"))
+
+  /** The 100 TB formulation of [[dupSpans]]: gram keys are a 64-bit
+    * `xxhash64` over the window's [[DupSpanGram]] token columns — the gram
+    * STRING is never materialized anywhere in the plan, so the gram
+    * aggregate and the hit semi-join shuffle 8-byte keys instead of
+    * ~8-token bodies (the literal formulation's gram bytes ≈ 8× corpus
+    * tokens — the single biggest avoidable shuffle in the suite at scale).
+    * xxhash64 over the 8 separate columns length-delimits each token in
+    * the hash stream, so ("a","bc") and ("ab","c") cannot alias the way a
+    * naive concat would.
+    *
+    * Distinct-doc counting is explicitly two-level: `distinct` on
+    * (gh, doc_id) — a well-spread composite shuffle key — then a
+    * partial-combinable `count` per gh, so a universal boilerplate gram's
+    * final reducer receives one partial row per upstream partition, never
+    * the gram's full row mass (the hot-key hazard `countDistinct` on a
+    * skewed gram key carries).
+    *
+    * Exactness: hash equality is a superset of string equality — a 64-bit
+    * collision can only ADD a hit (more span coverage), never lose one.
+    * The oracle is the verified-twin gate (the STRING formulation's SQL,
+    * the [[dedupMinhashVerified]] precedent): equality proves the hashed
+    * plan reports byte-identical spans at test SFs; at corpus scale the
+    * residual collision odds are the standard fingerprinting trade every
+    * production substring-dedup makes (Lee et al. 2021 use the same
+    * hashed-seed shape). */
+  def dupSpansHashed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
+    val grams = graft.SharedFrames.shared(toks
+      .withColumn("gh", xxhash64(
+        col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
+      .withColumn("tail", lead(col("tok"), n - 1).over(byDoc))
+      .filter(col("tail").isNotNull)
+      .select(col("doc_id"), col("idx"), col("gh")))
+    val dup = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+    spanIslands(hits).orderBy(col("doc_id"), col("span_start"))
+  }
 
   /** Shared oracle CTE chain: tokenize → gram → ≥2-distinct-docs → islands
     * → spans, identical to [[dupSpanParts]] as static SQL (lead/lag/
@@ -277,22 +338,33 @@ object Dedup {
     * the excision anti-join are doc_id equi-joins with a range predicate
     * (never a θ-join); rebuilds are per-doc sorted aggregates bounded by
     * document length. Every frame reads the ONE materialized token/span
-    * generation from [[dupSpanParts]]. */
+    * generation from [[dupSpanParts]].
+    *
+    * Keep-first grouping key: the span text is folded to an 8-byte
+    * `xxhash64` INSIDE the span-assembly aggregate, so the multi-KB
+    * string exists only transiently per group and never travels as a
+    * shuffle/sort key — at 100 TB the keep-first exchange moves 16-byte
+    * rows instead of span bodies. A 64-bit collision would merge two
+    * distinct span groups (excising a first occurrence it shouldn't);
+    * the DuckDB oracle partitions by the exact STRING, so the equality
+    * gate proves collision-freedom at test SFs, and at corpus scale a
+    * false excision is a benign dedup overreach, never corruption (the
+    * kept copy of each true group always survives). */
   def dupSpanScrub(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (toks, spans) = dupSpanParts(spark, dir)
     def joined(c: Column): Column = array_join(
       transform(array_sort(c), x => x.getField("k")), " ")
-    val spanText = spans.alias("s")
+    val spanKeyed = spans.alias("s")
       .join(toks.alias("t"), col("s.doc_id") === col("t.doc_id") &&
         col("t.idx") >= col("s.span_start") &&
         col("t.idx") <= col("s.span_end"))
       .groupBy(col("s.doc_id").as("doc_id"), col("span_start"),
         col("span_end"))
-      .agg(joined(collect_list(struct(col("t.idx").as("i"),
-        col("t.tok").as("k")))).as("span_text"))
-    val excised = spanText
-      .withColumn("rn", row_number().over(Window.partitionBy(col("span_text"))
+      .agg(xxhash64(joined(collect_list(struct(col("t.idx").as("i"),
+        col("t.tok").as("k"))))).as("span_key"))
+    val excised = spanKeyed
+      .withColumn("rn", row_number().over(Window.partitionBy(col("span_key"))
         .orderBy(col("doc_id"), col("span_start"))))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("span_start"), col("span_end"))

@@ -187,11 +187,10 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     rows.zip(expected).foreach { case (got, want) =>
       assert(got == want, s"merge ${want._1}: $got != replay $want")
     }
-    // depth is non-toy: the corpus must sustain enough merges that the
-    // rematerialization path actually ran (round BpeRematerializeEvery
-    // must have merged) — a 31-merge corpus would silently un-pin it
-    assert(rows.length >= CorpusOps.BpeRematerializeEvery,
-      s"only ${rows.length} merges — rematerialization path never ran")
+    // depth is non-toy: dozens of generations must really have cycled
+    // through the persist-elect-free loop, or the depth claim is vacuous
+    assert(rows.length >= 32,
+      s"only ${rows.length} merges — realistic-depth path never ran")
   }
 
   test("bpe_vocab: merge loop elects pairs recursively with a driver-checked round") {

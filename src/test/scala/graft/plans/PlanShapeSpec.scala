@@ -125,6 +125,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("dup_spans_hashed: no gram string anywhere in the plan; hashed keys shuffle") {
+    graft.SharedFrames.releaseAll()
+    val df = graft.operators.Dedup.dupSpansHashed(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    // the whole point of the fingerprinted formulation: the literal gram
+    // string (concat_ws over the token window) must never be materialized —
+    // not as a shuffle key, not as a projection
+    assert(!p.contains("concat_ws"),
+      s"dup_spans_hashed materializes a literal gram string:\n$p")
+    assert(p.contains("xxhash64"),
+      s"dup_spans_hashed lost its hashed gram key:\n$p")
+    // two-level distinct-doc counting: the (gh, doc_id) pre-dedup must be a
+    // real aggregate keyed by BOTH columns (skew-safe composite key), and
+    // the per-gh count must retain map-side partials
+    assert(p.contains("partial_count") || p.contains("partial_first"),
+      s"per-gh count lost its map-side partial stage:\n$p")
+    // windows stay doc-partitioned (bounded by document length)
+    val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+    assert(globalWindow.findFirstIn(p).isEmpty,
+      s"dup_spans_hashed: found a partition-less window:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
+  test("dup_span_scrub: keep-first exchange is keyed by the 8-byte span hash, not the span body") {
+    graft.SharedFrames.releaseAll()
+    val p = graft.operators.Dedup.dupSpanScrub(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // the keep-first window partitions by span_key (xxhash64 of the span
+    // text, computed inside the span-assembly aggregate); the raw span
+    // string must not reach any windowspecdefinition
+    assert(p.contains("span_key"),
+      s"dup_span_scrub lost its hashed keep-first key:\n$p")
+    assert(!p.contains("windowspecdefinition(span_text"),
+      s"dup_span_scrub partitions its keep-first window by the raw span body:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("dup_span_scrub: only the doc-spine scan is live; span/excision work reads shared frames") {
     graft.SharedFrames.releaseAll()
     val df = graft.operators.Dedup.dupSpanScrub(spark, dir)
