@@ -73,7 +73,8 @@ final class WalTable(paths: Seq[String]) extends Table
   override def schema(): StructType = WalDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WalScanBuilder(resolvePaths(options))
 
@@ -121,6 +122,11 @@ final class WalWriteBuilder(dir: String, schema: StructType)
 
 final class WalWrite(dir: String, truncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new WalBatchWrite(dir, truncate)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncate,
+      "graft-wal sink: streaming writes are append-only (no Complete mode)")
+    new WalStreamingWrite(dir)
+  }
 }
 
 final case class WalCommitMessage(tmpPath: String)
@@ -158,6 +164,66 @@ final class WalBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
       case _ => ()
     }
+}
+
+/** Streaming side of the sink: one committed segment generation per
+  * micro-batch epoch, in the engine's exact record format — the
+  * STREAMING_WRITE twin of [[WalBatchWrite]], so the streaming twins can
+  * persist through the same committed-segment discipline and the log stays
+  * engine-replayable end-to-end.
+  *
+  * Per-epoch two-phase commit: every task writes a hidden attempt-unique
+  * temp file (exactly the batch writer); the DRIVER's epoch commit renames
+  * them to `part-e<epoch>-NNNNN.wal`. Exactly-once across restarts comes
+  * from IDEMPOTENT epoch commit: structured streaming re-runs the last
+  * unacknowledged micro-batch after a crash/restart, re-delivering the same
+  * epochId — if segments for the epoch are already published, the replayed
+  * commit discards its temps and publishes nothing, so a replayed batch can
+  * never double-append (the WAL-generation analogue of the engine's
+  * replay-idempotent boot, ref: p3/server/my_storage.cc:573-702). */
+final class WalStreamingWrite(dir: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import java.nio.file.{Files, Paths}
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(dir))
+    new WalStreamingWriterFactory(dir)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(dir)
+    val published = Files.list(d).iterator().asScala.exists(
+      _.getFileName.toString.matches(f"part-e$epochId%d-\\d{5}\\.wal"))
+    if (published) {
+      // epoch replay after restart: the generation is already durable —
+      // drop the re-computed temps, publish nothing
+      messages.foreach { case WalCommitMessage(tmp) =>
+        Files.deleteIfExists(Paths.get(tmp))
+      }
+    } else {
+      messages.zipWithIndex.foreach { case (m, i) =>
+        val tmp = Paths.get(m.asInstanceOf[WalCommitMessage].tmpPath)
+        Files.move(tmp, d.resolve(f"part-e$epochId%d-$i%05d.wal"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case WalCommitMessage(tmp) => Files.deleteIfExists(Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+final class WalStreamingWriterFactory(dir: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new WalDataWriter(dir, partitionId, taskId)
 }
 
 final class WalWriterFactory(dir: String) extends DataWriterFactory {
@@ -245,8 +311,23 @@ object WalSink {
 final class WalScan(paths: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType = WalDataSource.schema
   override def toBatch: Batch = this
+
+  /** A directory path means "this sink's published generation": it expands
+    * to its `*.wal` segments in name order (batch `part-NNNNN` and
+    * streaming `part-eE-NNNNN` both sort correctly), each its own
+    * [[InputPartition]] — so `load(dir)` round-trips either committer's
+    * output without the caller listing files. Temps (dot-prefixed) are
+    * invisible by the filter, preserving the two-phase guarantee on read. */
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => WalInputPartition(p): InputPartition).toArray
+    paths.flatMap { p =>
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(path))
+        java.nio.file.Files.list(path).iterator().asScala
+          .filter(_.getFileName.toString.matches("part-.*\\.wal"))
+          .map(_.toString).toSeq.sorted
+      else Seq(p)
+    }.map(p => WalInputPartition(p): InputPartition).toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
     new WalReaderFactory
 }

@@ -99,6 +99,88 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming sink: micro-batches publish epoch segments; restart resumes; digest equals the batch path") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-walstream-")
+    val cp = Files.createTempDirectory("graft-walstream-cp-")
+    val batch1 = Seq(("PUT", "s1", "v1"), ("PUT", "s2", "v2"))
+    val batch2 = Seq(("PUT", "s3", "v3"), ("DEL", "s1", null: String))
+
+    def startQuery(mem: MemoryStream[(String, String, String)]) =
+      mem.toDF().toDF("op", "key", "v")
+        .select(lit(0L).as("seq"), col("op"), col("key"),
+          col("v").cast("binary").as("value"))
+        .writeStream.format("graft.sources.WalDataSource")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").start()
+
+    val mem = MemoryStream[(String, String, String)]
+    val q1 = startQuery(mem)
+    try { mem.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart against the SAME checkpoint (same source instance, so its
+    // offset log lines up): the new query continues the epoch sequence
+    // instead of rewriting the published generation
+    mem.addData(batch2)
+    val q2 = startQuery(mem)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(out).iterator()).asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    // committer hygiene: epoch-scoped published segments only, no temps
+    assert(names.nonEmpty && names.forall(_.matches("part-e\\d+-\\d{5}\\.wal")),
+      s"unexpected residue in streamed WAL dir: $names")
+    assert(names.map(_.takeWhile(_ != '-')).distinct.size == 1)
+
+    // the streamed log folds to the same records as the batch sink's
+    val all = batch1 ++ batch2
+    val batchOut = Files.createTempDirectory("graft-walstream-batchtwin-")
+    all.toDF("op", "key", "v")
+      .select(lit(0L).as("seq"), col("op"), col("key"),
+        col("v").cast("binary").as("value"))
+      .write.format("graft.sources.WalDataSource")
+      .mode("overwrite").save(batchOut.toString)
+    def digest(dir: java.nio.file.Path): Seq[(String, String, String)] =
+      spark.read.format("graft.sources.WalDataSource").load(dir.toString)
+        .select(col("op"), col("key"), col("value").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq.sorted
+    // directory-path read expansion serves both committers' outputs
+    assert(digest(out) == digest(batchOut))
+    assert(digest(out).map(t => (t._1, t._2)).sorted ==
+      all.map(t => (t._1, t._2)).sorted)
+  }
+
+  test("streaming sink: epoch commit is idempotent — a replayed micro-batch cannot double-append") {
+    val out = Files.createTempDirectory("graft-walreplay-")
+    val w = new WalStreamingWrite(out.toString)
+    def temp(content: String): String = {
+      val t = Files.createTempFile(out, ".part-replay", ".tmp")
+      Files.writeString(t, content)
+      t.toString
+    }
+    val rec1 = "PUT\tYQ==\tdjE=\t#\n" // PUT a v1
+    w.commit(7L, Array(WalCommitMessage(temp(rec1))))
+    val first = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(out).iterator()).asScala.map(_.getFileName.toString).toSeq
+    assert(first == Seq("part-e7-00000.wal"), s"epoch 7 publish: $first")
+    // the replayed attempt recomputes DIFFERENT bytes (speculative attempt
+    // ordering) — the committed generation must win and the temp must go
+    val w2 = new WalStreamingWrite(out.toString)
+    w2.commit(7L, Array(WalCommitMessage(temp("PUT\tYQ==\tdjk=\t#\n"))))
+    val after = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      Files.list(out).iterator()).asScala.map(_.getFileName.toString).toSeq
+    assert(after == Seq("part-e7-00000.wal"), s"replay residue: $after")
+    assert(Files.readString(out.resolve("part-e7-00000.wal")) == rec1,
+      "replayed epoch overwrote the committed generation")
+    // a NEW epoch still publishes
+    w2.commit(8L, Array(WalCommitMessage(temp(rec1))))
+    assert(Files.exists(out.resolve("part-e8-00000.wal")))
+  }
+
   test("DSv2 sink: wrong input schema fails driver-side with a diagnosable message") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-walsink-bad-")
