@@ -534,14 +534,26 @@ object Similarity {
 
   // ---- SemDeDup: semantic deduplication via cluster-then-prune ----
 
-  /** Centroid count for the registered [[semDedup]] query. At 100 TB K
-    * grows ∝ corpus size — that is what keeps per-cluster populations
-    * (and so the within-cluster pair join) CONSTANT as the corpus grows;
-    * a fixed K would let candidates grow O(n²/K). K = 8 at test SF keeps
-    * populations in the tens; the pruning stage is UNCHANGED by K or by
-    * where centroids come from, which is why [[semDedupCore]] takes them
-    * as a plain DataFrame. */
+  /** Centroid-count FLOOR for [[semDedup]]. The registered query derives
+    * the actual K from corpus size via [[semDedupKFor]] — K ∝ n is what
+    * keeps per-cluster populations (and so the within-cluster pair join)
+    * CONSTANT as the corpus grows; a fixed K would let candidates grow
+    * O(n²/K). The pruning stage is UNCHANGED by K or by where centroids
+    * come from, which is why [[semDedupCore]] takes them as a plain
+    * DataFrame. */
   final val SemDedupK = 8
+  /** Target per-cluster population: K = max([[SemDedupK]], ⌈n / 64⌉), all
+    * integer arithmetic so Spark and the DuckDB oracle derive the SAME K
+    * from the same corpus (the SQL replays the derivation in its init
+    * CTE's LIMIT). 64 keeps populations in the tens at every SF and bounds
+    * the per-cluster pair join at ~64²/2 candidates regardless of corpus
+    * size. */
+  final val SemDedupTargetPop = 64L
+
+  /** K for an n-vector corpus — see [[SemDedupTargetPop]]. */
+  def semDedupKFor(n: Long): Int =
+    math.max(SemDedupK.toLong,
+      (n + SemDedupTargetPop - 1) / SemDedupTargetPop).toInt
   /** Lloyd iterations for [[semDedupCentroids]] (same small cap as
     * [[IvfIters]] — convergence on this data is 2-3 rounds). */
   final val SemDedupIters = 3
@@ -571,10 +583,13 @@ object Similarity {
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = withNorm(spark, dir)
+    // K from corpus size (footer-metadata count — no data scan), so
+    // per-cluster populations hold at ~SemDedupTargetPop at any SF
+    val k = semDedupKFor(t(spark, dir, "embeddings").count())
     // TRAINED centroids (quantized Lloyd's over the corpus — the scale
     // path; round 5 registered a K-lowest-id stand-in). cid = training
     // index; norms through the same strict-fold dot as every oracle.
-    val cents = semDedupCentroids(spark, dir).zipWithIndex
+    val cents = semDedupCentroids(spark, dir, k = k).zipWithIndex
       .map { case (cv, i) => (i.toLong, cv) }.toSeq
       .toDF("cid", "cv")
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
@@ -709,7 +724,10 @@ object Similarity {
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |         AS cid, ev AS cv
        |       FROM e WHERE vec_id IN
-       |         (SELECT vec_id FROM e ORDER BY vec_id LIMIT $SemDedupK)),
+       |         (SELECT vec_id FROM e ORDER BY vec_id LIMIT (
+       |            SELECT GREATEST($SemDedupK,
+       |              (COUNT(*) + ${SemDedupTargetPop - 1}) // $SemDedupTargetPop)
+       |            FROM e))),
        |$train,
        |c AS (SELECT cid, cv, sqrt(${foldSql("cv", "cv")}) AS cn
        |      FROM c$SemDedupIters),

@@ -43,9 +43,35 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     val kept = rows.count(_.getBoolean(3))
     assert(kept > 0 && kept < rows.length,
       s"keep flag vacuous: $kept of ${rows.length}")
+    val k = Similarity.semDedupKFor(rows.length)
     rows.foreach { r =>
-      assert(r.getLong(1) >= 0 && r.getLong(1) < Similarity.SemDedupK)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < k)
       assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("semdedup: K derives from corpus size and caps cluster populations at every SF") {
+    // the 100 TB contract made ENFORCEABLE (not just documented): K =
+    // max(8, ceil(n / SemDedupTargetPop)), so per-cluster populations —
+    // and with them the within-cluster pair join — stay O(target) no
+    // matter the corpus. Drive the REGISTERED query at all three SFs and
+    // pin: derived K matches the formula, every cluster attracts vectors,
+    // and no population exceeds 2× the target (the slack k-means needs on
+    // non-uniform data; a scale-dishonest fixed K would blow through it
+    // at the first SF where n/K > 128).
+    assert(Similarity.semDedupKFor(500) == 8)
+    assert(Similarity.semDedupKFor(2000) == 32)
+    assert(Similarity.semDedupKFor(64L * 1000 * 1000) == 1000000)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val rows = Similarity.semDedup(spark, s"/root/testdata/$sf").collect()
+      val k = Similarity.semDedupKFor(rows.length)
+      val pops = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
+      assert(pops.size == k, s"$sf: ${pops.size} of $k clusters populated")
+      assert(pops.values.max <= 2 * Similarity.SemDedupTargetPop,
+        s"$sf: max cluster population ${pops.values.max} breaches " +
+          s"2×${Similarity.SemDedupTargetPop}")
+      val kept = rows.count(_.getBoolean(3))
+      assert(kept > 0 && kept < rows.length, s"$sf: keep flag vacuous")
     }
   }
 
@@ -57,9 +83,10 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     // training collapse — e.g. centroids never moving off a bad init —
     // would concentrate mass and quietly re-grow the O(n²) pair join).
     val rows = Similarity.semDedup(spark, dir).collect()
+    val k = Similarity.semDedupKFor(rows.length)
     val pops = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
-    assert(pops.size == Similarity.SemDedupK,
-      s"only ${pops.size} of ${Similarity.SemDedupK} clusters populated")
+    assert(pops.size == k,
+      s"only ${pops.size} of $k clusters populated")
     val maxPop = pops.values.max
     assert(maxPop * 2 < rows.length,
       s"dominant cluster holds $maxPop of ${rows.length} vectors")
