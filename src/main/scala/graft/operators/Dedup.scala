@@ -660,6 +660,18 @@ object Dedup {
       docs.filter(col("doc_id") < ContamEvalCap))
   }
 
+  /** The fingerprinted eval-set probe table — distinct rolling 64-bit gram
+    * hashes of the eval docs, 8-byte keys meant for a broadcast semi-join.
+    * SHARED by batch stage 1 ([[decontaminateFrom]]) and the streaming
+    * twin ([[graft.streaming.EventStreams.decontaminateStream]]), so both
+    * probe literally the same frame definition. */
+  private[graft] def evalGramHashes(evalIn: DataFrame): DataFrame = {
+    import graft.functions.GramHashes.gram_hashes
+    evalIn.filter(length(col("text")) >= ContamGram)
+      .select(explode(gram_hashes(col("text"), ContamGram)).as("gh"))
+      .distinct()
+  }
+
   /** Decontamination core over explicit (corpus, eval) doc sets — shared by
     * the standalone query (corpus = everything ≥ [[ContamEvalCap]]) and the
     * end-to-end pipeline, which probes only its materialized survivor set
@@ -676,8 +688,7 @@ object Dedup {
     // broadcast than the string gram set). Hash equality is a SUPERSET of
     // string equality (collisions only ADD candidates, never drop one), so
     // no true contamination can be missed here.
-    val evalHashes = evalDocs
-      .select(explode(gram_hashes(col("text"), ContamGram)).as("gh")).distinct()
+    val evalHashes = evalGramHashes(evalIn)
     val flagged = corpus
       .select(col("doc_id"), explode(gram_hashes(col("text"), ContamGram)).as("gh"))
       .join(broadcast(evalHashes), Seq("gh"), "left_semi")

@@ -177,31 +177,37 @@ object EventStreams {
 
   /** Streaming DECONTAMINATION — the stream-static twin of
     * [[graft.operators.Dedup.decontaminateFrom]]: documents arrive as a
-    * stream and are probed against a STATIC eval-set gram table (the one
-    * streaming join shape no other twin exercises). The static side is
-    * tiny by the decontamination premise, so the per-batch probe is a
-    * broadcast stream-static join; gram derivation is the SAME
-    * `contamGrams` column the batch operator uses — shared code, not a
-    * copy. Per-doc distinct-gram counting on a stream needs bounded
-    * state: `dropDuplicatesWithinWatermark` on (doc_id, gram) expires
-    * per-gram state at the horizon, and the windowed count emits each
-    * doc's verdict once its event-time window closes. The batch
-    * operator's hash PREFILTER stage is deliberately absent — it is a
-    * corpus-scan optimization; a micro-batch is already small, and the
-    * exact string join keeps stream ≡ batch results (spec-pinned). */
+    * stream and are probed against a STATIC eval-set table (the one
+    * streaming join shape no other twin exercises). The probe set is
+    * [[graft.operators.Dedup.evalGramHashes]] — literally the same
+    * fingerprinted frame batch stage 1 broadcasts: distinct rolling
+    * 64-bit gram hashes, so the broadcast carries 8-byte keys instead of
+    * 20-char gram bodies and the per-gram dedup STATE keys
+    * (doc_id, gh) — 16 bytes — instead of (doc_id, gram). State expires
+    * at the watermark horizon via `dropDuplicatesWithinWatermark`, and
+    * the windowed count emits each doc's verdict once its event-time
+    * window closes.
+    *
+    * Exactness: hashed probing is the [[graft.operators.Dedup.dupSpansHashed]]
+    * fingerprint trade — a 64-bit collision could add a false shared-gram
+    * count, and the batch operator's exact string RECOUNT stage has no
+    * bounded-state streaming analogue (it would re-hold every matched
+    * gram string). The stream ≡ batch spec is the gate: equality proves
+    * collision-freedom at test SFs, and at corpus scale the residual odds
+    * are the same ones every production fingerprinting dedup accepts. */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
       watermarkDelay: String = "10 minutes",
       windowSize: String = "10 minutes"): DataFrame = {
     import graft.operators.Dedup
-    val evalGrams = evalDocs
-      .filter(length(col("text")) >= Dedup.ContamGram)
-      .select(explode(Dedup.contamGrams).as("gram")).distinct()
+    import graft.functions.GramHashes.gram_hashes
+    val evalHashes = Dedup.evalGramHashes(evalDocs)
     docs
       .filter(length(col("text")) >= Dedup.ContamGram)
       .withWatermark("ts", watermarkDelay)
-      .select(col("doc_id"), col("ts"), explode(Dedup.contamGrams).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"))
-      .dropDuplicatesWithinWatermark("doc_id", "gram")
+      .select(col("doc_id"), col("ts"),
+        explode(gram_hashes(col("text"), Dedup.ContamGram)).as("gh"))
+      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id", "gh")
       .groupBy(window(col("ts"), windowSize), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))
