@@ -404,15 +404,58 @@ object CorpusOps {
       .orderBy(col("merge_rank"))
   }
 
-  /** Partition count for the materialized word-frequency table: the merge
-    * rounds are VOCAB-sized aggregates (a few thousand rows at test SF),
-    * and running each of the ~[[BpeMerges]] rounds across the session's
-    * full shuffle width paid ~10 rounds of 32-partition fixed overhead for
-    * microseconds of real work (round 5's two heaviest new queries). Size
-    * ∝ vocab, not corpus: a production vocab of a few million words still
-    * fits a handful of partitions; the ONE corpus-sized aggregate that
-    * builds the table keeps the full width upstream of the coalesce. */
-  private val BpeVocabPartitions = 4
+  /** Words per partition of the materialized word-frequency table. The
+    * merge rounds are VOCAB-sized jobs, so their partition count derives
+    * from VOCAB size (never corpus size): a test-SF vocab (thousands of
+    * words) fits ONE partition — where each election runs as a
+    * single-stage single-task job with no shuffle at all — while a
+    * production multi-million-word vocab spreads across
+    * ⌈words / 2^18⌉ partitions and the two-level reduceByKey election
+    * engages (per-partition pair maps → map-side-combined shuffle →
+    * per-partition argmax — never a driver-side merge of vocab-sized
+    * maps). Both election paths implement the identical rule and a spec
+    * pins them merge-for-merge equal on the same corpus. The ONE
+    * corpus-sized aggregate that builds the table keeps the session's
+    * full shuffle width upstream of the coalesce. */
+  private[operators] final val BpeWordsPerPartition = 1L << 18
+
+  /** Partition count for an n-word vocab — see [[BpeWordsPerPartition]]. */
+  private[operators] def bpeVocabPartitionsFor(nWords: Long): Int =
+    math.max(1L,
+      (nWords + BpeWordsPerPartition - 1) / BpeWordsPerPartition).toInt
+
+  /** Per-partition overlapping-pair counts (frequency-weighted, code-point
+    * windows — the unit Spark's `substring` and DuckDB's `repr[i:i+1]`
+    * both count). Runs inside one task; the map is bounded by the
+    * partition's distinct adjacent pairs. */
+  private def pairCounts(
+      it: Iterator[(String, String, Long)]): java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]()
+    it.foreach { case (_, repr, cnt) =>
+      val cps = repr.codePoints().toArray
+      var i = 0
+      while (i < cps.length - 1) {
+        m.merge(new String(cps, i, 2), cnt, (a, b) => a + b)
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** Streaming argmax under the election rule: max count, ties to the
+    * UTF-8-binary-least pair — the same comparison on every level
+    * (partition, shuffle reducer, driver). */
+  private def argmaxPair(
+      it: Iterator[(String, Long)]): Iterator[(String, Long)] = {
+    var bp: String = null
+    var bc = 0L
+    it.foreach { case (p, c) =>
+      if (bp == null || c > bc || (c == bc && utf8Less(p, bp))) {
+        bp = p; bc = c
+      }
+    }
+    if (bp == null) Iterator.empty else Iterator.single((bp, bc))
+  }
 
   /** UTF-8 byte-order comparison — the binary collation BOTH engines sort
     * `pair` with (Spark UTF8String, DuckDB blob collation), used for the
@@ -432,67 +475,67 @@ object CorpusOps {
     *
     * The rounds are driver-controlled iteration over the VOCAB-sized
     * word-frequency table, so they run on the table's persisted RDD
-    * directly — per round ONE job (pair-count `reduceByKey` + a
-    * per-partition argmax, ≤ [[BpeVocabPartitions]] candidate rows to the
-    * driver), with no per-round Catalyst analysis/codegen. The round-6
-    * formulation re-planned a stacked-projection DataFrame every round:
-    * ~24 ms of fixed scheduling+planning per round — 6.1 s at 256 merges,
-    * extrapolating to ~20 min of pure overhead at a production 50k-merge
-    * vocab. Here each generation is persisted eagerly and its predecessor
-    * freed as soon as the next election job has materialized it
-    * (residency ≤ 2 generations — the [[Dedup.dedupClusters]] loop
-    * discipline). Election semantics are IDENTICAL: overlapping pair
-    * counts weighted by word frequency (code-point windows, exactly
-    * Spark's `substring` semantics), max count, ties to the
-    * lexicographically least pair under binary collation, left-to-right
-    * non-overlapping replace. The distributed shape is unchanged — the
-    * pair aggregate still reduces vocab-partitioned, the driver still
-    * sees O(partitions) rows per round, and the one corpus-sized
-    * aggregate still runs as a full-width DataFrame plan. */
-  private def bpeTrain(spark: SparkSession, dir: String,
-      rounds: Int = BpeMerges): (Seq[(Int, String, String, Long)], DataFrame) = {
+    * directly — per round ONE job with no per-round Catalyst
+    * analysis/codegen. The round-6 formulation re-planned a
+    * stacked-projection DataFrame every round: ~24 ms of fixed
+    * scheduling+planning per round — 6.1 s at 256 merges, extrapolating
+    * to ~20 min of pure overhead at a production 50k-merge vocab. The
+    * table's partitioning derives from vocab size
+    * ([[bpeVocabPartitionsFor]]): below [[BpeWordsPerPartition]] words
+    * the whole vocab is one partition and each election is a
+    * single-stage, single-task, shuffle-free job (~3 ms); above, the
+    * two-level reduceByKey election spreads (per-partition maps →
+    * map-side-combined shuffle → per-partition argmax, ≤ partitions
+    * candidate rows to the driver). Each generation is persisted eagerly
+    * and its predecessor freed as soon as the next election job has
+    * materialized it (residency ≤ 2 generations — the
+    * [[Dedup.dedupClusters]] loop discipline). Election semantics are
+    * IDENTICAL to the DataFrame formulation AND across both paths
+    * (spec-pinned merge-for-merge): overlapping pair counts weighted by
+    * word frequency (code-point windows, exactly Spark's `substring`
+    * semantics), max count, ties to the lexicographically least pair
+    * under binary collation, left-to-right non-overlapping replace. The
+    * one corpus-sized aggregate still runs as a full-width DataFrame
+    * plan. */
+  private[operators] def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = BpeMerges, partitionsOverride: Int = 0)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
-    val base = t(spark, dir, "documents")
+    import scala.jdk.CollectionConverters._
+    val agg = t(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
       .rdd.map { case (w, c) => (w, w, c) } // (word, repr, cnt)
-      .coalesce(BpeVocabPartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sizing count doubles as the materialization job the loop needed
+    // anyway; the full-width layer is dropped once the narrow table holds
+    val p = if (partitionsOverride > 0) partitionsOverride
+            else bpeVocabPartitionsFor(agg.count())
+    val base = agg.coalesce(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    agg.unpersist(blocking = false)
     var cur = base
     var prev: org.apache.spark.rdd.RDD[(String, String, Long)] = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var dry = false
     for (r <- 1 to rounds if !dry) {
-      // ONE job: per-partition pair-count maps → reduceByKey (map-side
-      // pre-combined, vocab-partitioned — never a driver-side merge of
-      // vocab-sized maps) → per-partition argmax → ≤ 4 candidates out
-      val candidates = cur.mapPartitions { it =>
-        val m = new java.util.HashMap[String, Long]()
-        it.foreach { case (_, repr, cnt) =>
-          // code-point windows (not UTF-16 units) — the unit Spark's
-          // substring and DuckDB's repr[i:i+1] both count
-          val cps = repr.codePoints().toArray
-          var i = 0
-          while (i < cps.length - 1) {
-            m.merge(new String(cps, i, 2), cnt, (a, b) => a + b)
-            i += 1
-          }
-        }
-        import scala.jdk.CollectionConverters._
-        m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
-      }.reduceByKey(_ + _, BpeVocabPartitions)
-        .mapPartitions { it =>
-          var bp: String = null
-          var bc = 0L
-          it.foreach { case (p, c) =>
-            if (bp == null || c > bc || (c == bc && utf8Less(p, bp))) {
-              bp = p; bc = c
-            }
-          }
-          if (bp == null) Iterator.empty else Iterator.single((bp, bc))
-        }.collect()
+      val candidates =
+        if (p == 1)
+          // whole vocab in one task: count + argmax inline, no shuffle
+          cur.mapPartitions { it =>
+            argmaxPair(pairCounts(it).entrySet().iterator().asScala
+              .map(e => (e.getKey, e.getValue)))
+          }.collect()
+        else
+          cur.mapPartitions { it =>
+            pairCounts(it).entrySet().iterator().asScala
+              .map(e => (e.getKey, e.getValue))
+          }.reduceByKey(_ + _, p)
+            .mapPartitions(argmaxPair)
+            .collect()
       // the election materialized `cur` — its predecessor is now free
       if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (candidates.isEmpty) {

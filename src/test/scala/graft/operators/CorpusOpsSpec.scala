@@ -193,6 +193,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"only ${rows.length} merges — realistic-depth path never ran")
   }
 
+  test("bpe election paths agree: single-partition and two-level reduceByKey merge-for-merge") {
+    // the vocab-derived partitioning picks the shuffle-free single-task
+    // election at test SF; the two-level reduceByKey path is what a
+    // production multi-million-word vocab runs. Force BOTH on the same
+    // corpus: identical merge tables prove the distributed election
+    // (partial maps → combined shuffle → partition argmax → driver final)
+    // implements exactly the single-task rule, ties included
+    val (m1, _) = CorpusOps.bpeTrain(spark, dir, rounds = 40,
+      partitionsOverride = 1)
+    graft.SharedFrames.releaseAll()
+    val (m4, _) = CorpusOps.bpeTrain(spark, dir, rounds = 40,
+      partitionsOverride = 4)
+    graft.SharedFrames.releaseAll()
+    assert(m1.length >= 32, s"only ${m1.length} merges — vacuous corpus")
+    assert(m1 == m4, "two-level election diverged from single-task election")
+  }
+
   test("bpe_vocab: merge loop elects pairs recursively with a driver-checked round") {
     val rows = CorpusOps.bpeVocab(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
