@@ -100,6 +100,10 @@ object SparkEntry {
     // window (no gram string anywhere in the plan), two-level distinct-doc
     // counting; oracle = the string formulation's SQL (verified twin)
     "dup_spans_hashed" -> (Dedup.dupSpansHashed _),
+    // variable-length maximal spans: canonical-partner alignment chains
+    // (every span a verbatim cross-doc repeat with provenance), the
+    // refinement of the island approximation toward suffix-level dedup
+    "dup_spans_maximal" -> (Dedup.dupSpansMaximal _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -239,6 +243,7 @@ object SparkEntry {
     // proves the fingerprinted plan (8-byte gram keys, two-level doc
     // counting) reports byte-identical spans
     "dup_spans_hashed" -> Dedup.dupSpansSql,
+    "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)

@@ -257,17 +257,26 @@ object Dedup {
     * residual collision odds are the standard fingerprinting trade every
     * production substring-dedup makes (Lee et al. 2021 use the same
     * hashed-seed shape). */
-  def dupSpansHashed(spark: SparkSession, dir: String): DataFrame = {
+  /** The fingerprinted gram spine shared by [[dupSpansHashed]] and
+    * [[dupSpansMaximal]]: (doc_id, idx, gh) where gh is a 64-bit xxhash64
+    * over the window's [[DupSpanGram]] token columns — the gram string is
+    * never materialized. Registered with [[graft.SharedFrames]] so every
+    * consumer in one query reads the same generation. */
+  private def hashedGramFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
-    val grams = graft.SharedFrames.shared(toks
+    graft.SharedFrames.shared(toks
       .withColumn("gh", xxhash64(
         col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
       .withColumn("tail", lead(col("tok"), n - 1).over(byDoc))
       .filter(col("tail").isNotNull)
       .select(col("doc_id"), col("idx"), col("gh")))
+  }
+
+  def dupSpansHashed(spark: SparkSession, dir: String): DataFrame = {
+    val grams = hashedGramFrame(spark, dir)
     val dup = grams.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
@@ -275,6 +284,120 @@ object Dedup {
     val hits = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("idx"))
     spanIslands(hits).orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Variable-length MAXIMAL duplicated spans — the upgrade from
+    * [[dupSpans]]'s fixed-gram island approximation toward Lee et al.
+    * 2021's exact suffix-level semantics. Islands merge any hits within a
+    * gap of n, so an island need not be one duplicated substring; here a
+    * span is reported ONLY while a single verbatim cross-doc alignment
+    * extends token-for-token, and it carries that provenance
+    * (src_doc, src_start).
+    *
+    * Construction: gram seeds from the shared [[hashedGramFrame]]; each
+    * duplicated gram gets a CANONICAL partner — the corpus-first
+    * occurrence (min (doc_id, idx)), or the first occurrence in a
+    * different doc for hits inside that first doc itself — and
+    * consecutive hits chain only while the local index AND the partner
+    * alignment both advance by exactly 1 in the same partner doc. Every
+    * chained run is therefore a maximal-under-this-alignment verbatim
+    * repeat: doc[span_start..span_end] ==
+    * src_doc[src_start..src_start+span_tokens-1], token for token
+    * (spec-asserted by string extraction). Relation to the island
+    * detector (also spec-pinned): true duplicated substrings ⊆ these
+    * aligned chains' coverage ⊆ island coverage — the aligned spans
+    * refine islands from above, splitting where the alignment (not mere
+    * gram proximity) breaks. Canonicalizing the partner keeps the pair
+    * space LINEAR in hits (one partner per hit, never the quadratic
+    * all-occurrence-pairs blowup boilerplate grams would trigger); the
+    * trade is that a span duplicated only against a non-canonical
+    * partner splits at alignment breaks — an under-approximation of full
+    * suffix-array maximality, documented, never a false positive.
+    *
+    * Scale shape: two gh-keyed aggregates (8-byte keys) for the partner
+    * tables, gh equi-joins to attach partners (AQE skew-split handles
+    * boilerplate-gram hot keys), then doc-partitioned windows bounded by
+    * document length. The oracle replays the identical construction over
+    * literal gram strings — the [[dupSpansHashed]] verified-twin
+    * discipline. */
+  def dupSpansMaximal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val grams = hashedGramFrame(spark, dir)
+    val first = grams.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("o1"))
+      .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.idx").as("i1"))
+    val second = grams.join(first, Seq("gh"))
+      .filter(col("doc_id") =!= col("d1"))
+      .groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("o2"))
+      .select(col("gh"), col("o2.doc_id").as("d2"), col("o2.idx").as("i2"))
+    // inner join on `second` IS the cross-doc duplication gate: a gram
+    // whose occurrences all live in one doc has no second-doc row
+    val hits = grams.join(first, Seq("gh")).join(second, Seq("gh"))
+      .select(col("doc_id"), col("idx"),
+        when(col("doc_id") === col("d1"), col("d2"))
+          .otherwise(col("d1")).as("p_doc"),
+        when(col("doc_id") === col("d1"), col("i2"))
+          .otherwise(col("i1")).as("p_idx"))
+    val chained = hits
+      .withColumn("l_idx", lag(col("idx"), 1).over(byDoc))
+      .withColumn("l_doc", lag(col("p_doc"), 1).over(byDoc))
+      .withColumn("l_pidx", lag(col("p_idx"), 1).over(byDoc))
+      .withColumn("brk", when(col("l_idx").isNull ||
+        col("idx") - col("l_idx") =!= 1 ||
+        col("p_doc") =!= col("l_doc") ||
+        col("p_idx") - col("l_pidx") =!= 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    chained.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("idx")).cast("long").as("span_start"),
+        (max(col("idx")) + (n - 1)).cast("long").as("span_end"),
+        (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"),
+        min(col("p_doc")).cast("long").as("src_doc"),
+        min(col("p_idx")).cast("long").as("src_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("src_doc"), col("src_start"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Oracle for [[dupSpansMaximal]]: the identical canonical-partner
+    * chain construction over literal gram strings, appended to the shared
+    * tokenize/gram CTE chain. (`lazy` — [[dupSpanPrefixSql]] is declared
+    * further down the object and eager init order would interpolate
+    * null.) */
+  lazy val dupSpansMaximalSql: String = {
+    val n = DupSpanGram
+    s"""$dupSpanPrefixSql,
+       |f AS (SELECT gram, doc_id AS d1, idx AS i1
+       |      FROM (SELECT gram, doc_id, idx, row_number() OVER (
+       |              PARTITION BY gram ORDER BY doc_id, idx) AS rn
+       |            FROM grams) WHERE rn = 1),
+       |s AS (SELECT gram, doc_id AS d2, idx AS i2
+       |      FROM (SELECT g.gram, g.doc_id, g.idx, row_number() OVER (
+       |              PARTITION BY g.gram ORDER BY g.doc_id, g.idx) AS rn
+       |            FROM grams g JOIN f USING (gram)
+       |            WHERE g.doc_id <> f.d1) WHERE rn = 1),
+       |h AS (SELECT g.doc_id, g.idx,
+       |        CASE WHEN g.doc_id = f.d1 THEN s.d2 ELSE f.d1 END AS p_doc,
+       |        CASE WHEN g.doc_id = f.d1 THEN s.i2 ELSE f.i1 END AS p_idx
+       |      FROM grams g JOIN f USING (gram) JOIN s USING (gram)),
+       |c AS (SELECT doc_id, idx, p_doc, p_idx,
+       |        CASE WHEN lag(idx) OVER w IS NULL
+       |             OR idx - lag(idx) OVER w <> 1
+       |             OR p_doc <> lag(p_doc) OVER w
+       |             OR p_idx - lag(p_idx) OVER w <> 1
+       |        THEN 1 ELSE 0 END AS brk
+       |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+       |ch AS (SELECT doc_id, idx, p_doc, p_idx,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |      FROM c)
+       |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
+       |  CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
+       |  CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens,
+       |  CAST(MIN(p_doc) AS BIGINT) AS src_doc,
+       |  CAST(MIN(p_idx) AS BIGINT) AS src_start
+       |FROM ch GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
   }
 
   /** Shared oracle CTE chain: tokenize → gram → ≥2-distinct-docs → islands

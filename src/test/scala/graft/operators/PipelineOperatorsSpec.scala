@@ -647,6 +647,39 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     }, "every span covers its whole document — substring-level signal absent")
   }
 
+  test("dup_spans_maximal: every span a verbatim cross-doc repeat; coverage refines the islands; chains non-vacuous") {
+    val n = Dedup.DupSpanGram
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty))
+      .toMap
+    val spans = Dedup.dupSpansMaximal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(spans.nonEmpty, "no aligned spans — vacuous")
+    spans.foreach { case (id, s, e, len, src, ss) =>
+      assert(len == e - s + 1 && len >= n, s"span arithmetic doc=$id")
+      // the claim the island detector CANNOT make: the span is one
+      // verbatim repeat of a named source range, token for token
+      assert(src != id, s"span doc=$id partnered with its own doc")
+      val mine = toks(id).slice(s.toInt, e.toInt + 1)
+      val theirs = toks(src).slice(ss.toInt, (ss + len).toInt)
+      assert(mine.sameElements(theirs),
+        s"span doc=$id [$s,$e] is not a verbatim repeat of doc=$src @$ss")
+    }
+    // refinement direction (true spans ⊆ aligned chains ⊆ islands): every
+    // aligned span lies inside one gap-≤-n island of the fixed detector
+    val islands = Dedup.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spans.foreach { case (id, s, e, _, _, _) =>
+      assert(islands.exists { case (d, is, ie) => d == id && is <= s && e <= ie },
+        s"aligned span doc=$id [$s,$e] escapes every island")
+    }
+    // variable-length signal: chains extend beyond a single gram seed
+    assert(spans.exists(_._4 > n), "no span beyond one gram — chains vacuous")
+  }
+
   test("dup_span_scrub: keep-first excision invariants; cleaned text drops exactly the excised ranges") {
     val spans = Dedup.dupSpans(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -148,6 +148,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("dup_spans_maximal: hashed gram keys only; windows stay doc-partitioned") {
+    graft.SharedFrames.releaseAll()
+    val p = graft.operators.Dedup.dupSpansMaximal(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // same fingerprint discipline as dup_spans_hashed: partner election,
+    // duplication gate, and alignment joins all key on xxhash64 grams
+    assert(!p.contains("concat_ws"),
+      s"dup_spans_maximal materializes a literal gram string:\n$p")
+    assert(p.contains("xxhash64"),
+      s"dup_spans_maximal lost its hashed gram key:\n$p")
+    val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+    assert(globalWindow.findFirstIn(p).isEmpty,
+      s"dup_spans_maximal: found a partition-less window:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("dup_span_scrub: keep-first exchange is keyed by the 8-byte span hash, not the span body") {
     graft.SharedFrames.releaseAll()
     val p = graft.operators.Dedup.dupSpanScrub(spark, dir)
