@@ -257,34 +257,46 @@ object Dedup {
     * residual collision odds are the standard fingerprinting trade every
     * production substring-dedup makes (Lee et al. 2021 use the same
     * hashed-seed shape). */
-  /** The fingerprinted gram spine shared by [[dupSpansHashed]] and
-    * [[dupSpansMaximal]]: (doc_id, idx, gh) where gh is a 64-bit xxhash64
-    * over the window's [[DupSpanGram]] token columns — the gram string is
-    * never materialized. Registered with [[graft.SharedFrames]] so every
-    * consumer in one query reads the same generation. */
-  private def hashedGramFrame(spark: SparkSession, dir: String): DataFrame = {
+  /** The fingerprinted gram spine shared by [[dupSpansHashed]],
+    * [[dupSpansMaximal]] and [[dupSpanScrub]]: the materialized token
+    * frame plus (doc_id, idx, gh) where gh is a 64-bit xxhash64 over the
+    * window's [[DupSpanGram]] token columns — the gram string is never
+    * materialized. Both frames register with [[graft.SharedFrames]] so
+    * every consumer in one query reads the same generation. */
+  private def hashedGramParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
-    graft.SharedFrames.shared(toks
+    val grams = graft.SharedFrames.shared(toks
       .withColumn("gh", xxhash64(
         col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
       .withColumn("tail", lead(col("tok"), n - 1).over(byDoc))
       .filter(col("tail").isNotNull)
       .select(col("doc_id"), col("idx"), col("gh")))
+    (toks, grams)
   }
 
-  def dupSpansHashed(spark: SparkSession, dir: String): DataFrame = {
-    val grams = hashedGramFrame(spark, dir)
+  /** (toks, spans) under the FINGERPRINTED duplication gate — the span set
+    * is byte-identical to [[dupSpanParts]]'s absent 64-bit collisions
+    * (hash equality ⊇ string equality, so collisions only ADD coverage);
+    * the `dup_spans_hashed` verified-twin row is the standing proof at
+    * test SFs. */
+  private def hashedSpanParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (toks, grams) = hashedGramParts(spark, dir)
     val dup = grams.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gh"))
     val hits = grams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("idx"))
-    spanIslands(hits).orderBy(col("doc_id"), col("span_start"))
+    (toks, spanIslands(hits))
   }
+
+  def dupSpansHashed(spark: SparkSession, dir: String): DataFrame =
+    hashedSpanParts(spark, dir)._2.orderBy(col("doc_id"), col("span_start"))
 
   /** Variable-length MAXIMAL duplicated spans — the upgrade from
     * [[dupSpans]]'s fixed-gram island approximation toward Lee et al.
@@ -324,7 +336,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val grams = hashedGramFrame(spark, dir)
+    val grams = hashedGramParts(spark, dir)._2
     val first = grams.groupBy(col("gh"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("o1"))
       .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.idx").as("i1"))
@@ -461,7 +473,7 @@ object Dedup {
     * the excision anti-join are doc_id equi-joins with a range predicate
     * (never a θ-join); rebuilds are per-doc sorted aggregates bounded by
     * document length. Every frame reads the ONE materialized token/span
-    * generation from [[dupSpanParts]].
+    * generation from [[hashedSpanParts]].
     *
     * Keep-first grouping key: the span text is folded to an 8-byte
     * `xxhash64` INSIDE the span-assembly aggregate, so the multi-KB
@@ -475,7 +487,13 @@ object Dedup {
     * kept copy of each true group always survives). */
   def dupSpanScrub(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (toks, spans) = dupSpanParts(spark, dir)
+    // the FINGERPRINTED span spine: span-identical to the string
+    // formulation (the dup_spans_hashed verified twin is the standing
+    // proof), and the detection stage shuffles 8-byte gram keys instead
+    // of 8-token strings — the scrub inherits the scale path while its
+    // oracle stays the string CTE, so the equality gate still covers the
+    // whole chain end-to-end
+    val (toks, spans) = hashedSpanParts(spark, dir)
     def joined(c: Column): Column = array_join(
       transform(array_sort(c), x => x.getField("k")), " ")
     val spanKeyed = spans.alias("s")
