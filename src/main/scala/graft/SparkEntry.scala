@@ -107,6 +107,10 @@ object SparkEntry {
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
+    // keep-first APPLY of the aligned spans: provenance replaces the
+    // span-text group — the policy is a filter (src_doc < doc_id), no
+    // span-assembly aggregate or keep-first exchange anywhere
+    "dup_span_scrub_aligned" -> (Dedup.dupSpanScrubAligned _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
@@ -245,6 +249,7 @@ object SparkEntry {
     "dup_spans_hashed" -> Dedup.dupSpansSql,
     "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
+    "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)
     "dedup_incremental" -> Dedup.dedupIncrementalSql,

@@ -332,22 +332,43 @@ object Dedup {
     * document length. The oracle replays the identical construction over
     * literal gram strings — the [[dupSpansHashed]] verified-twin
     * discipline. */
-  def dupSpansMaximal(spark: SparkSession, dir: String): DataFrame = {
+  def dupSpansMaximal(spark: SparkSession, dir: String): DataFrame =
+    maximalSpanParts(spark, dir)._2
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** (toks, provenance-carrying maximal spans) — the construction behind
+    * [[dupSpansMaximal]], exposed as parts so [[dupSpanScrubAligned]] can
+    * reuse the one materialized token/gram generation. */
+  private def maximalSpanParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val grams = hashedGramParts(spark, dir)._2
-    val first = grams.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("o1"))
-      .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.idx").as("i1"))
-    val second = grams.join(first, Seq("gh"))
-      .filter(col("doc_id") =!= col("d1"))
-      .groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("o2"))
-      .select(col("gh"), col("o2.doc_id").as("d2"), col("o2.idx").as("i2"))
-    // inner join on `second` IS the cross-doc duplication gate: a gram
-    // whose occurrences all live in one doc has no second-doc row
-    val hits = grams.join(first, Seq("gh")).join(second, Seq("gh"))
+    val (toks, grams) = hashedGramParts(spark, dir)
+    // both canonical occurrences in ONE two-level pass: per-(gh, doc) min
+    // idx (partial-combinable, so a boilerplate gram's reducer sees one
+    // row per upstream partition), then rank the per-doc minima by doc —
+    // rows 1 and 2 ARE the corpus-first occurrence and the first
+    // occurrence in a different doc. One row per duplicated gram out, and
+    // the corpus-sized gram frame shuffles for exactly one partner join
+    // (the earlier two-aggregate formulation re-shuffled it three times)
+    val docMin = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(min(col("idx")).as("di"))
+    val ranked = docMin.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gh")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 2)
+    // inner-joining a non-null o2 IS the cross-doc duplication gate: a
+    // gram whose occurrences all live in one doc has no rank-2 row
+    val pairTab = ranked.groupBy(col("gh"))
+      .agg(max(when(col("rn") === 1,
+          struct(col("doc_id"), col("di")))).as("o1"),
+        max(when(col("rn") === 2,
+          struct(col("doc_id"), col("di")))).as("o2"))
+      .filter(col("o2").isNotNull)
+      .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.di").as("i1"),
+        col("o2.doc_id").as("d2"), col("o2.di").as("i2"))
+    val hits = grams.join(pairTab, Seq("gh"))
       .select(col("doc_id"), col("idx"),
         when(col("doc_id") === col("d1"), col("d2"))
           .otherwise(col("d1")).as("p_doc"),
@@ -362,7 +383,7 @@ object Dedup {
         col("p_doc") =!= col("l_doc") ||
         col("p_idx") - col("l_pidx") =!= 1, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(byDoc))
-    chained.groupBy(col("doc_id"), col("island"))
+    val spans = chained.groupBy(col("doc_id"), col("island"))
       .agg(min(col("idx")).cast("long").as("span_start"),
         (max(col("idx")) + (n - 1)).cast("long").as("span_end"),
         (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"),
@@ -370,7 +391,7 @@ object Dedup {
         min(col("p_idx")).cast("long").as("src_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("src_doc"), col("src_start"))
-      .orderBy(col("doc_id"), col("span_start"))
+    (toks, spans)
   }
 
   /** Oracle for [[dupSpansMaximal]]: the identical canonical-partner
@@ -378,7 +399,9 @@ object Dedup {
     * tokenize/gram CTE chain. (`lazy` — [[dupSpanPrefixSql]] is declared
     * further down the object and eager init order would interpolate
     * null.) */
-  lazy val dupSpansMaximalSql: String = {
+  /** CTE chain through `mspans` (the provenance-carrying maximal spans),
+    * shared by [[dupSpansMaximalSql]] and [[dupSpanScrubAlignedSql]]. */
+  private lazy val maximalPrefixSql: String = {
     val n = DupSpanGram
     s"""$dupSpanPrefixSql,
        |f AS (SELECT gram, doc_id AS d1, idx AS i1
@@ -403,14 +426,50 @@ object Dedup {
        |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
        |ch AS (SELECT doc_id, idx, p_doc, p_idx,
        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS island
-       |      FROM c)
-       |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
-       |  CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
-       |  CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens,
-       |  CAST(MIN(p_doc) AS BIGINT) AS src_doc,
-       |  CAST(MIN(p_idx) AS BIGINT) AS src_start
-       |FROM ch GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+       |      FROM c),
+       |mspans AS (
+       |  SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
+       |    CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
+       |    CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens,
+       |    CAST(MIN(p_doc) AS BIGINT) AS src_doc,
+       |    CAST(MIN(p_idx) AS BIGINT) AS src_start
+       |  FROM ch GROUP BY doc_id, island)""".stripMargin
   }
+
+  lazy val dupSpansMaximalSql: String =
+    s"""$maximalPrefixSql
+       |SELECT doc_id, span_start, span_end, span_tokens, src_doc, src_start
+       |FROM mspans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Oracle for [[dupSpanScrubAligned]]: the maximal-span chain, the
+    * src_doc < doc_id keep-first filter, and the same rebuild tail as
+    * [[dupSpanScrubSql]]. */
+  lazy val dupSpanScrubAlignedSql: String =
+    s"""$maximalPrefixSql,
+       |excised AS (
+       |  SELECT doc_id, span_start, span_end FROM mspans
+       |  WHERE src_doc < doc_id),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok FROM toks t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM excised e WHERE e.doc_id = t.doc_id
+       |      AND t.idx BETWEEN e.span_start AND e.span_end)),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS kept_n,
+       |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+       |  FROM kept GROUP BY doc_id),
+       |before_n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |ex_n AS (SELECT doc_id, count(*) AS n FROM excised GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(r.kept_n, 0) AS BIGINT) AS n_after,
+       |  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_excised,
+       |  COALESCE(r.kept_text, '') AS cleaned_text
+       |FROM documents d
+       |LEFT JOIN before_n b ON b.doc_id = d.doc_id
+       |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+       |LEFT JOIN ex_n e ON e.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared oracle CTE chain: tokenize → gram → ≥2-distinct-docs → islands
     * → spans, identical to [[dupSpanParts]] as static SQL (lead/lag/
@@ -509,6 +568,17 @@ object Dedup {
         .orderBy(col("doc_id"), col("span_start"))))
       .filter(col("rn") > 1)
       .select(col("doc_id"), col("span_start"), col("span_end"))
+    scrubRebuild(spark, dir, toks, excised)
+  }
+
+  /** Shared APPLY tail of both scrubs: drop every token inside an excised
+    * range (doc_id equi-join + range predicate, left_anti), rebuild each
+    * doc's cleaned token stream, and report per-doc before/after/excised
+    * counts. Bounded per doc; no corpus-wide key anywhere. */
+  private def scrubRebuild(spark: SparkSession, dir: String,
+      toks: DataFrame, excised: DataFrame): DataFrame = {
+    def joined(c: Column): Column = array_join(
+      transform(array_sort(c), x => x.getField("k")), " ")
     val kept = toks.alias("t").join(excised.alias("e"),
       col("t.doc_id") === col("e.doc_id") &&
         col("t.idx") >= col("e.span_start") &&
@@ -530,6 +600,25 @@ object Dedup {
         coalesce(col("ex_n"), lit(0L)).as("n_excised"),
         coalesce(col("kept_text"), lit("")).as("cleaned_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Keep-first scrub over the ALIGNED span report — the scale endgame of
+    * the substring-dedup family. [[dupSpanScrub]] must assemble every
+    * span's text and group by it to find duplicates; here provenance
+    * REPLACES the text group: a maximal span is excised iff its canonical
+    * source precedes it in corpus order, which (src_doc ≠ doc_id always)
+    * collapses to `src_doc < doc_id`. No span-assembly aggregate, no
+    * keep-first exchange — the whole policy is a filter on the span
+    * report, and the corpus-first copy of every aligned repeat survives
+    * by construction (its own partner points forward). Overlapping
+    * aligned spans in one doc excise their union — same
+    * drop-every-token-in-any-excised-range semantics as [[dupSpanScrub]],
+    * replayed identically by the oracle. */
+  def dupSpanScrubAligned(spark: SparkSession, dir: String): DataFrame = {
+    val (toks, spans) = maximalSpanParts(spark, dir)
+    val excised = spans.filter(col("src_doc") < col("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    scrubRebuild(spark, dir, toks, excised)
   }
 
   /** Oracle: the identical keep-first excision over the shared span CTEs

@@ -680,6 +680,40 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(spans.exists(_._4 > n), "no span beyond one gram — chains vacuous")
   }
 
+  test("dup_span_scrub_aligned: exact driver replay of the provenance keep-first policy; corpus-first copies survive") {
+    val spans = Dedup.dupSpansMaximal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty))
+      .toMap
+    // the policy, replayed: excised iff the canonical source precedes
+    val excised = spans.filter { case (id, _, _, src) => src < id }
+    val excByDoc = excised.groupBy(_._1)
+    val rows = Dedup.dupSpanScrubAligned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    rows.foreach { case (id, nb, na, nx, cleaned) =>
+      assert(nb == toks(id).length.toLong, s"n_before doc=$id")
+      val ex = excByDoc.getOrElse(id, Array.empty[(Long, Long, Long, Long)])
+      assert(nx == ex.length.toLong, s"n_excised doc=$id")
+      val drop = ex.flatMap(x => x._2.toInt to x._3.toInt).toSet
+      val want = toks(id).zipWithIndex.collect {
+        case (t, i) if !drop.contains(i) => t
+      }
+      assert(na == want.length.toLong, s"n_after doc=$id")
+      assert(cleaned == want.mkString(" "), s"cleaned_text doc=$id")
+    }
+    // keep-first really holds: spans whose source FOLLOWS them (the
+    // corpus-first copies) are never excised, and something was excised
+    assert(spans.exists { case (id, _, _, src) => src > id },
+      "no corpus-first span — keep-first vacuous")
+    assert(excised.nonEmpty, "no excisions — vacuous")
+    assert(rows.exists(r => r._4 > 0 && r._3 > 0 && r._3 < r._2),
+      "no partial excision observed")
+  }
+
   test("dup_span_scrub: keep-first excision invariants; cleaned text drops exactly the excised ranges") {
     val spans = Dedup.dupSpans(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

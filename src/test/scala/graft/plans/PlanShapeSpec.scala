@@ -164,6 +164,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("dup_span_scrub_aligned: no span-text group anywhere — the keep-first policy is a filter") {
+    graft.SharedFrames.releaseAll()
+    val p = graft.operators.Dedup.dupSpanScrubAligned(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // provenance replaces the span-text group: neither the span-assembly
+    // aggregate nor the keep-first exchange of dup_span_scrub may appear
+    assert(!p.contains("span_key"),
+      s"aligned scrub still builds the span-text keep-first key:\n$p")
+    assert(!p.contains("concat_ws"),
+      s"aligned scrub materializes a literal gram string:\n$p")
+    assert(p.contains("xxhash64"),
+      s"aligned scrub lost the hashed gram spine:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("dup_span_scrub: keep-first exchange is keyed by the 8-byte span hash, not the span body") {
     graft.SharedFrames.releaseAll()
     val p = graft.operators.Dedup.dupSpanScrub(spark, dir)
