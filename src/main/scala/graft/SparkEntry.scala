@@ -111,6 +111,9 @@ object SparkEntry {
     // span-text group — the policy is a filter (src_doc < doc_id), no
     // span-assembly aggregate or keep-first exchange anywhere
     "dup_span_scrub_aligned" -> (Dedup.dupSpanScrubAligned _),
+    // SPAN-LEVEL decontamination: excise exactly the benchmark-leaked
+    // token spans (island-merged), keep the rest of the document
+    "decontaminate_scrub" -> (Dedup.decontaminateScrub _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
@@ -250,6 +253,7 @@ object SparkEntry {
     "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
+    "decontaminate_scrub" -> Dedup.decontaminateScrubSql,
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)
     "dedup_incremental" -> Dedup.dedupIncrementalSql,

@@ -144,6 +144,15 @@ object Dedup {
     * consecutive tokens across ≥2 documents to be reported. */
   final val DupSpanGram = 8
 
+  /** Gram width (tokens) for SPAN-LEVEL decontamination
+    * ([[decontaminateScrub]]) — shorter than [[DupSpanGram]] because a
+    * benchmark leak is a shorter unit than a duplicated passage: 4 tokens
+    * ≈ the same contact surface as [[decontaminate]]'s 20-char grams. On
+    * this corpus 8 tokens finds only whole-doc eval duplicates (1 doc),
+    * 3 tokens flags template noise (290 docs), 4 flags 23 — real quoted
+    * fragments. */
+  final val ContamSpanGram = 4
+
   /** Cross-document duplicated-substring spans — the substring-level
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
     * Language Models Better" (2021), at token granularity: report, per
@@ -189,9 +198,9 @@ object Dedup {
   /** Gaps-and-islands merge of duplicated-gram hit positions into maximal
     * spans — shared verbatim by the string and fingerprinted formulations
     * (identical hits ⇒ identical spans by construction). */
-  private def spanIslands(hits: DataFrame): DataFrame = {
+  private def spanIslands(hits: DataFrame,
+      n: Int = DupSpanGram): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     hits
       .withColumn("prev", lag(col("idx"), 1).over(byDoc))
@@ -263,10 +272,9 @@ object Dedup {
     * window's [[DupSpanGram]] token columns — the gram string is never
     * materialized. Both frames register with [[graft.SharedFrames]] so
     * every consumer in one query reads the same generation. */
-  private def hashedGramParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private def hashedGramParts(spark: SparkSession, dir: String,
+      n: Int = DupSpanGram): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
     val grams = graft.SharedFrames.shared(toks
@@ -476,8 +484,12 @@ object Dedup {
     * row_number semantics match Spark's; concat_ws never sees an interior
     * NULL because the tail guard keeps full grams only; DuckDB lacks WITH
     * ORDINALITY, so tokenization zips two parallel unnests). */
-  private val dupSpanPrefixSql: String = {
-    val n = DupSpanGram
+  private val dupSpanPrefixSql: String = spanPrefixSql(DupSpanGram)
+
+  /** The tokenize → gram CTE chain at any gram width — instantiated at
+    * [[DupSpanGram]] for the dup-span family and [[ContamSpanGram]] for
+    * span-level decontamination. */
+  private def spanPrefixSql(n: Int): String = {
     val leads = (1 until n).map(k => s"lead(tok, $k) OVER w").mkString(", ")
     s"""WITH toks0 AS (
        |  SELECT doc_id, unnest(parts) AS tok,
@@ -576,7 +588,8 @@ object Dedup {
     * doc's cleaned token stream, and report per-doc before/after/excised
     * counts. Bounded per doc; no corpus-wide key anywhere. */
   private def scrubRebuild(spark: SparkSession, dir: String,
-      toks: DataFrame, excised: DataFrame): DataFrame = {
+      toks: DataFrame, excised: DataFrame,
+      spineFilter: Column = lit(true)): DataFrame = {
     def joined(c: Column): Column = array_join(
       transform(array_sort(c), x => x.getField("k")), " ")
     val kept = toks.alias("t").join(excised.alias("e"),
@@ -590,7 +603,7 @@ object Dedup {
           col("tok").as("k")))).as("kept_text"))
     val before = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("before_n"))
     val exCnt = excised.groupBy(col("doc_id")).agg(count(lit(1)).as("ex_n"))
-    t(spark, dir, "documents").select(col("doc_id"))
+    t(spark, dir, "documents").filter(spineFilter).select(col("doc_id"))
       .join(before, Seq("doc_id"), "left_outer")
       .join(rebuilt, Seq("doc_id"), "left_outer")
       .join(exCnt, Seq("doc_id"), "left_outer")
@@ -619,6 +632,85 @@ object Dedup {
     val excised = spans.filter(col("src_doc") < col("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
     scrubRebuild(spark, dir, toks, excised)
+  }
+
+  /** SPAN-LEVEL decontamination — the surgical tier of the hygiene family.
+    * [[decontaminate]] FLAGS whole documents sharing any benchmark gram
+    * (the drop-the-doc policy); this operator instead excises exactly the
+    * leaked token spans and rebuilds the document, so a 500-token doc
+    * quoting one benchmark sentence loses the sentence, not the corpus
+    * its other 490 tokens contribute. Spans are gap-≤-n islands of
+    * positions whose [[ContamSpanGram]]-token gram appears anywhere in
+    * the eval set (doc_id < [[ContamEvalCap]]) — the island merge ALSO
+    * excises up to n-1 bridge tokens between two leaked grams, a
+    * deliberate conservative bias (content bracketed by leakage is
+    * presumed leaked), replayed identically by the oracle.
+    *
+    * Scale shape: the eval side is benchmark-sized by the decontamination
+    * premise, so its distinct hashed gram set BROADCASTS; the corpus side
+    * is one semi-join probe over the shared fingerprinted gram spine plus
+    * doc-bounded windows and the per-doc rebuild — no corpus-sized
+    * shuffle key anywhere. Fingerprint trade as everywhere in the family:
+    * a 64-bit collision could excise a clean span (benign over-redaction,
+    * never a leak); the string-gram oracle's equality gate proves
+    * collision-freedom at test SFs. */
+  def decontaminateScrub(spark: SparkSession, dir: String): DataFrame = {
+    val (toks, grams) = hashedGramParts(spark, dir, n = ContamSpanGram)
+    val evalG = grams.filter(col("doc_id") < ContamEvalCap)
+      .select(col("gh")).distinct()
+    val hits = grams.filter(col("doc_id") >= ContamEvalCap)
+      .join(broadcast(evalG), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+    val excised = spanIslands(hits, n = ContamSpanGram)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    scrubRebuild(spark, dir,
+      toks.filter(col("doc_id") >= ContamEvalCap), excised,
+      spineFilter = col("doc_id") >= ContamEvalCap)
+  }
+
+  /** Oracle for [[decontaminateScrub]]: eval gram set, corpus hits,
+    * islands, excision and rebuild over literal gram strings. */
+  lazy val decontaminateScrubSql: String = {
+    val n = ContamSpanGram
+    s"""${spanPrefixSql(n)},
+       |evalg AS (SELECT DISTINCT gram FROM grams
+       |          WHERE doc_id < $ContamEvalCap),
+       |chits AS (SELECT doc_id, idx FROM grams
+       |          WHERE doc_id >= $ContamEvalCap
+       |            AND gram IN (SELECT gram FROM evalg)),
+       |cisl AS (
+       |  SELECT doc_id, idx,
+       |    SUM(CASE WHEN prev IS NULL OR idx - prev > $n THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |  FROM (SELECT doc_id, idx,
+       |          lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+       |        FROM chits)),
+       |excised AS (
+       |  SELECT doc_id, MIN(idx) AS span_start, MAX(idx) + ${n - 1} AS span_end
+       |  FROM cisl GROUP BY doc_id, island),
+       |kept AS (
+       |  SELECT t.doc_id, t.idx, t.tok FROM toks t
+       |  WHERE t.doc_id >= $ContamEvalCap AND NOT EXISTS (
+       |    SELECT 1 FROM excised e WHERE e.doc_id = t.doc_id
+       |      AND t.idx BETWEEN e.span_start AND e.span_end)),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*) AS kept_n,
+       |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+       |  FROM kept GROUP BY doc_id),
+       |before_n AS (SELECT doc_id, count(*) AS n FROM toks
+       |             WHERE doc_id >= $ContamEvalCap GROUP BY doc_id),
+       |ex_n AS (SELECT doc_id, count(*) AS n FROM excised GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_before,
+       |  CAST(COALESCE(r.kept_n, 0) AS BIGINT) AS n_after,
+       |  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_excised,
+       |  COALESCE(r.kept_text, '') AS cleaned_text
+       |FROM documents d
+       |LEFT JOIN before_n b ON b.doc_id = d.doc_id
+       |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+       |LEFT JOIN ex_n e ON e.doc_id = d.doc_id
+       |WHERE d.doc_id >= $ContamEvalCap
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Oracle: the identical keep-first excision over the shared span CTEs

@@ -714,6 +714,53 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       "no partial excision observed")
   }
 
+  test("decontaminate_scrub: surgical — leaked grams gone, non-leaked content kept, docs survive") {
+    val n = Dedup.ContamSpanGram
+    val cap = Dedup.ContamEvalCap
+    def toks(s: String): Array[String] = s.split(" ", -1).filter(_.nonEmpty)
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    def grams(ts: Array[String]): Iterator[String] =
+      if (ts.length < n) Iterator.empty
+      else (0 to ts.length - n).iterator.map(i => ts.slice(i, i + n).mkString(" "))
+    val evalGrams = docs.filter(_._1 < cap).values
+      .flatMap(t => grams(toks(t))).toSet
+    val rows = Dedup.decontaminateScrub(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.length == docs.count(_._1 >= cap),
+      "spine must cover every corpus doc, eval docs excluded")
+    // driver replay of the whole policy: hits → gap-≤-n islands → drop
+    rows.foreach { case (id, nb, na, nx, cleaned) =>
+      val ts = toks(docs(id))
+      assert(nb == ts.length.toLong, s"n_before doc=$id")
+      val hitIdx = (0 to ts.length - n)
+        .filter(i => evalGrams.contains(ts.slice(i, i + n).mkString(" ")))
+      val islands = hitIdx.foldLeft(Vector.empty[Vector[Int]]) { (acc, i) =>
+        if (acc.nonEmpty && i - acc.last.last <= n) acc.init :+ (acc.last :+ i)
+        else acc :+ Vector(i)
+      }
+      assert(nx == islands.length.toLong, s"n_excised doc=$id")
+      val drop = islands.flatMap(is => is.head to (is.last + n - 1)).toSet
+      val want = ts.zipWithIndex.collect {
+        case (t, i) if !drop.contains(i) => t
+      }
+      assert(na == want.length.toLong && cleaned == want.mkString(" "),
+        s"cleaned doc=$id")
+      // the point of the operator: nothing the eval set contains survives
+      // (original leaked grams are all inside excised ranges; on this
+      // corpus no concat-across-gap artifact re-forms one either)
+      assert(!grams(toks(cleaned)).exists(evalGrams.contains),
+        s"doc=$id cleaned text still contains an eval gram")
+    }
+    // surgical, not doc-dropping: most excised docs keep real content
+    val excisedDocs = rows.filter(_._4 > 0)
+    assert(excisedDocs.nonEmpty, "no excisions — vacuous")
+    assert(excisedDocs.count(_._3 > 0) > excisedDocs.length / 2,
+      "excision mostly empties docs — gram width is miscalibrated")
+  }
+
   test("dup_span_scrub: keep-first excision invariants; cleaned text drops exactly the excised ranges") {
     val spans = Dedup.dupSpans(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
