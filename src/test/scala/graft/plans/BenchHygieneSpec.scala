@@ -57,7 +57,9 @@ class BenchHygieneSpec extends AnyFunSuite with SparkSpec {
   // materialization users in round 5)
   private val Sampled = Seq("q1_agg", "decontaminate", "dedup_clusters",
     "dedup_clusters_star", "pack_shards", "pipeline_e2e",
-    "curriculum", "global_shuffle", "epoch_mix", "semdedup", "bpe_encode")
+    "curriculum", "global_shuffle", "epoch_mix", "semdedup", "bpe_encode",
+    // the round-7 gram-spine users (toks + grams shared generations)
+    "dup_span_scrub_aligned", "decontaminate_scrub")
 
   for (name <- Sampled)
     test(s"$name: bounded residency during runs, ZERO residue after release") {
