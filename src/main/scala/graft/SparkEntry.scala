@@ -69,6 +69,13 @@ object SparkEntry {
     // tractability; exactness at depth is spec-pinned by a full driver
     // replay of the election rule (CorpusOpsSpec)
     "bpe_vocab_256" -> (graft.operators.CorpusOps.bpeVocabLarge _),
+    // the production-depth variant: top-k SYMBOL-DISJOINT merges per
+    // round (a DIFFERENT documented election rule, not an approximation
+    // — see bpeTrainBatched scaladoc), rows-only for the same unrolled-
+    // SQL reason; exactness spec-pinned by a full driver replay of the
+    // batched rule
+    "bpe_vocab_256_batched" ->
+      (graft.operators.CorpusOps.bpeVocabLargeBatched _),
     // tokenizer APPLICATION with the trained merges (train→apply loop)
     "bpe_encode" -> (graft.operators.CorpusOps.bpeEncode _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),

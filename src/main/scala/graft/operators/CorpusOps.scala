@@ -586,6 +586,145 @@ object CorpusOps {
       .orderBy(col("merge_rank"))
   }
 
+  /** Batch size for [[bpeVocabLargeBatched]]: up to this many merges are
+    * elected per distributed round. */
+  final val BpeBatchK = 16
+
+  /** BATCHED BPE training — the documented 50k-vocab variant. Canonical
+    * BPE elects ONE pair per round, so training cost is rounds × job
+    * latency: even at the sequential loop's ~3 ms/round, a production
+    * 50k-merge vocab spends ~2.5 min on round-trips alone. The standard
+    * mitigation (SentencePiece/YouTokenToMe lineage) elects the top-k
+    * pairs per round, restricted to SYMBOL-DISJOINT pairs so the k
+    * replaces cannot interact (a pair sharing a symbol with an
+    * already-accepted pair would see different counts after that merge
+    * applies — disjointness makes the batch order-independent, though
+    * ranks are still assigned, and replaces applied, in acceptance
+    * order). Merge TABLES therefore differ from canonical sequential BPE
+    * where a round's acceptances would have changed later counts — this
+    * is a DIFFERENT, documented election rule, not an approximation of
+    * the sequential one, which is why the query registers alongside
+    * `bpe_vocab_256` instead of replacing it. Election rule per round:
+    * rank global pair counts by (count desc, pair UTF-8-binary asc),
+    * greedily accept symbol-disjoint pairs up to k; apply all accepted
+    * replaces in one map pass. Rounds shrink ~k-fold; the per-round job
+    * is the same one-job election as the sequential loop (per-partition
+    * top-k after the global reduce, so ≤ k·partitions candidate rows
+    * reach the driver). Exactness is pinned by a FULL driver replay of
+    * the identical batched rule in spec (the `bpe_vocab_256` discipline;
+    * a 256-round unrolled SQL oracle is equally intractable here, so the
+    * query registers rows-only). */
+  private[operators] def bpeTrainBatched(spark: SparkSession, dir: String,
+      merges: Int = BpeMergesLarge, k: Int = BpeBatchK,
+      partitionsOverride: Int = 0): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val agg = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .rdd.map { case (w, c) => (w, w, c) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = if (partitionsOverride > 0) partitionsOverride
+            else bpeVocabPartitionsFor(agg.count())
+    val base = agg.coalesce(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    agg.unpersist(blocking = false)
+    var cur = base
+    var prev: org.apache.spark.rdd.RDD[(String, String, Long)] = null
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var dry = false
+    val kLocal = k
+    while (rank < merges && !dry) {
+      val candidates =
+        (if (p == 1)
+          cur.mapPartitions { it =>
+            topKPairs(pairCounts(it).entrySet().iterator().asScala
+              .map(e => (e.getKey, e.getValue)), kLocal)
+          }
+        else
+          cur.mapPartitions { it =>
+            pairCounts(it).entrySet().iterator().asScala
+              .map(e => (e.getKey, e.getValue))
+          }.reduceByKey(_ + _, p)
+            .mapPartitions(it => topKPairs(it, kLocal))).collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      if (candidates.isEmpty) dry = true
+      else {
+        // driver: global rank, TRUNCATED to the top-k before the greedy
+        // scan — the union of per-partition top-ks always contains the
+        // global top-k, so truncation makes the accepted set a pure
+        // function of the counts (identical under any partitioning; the
+        // greedy pool is never "whatever candidates happened to arrive")
+        val ranked = candidates.sortWith { (x, y) =>
+          x._2 > y._2 || (x._2 == y._2 && utf8Less(x._1, y._1))
+        }.take(kLocal)
+        val used = scala.collection.mutable.Set.empty[Int]
+        val accepted = Seq.newBuilder[(String, Long)]
+        var accN = 0
+        ranked.foreach { case (pair, c) =>
+          if (accN < kLocal && rank + accN < merges) {
+            val cps = pair.codePoints().toArray
+            if (cps.forall(!used.contains(_))) {
+              cps.foreach(used.add)
+              accepted += ((pair, c))
+              accN += 1
+            }
+          }
+        }
+        val batch = accepted.result().map { case (pair, c) =>
+          rank += 1
+          val sym = (BpeMergeCharBase + rank).toChar.toString
+          out += ((rank, pair, sym, c))
+          (pair, sym)
+        }
+        val next = cur.map { case (w, repr, cnt) =>
+          (w, batch.foldLeft(repr) { case (r, (pair, sym)) =>
+            r.replace(pair, sym)
+          }, cnt)
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev = cur
+        cur = next
+      }
+    }
+    graft.SharedFrames.sharedRdd(cur)
+    if (prev != null) graft.SharedFrames.sharedRdd(prev)
+    out.result()
+  }
+
+  /** Per-partition top-k under the election order (count desc, UTF-8
+    * binary asc) — a bounded candidate pool; correct globally because
+    * after the reduce every pair's total lives in exactly one
+    * partition. */
+  private def topKPairs(it: Iterator[(String, Long)],
+      k: Int): Iterator[(String, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    it.foreach { e =>
+      buf += e
+      if (buf.length > 4 * k) {
+        val trimmed = buf.sortWith { (x, y) =>
+          x._2 > y._2 || (x._2 == y._2 && utf8Less(x._1, y._1))
+        }.take(k)
+        buf.clear(); buf ++= trimmed
+      }
+    }
+    buf.sortWith { (x, y) =>
+      x._2 > y._2 || (x._2 == y._2 && utf8Less(x._1, y._1))
+    }.take(k).iterator
+  }
+
+  /** The registered batched-training query: the merge table at
+    * [[BpeMergesLarge]] depth via [[bpeTrainBatched]]. */
+  def bpeVocabLargeBatched(spark: SparkSession, dir: String): DataFrame = {
+    val rows = bpeTrainBatched(spark, dir)
+    import spark.implicits._
+    rows.toDF("merge_rank", "pair", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
   /** Tokenizer APPLICATION — encode the corpus with the merges [[bpeVocab]]
     * trained, closing the train→apply loop: per document, the word count,
     * character count, encoded BPE token count, and the compression ratio

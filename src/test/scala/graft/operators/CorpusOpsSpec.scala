@@ -193,6 +193,74 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"only ${rows.length} merges — realistic-depth path never ran")
   }
 
+  test("bpe_vocab_256_batched: EVERY merge matches a driver replay of the batched rule; rounds collapse k-fold; partitioning-independent") {
+    val k = CorpusOps.BpeBatchK
+    val rows = CorpusOps.bpeVocabLargeBatched(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    graft.SharedFrames.releaseAll()
+    // driver replay of the batched election: rank all global pair counts,
+    // truncate to the top-k, greedily accept symbol-disjoint pairs, apply
+    // the whole batch, repeat
+    var vocab = graft.Tables.t(spark, dir, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (w, c) => (w, c) }
+    var expected = Vector.empty[(Int, String, String, Long)]
+    var rank = 0
+    var rounds = 0
+    var dry = false
+    while (rank < CorpusOps.BpeMergesLarge && !dry) {
+      rounds += 1
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (repr, cnt) =>
+        if (repr.length >= 2)
+          repr.sliding(2).foreach(p =>
+            counts.update(p, counts.getOrElse(p, 0L) + cnt))
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val ranked = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(k)
+        val used = scala.collection.mutable.Set.empty[Int]
+        var acc = Vector.empty[(String, Long)]
+        ranked.foreach { case (p, c) =>
+          if (acc.length < k && rank + acc.length < CorpusOps.BpeMergesLarge) {
+            val cps = p.codePoints().toArray
+            if (cps.forall(!used.contains(_))) {
+              cps.foreach(used.add)
+              acc :+= ((p, c))
+            }
+          }
+        }
+        val batch = acc.map { case (p, c) =>
+          rank += 1
+          val m = (CorpusOps.BpeMergeCharBase + rank).toChar.toString
+          expected :+= ((rank, p, m, c))
+          (p, m)
+        }
+        vocab = vocab.map { case (repr, cnt) =>
+          (batch.foldLeft(repr) { case (r, (p, m)) => r.replace(p, m) }, cnt)
+        }
+      }
+    }
+    assert(rows.length == expected.length,
+      s"merge count ${rows.length} != replay's ${expected.length}")
+    rows.zip(expected).foreach { case (got, want) =>
+      assert(got == want, s"merge ${want._1}: $got != replay $want")
+    }
+    assert(rows.length >= 32, s"only ${rows.length} merges — vacuous depth")
+    // the point of batching: rounds ≈ merges/k, not merges (greedy skips
+    // make some rounds accept < k; allow 3× slack before calling it broken)
+    assert(rounds <= 3 * (CorpusOps.BpeMergesLarge / k + 1),
+      s"$rounds rounds for ${rows.length} merges — batching is not batching")
+    // truncate-to-top-k makes the result a pure function of the counts:
+    // a forced multi-partition run must agree merge-for-merge
+    val multi = CorpusOps.bpeTrainBatched(spark, dir, partitionsOverride = 4)
+    graft.SharedFrames.releaseAll()
+    assert(multi == rows.toSeq,
+      "batched elections diverged across partitionings")
+  }
+
   test("bpe election paths agree: single-partition and two-level reduceByKey merge-for-merge") {
     // the vocab-derived partitioning picks the shuffle-free single-task
     // election at test SF; the two-level reduceByKey path is what a
