@@ -111,6 +111,9 @@ object SparkEntry {
     // (every span a verbatim cross-doc repeat with provenance), the
     // refinement of the island approximation toward suffix-level dedup
     "dup_spans_maximal" -> (Dedup.dupSpansMaximal _),
+    // batch-cadence substring dedup: delta-vs-corpus gram probe; the
+    // oracle IS the full rebuild restricted to the delta
+    "dup_spans_incremental" -> (Dedup.dupSpansIncremental _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -258,6 +261,7 @@ object SparkEntry {
     // counting) reports byte-identical spans
     "dup_spans_hashed" -> Dedup.dupSpansSql,
     "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
+    "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
     "decontaminate_scrub" -> Dedup.decontaminateScrubSql,

@@ -184,15 +184,40 @@ object Dedup {
     * blocks instead of re-running the scan + doc-shuffle + windows. */
   /** Re-indexed token stream (doc_id, idx, tok) — the spine both gram
     * formulations and the scrub read. */
-  private def tokFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def tokFrame(spark: SparkSession, dir: String): DataFrame =
+    tokFrameOf(t(spark, dir, "documents"))
+
+  /** [[tokFrame]] over an explicit (doc_id, text) frame. */
+  private def tokFrameOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .filter(col("col") =!= "")
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("pos"))) - 1)
       .select(col("doc_id"), col("idx"), col("col").as("tok"))
+  }
+
+  /** [[dupSpans]]'s detection (fingerprinted formulation) over an
+    * explicit doc slice — the spec hook proving [[dupSpansIncremental]]'s
+    * corpus probe is live (delta-only mining must differ). */
+  private[operators] def dupSpansFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val grams = graft.SharedFrames.shared(tokFrameOf(docs)
+      .withColumn("gh", xxhash64(
+        col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
+      .withColumn("tail", lead(col("tok"), n - 1).over(byDoc))
+      .filter(col("tail").isNotNull)
+      .select(col("doc_id"), col("idx"), col("gh")))
+    val dup = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+    spanIslands(hits).orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Gaps-and-islands merge of duplicated-gram hit positions into maximal
@@ -305,6 +330,46 @@ object Dedup {
 
   def dupSpansHashed(spark: SparkSession, dir: String): DataFrame =
     hashedSpanParts(spark, dir)._2.orderBy(col("doc_id"), col("span_start"))
+
+  /** Batch-cadence substring dedup — [[dupSpans]] at the
+    * [[dedupIncremental]] cadence: report duplicated spans for the DELTA
+    * docs only (doc_id ≥ [[IncrementalCut]], the fresh-crawl stand-in),
+    * where a delta gram is duplicated iff it appears in the existing
+    * CORPUS or in ≥2 distinct delta docs. That disjunction is exactly
+    * the full ≥2-distinct-docs gate restricted to delta spans — the
+    * ORACLE is the full-rebuild SQL with a delta filter, so the equality
+    * gate itself proves incremental ≡ rebuild (the dedup_incremental
+    * spec discipline, promoted into the driver-visible gate).
+    *
+    * Scale shape: per-batch shuffle work is DELTA-sized — delta gram
+    * aggregation, delta-internal distinct-doc counting, doc-bounded
+    * windows. The corpus participates only as a distinct gram-hash set
+    * on the build side of an equi-join: in production that set is the
+    * stored artifact this operator maintains (append per batch, the IVF
+    * index-append / SAV-compaction cadence), bucketed by hash so the
+    * delta probe co-locates; it is NEVER re-aggregated per batch. */
+  def dupSpansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val grams = hashedGramParts(spark, dir)._2
+    val deltaGrams = grams.filter(col("doc_id") >= IncrementalCut)
+    val corpusGhs = grams.filter(col("doc_id") < IncrementalCut)
+      .select(col("gh")).distinct()
+    val deltaDup = deltaGrams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val dup = corpusGhs.union(deltaDup).distinct()
+    val hits = deltaGrams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("idx"))
+    spanIslands(hits).orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Oracle for [[dupSpansIncremental]]: the FULL string-gram rebuild,
+    * restricted to delta docs — equality proves the incremental
+    * formulation reports exactly the rebuild's delta spans. */
+  lazy val dupSpansIncrementalSql: String =
+    s"""$dupSpanPrefixSql
+       |SELECT doc_id, span_start, span_end, span_tokens
+       |FROM spans WHERE doc_id >= $IncrementalCut
+       |ORDER BY doc_id, span_start""".stripMargin
 
   /** Variable-length MAXIMAL duplicated spans — the upgrade from
     * [[dupSpans]]'s fixed-gram island approximation toward Lee et al.

@@ -714,6 +714,36 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       "no partial excision observed")
   }
 
+  test("dup_spans_incremental: equals the full rebuild restricted to the delta; non-vacuous") {
+    val cut = Dedup.IncrementalCut
+    val full = Dedup.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 >= cut).toSeq
+    graft.SharedFrames.releaseAll()
+    val inc = Dedup.dupSpansIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    graft.SharedFrames.releaseAll()
+    assert(inc == full,
+      "incremental spans diverge from the full rebuild's delta slice")
+    assert(inc.nonEmpty, "no delta spans — vacuous gate")
+    // the corpus-vs-delta disjunction is really exercised: at least one
+    // delta span must owe its duplication to the corpus side (its gram
+    // absent from a delta-only rebuild) — otherwise the probe is dead code
+    val deltaOnly = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.t(spark, dir, "documents")
+        .filter(col("doc_id") >= cut)
+      docs.count() // force
+      Dedup.dupSpansFrom(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    }
+    graft.SharedFrames.releaseAll()
+    assert(inc != deltaOnly,
+      "every delta span is delta-internal — the corpus probe is vacuous")
+  }
+
   test("decontaminate_scrub: surgical — leaked grams gone, non-leaked content kept, docs survive") {
     val n = Dedup.ContamSpanGram
     val cap = Dedup.ContamEvalCap

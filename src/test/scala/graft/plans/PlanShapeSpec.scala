@@ -179,6 +179,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("decontaminate_scrub: eval gram set broadcasts; no gram strings in the probe") {
+    graft.SharedFrames.releaseAll()
+    val p = graft.operators.Dedup.decontaminateScrub(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // the decontamination premise made structural: the benchmark-sized
+    // probe set must broadcast — a shuffled eval join would re-shuffle
+    // the corpus gram spine on a foreign key
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"decontaminate_scrub does not broadcast the eval gram set:\n$p")
+    assert(!p.contains("concat_ws"),
+      s"decontaminate_scrub materializes literal gram strings:\n$p")
+    assert(p.contains("xxhash64"),
+      s"decontaminate_scrub lost its hashed gram probe:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("dup_span_scrub: keep-first exchange is keyed by the 8-byte span hash, not the span body") {
     graft.SharedFrames.releaseAll()
     val p = graft.operators.Dedup.dupSpanScrub(spark, dir)
