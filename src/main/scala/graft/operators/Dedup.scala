@@ -356,7 +356,10 @@ object Dedup {
     val deltaDup = deltaGrams.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("gh"))
-    val dup = corpusGhs.union(deltaDup).distinct()
+    // plain union, no distinct: a left-semi probe is insensitive to
+    // build-side duplicates, and a distinct here would re-shuffle the
+    // corpus artifact per batch — the one thing the cadence forbids
+    val dup = corpusGhs.union(deltaDup)
     val hits = deltaGrams.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("idx"))
     spanIslands(hits).orderBy(col("doc_id"), col("span_start"))
