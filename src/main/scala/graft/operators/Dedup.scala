@@ -421,27 +421,30 @@ object Dedup {
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val (toks, grams) = hashedGramParts(spark, dir)
-    // both canonical occurrences in ONE two-level pass: per-(gh, doc) min
-    // idx (partial-combinable, so a boilerplate gram's reducer sees one
-    // row per upstream partition), then rank the per-doc minima by doc —
-    // rows 1 and 2 ARE the corpus-first occurrence and the first
-    // occurrence in a different doc. One row per duplicated gram out, and
-    // the corpus-sized gram frame shuffles for exactly one partner join
-    // (the earlier two-aggregate formulation re-shuffled it three times)
+    // both canonical occurrences via partial-combinable aggregates — NO
+    // gh-partitioned window anywhere: per-(gh, doc) min idx first (a
+    // well-spread composite key), then per-gh min(struct(doc_id, di))
+    // picks the corpus-first occurrence, and one more aggregate over the
+    // doc_id > first-doc rows picks the first occurrence in a DIFFERENT
+    // doc. The earlier row_number() OVER (PARTITION BY gh) election put a
+    // universal boilerplate gram's whole per-doc row mass into ONE window
+    // partition — a single-task sort AQE cannot split (its skew handling
+    // covers joins, not windows). Here every stage folds map-side and the
+    // one gh equi-join is AQE-skew-splittable. Same pairTab by
+    // construction: docMin has one row per (gh, doc), so struct ordering
+    // by (doc_id, di) ranks docs exactly as the old ORDER BY doc_id did.
     val docMin = grams.groupBy(col("gh"), col("doc_id"))
       .agg(min(col("idx")).as("di"))
-    val ranked = docMin.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("gh")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= 2)
-    // inner-joining a non-null o2 IS the cross-doc duplication gate: a
-    // gram whose occurrences all live in one doc has no rank-2 row
-    val pairTab = ranked.groupBy(col("gh"))
-      .agg(max(when(col("rn") === 1,
-          struct(col("doc_id"), col("di")))).as("o1"),
-        max(when(col("rn") === 2,
-          struct(col("doc_id"), col("di")))).as("o2"))
-      .filter(col("o2").isNotNull)
+    val firstOcc = docMin.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("di"))).as("o1"))
+    // the inner join + doc_id > first-doc filter IS the cross-doc
+    // duplication gate: a gram whose occurrences all live in one doc
+    // contributes no surviving row, hence no pairTab entry
+    val pairTab = docMin.join(firstOcc, Seq("gh"))
+      .filter(col("doc_id") > col("o1.doc_id"))
+      .groupBy(col("gh"))
+      .agg(min(col("o1")).as("o1"),
+        min(struct(col("doc_id"), col("di"))).as("o2"))
       .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.di").as("i1"),
         col("o2.doc_id").as("d2"), col("o2.di").as("i2"))
     val hits = grams.join(pairTab, Seq("gh"))

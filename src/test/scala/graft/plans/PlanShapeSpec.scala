@@ -161,6 +161,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
     assert(globalWindow.findFirstIn(p).isEmpty,
       s"dup_spans_maximal: found a partition-less window:\n$p")
+    // the canonical-partner election must be aggregate-shaped: a window
+    // partitioned by the gram-hash key puts a universal boilerplate
+    // gram's whole row mass into ONE partition (a single-task sort AQE
+    // cannot split — its skew handling covers joins, not windows), so no
+    // gh-partitioned windowspec may appear anywhere in the plan
+    assert(!p.contains("windowspecdefinition(gh#"),
+      s"dup_spans_maximal: partner election windows over the gram-hash key:\n$p")
     graft.SharedFrames.releaseAll()
   }
 
@@ -176,6 +183,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"aligned scrub materializes a literal gram string:\n$p")
     assert(p.contains("xxhash64"),
       s"aligned scrub lost the hashed gram spine:\n$p")
+    // inherits the maximal-span election: no gh-partitioned window —
+    // the skew-free aggregate shape must survive the parts reuse
+    assert(!p.contains("windowspecdefinition(gh#"),
+      s"aligned scrub: partner election windows over the gram-hash key:\n$p")
     graft.SharedFrames.releaseAll()
   }
 
