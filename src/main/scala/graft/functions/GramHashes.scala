@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * strings shorter than n yield an EMPTY array (no degenerate sentinel
   * windows), mirroring the oracle's empty `range(1, length-n+1)`.
   */
-case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class GramHashes(child: Expression, n: Int,
+    base: Long = GramHashes.B) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
     if (child.dataType == StringType && n > 0)
@@ -36,11 +37,11 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
         s"gram_hashes needs STRING and n>0, got ${child.dataType}, n=$n")
 
   override protected def nullSafeEval(input: Any): Any =
-    GramHashes.eval(input.asInstanceOf[UTF8String].toString, n)
+    GramHashes.eval(input.asInstanceOf[UTF8String].toString, n, base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.GramHashes.compute($c.toString(), $n)")
+      s"graft.functions.GramHashes.compute($c.toString(), $n, ${base}L)")
 
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
@@ -50,7 +51,16 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
 
 object GramHashes {
 
-  private final val B = 0x100000001b3L // FNV prime as the polynomial base
+  private[functions] final val B = 0x100000001b3L // FNV prime as the polynomial base
+
+  /** Second, independent polynomial base (odd, golden-ratio constant) for
+    * the paired-hash probe: two rolling polynomials over DIFFERENT bases
+    * are independent in the fingerprinting sense — a gram pair colliding
+    * under both is a ~2^-128 event, vs the structured mod-2^64 cancellation
+    * a single polynomial admits. The finalizer alone cannot buy this: two
+    * hashes differing only in the avalanche share every raw-polynomial
+    * collision. */
+  private[functions] final val B2 = 0x9e3779b97f4a7c15L
 
   /** splitmix64 finalizer: decorrelates consecutive windows (a raw rolling
     * polynomial of overlapping windows is highly correlated). */
@@ -63,21 +73,21 @@ object GramHashes {
 
   /** Static-forwarder-friendly alias for generated code (see RollingHash —
     * Janino cannot resolve the inherited `eval` on the case class). */
-  def compute(s: String, n: Int): ArrayData = eval(s, n)
+  def compute(s: String, n: Int, base: Long): ArrayData = eval(s, n, base)
 
-  def eval(s: String, n: Int): ArrayData = {
+  def eval(s: String, n: Int, base: Long = B): ArrayData = {
     if (s.length < n) return new GenericArrayData(Array.emptyLongArray)
-    var pow = 1L // B^(n-1), the outgoing-char weight
+    var pow = 1L // base^(n-1), the outgoing-char weight
     var i = 0
-    while (i < n - 1) { pow *= B; i += 1 }
+    while (i < n - 1) { pow *= base; i += 1 }
     val out = new Array[Long](s.length - n + 1)
     var h = 0L
     i = 0
-    while (i < n) { h = h * B + s.charAt(i); i += 1 }
+    while (i < n) { h = h * base + s.charAt(i); i += 1 }
     out(0) = mix(h)
     i = 1
     while (i <= s.length - n) {
-      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + n - 1)
+      h = (h - s.charAt(i - 1) * pow) * base + s.charAt(i + n - 1)
       out(i) = mix(h)
       i += 1
     }
@@ -86,4 +96,10 @@ object GramHashes {
 
   def gram_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(GramHashes(ColumnBridge.expression(c), n))
+
+  /** The independent-second-hash twin of [[gram_hashes]] (base [[B2]]):
+    * position-aligned with it, so `arrays_zip` of the two arrays yields a
+    * 128-bit fingerprint per gram. */
+  def gram_hashes_alt(c: Column, n: Int): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(c), n, B2))
 }

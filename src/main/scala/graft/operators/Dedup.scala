@@ -1065,6 +1065,22 @@ object Dedup {
       .distinct()
   }
 
+  /** 128-bit variant of [[evalGramHashes]] for consumers with no exact
+    * recount stage (the STREAMING twin): each gram carries TWO independent
+    * rolling hashes (different polynomial bases, position-aligned arrays),
+    * so a false probe match needs a simultaneous collision in both —
+    * ~2^-128, vs 2^-64 for the single-hash probe the batch path can afford
+    * because its stage 2 recounts flagged docs over exact strings. */
+  private[graft] def evalGramHashPairs(evalIn: DataFrame): DataFrame = {
+    import graft.functions.GramHashes.{gram_hashes, gram_hashes_alt}
+    evalIn.filter(length(col("text")) >= ContamGram)
+      .select(explode(arrays_zip(
+        gram_hashes(col("text"), ContamGram),
+        gram_hashes_alt(col("text"), ContamGram))).as("z"))
+      .select(col("z.0").as("gh"), col("z.1").as("gh2"))
+      .distinct()
+  }
+
   /** Decontamination core over explicit (corpus, eval) doc sets — shared by
     * the standalone query (corpus = everything ≥ [[ContamEvalCap]]) and the
     * end-to-end pipeline, which probes only its materialized survivor set

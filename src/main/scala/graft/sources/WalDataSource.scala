@@ -73,6 +73,7 @@ final class WalTable(paths: Seq[String]) extends Table
   override def schema(): StructType = WalDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -142,12 +143,21 @@ final class WalBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
   /** Job commit (driver, once, after every task succeeded): truncate-then
     * -publish. Deleting old segments here — not at factory creation —
     * keeps the previous generation readable until the new one is fully
-    * staged (the KvStore generation-snapshot discipline). */
+    * staged (the KvStore generation-snapshot discipline). Truncate removes
+    * the WHOLE published generation — batch and streaming-epoch segments
+    * plus epoch markers — since overwrite means "this dir now holds
+    * exactly this write". */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val d = java.nio.file.Paths.get(dir)
     if (truncate) {
-      val old = java.nio.file.Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.matches("part-\\d{5}\\.wal")).toSeq
+      val old = scala.util.Using.resource(java.nio.file.Files.list(d)) { st =>
+        st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.matches("part-\\d{5}\\.wal") ||
+            n.matches("part-e\\d+-\\d{5}\\.wal") ||
+            n.matches("\\.epoch-\\d+\\.ok")
+        }.toList
+      }
       old.foreach(java.nio.file.Files.delete)
     }
     messages.zipWithIndex.foreach { case (m, i) =>
@@ -174,12 +184,21 @@ final class WalBatchWrite(dir: String, truncate: Boolean) extends BatchWrite {
   *
   * Per-epoch two-phase commit: every task writes a hidden attempt-unique
   * temp file (exactly the batch writer); the DRIVER's epoch commit renames
-  * them to `part-e<epoch>-NNNNN.wal`. Exactly-once across restarts comes
-  * from IDEMPOTENT epoch commit: structured streaming re-runs the last
-  * unacknowledged micro-batch after a crash/restart, re-delivering the same
-  * epochId — if segments for the epoch are already published, the replayed
-  * commit discards its temps and publishes nothing, so a replayed batch can
-  * never double-append (the WAL-generation analogue of the engine's
+  * them to `part-e<epoch>-NNNNN.wal` and then publishes the epoch
+  * ATOMICALLY by renaming a hidden marker `.epoch-<epoch>.ok` into place
+  * LAST. Exactly-once across restarts comes from IDEMPOTENT epoch commit:
+  * structured streaming re-runs the last unacknowledged micro-batch after
+  * a crash/restart, re-delivering the same epochId — if the epoch's
+  * MARKER exists, the generation is durable and the replayed commit
+  * discards its temps. The marker (not the segments) is the publication
+  * bit: a driver crash mid-commit can leave SOME of an epoch's renames
+  * landed with no marker, and an any-segment-exists check would then
+  * discard the replayed temps and permanently drop the unrenamed
+  * partitions' rows — so the replayed commit instead deletes the partial
+  * unmarked generation, republishes every recomputed segment, and only
+  * then drops the marker in place. Readers treat unmarked epoch segments
+  * as unpublished (see [[WalSegments.list]]), closing the read side of the
+  * same window (the WAL-generation analogue of the engine's
   * replay-idempotent boot, ref: p3/server/my_storage.cc:573-702). */
 final class WalStreamingWrite(dir: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -194,20 +213,33 @@ final class WalStreamingWrite(dir: String)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val d = Paths.get(dir)
-    val published = Files.list(d).iterator().asScala.exists(
-      _.getFileName.toString.matches(f"part-e$epochId%d-\\d{5}\\.wal"))
-    if (published) {
+    val marker = d.resolve(s".epoch-$epochId.ok")
+    if (Files.exists(marker)) {
       // epoch replay after restart: the generation is already durable —
       // drop the re-computed temps, publish nothing
       messages.foreach { case WalCommitMessage(tmp) =>
         Files.deleteIfExists(Paths.get(tmp))
       }
     } else {
+      // a crashed earlier commit may have renamed SOME segments without
+      // reaching the marker; that partial generation was never visible
+      // (readers require the marker) and is superseded wholesale by the
+      // replayed computation
+      val partial = scala.util.Using.resource(Files.list(d)) { st =>
+        st.iterator().asScala.filter(
+          _.getFileName.toString.matches(s"part-e$epochId-\\d{5}\\.wal")).toList
+      }
+      partial.foreach(Files.delete)
       messages.zipWithIndex.foreach { case (m, i) =>
         val tmp = Paths.get(m.asInstanceOf[WalCommitMessage].tmpPath)
         Files.move(tmp, d.resolve(f"part-e$epochId%d-$i%05d.wal"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      // marker LAST, via its own atomic rename: the epoch flips from
+      // invisible to fully published in one filesystem operation
+      val mTmp = Files.createTempFile(d, s".epoch-$epochId", ".tmp")
+      Files.move(mTmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
@@ -273,6 +305,55 @@ final class WalScanBuilder(paths: Seq[String]) extends ScanBuilder {
   override def build(): Scan = new WalScan(paths)
 }
 
+/** Published-segment discovery shared by the batch scan and the
+  * micro-batch stream — one definition of "what is readable, in what
+  * order", so both paths fold identically. */
+object WalSegments {
+  import java.nio.file.{Files, Path, Paths}
+  private val BatchSeg = """part-(\d{5})\.wal""".r
+  private val EpochSeg = """part-e(\d+)-(\d{5})\.wal""".r
+  private val Marker = """\.epoch-(\d+)\.ok""".r
+
+  /** A directory's published generation in global fold order: batch
+    * segments by index, then streaming-epoch segments by PARSED
+    * (epoch, index) — numeric, never lexicographic (epochs are not
+    * zero-padded, so `part-e10-*` would otherwise sort before
+    * `part-e2-*` and a cross-segment last-writer-wins fold by
+    * (key, seq) would be ill-ordered). An epoch's segments are visible
+    * ONLY once its `.epoch-<E>.ok` marker exists — segments without a
+    * marker are a crashed commit's partial rename, superseded when the
+    * replayed commit republishes the epoch. Temps (dot-prefixed) never
+    * match either pattern, preserving the two-phase guarantee on read.
+    *
+    * This order is APPEND-ONLY under the streaming sink (epochs only
+    * grow), which is what lets the micro-batch stream use "number of
+    * published segments" as its offset. */
+  def expandDir(dirP: Path): Seq[String] = {
+    val names = scala.util.Using.resource(Files.list(dirP)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString).toList
+    }
+    val committed = names.collect { case Marker(e) => e.toLong }.toSet
+    names.flatMap {
+      case n @ BatchSeg(i) => Some(((-1L, i.toLong), n))
+      case n @ EpochSeg(e, i) if committed(e.toLong) =>
+        Some(((e.toLong, i.toLong), n))
+      case _ => None
+    }.sortBy(_._1).map { case (_, n) => dirP.resolve(n).toString }
+  }
+
+  /** Expand every path (directories to their published segments, files to
+    * themselves) and assign each segment its global ordinal — the high
+    * bits of every record's `seq`, making (key, seq) folds well-ordered
+    * ACROSS segments, not just within one. */
+  def plan(paths: Seq[String]): Seq[WalInputPartition] =
+    paths.flatMap { p =>
+      val path = Paths.get(p)
+      if (Files.isDirectory(path)) expandDir(path) else Seq(p)
+    }.zipWithIndex.map { case (p, ord) =>
+      WalInputPartition(p, ord.toLong << 32)
+    }
+}
+
 /** Registered round-trip through the DSv2 WAL SINK: project a KV insert
   * stream out of `customer`, write it through the two-phase committer,
   * read the published segments back with the DSv2 reader, and emit the
@@ -293,8 +374,10 @@ object WalSink {
     src.repartition(4, col("key")).write
       .format("graft.sources.WalDataSource")
       .mode("overwrite").save(out.toString)
-    val parts = java.nio.file.Files.list(out).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".wal")).toSeq.sorted
+    val parts = scala.util.Using.resource(java.nio.file.Files.list(out)) {
+      st => st.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".wal")).toList.sorted
+    }
     require(parts.nonEmpty, s"wal sink published no segments under $out")
     spark.read.format("graft.sources.WalDataSource").load(parts: _*)
       .select(col("op"), col("key"),
@@ -313,30 +396,71 @@ final class WalScan(paths: Seq[String]) extends Scan with Batch {
   override def toBatch: Batch = this
 
   /** A directory path means "this sink's published generation": it expands
-    * to its `*.wal` segments in name order (batch `part-NNNNN` and
-    * streaming `part-eE-NNNNN` both sort correctly), each its own
+    * to its `*.wal` segments in [[WalSegments]] fold order, each its own
     * [[InputPartition]] — so `load(dir)` round-trips either committer's
-    * output without the caller listing files. Temps (dot-prefixed) are
-    * invisible by the filter, preserving the two-phase guarantee on read. */
+    * output without the caller listing files. */
   override def planInputPartitions(): Array[InputPartition] =
-    paths.flatMap { p =>
-      val path = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.isDirectory(path))
-        java.nio.file.Files.list(path).iterator().asScala
-          .filter(_.getFileName.toString.matches("part-.*\\.wal"))
-          .map(_.toString).toSeq.sorted
-      else Seq(p)
-    }.map(p => WalInputPartition(p): InputPartition).toArray
+    WalSegments.plan(paths).map(p => p: InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WalReaderFactory
+
+  /** MICRO_BATCH_READ: the log-as-table source in the streaming direction —
+    * the same committed-segment generation the batch scan reads, exposed
+    * as an unbounded stream so the engine's own WAL can FEED the streaming
+    * twins. The offset is the LENGTH of the published-segment list: under
+    * the streaming sink that list is append-only (epochs only grow, and an
+    * epoch flips visible atomically via its marker), so a checkpointed
+    * prefix count names a stable set of segments across restarts. Each
+    * micro-batch reads exactly the newly published segments, with the same
+    * global seq bases as the batch scan — restart at offset k re-reads
+    * nothing and misses nothing. (A concurrent BATCH overwrite into the
+    * same dir rewrites history and voids the prefix premise — the
+    * streaming read contract is a streaming-sink-owned dir.) */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WalMicroBatchStream(paths)
+}
+
+final class WalMicroBatchStream(paths: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = WalStreamOffset(0L)
+  override def latestOffset(): Offset =
+    WalStreamOffset(WalSegments.plan(paths).size.toLong)
+  override def deserializeOffset(json: String): Offset =
+    WalStreamOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WalStreamOffset].segments
+    val e = end.asInstanceOf[WalStreamOffset].segments
+    // the ordinal (hence seq base) rides along from the GLOBAL plan, so a
+    // segment folds identically whether reached by batch or by stream
+    WalSegments.plan(paths)
+      .slice(s.toInt, e.toInt).map(p => p: InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WalReaderFactory
 }
 
-final case class WalInputPartition(path: String) extends InputPartition
+final case class WalStreamOffset(segments: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = segments.toString
+}
+
+final case class WalInputPartition(path: String, seqBase: Long)
+  extends InputPartition
 
 final class WalReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WalPartitionReader(partition.asInstanceOf[WalInputPartition].path)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WalInputPartition]
+    new WalPartitionReader(p.path, p.seqBase)
+  }
 }
 
 /** Streams one WAL segment line-by-line (no whole-file materialization).
@@ -345,13 +469,17 @@ final class WalReaderFactory extends PartitionReaderFactory {
   * defense as engine replay, so one damaged record never kills the whole
   * scan. (Legacy marker-less logs are migrated to marker format by the
   * engine's first boot; read them through the engine, not this raw reader.) */
-final class WalPartitionReader(path: String) extends PartitionReader[InternalRow] {
+final class WalPartitionReader(path: String, seqBase: Long = 0L)
+    extends PartitionReader[InternalRow] {
   private val reader =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
       java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(path))
     else null
   private var row: InternalRow = _
-  private var seq: Long = -1L
+  // seq = (global segment ordinal << 32) | line offset: monotone within a
+  // segment AND across segments in fold order, so last-writer-wins by
+  // (key, seq) is well-defined over a whole published generation
+  private var seq: Long = seqBase - 1L
 
   override def next(): Boolean = {
     if (reader == null) return false

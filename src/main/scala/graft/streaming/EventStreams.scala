@@ -179,35 +179,41 @@ object EventStreams {
     * [[graft.operators.Dedup.decontaminateFrom]]: documents arrive as a
     * stream and are probed against a STATIC eval-set table (the one
     * streaming join shape no other twin exercises). The probe set is
-    * [[graft.operators.Dedup.evalGramHashes]] — literally the same
-    * fingerprinted frame batch stage 1 broadcasts: distinct rolling
-    * 64-bit gram hashes, so the broadcast carries 8-byte keys instead of
-    * 20-char gram bodies and the per-gram dedup STATE keys
-    * (doc_id, gh) — 16 bytes — instead of (doc_id, gram). State expires
-    * at the watermark horizon via `dropDuplicatesWithinWatermark`, and
-    * the windowed count emits each doc's verdict once its event-time
-    * window closes.
+    * [[graft.operators.Dedup.evalGramHashPairs]]: each eval gram as TWO
+    * independent rolling hashes (different polynomial bases), so the
+    * broadcast carries 16-byte fingerprints instead of 20-char gram
+    * bodies and the per-gram dedup STATE keys are (doc_id, gh, gh2) —
+    * 24 bytes. State expires at the watermark horizon via
+    * `dropDuplicatesWithinWatermark`, and the windowed count emits each
+    * doc's verdict once its event-time window closes.
     *
-    * Exactness: hashed probing is the [[graft.operators.Dedup.dupSpansHashed]]
-    * fingerprint trade — a 64-bit collision could add a false shared-gram
-    * count, and the batch operator's exact string RECOUNT stage has no
-    * bounded-state streaming analogue (it would re-hold every matched
-    * gram string). The stream ≡ batch spec is the gate: equality proves
-    * collision-freedom at test SFs, and at corpus scale the residual odds
-    * are the same ones every production fingerprinting dedup accepts. */
+    * Exactness: the batch operator recounts flagged docs over exact
+    * strings in its stage 2; that stage has no bounded-state streaming
+    * analogue (it would re-hold every matched gram string), so the stream
+    * substitutes the 128-bit paired fingerprint — a false shared-gram
+    * admission, or two distinct matched grams merging into one state key,
+    * now needs a SIMULTANEOUS collision in two independent 64-bit
+    * polynomials (~2^-128 per pair), not the single 2^-64 event the old
+    * 8-byte probe accepted. The stream ≡ batch spec stays the gate at
+    * test SFs; at corpus scale the residual odds are below memory-error
+    * rates — the tolerance every production fingerprinting dedup ships. */
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
       watermarkDelay: String = "10 minutes",
       windowSize: String = "10 minutes"): DataFrame = {
     import graft.operators.Dedup
-    import graft.functions.GramHashes.gram_hashes
-    val evalHashes = Dedup.evalGramHashes(evalDocs)
+    import graft.functions.GramHashes.{gram_hashes, gram_hashes_alt}
+    val evalHashes = Dedup.evalGramHashPairs(evalDocs)
     docs
       .filter(length(col("text")) >= Dedup.ContamGram)
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("ts"),
-        explode(gram_hashes(col("text"), Dedup.ContamGram)).as("gh"))
-      .join(broadcast(evalHashes), Seq("gh"), "left_semi")
-      .dropDuplicatesWithinWatermark("doc_id", "gh")
+        explode(arrays_zip(
+          gram_hashes(col("text"), Dedup.ContamGram),
+          gram_hashes_alt(col("text"), Dedup.ContamGram))).as("z"))
+      .select(col("doc_id"), col("ts"),
+        col("z.0").as("gh"), col("z.1").as("gh2"))
+      .join(broadcast(evalHashes), Seq("gh", "gh2"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id", "gh", "gh2")
       .groupBy(window(col("ts"), windowSize), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"))

@@ -169,9 +169,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     while (r <= CorpusOps.BpeMergesLarge && !dry) {
       val counts = scala.collection.mutable.Map.empty[String, Long]
       vocab.foreach { case (repr, cnt) =>
-        if (repr.length >= 2)
-          repr.sliding(2).foreach(p =>
-            counts.update(p, counts.getOrElse(p, 0L) + cnt))
+        // windows over CODE POINTS, matching production pairCounts — a
+        // UTF-16 sliding(2) would split surrogate pairs on any future
+        // non-BMP corpus and silently diverge from the engine's pairs
+        val cps = repr.codePoints().toArray
+        var j = 0
+        while (j + 1 < cps.length) {
+          val p = new String(cps, j, 2)
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          j += 1
+        }
       }
       if (counts.isEmpty) dry = true
       else {
@@ -214,9 +221,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       rounds += 1
       val counts = scala.collection.mutable.Map.empty[String, Long]
       vocab.foreach { case (repr, cnt) =>
-        if (repr.length >= 2)
-          repr.sliding(2).foreach(p =>
-            counts.update(p, counts.getOrElse(p, 0L) + cnt))
+        // windows over CODE POINTS, matching production pairCounts — a
+        // UTF-16 sliding(2) would split surrogate pairs on any future
+        // non-BMP corpus and silently diverge from the engine's pairs
+        val cps = repr.codePoints().toArray
+        var j = 0
+        while (j + 1 < cps.length) {
+          val p = new String(cps, j, 2)
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          j += 1
+        }
       }
       if (counts.isEmpty) dry = true
       else {

@@ -127,13 +127,22 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
     val q2 = startQuery(mem)
     try q2.processAllAvailable() finally q2.stop()
 
-    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+    val allNames = scala.jdk.CollectionConverters.IteratorHasAsScala(
       Files.list(out).iterator()).asScala
       .map(_.getFileName.toString).toSeq.sorted
-    // committer hygiene: epoch-scoped published segments only, no temps
+    // committer hygiene: epoch-scoped published segments plus their commit
+    // markers only — never a temp
+    assert(!allNames.exists(_.endsWith(".tmp")),
+      s"temp residue in streamed WAL dir: $allNames")
+    val names = allNames.filterNot(_.startsWith("."))
     assert(names.nonEmpty && names.forall(_.matches("part-e\\d+-\\d{5}\\.wal")),
-      s"unexpected residue in streamed WAL dir: $names")
+      s"unexpected residue in streamed WAL dir: $allNames")
     assert(names.map(_.takeWhile(_ != '-')).distinct.size == 1)
+    // every published epoch carries its marker
+    names.map(_.drop("part-e".length).takeWhile(_ != '-')).distinct.foreach {
+      e => assert(allNames.contains(s".epoch-$e.ok"),
+        s"epoch $e published without a marker: $allNames")
+    }
 
     // the streamed log folds to the same records as the batch sink's
     val all = batch1 ++ batch2
@@ -164,21 +173,138 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
     }
     val rec1 = "PUT\tYQ==\tdjE=\t#\n" // PUT a v1
     w.commit(7L, Array(WalCommitMessage(temp(rec1))))
-    val first = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.list(out).iterator()).asScala.map(_.getFileName.toString).toSeq
-    assert(first == Seq("part-e7-00000.wal"), s"epoch 7 publish: $first")
+    def listed(): Seq[String] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(Files.list(out).iterator()).asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(listed() == Seq(".epoch-7.ok", "part-e7-00000.wal"),
+      s"epoch 7 publish: ${listed()}")
     // the replayed attempt recomputes DIFFERENT bytes (speculative attempt
     // ordering) — the committed generation must win and the temp must go
     val w2 = new WalStreamingWrite(out.toString)
     w2.commit(7L, Array(WalCommitMessage(temp("PUT\tYQ==\tdjk=\t#\n"))))
-    val after = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.list(out).iterator()).asScala.map(_.getFileName.toString).toSeq
-    assert(after == Seq("part-e7-00000.wal"), s"replay residue: $after")
+    assert(listed() == Seq(".epoch-7.ok", "part-e7-00000.wal"),
+      s"replay residue: ${listed()}")
     assert(Files.readString(out.resolve("part-e7-00000.wal")) == rec1,
       "replayed epoch overwrote the committed generation")
     // a NEW epoch still publishes
     w2.commit(8L, Array(WalCommitMessage(temp(rec1))))
     assert(Files.exists(out.resolve("part-e8-00000.wal")))
+    assert(Files.exists(out.resolve(".epoch-8.ok")))
+  }
+
+  test("streaming sink: a crash between an epoch's renames and its marker cannot lose partitions on replay") {
+    val out = Files.createTempDirectory("graft-walpartial-")
+    def temp(content: String): String = {
+      val t = Files.createTempFile(out, ".part-replay", ".tmp")
+      Files.writeString(t, content)
+      t.toString
+    }
+    val recA = "PUT\tYQ==\tdjE=\t#\n" // PUT a v1
+    val recB = "PUT\tYg==\tdjI=\t#\n" // PUT b v2
+    // simulate the crash window: one of epoch 3's two segments was renamed,
+    // the marker was never written — the old any-segment-exists idempotence
+    // check would have treated the epoch as published, deleted BOTH
+    // recomputed temps, and permanently dropped partition 1's rows
+    Files.writeString(out.resolve("part-e3-00000.wal"), recA)
+    // the unmarked partial generation is invisible to readers
+    assert(WalSegments.expandDir(out).isEmpty,
+      "unmarked partial epoch leaked into the published generation")
+    val w = new WalStreamingWrite(out.toString)
+    w.commit(3L, Array(WalCommitMessage(temp(recA)), WalCommitMessage(temp(recB))))
+    assert(Files.readString(out.resolve("part-e3-00000.wal")) == recA)
+    assert(Files.readString(out.resolve("part-e3-00001.wal")) == recB,
+      "replayed commit lost the partition the crashed commit never renamed")
+    assert(Files.exists(out.resolve(".epoch-3.ok")))
+    assert(WalSegments.expandDir(out).size == 2)
+  }
+
+  test("segment fold order is numeric by (epoch, index); seq is globally monotone across segments") {
+    val out = Files.createTempDirectory("graft-walorder-")
+    def temp(content: String): String = {
+      val t = Files.createTempFile(out, ".part-ord", ".tmp")
+      Files.writeString(t, content)
+      t.toString
+    }
+    val enc = java.util.Base64.getEncoder
+    def put(k: String, v: String) =
+      s"PUT\t${enc.encodeToString(k.getBytes)}\t${enc.encodeToString(v.getBytes)}\t#\n"
+    // epochs 2 and 10: lexicographic name order would put e10 FIRST and a
+    // (key, seq) last-writer-wins fold would resurrect the stale value
+    val w = new WalStreamingWrite(out.toString)
+    w.commit(2L, Array(WalCommitMessage(temp(put("k", "old")))))
+    w.commit(10L, Array(WalCommitMessage(temp(put("k", "new")))))
+    val wal = spark.read.format("graft.sources.WalDataSource")
+      .load(out.toString)
+    val rows = wal.orderBy(col("seq")).collect()
+      .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](3))))
+    assert(rows.map(_._2).toSeq == Seq("old", "new"),
+      s"fold order is not numeric by epoch: ${rows.toSeq}")
+    // distinct high bits per segment: the later segment's seq strictly
+    // dominates the earlier one's, so ORDER BY seq IS fold order
+    assert(rows(0)._1 < rows(1)._1)
+    assert((rows(1)._1 >> 32) == (rows(0)._1 >> 32) + 1)
+  }
+
+  test("streaming source: micro-batches follow committed epochs; restart resumes from the checkpointed offset; digest equals batch read") {
+    val out = Files.createTempDirectory("graft-walmbr-")
+    val cp = Files.createTempDirectory("graft-walmbr-cp-")
+    def temp(content: String): String = {
+      val t = Files.createTempFile(out, ".part-mbr", ".tmp")
+      Files.writeString(t, content)
+      t.toString
+    }
+    val enc = java.util.Base64.getEncoder
+    def put(k: String, v: String) =
+      s"PUT\t${enc.encodeToString(k.getBytes)}\t${enc.encodeToString(v.getBytes)}\t#\n"
+    val w = new WalStreamingWrite(out.toString)
+    w.commit(0L, Array(WalCommitMessage(temp(put("a", "v1")))))
+    w.commit(1L, Array(WalCommitMessage(temp(put("b", "v2")))))
+
+    // foreachBatch (not the memory sink) because it supports restarting
+    // from a checkpoint; each pass accumulates into its own buffer
+    def startRead(buf: scala.collection.mutable.ArrayBuffer[(Long, String, String)]) =
+      spark.readStream
+        .format("graft.sources.WalDataSource").load(out.toString)
+        .selectExpr("seq", "op", "key", "CAST(value AS STRING) AS v")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized {
+            buf ++= df.collect().map(r =>
+              (r.getLong(0), r.getString(2), r.getString(3)))
+          }; ()
+        }
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").start()
+
+    val buf1 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q1 = startRead(buf1)
+    try {
+      q1.processAllAvailable()
+      // a new epoch published while the query runs is picked up
+      w.commit(2L, Array(WalCommitMessage(temp(put("c", "v3")))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val got1 = buf1.map(r => (r._2, r._3)).sorted.toSeq
+    assert(got1 == Seq("a" -> "v1", "b" -> "v2", "c" -> "v3"), s"pass 1: $got1")
+
+    // epoch published while the stream is DOWN, then restart on the same
+    // checkpoint: only the unseen segment is delivered — nothing re-read
+    w.commit(3L, Array(WalCommitMessage(temp(put("d", "v4")))))
+    val buf2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q2 = startRead(buf2)
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = buf2.map(r => (r._2, r._3)).sorted.toSeq
+    assert(got2 == Seq("d" -> "v4"),
+      s"restart re-read or skipped segments: $got2")
+
+    // stream ≡ batch: the union of both passes is exactly the batch read,
+    // seq values included (same global ordinals either way)
+    val streamed = (buf1 ++ buf2).sorted.toSeq
+    val batch = spark.read.format("graft.sources.WalDataSource")
+      .load(out.toString)
+      .selectExpr("seq", "op", "key", "CAST(value AS STRING) AS v").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).sorted.toSeq
+    assert(streamed == batch, s"stream digest != batch digest:\n$streamed\n$batch")
   }
 
   test("DSv2 sink: wrong input schema fails driver-side with a diagnosable message") {
