@@ -127,6 +127,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
+    // batch-cadence near-dup: delta buckets probe the stored corpus
+    // bucket table; oracle = full-rebuild truth restricted to delta pairs
+    "dedup_minhash_incremental" -> (Dedup.dedupMinhashIncremental _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
@@ -273,6 +276,7 @@ object SparkEntry {
     // holds iff the candidate generators caught every true >=0.7 pair on
     // the bounded slice — an end-to-end recall check the driver can see
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
+    "dedup_minhash_incremental" -> Dedup.dedupMinhashIncrementalSql,
     // dedup_simhash_verified: deliberately NO oracle — simhash recall of
     // trigram near-dups is high but not 1.0 on this corpus, so an
     // equality oracle would be a false claim; its output carries exact

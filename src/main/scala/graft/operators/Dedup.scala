@@ -87,14 +87,32 @@ object Dedup {
 
   /** Character-trigram SET per doc as one sorted packed-long array row
     * ([[graft.functions.GramPackSet]] — injective code-point packing, not
-    * a hash), doc_id-bounded (candidate universe). Texts shorter than 3
-    * chars yield an empty set and are dropped here — they cannot pair. */
-  private def gramSets(spark: SparkSession, dir: String, cap: Int): DataFrame =
+    * a hash), doc_id-bounded to [lo, hi) (candidate universe). Texts
+    * shorter than 3 chars yield an empty set and are dropped here — they
+    * cannot pair. */
+  private def gramSets(spark: SparkSession, dir: String, hi: Long,
+      lo: Long = 0L): DataFrame =
     t(spark, dir, "documents")
-      .filter(col("doc_id") < cap && length(col("text")) >= 3)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi &&
+        length(col("text")) >= 3)
       .select(col("doc_id"),
         graft.functions.GramPackSet.gram_pack_set(col("text"), 3).as("gset"))
       .withColumn("sz", size(col("gset")).cast("long"))
+
+  /** Exact trigram-Jaccard ≥ 0.7 pairs over an explicit bounded gram-set
+    * slice — the θ-join core shared by [[dedupNgramJaccard]] and the
+    * incremental twin's verification slice. The caller bounds the
+    * quadratic BY CONTRACT. */
+  private def jaccardPairs(g: DataFrame): DataFrame =
+    g.as("a").join(broadcast(g.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("a.gset"), col("b.gset")).as("i"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("d1"), col("d2"), col("jaccard"))
 
   /** n-gram Jaccard near-dup pairs (≥ 0.7) among the first 200 docs — the
     * exact-verification primitive. Intersection counts come from ONE
@@ -110,18 +128,8 @@ object Dedup {
     * formulation). The doc cap bounds the quadratic BY CONTRACT — the
     * unbounded-corpus candidate path is [[dedupMinhashLsh]], never this
     * primitive. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = gramSets(spark, dir, 200)
-    g.as("a").join(broadcast(g.as("b")), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        graft.functions.SortedIntersectCount
-          .sorted_intersect_count(col("a.gset"), col("b.gset")).as("i"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("d1"), col("d2"), col("jaccard"))
-  }
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(gramSets(spark, dir, 200))
 
   val dedupNgramJaccardSql: String =
     """WITH g AS (
@@ -865,7 +873,7 @@ object Dedup {
 
   /** Raw LSH candidate pairs (band → bucket equi-join), optionally bounded
     * to doc_id < cap. No similarity filter — candidate generation only. */
-  private def lshCandidates(spark: SparkSession, dir: String,
+  private[operators] def lshCandidates(spark: SparkSession, dir: String,
       cap: Int = Int.MaxValue): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(spark, dir, cap),
       carrySig = false)
@@ -921,6 +929,82 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
 
   val dedupMinhashVerifiedSql: String = dedupNgramJaccardSql
+
+  /** Half-width of the verification slice around [[IncrementalCut]] for
+    * [[dedupMinhashIncremental]] — bounds the exact-Jaccard θ-join to 200
+    * docs at every SF while spanning both sides of the cut. */
+  final val IncMinhashPad = 100L
+
+  /** INCREMENTAL MinHash-LSH candidates — near-dup search at the
+    * [[dedupIncremental]] batch cadence: candidates involving the DELTA
+    * (doc_id ≥ [[IncrementalCut]]) only, as (1) the delta's banded buckets
+    * probing the CORPUS bucket table and (2) a delta-internal bucket
+    * self-join. In production the corpus (signature, band, bucket) table is
+    * the stored artifact this operator maintains — appended per batch (the
+    * IVF index-append / SAV-compaction cadence), hash-bucketed by
+    * (band, bh) so the delta probe co-locates; it is derived inline here
+    * (the [[dedupIncremental]] corpusFps discipline) and is the BUILD side
+    * of a shuffled hash join, never re-aggregated and never re-paired
+    * against itself. Per-batch shuffle work is delta-sized.
+    *
+    * By construction this union IS the full rebuild's candidate set
+    * restricted to pairs with a delta member (d1 < d2 makes that exactly
+    * d2 ≥ cut): corpus-internal pairs are the ones the cadence skips.
+    * PipelineOperatorsSpec pins the equivalence against [[lshCandidates]]
+    * verbatim. */
+  private[operators] def lshCandidatesIncremental(spark: SparkSession,
+      dir: String): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(spark, dir), carrySig = false)
+    val corpusB = buckets.filter(col("doc_id") < IncrementalCut)
+    val deltaB = buckets.filter(col("doc_id") >= IncrementalCut)
+    // build on the DELTA side both times: the corpus table dwarfs any one
+    // batch at scale, so it must stream as the probe side
+    val crossPairs = corpusB.as("x")
+      .join(deltaB.as("y").hint("shuffle_hash"), Seq("band", "bh"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val deltaPairs = deltaB.as("x").hint("shuffle_hash")
+      .join(deltaB.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    crossPairs.union(deltaPairs).distinct()
+  }
+
+  /** DRIVER-CHECKABLE incremental-LSH twin (the [[dedupMinhashVerified]]
+    * gate shape at the [[dupSpansIncremental]] cadence): exact ≥0.7
+    * trigram-Jaccard pairs on the bounded slice
+    * [cut−[[IncMinhashPad]], cut+[[IncMinhashPad]]) that involve a delta
+    * doc, semi-joined against the INCREMENTAL candidate generator. The
+    * oracle is the exact-Jaccard SQL restricted to the same slice and the
+    * same delta-membership predicate — the full-rebuild truth restricted
+    * to delta pairs — so the equality gate proves end-to-end that
+    * batch-cadence banding catches every true delta near-dup on the slice
+    * (a missed pair = a missing row). */
+  def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(gramSets(spark, dir,
+        hi = IncrementalCut + IncMinhashPad, lo = IncrementalCut - IncMinhashPad))
+      .filter(col("d2") >= IncrementalCut)
+      .join(lshCandidatesIncremental(spark, dir), Seq("d1", "d2"), "left_semi")
+      .select(col("d1"), col("d2"), col("jaccard"))
+
+  lazy val dedupMinhashIncrementalSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+       |                                        i -> text[i:i+2]))) AS gram
+       |  FROM documents
+       |  WHERE doc_id >= ${IncrementalCut - IncMinhashPad}
+       |    AND doc_id < ${IncrementalCut + IncMinhashPad}),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.7
+       |  AND d2 >= $IncrementalCut""".stripMargin
 
   /** 64-bit SimHash per document over character trigrams — a narrow scan
     * projection via the native single-pass [[graft.functions.SimHash64]]

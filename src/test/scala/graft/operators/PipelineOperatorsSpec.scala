@@ -78,6 +78,25 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       s"LSH missed true near-dups: ${exact.diff(lsh)}")
   }
 
+  test("incremental LSH candidates == full rebuild's candidates restricted to delta pairs") {
+    // sf0.01: the delta (doc_id >= IncrementalCut) is non-empty there
+    // (sf0.001 has 50 docs, all corpus)
+    val d01 = "/root/testdata/sf0.01"
+    // compare RAW candidate sets (pre-est-filter): rebuild restricted to
+    // pairs with a delta member (d1 < d2 makes that exactly d2 >= cut)
+    val rebuilt = Dedup.lshCandidates(spark, d01)
+      .filter(col("d2") >= Dedup.IncrementalCut)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.lshCandidatesIncremental(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == rebuilt,
+      s"incremental != rebuild|delta: only-inc=${inc.diff(rebuilt).take(5)} " +
+        s"only-rebuild=${rebuilt.diff(inc).take(5)}")
+    assert(inc.nonEmpty, "vacuous: no delta candidates at sf0.01")
+    // and the cadence really skips corpus-internal pairs: nothing below the cut
+    assert(inc.forall(_._2 >= Dedup.IncrementalCut))
+  }
+
   test("minhash estimate correlates: est_jaccard high for exact dups") {
     val est = Dedup.dedupMinhashLsh(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
