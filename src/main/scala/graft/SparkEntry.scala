@@ -60,6 +60,9 @@ object SparkEntry {
     // corpus-hygiene extensions: repetition quality gate, PII scrubbing,
     // deterministic data mixing, fixed-budget chunking
     "quality_gopher" -> (graft.operators.CorpusOps.qualityGopher _),
+    // learned quality classifier: hashed-bigram logistic trained in-engine
+    // on a labeled slice (fixed-point); oracle replays train AND score
+    "quality_model_score" -> (graft.operators.CorpusOps.qualityModelScore _),
     "pii_redact" -> (graft.operators.CorpusOps.piiRedact _),
     "sample_mix" -> (graft.operators.CorpusOps.sampleMix _),
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
@@ -219,6 +222,7 @@ object SparkEntry {
     "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2eSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
     "quality_gopher" -> graft.operators.CorpusOps.qualityGopherSql,
+    "quality_model_score" -> graft.operators.CorpusOps.qualityModelScoreSql,
     "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,

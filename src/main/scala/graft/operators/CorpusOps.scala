@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -36,8 +36,14 @@ object CorpusOps {
     * word count, mean word length, top-word mass fraction, distinct-word
     * fraction, duplicated-bigram fraction. Every ratio is an exact-int
     * IEEE division, so the keep DECISION is bit-identical to the oracle's. */
-  def qualityGopher(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  def qualityGopher(spark: SparkSession, dir: String): DataFrame =
+    qualityGopherFrom(t(spark, dir, "documents"))
+
+  /** [[qualityGopher]] over an explicit documents frame — the label
+    * provider for [[qualityModelScore]]'s training slice runs this on the
+    * slice only, so label cost is slice-sized, never corpus-sized. */
+  private def qualityGopherFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("text"))
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2) // sequence(1, size-1) must not descend
@@ -115,6 +121,268 @@ object CorpusOps {
        |   AND mean_word_len >= $MinMeanWordLen
        |   AND mean_word_len <= $MaxMeanWordLen) AS keep
        |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---- model-based quality scoring (learned classifier over hashed bigrams) ----
+
+  /** Bucket count of the hashed-bigram feature space. The full feature
+    * vector is 2·[[QmDim]]+1 wide: per-bucket COUNTS (j < QmDim), a
+    * binarized PRESENCE view of the same buckets (QmDim ≤ j < 2·QmDim),
+    * and a bias (j = 2·QmDim). The dual view is what makes the
+    * repetition-shaped gates linearly expressible — Σcounts is total
+    * bigrams, Σpresence ≈ distinct bigrams, so a linear threshold can
+    * encode "distinct < (1−τ)·total" (the dup-bigram gate); counts alone
+    * collapsed to the majority class in calibration (0.735 = baseline vs
+    * 0.875 trained, sf0.01). Small enough that the weight vector inlines
+    * as a literal array in the scoring expression — no join, no broadcast
+    * table. */
+  final val QmDim = 128L
+  /** Modulus of the per-bigram polynomial rolling hash (pre-bucketing) —
+    * keeps the fold's accumulator small enough that a*31+cp never
+    * approaches 2^63. */
+  final val QmHashMod = 1L << 20
+  /** Fixed-point scale for labels, probabilities and weights (2^16): all
+    * training arithmetic is BIGINT at this scale with explicit
+    * truncate-toward-zero divisions, so the trained weights are a pure
+    * integer function of the data — replayable bit-identically in SQL
+    * (the [[graft.operators.Similarity.SemDedupQScale]] discipline). */
+  final val QmScale = 1L << 16
+  /** Gradient rounds. Fixed: each round is two slice-sized aggregates and
+    * a ≤(2·[[QmDim]]+1)-row collect; the unrolled oracle replays exactly
+    * this many. Calibrated with [[QmLrDiv]] (train agreement beats the
+    * majority baseline by 6–14 points at every SF; both verdict classes
+    * populated — pinned in CorpusOpsSpec). */
+  final val QmRounds = 16
+  /** Labeled-slice boundary (doc_id < cap): the stand-in for the small
+    * human/model-labeled sample real pipelines fit their fastText-style
+    * quality classifier on — labels here are the [[qualityGopher]]
+    * verdicts of the slice, so the whole train+score chain stays
+    * self-contained and oracle-replayable. */
+  final val QmTrainCap = 200L
+  /** Learning-rate divisor: the per-round update is
+    * w_j -= tdiv(g_j, n·[[QmLrDiv]]) where n is the labeled-doc count —
+    * i.e. learning rate 1/QmLrDiv on the mean gradient. */
+  final val QmLrDiv = 4L
+
+  /** Truncate-toward-zero BIGINT division, FORCED identical in both
+    * engines: for nonnegative operands every engine's integer division
+    * agrees, so the sign is peeled off explicitly (Spark's `div` and
+    * DuckDB's `//` differ on negative numerators). */
+  private def tdiv(a: Column, b: Column): Column =
+    when(a >= 0, expr_div(a, b)).otherwise(-expr_div(-a, b))
+  private def expr_div(a: Column, b: Column): Column =
+    a.divide(b).cast("long") // operands kept nonnegative by the caller
+
+  /** The divisor is parenthesized — `a // n * 64` is `(a // n) * 64` by
+    * left-to-right precedence, a 64²-fold mis-scaling of the update. */
+  private def tdivSql(a: String, b: String): String =
+    s"(CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+
+  /** (doc_id, ws) spine shared by features and labels — the same
+    * tokenization [[qualityGopher]] scores, so the label frame and the
+    * feature frame describe the same documents. */
+  private def qmDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+
+  /** Hashed-bigram feature rows (doc_id, j, x): adjacent word pairs →
+    * polynomial code-point hash mod [[QmHashMod]] → bucket mod [[QmDim]] →
+    * per-(doc, bucket) counts, then the tri-view layout of [[QmDim]]
+    * (count view, presence view, bias). The hash is deliberately a plain
+    * integer fold over code points (not xxhash) so the ORACLE computes
+    * the identical bucket for every bigram — the feature space itself is
+    * part of the verified contract. */
+  private def qmFeatures(docs: DataFrame): DataFrame = {
+    val counts = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"))
+        .as("bigram"))
+      .withColumn("j", expr(
+        s"""aggregate(
+           |  transform(sequence(1, char_length(bigram)),
+           |            i -> CAST(ascii(substring(bigram, i, 1)) AS BIGINT)),
+           |  CAST(0 AS BIGINT),
+           |  (a, cp) -> (a * 31 + cp) % $QmHashMod) % $QmDim""".stripMargin))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x"))
+    counts
+      .union(counts.select(col("doc_id"), col("j") + QmDim, lit(1L)))
+      .union(docs.select(col("doc_id"), lit(2L * QmDim), lit(1L)))
+  }
+
+  /** Hard-sigmoid probability at [[QmScale]]: clamp(S/2 + z/4, 0, S) —
+    * the piecewise-linear logistic surrogate (slope matches σ'(0)=1/4)
+    * whose integer arithmetic both engines replay exactly; a true σ would
+    * put a transcendental between the engines. */
+  private def qmProb(z: Column): Column = {
+    val raw = lit(QmScale / 2) + tdiv(z, lit(4L))
+    least(greatest(raw, lit(0L)), lit(QmScale))
+  }
+
+  /** Trained weight vector (scaled by [[QmScale]]): batch gradient descent
+    * for logistic loss under the hard-sigmoid surrogate, on the labeled
+    * slice. Per round: one slice-sized aggregate for per-doc scores, one
+    * for per-bucket gradients; the ≤[[QmDim]] gradient rows come to the
+    * driver and the update is exact Long arithmetic (the
+    * [[graft.operators.Similarity.semDedupCentroids]] cadence — bounded
+    * collect, driver-side exact update, weights re-broadcast as
+    * literals). */
+  def qualityModelWeights(spark: SparkSession, dir: String): Array[Long] = {
+    val slice = qmDocs(spark, dir).filter(col("doc_id") < QmTrainCap)
+    val feats = qmFeatures(slice)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels = qualityGopherFrom(
+          t(spark, dir, "documents").filter(col("doc_id") < QmTrainCap))
+        .select(col("doc_id"),
+          when(col("keep"), lit(QmScale)).otherwise(lit(0L)).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = labels.count()
+      val w = Array.fill((2 * QmDim + 1).toInt)(0L)
+      (1 to QmRounds).foreach { _ =>
+        val wCol = array(w.map(lit(_)): _*)
+        val z = feats
+          .withColumn("wj", element_at(wCol, (col("j") + 1).cast("int")))
+          .groupBy(col("doc_id")).agg(sum(col("x") * col("wj")).as("z"))
+        val g = z.select(col("doc_id"), qmProb(col("z")).as("p"))
+          .join(labels, Seq("doc_id"))
+          .select(col("doc_id"), (col("p") - col("y")).as("err"))
+          .join(feats, Seq("doc_id"))
+          .groupBy(col("j")).agg(sum(col("err") * col("x")).as("g"))
+          .collect()
+        g.foreach { r =>
+          val j = r.getLong(0).toInt
+          w(j) = w(j) - tdivLong(r.getLong(1), n * QmLrDiv)
+        }
+      }
+      labels.unpersist(blocking = false)
+      w
+    } finally feats.unpersist(blocking = false)
+  }
+
+  private def tdivLong(a: Long, b: Long): Long = a / b // JVM / truncates toward zero
+
+  /** MODEL-BASED quality scoring — the learned companion of the rule-based
+    * [[qualityGopher]] gate (real pipelines pair a Gopher-style heuristic
+    * with a fastText/logistic classifier; e.g. the CCNet/LLaMA corpus
+    * recipes): a hashed-bigram linear model is TRAINED IN-ENGINE on a
+    * labeled slice and then scores the whole corpus. Output per doc:
+    * the raw margin `z` (scaled by [[QmScale]]), the hard-sigmoid
+    * probability `p`, and the keep verdict — all BIGINT/boolean, so the
+    * driver gate is hash-exact.
+    *
+    * The ORACLE replays everything — feature hashing, the label
+    * derivation, all [[QmRounds]] gradient rounds (unrolled CTEs), and
+    * the final scoring pass — so the equality gate certifies the
+    * TRAINING, not just the scoring arithmetic.
+    *
+    * 100 TB shape: training cost is slice-sized by the labeled-slice
+    * premise (labels are expensive; the corpus is not the training set);
+    * scoring is one explode + two hash-aggregates per document with the
+    * weight vector inlined as a literal array — no join, no broadcast, no
+    * window, map-side partials throughout. */
+  def qualityModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityModelWeights(spark, dir)
+    val wCol = array(w.map(lit(_)): _*)
+    qmFeatures(qmDocs(spark, dir))
+      .withColumn("wj", element_at(wCol, (col("j") + 1).cast("int")))
+      .groupBy(col("doc_id")).agg(sum(col("x") * col("wj")).as("z"))
+      .select(col("doc_id"), col("z"), qmProb(col("z")).as("p"))
+      .withColumn("keep_model", col("p") >= lit(QmScale / 2))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[qualityModelScore]]: the full train-and-score replay in
+    * one generated query — features, Gopher labels on the slice, the
+    * gradient rounds unrolled as w0..w[[QmRounds]] CTEs, then corpus
+    * scoring against the final weights. Generated by a Scala loop so the
+    * round count stays in one place. The shared frames (d/bg/fc/f/lab)
+    * are MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+    * unrolled rounds reference f/lab dozens of times — each inline
+    * re-opened the parquet ("Too many open files" at 16 rounds). */
+  lazy val qualityModelScoreSql: String = {
+    val S = QmScale
+    // every per-round CTE is MATERIALIZED: w_r references w_{r-1} three
+    // times (via z_r, g_r and directly), so plain CTEs would inline the
+    // whole prefix chain ~3^rounds times — plan-size blowup that ran for
+    // minutes at 16 rounds; materialized, each round computes once
+    val roundCtes = (1 to QmRounds).map { r =>
+      val zt = tdivSql("z", "4")
+      val gt = tdivSql("COALESCE(g.g, 0)", s"(SELECT n FROM n) * $QmLrDiv")
+      s"""z$r AS MATERIALIZED (
+         |  SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z
+         |  FROM f JOIN w${r - 1} w USING (j) JOIN lab USING (doc_id)
+         |  GROUP BY 1),
+         |p$r AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    LEAST(GREATEST(${S / 2} + $zt, 0), $S) AS p
+         |  FROM z$r),
+         |g$r AS MATERIALIZED (
+         |  SELECT f.j, CAST(SUM((p.p - lab.y) * f.x) AS BIGINT) AS g
+         |  FROM f JOIN p$r p USING (doc_id) JOIN lab USING (doc_id)
+         |  GROUP BY 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.j, CAST(w.w - $gt AS BIGINT) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (j))""".stripMargin
+    }.mkString(",\n")
+    val zft = tdivSql("z", "4")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS b
+       |  FROM d),
+       |fc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(b) + 1),
+       |                       i -> CAST(ascii(b[i:i]) AS BIGINT))),
+       |      (a, cp) -> (a * 31 + cp) % $QmHashMod) % $QmDim AS j,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM bg GROUP BY 1, 2),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, j, x FROM fc
+       |  UNION ALL
+       |  SELECT doc_id, j + $QmDim, CAST(1 AS BIGINT) FROM fc
+       |  UNION ALL
+       |  SELECT doc_id, CAST(${2 * QmDim} AS BIGINT), CAST(1 AS BIGINT) FROM d),
+       |w_in AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents
+       |  WHERE doc_id < $QmTrainCap AND len(string_split(text, ' ')) >= 2),
+       |tf AS (SELECT doc_id, word, count(*) AS c FROM w_in GROUP BY 1, 2),
+       |wstats AS (
+       |  SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n_words,
+       |         count(*) AS n_distinct, sum(c * length(word)) AS alpha_chars
+       |  FROM tf GROUP BY 1),
+       |bc AS (SELECT doc_id, b AS bigram, count(*) AS c FROM bg
+       |       WHERE doc_id < $QmTrainCap GROUP BY 1, 2),
+       |bstats AS (
+       |  SELECT doc_id, sum(c) - count(*) AS dup_b, sum(c) AS n_b
+       |  FROM bc GROUP BY 1),
+       |lab AS MATERIALIZED (
+       |  SELECT s.doc_id,
+       |    CASE WHEN s.n_words >= $MinWords
+       |          AND CAST(s.mx AS DOUBLE) / s.n_words <= $MaxTopWordFrac
+       |          AND CAST(s.n_distinct AS DOUBLE) / s.n_words >= $MinDistinctWordFrac
+       |          AND CAST(b.dup_b AS DOUBLE) / b.n_b <= $MaxDupBigramFrac
+       |          AND CAST(s.alpha_chars AS DOUBLE) / s.n_words >= $MinMeanWordLen
+       |          AND CAST(s.alpha_chars AS DOUBLE) / s.n_words <= $MaxMeanWordLen
+       |      THEN $S ELSE 0 END AS y
+       |  FROM wstats s JOIN bstats b USING (doc_id)),
+       |n AS (SELECT count(*) AS n FROM lab),
+       |w0 AS (SELECT CAST(range AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+       |       FROM range(0, ${2 * QmDim + 1})),
+       |$roundCtes,
+       |zf AS (
+       |  SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z
+       |  FROM f JOIN w$QmRounds w USING (j) GROUP BY 1)
+       |SELECT doc_id, z,
+       |  CAST(LEAST(GREATEST(${S / 2} + $zft, 0), $S) AS BIGINT) AS p,
+       |  LEAST(GREATEST(${S / 2} + $zft, 0), $S) >= ${S / 2} AS keep_model
+       |FROM zf ORDER BY doc_id""".stripMargin
+  }
 
   // ---- corpus-LM fluency scoring (the CCNet-style quality signal) ----
 

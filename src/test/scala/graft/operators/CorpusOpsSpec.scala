@@ -35,6 +35,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       (bgs.size - bgs.distinct.size).toDouble / bgs.size)
   }
 
+  test("quality_model_score: training beats the majority baseline; both verdicts populated; weights non-trivial") {
+    // sf0.01: the calibration corpus (sf0.001 works too, but pin where
+    // the margin is widest: trained 0.875 vs majority 0.735)
+    val d01 = "/root/testdata/sf0.01"
+    val w = CorpusOps.qualityModelWeights(spark, d01)
+    assert(w.exists(_ != 0L), "training left every weight at zero")
+    assert(w.length == (2 * CorpusOps.QmDim + 1).toInt)
+    val scored = CorpusOps.qualityModelScore(spark, d01).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val labels = CorpusOps.qualityGopher(spark, d01)
+      .filter(col("doc_id") < CorpusOps.QmTrainCap)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+    assert(labels.nonEmpty)
+    val keepFrac = labels.count(_._2).toDouble / labels.length
+    val majority = math.max(keepFrac, 1 - keepFrac)
+    val agree = labels.count { case (d, y) => scored(d) == y }
+      .toDouble / labels.length
+    // the whole point of the operator: the learned verdict must beat
+    // always-predict-the-majority-class on its own training slice (a
+    // collapsed model scores exactly `majority`)
+    assert(agree > majority + 0.05,
+      f"model collapsed to the majority class: agree=$agree%.3f majority=$majority%.3f")
+    // and the corpus-wide verdict is non-vacuous
+    val kept = scored.values.count(identity)
+    assert(kept > 0 && kept < scored.size,
+      s"keep_model vacuous: $kept of ${scored.size}")
+  }
+
   test("lm_bigram_score: non-vacuous keep split; full driver-side replay of the model and scores") {
     val rows = CorpusOps.lmBigramScore(spark, dir).collect()
     assert(rows.nonEmpty)
