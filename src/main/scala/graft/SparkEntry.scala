@@ -160,6 +160,9 @@ object SparkEntry {
     "multimodal_frames" -> (Multimodal.audioFrames _),
     // real video container walk: decode only the sampled keyframes
     "multimodal_video" -> (Multimodal.videoFrames _),
+    // caption<->image pair mining: neighbor candidates, real per-row
+    // decode, strict-fold embedding cosine, mismatch filter
+    "crossmodal_pairs" -> (Multimodal.crossModalPairs _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     // DSv2 SINK: engine WAL format written via the two-phase committer,
     // read back with the DSv2 reader — lossless round trip
@@ -295,6 +298,7 @@ object SparkEntry {
     "multimodal_resize" -> Multimodal.resizeImagesSql,
     "multimodal_frames" -> Multimodal.audioFramesSql,
     "multimodal_video" -> Multimodal.videoFramesSql,
+    "crossmodal_pairs" -> Multimodal.crossModalPairsSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,

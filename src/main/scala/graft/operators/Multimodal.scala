@@ -317,6 +317,121 @@ object Multimodal {
        |FROM s GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** Mismatch-filter threshold for [[crossModalPairs]]: a candidate pair
+    * trains only if caption↔image embedding cosine ≥ τ. Calibrated on the
+    * synthetic embeddings: self pairs sit at cosine 1.0, neighbor pairs
+    * in [−0.31, 0.36] — τ=0.25 keeps every self pair, admits the few
+    * genuinely-close neighbors, and rejects the rest, so all three
+    * outcome groups are populated at every SF. */
+  final val CrossModalTau = 0.25
+
+  /** CROSS-MODAL PAIRING — the caption↔image alignment stage of a
+    * multimodal training pipeline (the CLIP-style pair-mining shape):
+    * image docs join their caption CANDIDATES — the image's own document
+    * and its successor, the web-scrape premise that nearby nodes are
+    * caption candidates — each pair gets alignment stats (image dims and
+    * exact gray mass from a REAL per-row decode, caption length/tokens,
+    * pixels-per-char ratio, embedding cosine via the strict-fold
+    * [[graft.functions.VecDot]]), and the mismatch filter marks which
+    * candidates train ([[CrossModalTau]]).
+    *
+    * Scale shape: the decode is per-row bounded and partition-local
+    * (payload bytes never shuffle — only the narrow stat columns leave
+    * the executor); candidates are a constant 2 rows per image; caption
+    * and embedding attachment are doc-id equi-joins. Docs without an
+    * embedding row simply produce no pair (inner join) — the sf0.1
+    * corpus has 5000 docs but 2000 embeddings, exactly the partial-
+    * coverage reality of a scraped corpus.
+    *
+    * Exactness: dims/gray from the decode are integers the oracle
+    * re-derives from the synthesis function; the cosine is the
+    * strict-left-fold double both engines share bit-exactly
+    * ([[graft.operators.Similarity.foldSql]]); ratios divide exact
+    * integers. So the whole row — filter verdict included — is
+    * hash-exact. */
+  def crossModalPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vd = graft.functions.VecDot.vec_dot _
+    val imgs = assets(spark, dir)
+      .filter(_.media_type == "image/bmp")
+      .mapPartitions(_.map { a =>
+        val (w, h, px) = MediaCodec.decodeBmpPixels(a.payload)
+        (a.doc_id, w.toLong, h.toLong, px.foldLeft(0L)(_ + _))
+      })
+      .toDF("img_doc", "width", "height", "gray_sum")
+    val cands = imgs.select(col("img_doc"), col("width"), col("height"),
+      col("gray_sum"),
+      explode(array(col("img_doc"), col("img_doc") + 1)).as("cap_doc"))
+    val caps = t(spark, dir, "documents").select(
+      col("doc_id").as("cap_doc"),
+      length(col("text")).cast("long").as("cap_chars"),
+      size(split(col("text"), " ")).cast("long").as("cap_tokens"))
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+    cands
+      .join(caps, Seq("cap_doc"))
+      .join(emb.select(col("vec_id").as("img_doc"), col("ev").as("iv")),
+        Seq("img_doc"))
+      .join(emb.select(col("vec_id").as("cap_doc"), col("ev").as("cv")),
+        Seq("cap_doc"))
+      .withColumn("cosine", vd(col("iv"), col("cv")) /
+        (sqrt(vd(col("iv"), col("iv"))) * sqrt(vd(col("cv"), col("cv")))))
+      .select(col("img_doc"), col("cap_doc"), col("width"), col("height"),
+        col("gray_sum"), col("cap_chars"), col("cap_tokens"),
+        ((col("width") * col("height")).cast("double") / col("cap_chars"))
+          .as("px_per_char"),
+        col("cosine"),
+        (col("cosine") >= CrossModalTau).as("matched"))
+      .orderBy(col("img_doc"), col("cap_doc"))
+  }
+
+  /** Oracle for [[crossModalPairs]]: geometry and gray mass from first
+    * principles — pixel (x,y) is byte((x + y·w) mod len) and the pixel
+    * index sweeps [0, w·h) exactly once, so
+    * gray_sum = (w·h ÷ len)·Σbytes + Σ first (w·h mod len) bytes — a
+    * len-bounded series per doc, never a per-pixel one; cosine via the
+    * shared strict-fold SQL. */
+  val crossModalPairsSql: String = {
+    val byteI = s"CASE WHEN hx IS NULL THEN 0 ELSE ${byteAtSql("hx", "i.g")} END"
+    val cos = s"""${Similarity.foldSql("ei.ev", "ec.ev")}
+       |      / (sqrt(${Similarity.foldSql("ei.ev", "ei.ev")})
+       |         * sqrt(${Similarity.foldSql("ec.ev", "ec.ev")}))""".stripMargin
+    s"""WITH ${bytesCte(0)},
+       |geo AS (
+       |  SELECT doc_id, hx, len, 64 + doc_id % 64 AS w,
+       |         64 + (doc_id // 2) % 64 AS h
+       |  FROM b),
+       |gray AS (
+       |  SELECT doc_id, w, h,
+       |    (w * h // len) * SUM($byteI)
+       |      + SUM(CASE WHEN i.g < (w * h) % len THEN $byteI ELSE 0 END)
+       |      AS gray_sum
+       |  FROM geo, generate_series(0, 4095) i(g) WHERE i.g < len
+       |  GROUP BY doc_id, w, h, len),
+       |cand AS (
+       |  SELECT doc_id AS img_doc, w, h, gray_sum,
+       |    unnest([doc_id, doc_id + 1]) AS cap_doc
+       |  FROM gray),
+       |caps AS (
+       |  SELECT doc_id AS cap_doc, length(text) AS cap_chars,
+       |    len(string_split(text, ' ')) AS cap_tokens
+       |  FROM documents),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+       |SELECT img_doc, cap_doc,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(gray_sum AS BIGINT) AS gray_sum,
+       |  CAST(cap_chars AS BIGINT) AS cap_chars,
+       |  CAST(cap_tokens AS BIGINT) AS cap_tokens,
+       |  CAST(w * h AS DOUBLE) / cap_chars AS px_per_char,
+       |  $cos AS cosine,
+       |  $cos >= $CrossModalTau AS matched
+       |FROM cand
+       |JOIN caps USING (cap_doc)
+       |JOIN e ei ON ei.vec_id = img_doc
+       |JOIN e ec ON ec.vec_id = cap_doc
+       |ORDER BY img_doc, cap_doc""".stripMargin
+  }
+
   /** DuckDB oracle derived from FIRST PRINCIPLES: the synthesized dims/
     * lengths are pure functions of doc_id ([[assets]]), so the expected
     * widths, heights, and exact FILE SIZES (BMP row padding, WAV header)

@@ -97,6 +97,22 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(inc.forall(_._2 >= Dedup.IncrementalCut))
   }
 
+  test("crossmodal_pairs: self pairs always match, filter is non-vacuous, candidates bounded at 2 per image") {
+    val rows = Multimodal.crossModalPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(9)))
+    assert(rows.nonEmpty)
+    // an image's own document is its true caption: cosine(e,e)=1 ≥ τ
+    rows.filter { case (i, c, _) => i == c }.foreach { case (i, _, m) =>
+      assert(m, s"self pair of $i rejected by the mismatch filter")
+    }
+    // the filter must actually reject something (neighbor mismatches)
+    assert(rows.exists(!_._3), "mismatch filter vacuous: every candidate matched")
+    // candidate generation stays constant-bounded per image
+    rows.groupBy(_._1).foreach { case (i, g) =>
+      assert(g.length <= 2, s"image $i has ${g.length} candidates")
+    }
+  }
+
   test("minhash estimate correlates: est_jaccard high for exact dups") {
     val est = Dedup.dedupMinhashLsh(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
