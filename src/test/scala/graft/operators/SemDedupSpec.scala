@@ -62,9 +62,13 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.semDedupKFor(500) == 8)
     assert(Similarity.semDedupKFor(2000) == 32)
     assert(Similarity.semDedupKFor(64L * 1000 * 1000) == 1000000)
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    val ks = for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) yield {
       val rows = Similarity.semDedup(spark, s"/root/testdata/$sf").collect()
       val k = Similarity.semDedupKFor(rows.length)
+      // K really derives from THIS corpus's size (not a stale constant) —
+      // a testdata regen that changes n must change K with it
+      assert(k == Similarity.semDedupKFor(
+        graft.Tables.t(spark, s"/root/testdata/$sf", "embeddings").count()))
       val pops = rows.groupBy(_.getLong(1)).view.mapValues(_.length)
       assert(pops.size == k, s"$sf: ${pops.size} of $k clusters populated")
       assert(pops.values.max <= 2 * Similarity.SemDedupTargetPop,
@@ -72,7 +76,14 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
           s"2×${Similarity.SemDedupTargetPop}")
       val kept = rows.count(_.getBoolean(3))
       assert(kept > 0 && kept < rows.length, s"$sf: keep flag vacuous")
+      k
     }
+    // the derivation must actually BITE across the SF ladder: if every SF
+    // yields the same K, either the regen flattened corpus sizes or the
+    // formula silently went constant — both are exactly what this guard
+    // exists to catch (current corpora: 500/500/2000 vectors → K 8/8/32)
+    assert(ks.distinct.size >= 2,
+      s"derived K constant across SFs: $ks — K ∝ n is not engaged")
   }
 
   test("semdedup: trained centroids bound the pair join — every cluster populated, none dominant") {
