@@ -114,6 +114,9 @@ object SparkEntry {
     // (every span a verbatim cross-doc repeat with provenance), the
     // refinement of the island approximation toward suffix-level dedup
     "dup_spans_maximal" -> (Dedup.dupSpansMaximal _),
+    // two-pass maximal spans: DISTINCT union of chains against both
+    // canonical occurrences - tightens toward suffix-level maximality
+    "dup_spans_maximal2" -> (Dedup.dupSpansMaximal2 _),
     // batch-cadence substring dedup: delta-vs-corpus gram probe; the
     // oracle IS the full rebuild restricted to the delta
     "dup_spans_incremental" -> (Dedup.dupSpansIncremental _),
@@ -271,6 +274,7 @@ object SparkEntry {
     // counting) reports byte-identical spans
     "dup_spans_hashed" -> Dedup.dupSpansSql,
     "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
+    "dup_spans_maximal2" -> Dedup.dupSpansMaximal2Sql,
     "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,

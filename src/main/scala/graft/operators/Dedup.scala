@@ -425,9 +425,7 @@ object Dedup {
     * reuse the one materialized token/gram generation. */
   private def maximalSpanParts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val (toks, grams) = hashedGramParts(spark, dir)
     // both canonical occurrences via partial-combinable aggregates — NO
     // gh-partitioned window anywhere: per-(gh, doc) min idx first (a
@@ -461,7 +459,19 @@ object Dedup {
           .otherwise(col("d1")).as("p_doc"),
         when(col("doc_id") === col("d1"), col("i2"))
           .otherwise(col("i1")).as("p_idx"))
-    val chained = hits
+    (toks, alignChains(hits, n))
+  }
+
+  /** Chain partner-attached hits into maximal aligned spans: consecutive
+    * hits fuse only while the local index AND the partner alignment both
+    * advance by exactly 1 in the same partner doc — the lag/island block
+    * shared by both partner elections ([[dupSpansMaximal]] pass A and
+    * [[dupSpansMaximal2]]'s pass B). Doc-partitioned windows, bounded by
+    * document length. */
+  private def alignChains(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    hits
       .withColumn("l_idx", lag(col("idx"), 1).over(byDoc))
       .withColumn("l_doc", lag(col("p_doc"), 1).over(byDoc))
       .withColumn("l_pidx", lag(col("p_idx"), 1).over(byDoc))
@@ -470,7 +480,7 @@ object Dedup {
         col("p_doc") =!= col("l_doc") ||
         col("p_idx") - col("l_pidx") =!= 1, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(byDoc))
-    val spans = chained.groupBy(col("doc_id"), col("island"))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min(col("idx")).cast("long").as("span_start"),
         (max(col("idx")) + (n - 1)).cast("long").as("span_end"),
         (max(col("idx")) - min(col("idx")) + n).cast("long").as("span_tokens"),
@@ -478,7 +488,57 @@ object Dedup {
         min(col("p_idx")).cast("long").as("src_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("src_doc"), col("src_start"))
-    (toks, spans)
+  }
+
+  /** TWO-PASS maximal spans — the tightening toward true suffix-level
+    * maximality: [[dupSpansMaximal]]'s single canonical election splits a
+    * span at any alignment break against its ONE partner, even where the
+    * duplication continues against the OTHER canonical occurrence
+    * (the documented under-approximation trade). Pass B re-chains every
+    * hit against the alternative election — prefer the rank-2 occurrence
+    * wherever the hit is not itself in it (doc = d2 falls back to o1;
+    * everything else aligns to o2) — and the report is the DISTINCT union
+    * of both passes' maximal runs: pass-A spans survive verbatim
+    * (spec-pinned superset), and a repeat that continues only against the
+    * second partner now stays whole instead of splitting. Still an
+    * under-approximation against rank-3+ occurrences — documented, never
+    * a false positive (every emitted span carries a verbatim alignment by
+    * the same token-for-token argument as pass A).
+    *
+    * Scale shape: identical to pass A — the partner-attached hit frame is
+    * materialized ONCE ([[graft.SharedFrames]]) and both chain passes are
+    * doc-partitioned windows over it; the union adds one distinct on
+    * span-sized (not corpus-sized) rows. No new gh-keyed stage at all. */
+  def dupSpansMaximal2(spark: SparkSession, dir: String): DataFrame = {
+    val n = DupSpanGram
+    val (_, grams) = hashedGramParts(spark, dir)
+    val docMin = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(min(col("idx")).as("di"))
+    val firstOcc = docMin.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("di"))).as("o1"))
+    val pairTab = docMin.join(firstOcc, Seq("gh"))
+      .filter(col("doc_id") > col("o1.doc_id"))
+      .groupBy(col("gh"))
+      .agg(min(col("o1")).as("o1"),
+        min(struct(col("doc_id"), col("di"))).as("o2"))
+      .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.di").as("i1"),
+        col("o2.doc_id").as("d2"), col("o2.di").as("i2"))
+    // one materialized generation feeds both chain passes
+    val base = graft.SharedFrames.shared(grams.join(pairTab, Seq("gh"))
+      .select(col("doc_id"), col("idx"),
+        col("d1"), col("i1"), col("d2"), col("i2")))
+    val hitsA = base.select(col("doc_id"), col("idx"),
+      when(col("doc_id") === col("d1"), col("d2"))
+        .otherwise(col("d1")).as("p_doc"),
+      when(col("doc_id") === col("d1"), col("i2"))
+        .otherwise(col("i1")).as("p_idx"))
+    val hitsB = base.select(col("doc_id"), col("idx"),
+      when(col("doc_id") === col("d2"), col("d1"))
+        .otherwise(col("d2")).as("p_doc"),
+      when(col("doc_id") === col("d2"), col("i1"))
+        .otherwise(col("i2")).as("p_idx"))
+    alignChains(hitsA, n).union(alignChains(hitsB, n)).distinct()
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Oracle for [[dupSpansMaximal]]: the identical canonical-partner
@@ -527,6 +587,41 @@ object Dedup {
     s"""$maximalPrefixSql
        |SELECT doc_id, span_start, span_end, span_tokens, src_doc, src_start
        |FROM mspans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Oracle for [[dupSpansMaximal2]]: the shared chain through `mspans`
+    * (pass A) plus the alternative-election chain (pass B: doc = d2 falls
+    * back to the first occurrence, everything else aligns to the second),
+    * DISTINCT-unioned — the identical two-pass construction over literal
+    * gram strings. */
+  lazy val dupSpansMaximal2Sql: String = {
+    val n = DupSpanGram
+    s"""$maximalPrefixSql,
+       |h2 AS (SELECT g.doc_id, g.idx,
+       |        CASE WHEN g.doc_id = s.d2 THEN f.d1 ELSE s.d2 END AS p_doc,
+       |        CASE WHEN g.doc_id = s.d2 THEN f.i1 ELSE s.i2 END AS p_idx
+       |      FROM grams g JOIN f USING (gram) JOIN s USING (gram)),
+       |c2 AS (SELECT doc_id, idx, p_doc, p_idx,
+       |        CASE WHEN lag(idx) OVER w IS NULL
+       |             OR idx - lag(idx) OVER w <> 1
+       |             OR p_doc <> lag(p_doc) OVER w
+       |             OR p_idx - lag(p_idx) OVER w <> 1
+       |        THEN 1 ELSE 0 END AS brk
+       |      FROM h2 WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+       |ch2 AS (SELECT doc_id, idx, p_doc, p_idx,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |      FROM c2),
+       |mspans2 AS (
+       |  SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS span_start,
+       |    CAST(MAX(idx) + ${n - 1} AS BIGINT) AS span_end,
+       |    CAST(MAX(idx) - MIN(idx) + $n AS BIGINT) AS span_tokens,
+       |    CAST(MIN(p_doc) AS BIGINT) AS src_doc,
+       |    CAST(MIN(p_idx) AS BIGINT) AS src_start
+       |  FROM ch2 GROUP BY doc_id, island)
+       |SELECT DISTINCT doc_id, span_start, span_end, span_tokens,
+       |  src_doc, src_start
+       |FROM (SELECT * FROM mspans UNION ALL SELECT * FROM mspans2)
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 
   /** Oracle for [[dupSpanScrubAligned]]: the maximal-span chain, the
     * src_doc < doc_id keep-first filter, and the same rebuild tail as

@@ -715,6 +715,38 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(spans.exists(_._4 > n), "no span beyond one gram — chains vacuous")
   }
 
+  test("dup_spans_maximal2: pass-A spans survive verbatim; new spans are verbatim repeats; second pass non-vacuous") {
+    graft.SharedFrames.releaseAll()
+    val a = Dedup.dupSpansMaximal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    graft.SharedFrames.releaseAll()
+    val both = Dedup.dupSpansMaximal2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // the tightening direction: the two-pass report is a SUPERSET of the
+    // single-election report (pass A rides through the union untouched)
+    assert(a.subsetOf(both),
+      s"two-pass report lost pass-A spans: ${a.diff(both).take(3)}")
+    // and the second pass actually adds coverage on this corpus — a
+    // vacuous pass B would make the operator a rename
+    assert(both.size > a.size,
+      "pass B added nothing: rank-2 re-alignment vacuous on this corpus")
+    // every ADDED span still carries a true verbatim alignment
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty))
+      .toMap
+    both.diff(a).foreach { case (id, s, e, len, src, ss) =>
+      assert(src != id)
+      assert(toks(id).slice(s.toInt, e.toInt + 1)
+        .sameElements(toks(src).slice(ss.toInt, (ss + len).toInt)),
+        s"added span doc=$id [$s,$e] is not a verbatim repeat of doc=$src @$ss")
+    }
+    graft.SharedFrames.releaseAll()
+  }
+
   test("dup_span_scrub_aligned: exact driver replay of the provenance keep-first policy; corpus-first copies survive") {
     val spans = Dedup.dupSpansMaximal(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))

@@ -171,6 +171,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("dup_spans_maximal2: both chain passes read ONE materialized partner frame; no gh window") {
+    graft.SharedFrames.releaseAll()
+    val df = graft.operators.Dedup.dupSpansMaximal2(spark, dir)
+    val phys = df.queryExecution.sparkPlan
+    val p = phys.toString
+    assert(!p.contains("concat_ws"),
+      s"dup_spans_maximal2 materializes a literal gram string:\n$p")
+    assert(!p.contains("windowspecdefinition(gh#"),
+      s"dup_spans_maximal2: partner election windows over the gram-hash key:\n$p")
+    // the partner-attached hit frame must be shared: both passes read the
+    // cached generation instead of re-running the gram join per pass
+    assert(phys.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }.size >= 2,
+      s"pass A and pass B do not both read the shared partner frame:\n$phys")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("dup_span_scrub_aligned: no span-text group anywhere — the keep-first policy is a filter") {
     graft.SharedFrames.releaseAll()
     val p = graft.operators.Dedup.dupSpanScrubAligned(spark, dir)
