@@ -98,11 +98,22 @@ object SparkEntry {
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
+    // Z-order multi-dim clustering: per-file min/max stats prove file
+    // skipping works on BOTH dims; pruning power pinned in ScaleLayoutSpec
+    "zorder_layout" -> (graft.operators.ScaleLayout.zorderLayout _),
     // sketch aggregates: rows-only (sketch internals differ across engines
     // by design; error bounds vs exact are pinned in ScalaTest)
     "approx_stats" -> (TextAnalysis.approxStats _),
+    // exact heavy hitters via the two-pass Misra-Gries candidate/recount
+    // scheme; oracle = the naive full-vocabulary HAVING query
+    "heavy_hitters" -> (TextAnalysis.heavyHitters _),
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
+    // the runtime-filter twin: corpus scan pre-pruned by a broadcast
+    // Bloom filter built from the delta's signatures — the corpus side
+    // never shuffles; oracle = the plain incremental SQL (bloom FPs are
+    // resolved by the exact anti-join, FNs impossible)
+    "dedup_incremental_bloom" -> (Dedup.dedupIncrementalBloom _),
     // substring-level dedup (Lee et al. 2021): maximal cross-doc
     // duplicated token spans, integer-exact island merge
     "dup_spans" -> (Dedup.dupSpans _),
@@ -166,6 +177,9 @@ object SparkEntry {
     // caption<->image pair mining: neighbor candidates, real per-row
     // decode, strict-fold embedding cosine, mismatch filter
     "crossmodal_pairs" -> (Multimodal.crossModalPairs _),
+    // contrastive negative mining: bucketed candidate join + per-image
+    // md5-ranked top-k — deterministic, metadata-only (no decode)
+    "crossmodal_negatives" -> (Multimodal.crossModalNegatives _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     // DSv2 SINK: engine WAL format written via the two-phase committer,
     // read back with the DSv2 reader — lossless round trip
@@ -216,6 +230,9 @@ object SparkEntry {
     "mr_odd_key_vals" -> KvSurface.mrOddKeyValsSql,
     "text_stats" -> TextAnalysis.textStatsSql,
     "token_topk" -> TextAnalysis.tokenTopkSql,
+    // oracle is the naive full-vocabulary HAVING query: equality proves
+    // the per-partition Misra-Gries candidate pass loses no heavy hitter
+    "heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum
@@ -254,6 +271,7 @@ object SparkEntry {
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,
+    "zorder_layout" -> graft.operators.ScaleLayout.zorderLayoutSql,
     // connected components over the near-dup pair graph; oracle walks the
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure
@@ -282,6 +300,9 @@ object SparkEntry {
     // delta-vs-corpus: the gate proves batch-cadence dedup (anti-join on
     // the corpus fingerprint set + delta-internal keeper election)
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
+    // verified twin: equality vs the PLAIN incremental SQL proves the
+    // bloom pre-filter is transparent (superset probe + exact resolve)
+    "dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     // the verified LSH twins' oracle IS the exact-Jaccard SQL: equality
     // holds iff the candidate generators caught every true >=0.7 pair on
@@ -303,6 +324,7 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.audioFramesSql,
     "multimodal_video" -> Multimodal.videoFramesSql,
     "crossmodal_pairs" -> Multimodal.crossModalPairsSql,
+    "crossmodal_negatives" -> Multimodal.crossModalNegativesSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,

@@ -85,6 +85,87 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.fp = delta.fp)
        |ORDER BY doc_id""".stripMargin
 
+  /** Bloom geometry for [[dedupIncrementalBloom]]: 2^16 bits, 4 probes.
+    * Sized for a crawl-batch-scale delta (~10^3–10^4 signatures → FP rate
+    * ≪ 1%); at production delta sizes the same plan holds with m scaled —
+    * the broadcast is m/8 bytes regardless of corpus size. */
+  final val BloomBits = 1 << 16
+  final val BloomHashes = 4
+
+  /** The j-th bloom probe position for column `fp` — ONE definition used
+    * verbatim by both the build side (j = lambda variable) and the probe
+    * side, so the two can never drift. */
+  private def bloomPosSql(j: String): String =
+    s"pmod(xxhash64(fp, $j), $BloomBits)"
+
+  private val bloomPositionsSql: String =
+    s"transform(sequence(0, ${BloomHashes - 1}), j -> ${bloomPosSql("j")})"
+
+  /** The RUNTIME-FILTER twin of [[dedupIncremental]] — identical result
+    * (the oracle IS [[dedupIncrementalSql]]), different 100 TB plan. The
+    * plain flavor anti-joins delta against the corpus signature set: both
+    * sides shuffle on fp, and at 100 TB the corpus side is the whole
+    * crawl-history signature table. Here the corpus NEVER shuffles:
+    *
+    *   1. BUILD: the delta's signatures (batch-sized) are folded into an
+    *      m-bit Bloom filter via integer aggregates — explode the
+    *      [[BloomHashes]] probe positions, groupBy the 64-bit word index,
+    *      `bit_or` the masks. The collect is ≤ m/64 = 1024 longs — a
+    *      fixed 8 KB, independent of BOTH corpus and delta size.
+    *   2. PROBE: the corpus scan keeps only signatures the filter MAY
+    *      contain — a codegen'd `forall` over array/bit built-ins against
+    *      the broadcast literal word array, evaluated AT THE SCAN with no
+    *      exchange. False negatives are impossible (every inserted
+    *      signature sets all its probe bits), so the survivor set is a
+    *      guaranteed superset of corpus ∩ delta; false positives only add
+    *      survivor rows, each delta-bounded in expectation.
+    *   3. EXACT: the anti-join runs delta vs the tiny survivor set
+    *      (broadcast) — collisions are resolved exactly, so bloom FPs
+    *      cannot leak into the result.
+    *
+    * This is the semi-join-reduction pattern Spark's own runtime row
+    * filters apply to joins, expressed as a first-class operator the
+    * pipeline can aim at any stored signature table. */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, PrefixSigLen).cast("binary")).as("fp"))
+    val delta = docs.filter(col("doc_id") >= IncrementalCut)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_delta_copies"))
+    val words = bloomBuild(delta)
+    val corpusSurvivors = docs.filter(col("doc_id") < IncrementalCut)
+      .withColumn("bw", typedLit(words.toSeq))
+      .filter(bloomMayContain)
+      .select(col("fp")).distinct()
+    delta.join(broadcast(corpusSurvivors), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_delta_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fold a signature frame (column `fp`) into the m-bit filter's word
+    * array. Bounded collect: exactly ≤ [[BloomBits]]/64 rows. */
+  private[operators] def bloomBuild(sigs: DataFrame): Array[Long] = {
+    val rows = sigs
+      .select(explode(expr(bloomPositionsSql)).as("pos"))
+      .select(expr("cast(pos div 64 as int)").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val words = Array.fill[Long](BloomBits / 64)(0L)
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Membership test against the literal word array in column `bw` —
+    * all codegen'd built-ins (transform/forall/element_at/bit ops), so
+    * the probe runs inside the scan's WholeStageCodegen span. */
+  private[operators] val bloomMayContain: Column = expr(
+    s"""forall($bloomPositionsSql, p ->
+       |  (element_at(bw, cast(p div 64 as int) + 1)
+       |   & shiftleft(cast(1 as bigint), cast(p % 64 as int))) != 0)"""
+      .stripMargin)
+
   /** Character-trigram SET per doc as one sorted packed-long array row
     * ([[graft.functions.GramPackSet]] — injective code-point packing, not
     * a hash), doc_id-bounded to [lo, hi) (candidate universe). Texts

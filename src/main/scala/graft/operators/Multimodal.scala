@@ -432,6 +432,67 @@ object Multimodal {
        |ORDER BY img_doc, cap_doc""".stripMargin
   }
 
+  /** Negatives per positive pair, and the candidate-bucket modulus.
+    * [[NegBuckets]] bounds the candidate slice each image ranks:
+    * corpus/NegBuckets captions per image, NOT the full corpus — at
+    * 100 TB you scale NegBuckets with the corpus so the per-image
+    * candidate count stays O(desired-negatives × safety-factor). */
+  final val NegPerPair = 3
+  final val NegBuckets = 8L
+
+  /** Contrastive NEGATIVE mining for the caption↔image pairs: for every
+    * image (even doc_ids, [[assets]]), deterministically sample
+    * [[NegPerPair]] mismatched captions to train against, excluding the
+    * image's own caption candidates (doc_id and doc_id+1 — the positive
+    * set [[crossModalPairs]] scores).
+    *
+    * Scale shape: candidate generation is an EQUI-join on the hash bucket
+    * (cap_doc % [[NegBuckets]] = img_doc % [[NegBuckets]]) — never a
+    * cross join — so each image ranks a corpus/NegBuckets slice; the
+    * per-image top-[[NegPerPair]] is a doc-keyed window (partitioned by
+    * img_doc, never a global or hot-key sort). Ranking key is
+    * md5(img_doc:cap_doc) — engine/run/partitioning-independent, so the
+    * sampled negatives are reproducible across the cluster and the
+    * oracle. No decode: negative mining is metadata-only; the payload
+    * bytes stay untouched in storage (binary-column pruning). */
+  def crossModalNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val imgs = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("img_doc"),
+        (col("doc_id") % NegBuckets).as("b"))
+    val caps = docs.select(col("doc_id").as("neg_cap"),
+      (col("doc_id") % NegBuckets).as("b"))
+    imgs.join(caps, Seq("b"))
+      .filter(col("neg_cap") =!= col("img_doc") &&
+        col("neg_cap") =!= col("img_doc") + 1)
+      .withColumn("nk", md5(concat(col("img_doc").cast("string"), lit(":"),
+        col("neg_cap").cast("string")).cast("binary")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("img_doc"))
+        .orderBy(col("nk"), col("neg_cap"))))
+      .filter(col("rnk") <= NegPerPair)
+      .select(col("img_doc"), col("neg_cap"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("img_doc"), col("rnk"))
+  }
+
+  val crossModalNegativesSql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS img_doc FROM documents WHERE doc_id % 2 = 0),
+       |caps AS (SELECT doc_id AS neg_cap FROM documents),
+       |cand AS (
+       |  SELECT img_doc, neg_cap,
+       |    md5(concat(CAST(img_doc AS VARCHAR), ':',
+       |               CAST(neg_cap AS VARCHAR))) AS nk
+       |  FROM imgs JOIN caps ON neg_cap % $NegBuckets = img_doc % $NegBuckets
+       |  WHERE neg_cap <> img_doc AND neg_cap <> img_doc + 1),
+       |r AS (
+       |  SELECT img_doc, neg_cap,
+       |    row_number() OVER (PARTITION BY img_doc ORDER BY nk, neg_cap)
+       |      AS rnk
+       |  FROM cand)
+       |SELECT img_doc, neg_cap, rnk FROM r WHERE rnk <= $NegPerPair
+       |ORDER BY img_doc, rnk""".stripMargin
+
   /** DuckDB oracle derived from FIRST PRINCIPLES: the synthesized dims/
     * lengths are pure functions of doc_id ([[assets]]), so the expected
     * widths, heights, and exact FILE SIZES (BMP row padding, WAV header)

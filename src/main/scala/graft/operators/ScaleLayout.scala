@@ -160,6 +160,87 @@ object ScaleLayout {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Z-order geometry: [[ZDimBits]] bucket bits per dimension; the file id
+    * interleaves the TOP [[ZFileBits]] bits of each dimension → 2^(2·ZFileBits)
+    * files, each covering a 1/2^ZFileBits slice of BOTH dimensions. */
+  final val ZDimBits = 4
+  final val ZFileBits = 2
+
+  /** Multi-dimensional Z-ORDER clustering of `orders` on
+    * (o_custkey, order day) — the data-layout operator that makes min/max
+    * file skipping work on BOTH filter dimensions at once (a table sorted
+    * by one key prunes only that key; an unsorted table prunes nothing).
+    *
+    * Each dimension is scaled to a [[ZDimBits]]-bit bucket by pure integer
+    * arithmetic (dim·2^bits ÷ (max+1) — engine-exact, no floats), and the
+    * file assignment interleaves the top [[ZFileBits]] bits of each
+    * bucket: every file covers a quarter-range RECTANGLE in (cust, day)
+    * space. The query emits the per-file min/max stats a scan planner
+    * would consult — the spec probes them to show a single-customer filter
+    * and a single-quarter filter each prune ≥ 3/4 of the files, while the
+    * same probes against a orderkey-chunked layout prune ~nothing.
+    *
+    * 100 TB shape: the file id is a PROJECTION (no global sort — this is
+    * what `repartitionByRange` on z approximates, with the added property
+    * that the cut points are fixed, so the write is one shuffle-free pass
+    * once max-dims are known); the stats roll up with a partial-combinable
+    * groupBy on the 16-value file id. The max-dim row is a one-row
+    * broadcast, the same pattern as the IVF centroid fetch. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val dims = t(spark, dir, "orders").select(
+      col("o_custkey").cast("long").as("cust"),
+      // o_orderdate is TIMESTAMP_NTZ in the parquet; the session TZ is
+      // pinned UTC everywhere (TestSpark/Verify/Bench), so the cast to
+      // TIMESTAMP is the identity on the epoch value
+      expr("cast(floor(unix_micros(cast(o_orderdate as timestamp)) " +
+        "/ 86400000000) as bigint)").as("day"))
+    // bucket over the OBSERVED [min, max] of each dim — epoch days sit in
+    // a narrow absolute band, so an unanchored scale would collapse the
+    // date dimension into one bucket
+    val mx = dims.agg(
+      min(col("cust")).as("c0"), max(col("cust")).as("c1"),
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val scale = 1L << ZDimBits
+    val hi = ZDimBits - 1
+    dims.crossJoin(broadcast(mx))
+      .withColumn("cb", expr(s"((cust - c0) * $scale) div (c1 - c0 + 1)"))
+      .withColumn("db", expr(s"((day - d0) * $scale) div (d1 - d0 + 1)"))
+      .withColumn("file_id",
+        // interleave: (db_hi, cb_hi, db_hi-1, cb_hi-1) — MSB-first so
+        // z-adjacent files are rectangle-adjacent
+        expr(s"((db >> $hi) & 1) * 8 + ((cb >> $hi) & 1) * 4 + " +
+          s"((db >> ${hi - 1}) & 1) * 2 + ((cb >> ${hi - 1}) & 1)"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cust")).as("min_cust"), max(col("cust")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy(col("file_id"))
+  }
+
+  val zorderLayoutSql: String = {
+    val hi = ZDimBits - 1
+    s"""WITH dims AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS cust,
+       |         epoch_us(o_orderdate) // 86400000000 AS day
+       |  FROM orders),
+       |mx AS (SELECT min(cust) AS c0, max(cust) AS c1,
+       |              min(day) AS d0, max(day) AS d1 FROM dims),
+       |b AS (
+       |  SELECT cust, day,
+       |    ((cust - c0) * ${1L << ZDimBits}) // (c1 - c0 + 1) AS cb,
+       |    ((day - d0) * ${1L << ZDimBits}) // (d1 - d0 + 1) AS db
+       |  FROM dims, mx),
+       |z AS (
+       |  SELECT cust, day,
+       |    ((db >> $hi) & 1) * 8 + ((cb >> $hi) & 1) * 4 +
+       |    ((db >> ${hi - 1}) & 1) * 2 + ((cb >> ${hi - 1}) & 1) AS file_id
+       |  FROM b)
+       |SELECT file_id, count(*) AS n_rows,
+       |  min(cust) AS min_cust, max(cust) AS max_cust,
+       |  min(day) AS min_day, max(day) AS max_day
+       |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin
+  }
+
   /** The big side with its `__salt` column: (partition + position) mod n,
     * dealt by the codegen'd per-partition counter expression
     * ([[graft.functions.SaltCounter]] — no RDD round-trip, the scan stays

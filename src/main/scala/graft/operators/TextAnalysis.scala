@@ -169,6 +169,78 @@ object TextAnalysis {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** Heavy-hitter threshold: report tokens whose occurrence count exceeds
+    * total/K. Shared by the query, its oracle, and the spec. K = 30 sits
+    * just above the corpus's near-uniform 31-token vocabulary mean (1/31
+    * of mass), so the gate splits non-vacuously at every SF: exclusion is
+    * GUARANTEED by arithmetic (31 tokens cannot all hold > n/30), and the
+    * frequency spread (~±8% of the mean) puts the head above it. */
+  val HeavyHitterK = 30
+
+  /** One Misra–Gries pass over a partition's tokens with k counters.
+    * Classic semantics: seen token increments; unseen token with a free
+    * counter claims one; unseen token with a full table decrements EVERY
+    * counter (evicting zeros) and is itself dropped. Guarantee: any token
+    * with > n_p/k of the partition's n_p occurrences survives. */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { tok =>
+      counters.get(tok) match {
+        case Some(c) => counters(tok) = c + 1
+        case None if counters.size < k => counters(tok) = 1L
+        case None =>
+          counters.mapValuesInPlace((_, c) => c - 1)
+          counters.filterInPlace((_, c) => c > 0)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** Exact heavy hitters (tokens with count·K > total occurrences) via the
+    * two-pass candidate/recount scheme — the 100 TB shape where the naive
+    * plan (full-vocabulary groupBy then HAVING) shuffles every distinct
+    * token per partition:
+    *
+    *   1. CANDIDATES: one narrow scan runs [[misraGries]] per partition —
+    *      O(K) memory, NO shuffle. If a token holds > n/K of the global n
+    *      occurrences then in at least one partition it holds > n_p/K of
+    *      that partition's n_p (else summing the per-partition bounds
+    *      contradicts the global one), so the union of per-partition
+    *      summaries is a GUARANTEED superset of every true heavy hitter.
+    *      The union is ≤ K·numPartitions tokens — a bounded, contractual
+    *      collect (the BPE-election discipline, CorpusOps.scala).
+    *   2. RECOUNT: the exact count restricted to the broadcast candidate
+    *      set. Map-side partial aggregation caps the shuffle at
+    *      |candidates| rows per partition; everything outside the
+    *      candidate set is filtered AT THE SCAN, before any exchange.
+    *
+    * The oracle is the naive full-vocabulary HAVING query — equality
+    * proves the MG candidate pass loses no heavy hitter and the recount
+    * threshold matches exactly. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.count()
+    val candidates = toks.as[String]
+      .mapPartitions(misraGries(_, HeavyHitterK))
+      .distinct().collect().toSeq // ≤ K·partitions rows by construction
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HeavyHitterK > total)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |nz AS (SELECT token FROM toks WHERE length(token) > 0)
+       |SELECT token, COUNT(*) AS cnt FROM nz
+       |GROUP BY token
+       |HAVING COUNT(*) * $HeavyHitterK > (SELECT COUNT(*) FROM nz)
+       |ORDER BY cnt DESC, token""".stripMargin
+
   /** Per-document top-3 salient terms by a TF-IDF-style score. The score
     * is tf/df — one exact-int by exact-int IEEE division, identical bit
     * pattern in any engine (ln-based idf would differ by libm ulps across

@@ -965,4 +965,88 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     // the deal is a real shuffle, not the identity order
     assert(rows.sortBy(_._1).map(_._3).toSeq != (1L to n).toSeq)
   }
+
+  test("heavy_hitters: two-pass MG candidate/recount ≡ the exact full-vocabulary count; threshold splits the vocabulary non-vacuously") {
+    val got = TextAnalysis.heavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // driver replay: exact counts over every token, naive HAVING
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+    val exact = toks.groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val expected = exact.toSeq
+      .filter { case (_, c) => c * TextAnalysis.HeavyHitterK > toks.length }
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq == expected,
+      "MG candidate pass + recount disagrees with the exact HAVING query")
+    assert(got.nonEmpty, "threshold admits nothing — vacuous gate")
+    assert(got.length < exact.size,
+      "threshold excludes nothing — vacuous gate")
+    // every reported count is the true count (recount is exact, not MG's
+    // under-estimate)
+    got.foreach { case (t, c) => assert(c == exact(t)) }
+  }
+
+  test("dedup_incremental_bloom ≡ plain incremental; probe has no false negatives; filter really prunes the corpus scan") {
+    import org.apache.spark.sql.functions.{col, md5, substring, typedLit}
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2))
+    val plain = Dedup.dedupIncremental(spark, dir).collect().map(key).toSeq
+    val bloom = Dedup.dedupIncrementalBloom(spark, dir).collect().map(key).toSeq
+    assert(bloom == plain,
+      "bloom-prefiltered incremental diverges from the plain anti-join")
+    assert(plain.nonEmpty, "vacuous gate — empty survivor set")
+    // no-false-negative invariant: every signature INSERTED into the
+    // filter must pass its own probe
+    val fps = graft.Tables.t(spark, dir, "documents")
+      .select(md5(substring(col("text"), 1, Dedup.PrefixSigLen)
+        .cast("binary")).as("fp"))
+    val deltaFps = fps.limit(100)
+    val words = Dedup.bloomBuild(deltaFps)
+    val n = deltaFps.count()
+    val pass = deltaFps.withColumn("bw", typedLit(words.toSeq))
+      .filter(Dedup.bloomMayContain).count()
+    assert(pass == n, s"bloom false negative: $pass of $n inserted pass")
+    // selectivity: signatures that were NOT inserted mostly fail the
+    // probe (2^16 bits vs ~400 set positions → FP rate ≪ 1%)
+    val fresh = fps.withColumn("fp",
+      md5(org.apache.spark.sql.functions.concat(col("fp"),
+        org.apache.spark.sql.functions.lit("salt")).cast("binary")))
+    val fp = fresh.withColumn("bw", typedLit(words.toSeq))
+      .filter(Dedup.bloomMayContain).count()
+    assert(fp < fresh.count() / 10,
+      s"bloom passes $fp of ${fresh.count()} fresh signatures — no pruning")
+  }
+
+  test("crossmodal_negatives: exactly k per image, positives excluded, bucket-bounded, md5 ranking replayed driver-side") {
+    val rows = Multimodal.crossModalNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt))
+    val docIds = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val imgIds = docIds.filter(_ % 2 == 0)
+    val byImg = rows.groupBy(_._1)
+    assert(byImg.keySet == imgIds.toSet, "an image got no negatives")
+    byImg.foreach { case (img, negs) =>
+      assert(negs.length == Multimodal.NegPerPair)
+      assert(negs.map(_._3).sorted.toSeq == (1 to Multimodal.NegPerPair))
+      negs.foreach { case (_, c, _) =>
+        assert(c != img && c != img + 1, s"positive caption $c sampled as negative for $img")
+        assert(c % Multimodal.NegBuckets == img % Multimodal.NegBuckets,
+          "negative escaped its candidate bucket")
+      }
+    }
+    // driver replay of the deterministic ranking for a sample of images
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long, c: Long): String =
+      md.digest(s"$i:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    imgIds.take(5).foreach { img =>
+      val expected = docIds
+        .filter(c => c != img && c != img + 1 &&
+          c % Multimodal.NegBuckets == img % Multimodal.NegBuckets)
+        .map(c => (key(img, c), c)).sorted.take(Multimodal.NegPerPair)
+        .map(_._2).toSeq
+      assert(byImg(img).sortBy(_._3).map(_._2).toSeq == expected,
+        s"image $img: sampled negatives diverge from the md5 ranking")
+    }
+  }
 }

@@ -108,4 +108,48 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSpec {
     val used = first.map(_.getLong(2)).distinct.sorted
     assert(used == (0L until 8L), s"expected all 8 salt buckets: $used")
   }
+
+  test("zorder_layout: every file a tight rectangle; point probes on EITHER dim prune ≥ 3/4 of files; orderkey-chunked layout prunes ~nothing") {
+    val files = ScaleLayout.zorderLayout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(files.length > 8, s"degenerate layout: ${files.length} files")
+    val orders = graft.Tables.t(spark, dir, "orders")
+    val n = orders.count()
+    assert(files.map(_._2).sum == n, "files do not partition the table")
+    // pruning power: for EACH file's own midpoint probe (a point lookup
+    // on cust, and independently on day), count surviving files
+    def survivors(probe: Long, lo: Int, hiI: Int): Int =
+      files.count(f => f.productElement(lo).asInstanceOf[Long] <= probe &&
+        probe <= f.productElement(hiI).asInstanceOf[Long])
+    val custProbes = files.map(f => (f._3 + f._4) / 2)
+    val dayProbes = files.map(f => (f._5 + f._6) / 2)
+    custProbes.foreach { p =>
+      assert(survivors(p, 2, 3) <= files.length / 2,
+        s"cust probe $p survives in over half the z-files")
+    }
+    dayProbes.foreach { p =>
+      assert(survivors(p, 4, 5) <= files.length / 2,
+        s"day probe $p survives in over half the z-files")
+    }
+    // on average the rectangles admit ≤ 1/3 of files per point probe —
+    // versus the orderkey-chunked baseline where cust min/max spans are
+    // near-full so ~every file survives every cust probe
+    val avgCust = custProbes.map(p => survivors(p, 2, 3)).sum.toDouble /
+      (files.length * files.length)
+    assert(avgCust <= 1.0 / 3,
+      f"z-layout cust pruning too weak: $avgCust%.2f of files survive")
+    import org.apache.spark.sql.expressions.Window
+    val chunked = orders
+      .withColumn("file_id", ntile(16).over(
+        Window.orderBy(col("o_orderkey"))))
+      .groupBy(col("file_id"))
+      .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val avgChunked = custProbes.map(p =>
+      chunked.count(f => f._1 <= p && p <= f._2)).sum.toDouble /
+      (custProbes.length * chunked.length)
+    assert(avgChunked > 0.9,
+      f"baseline unexpectedly prunes ($avgChunked%.2f) — probe not meaningful")
+  }
 }
