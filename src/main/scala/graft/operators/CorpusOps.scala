@@ -228,35 +228,40 @@ object CorpusOps {
     * literals). */
   def qualityModelWeights(spark: SparkSession, dir: String): Array[Long] = {
     val slice = qmDocs(spark, dir).filter(col("doc_id") < QmTrainCap)
-    val feats = qmFeatures(slice)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val labels = qualityGopherFrom(
-          t(spark, dir, "documents").filter(col("doc_id") < QmTrainCap))
-        .select(col("doc_id"),
-          when(col("keep"), lit(QmScale)).otherwise(lit(0L)).as("y"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = labels.count()
-      val w = Array.fill((2 * QmDim + 1).toInt)(0L)
-      (1 to QmRounds).foreach { _ =>
-        val wCol = array(w.map(lit(_)): _*)
-        val z = feats
-          .withColumn("wj", element_at(wCol, (col("j") + 1).cast("int")))
-          .groupBy(col("doc_id")).agg(sum(col("x") * col("wj")).as("z"))
-        val g = z.select(col("doc_id"), qmProb(col("z")).as("p"))
-          .join(labels, Seq("doc_id"))
-          .select(col("doc_id"), (col("p") - col("y")).as("err"))
-          .join(feats, Seq("doc_id"))
-          .groupBy(col("j")).agg(sum(col("err") * col("x")).as("g"))
-          .collect()
-        g.foreach { r =>
-          val j = r.getLong(0).toInt
-          w(j) = w(j) - tdivLong(r.getLong(1), n * QmLrDiv)
-        }
+    // The labeled-slice CONTRACT makes this collect bounded: labels are
+    // expensive, so the slice is O(10^3–10^4) docs at ANY corpus size —
+    // its feature rows (≤ 2·bigrams+1 per doc) come to the driver once,
+    // the KMR-holistic-gather / BPE-election discipline. The 16 gradient
+    // rounds then run driver-side in the SAME exact-Long arithmetic the
+    // distributed formulation used (round-8 bench: a Spark job per round
+    // spent ~13 s scheduling tiny stages over the 200-doc slice; this is
+    // one feature job + one label job, ~10× faster, bit-identical
+    // weights, so the unrolled oracle is untouched). Scoring — the part
+    // that IS corpus-sized — stays fully distributed.
+    val feats = qmFeatures(slice).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val labels = qualityGopherFrom(
+        t(spark, dir, "documents").filter(col("doc_id") < QmTrainCap))
+      .select(col("doc_id"),
+        when(col("keep"), lit(QmScale)).otherwise(lit(0L)).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = labels.size.toLong
+    val byDoc = feats.groupBy(_._1)
+    val w = Array.fill((2 * QmDim + 1).toInt)(0L)
+    (1 to QmRounds).foreach { _ =>
+      // per-doc margin and hard-sigmoid error (qmProb's arithmetic: JVM
+      // Long `/` truncates toward zero, matching tdiv on either sign)
+      val err = byDoc.map { case (d, rows) =>
+        val z = rows.foldLeft(0L) { case (a, (_, j, x)) => a + x * w(j) }
+        val raw = QmScale / 2 + z / 4
+        val p = math.min(math.max(raw, 0L), QmScale)
+        d -> (p - labels(d))
       }
-      labels.unpersist(blocking = false)
-      w
-    } finally feats.unpersist(blocking = false)
+      val g = Array.fill(w.length)(0L)
+      feats.foreach { case (d, j, x) => g(j) += err(d) * x }
+      g.indices.foreach(j => w(j) = w(j) - tdivLong(g(j), n * QmLrDiv))
+    }
+    w
   }
 
   private def tdivLong(a: Long, b: Long): Long = a / b // JVM / truncates toward zero
