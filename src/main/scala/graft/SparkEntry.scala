@@ -95,6 +95,9 @@ object SparkEntry {
     // scrubbed text itself is oracle-compared)
     "repeat_scrub" -> (graft.operators.CorpusOps.repeatScrub _),
     "asof_join" -> (Relational.asofJoin _),
+    // interval join WITHOUT an equi key, decomposed into a bucket
+    // equi-join (no nested loop); oracle = the naive BETWEEN join
+    "range_join" -> (Relational.rangeJoinBucketed _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -268,6 +271,7 @@ object SparkEntry {
     "curriculum" -> TextAnalysis.curriculumSql,
     "repeat_scrub" -> graft.operators.CorpusOps.repeatScrubSql,
     "asof_join" -> Relational.asofJoinSql,
+    "range_join" -> Relational.rangeJoinBucketedSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

@@ -347,6 +347,73 @@ object Relational {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |WHERE event_type = 'click'""".stripMargin
 
+  /** Number of price bands and the bucket granularity for
+    * [[rangeJoinBucketed]] (bands overlap by construction: width span/12,
+    * stride span/60 → ~5 bands cover any price point). */
+  final val RangeBands = 50L
+  final val RangeBuckets = 32L
+
+  /** INTERVAL (range) join WITHOUT an equi key, decomposed into an
+    * equi-join — the pattern Spark itself lacks (a plain
+    * `p BETWEEN lo AND hi` join plans as BroadcastNestedLoopJoin: O(n·m)
+    * comparisons and a broadcast that must hold a whole side). Every
+    * lineitem row is matched to the overlapping price bands it falls in:
+    *
+    *   1. quantize the value domain into [[RangeBuckets]] fixed-width
+    *      buckets (width = span/32 from a one-row broadcast agg — the
+    *      zorder/IVF max-fetch cadence);
+    *   2. explode each band into the buckets its [lo, hi] covers —
+    *      ≤ width/bucket + 1 rows per band, bounded by construction;
+    *   3. EQUI-join probe rows to band-buckets on the bucket id (each
+    *      probe carries exactly ONE bucket, so no post-join dedup), then
+    *      filter the exact BETWEEN predicate.
+    *
+    * Shuffle is (n + Σcover) rows hashed on bucket — partition-parallel,
+    * AQE-skew-splittable, no nested loop, no full-side broadcast. The
+    * oracle is the naive BETWEEN join: equality proves the decomposition
+    * finds exactly the containing bands. All band arithmetic is single
+    * IEEE ops (sub/div/mul/add/floor) — bit-identical across engines. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("p"), col("l_quantity"))
+    val mx = li.agg(min(col("p")).as("p0"), max(col("p")).as("p1"))
+    val bands = spark.range(0, RangeBands).toDF("band_id")
+      .crossJoin(broadcast(mx))
+      .withColumn("lo", col("p0") + col("band_id") * ((col("p1") - col("p0")) / (RangeBands + 10)))
+      .withColumn("hi", col("lo") + (col("p1") - col("p0")) / 12)
+      .withColumn("w", (col("p1") - col("p0")) / RangeBuckets)
+      .withColumn("bk", explode(expr(
+        "sequence(cast(floor(lo / w) as bigint), cast(floor(hi / w) as bigint))")))
+      .select(col("band_id"), col("lo"), col("hi"), col("w"), col("bk"))
+    val probe = li.crossJoin(broadcast(mx))
+      .withColumn("w", (col("p1") - col("p0")) / RangeBuckets)
+      .withColumn("bk", expr("cast(floor(p / w) as bigint)"))
+      .select(col("p"), col("l_quantity"), col("bk"))
+    probe.join(bands, Seq("bk"))
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_items"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("band_id"))
+  }
+
+  val rangeJoinBucketedSql: String =
+    s"""WITH mx AS (
+       |  SELECT min(l_extendedprice) AS p0, max(l_extendedprice) AS p1
+       |  FROM lineitem),
+       |bands AS (
+       |  SELECT b.band_id,
+       |    p0 + band_id * ((p1 - p0) / ${RangeBands + 10}) AS lo,
+       |    p0 + band_id * ((p1 - p0) / ${RangeBands + 10}) + (p1 - p0) / 12
+       |      AS hi
+       |  FROM (SELECT unnest(range(0, $RangeBands)) AS band_id) b, mx)
+       |SELECT band_id, count(*) AS n_items,
+       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR)
+       |    AS DOUBLE) AS sum_qty
+       |FROM lineitem JOIN bands
+       |  ON l_extendedprice >= lo AND l_extendedprice <= hi
+       |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   /** Calendar aggregation: monthly revenue via date_trunc (SURVEY §2.7 —
     * the ref has no date functions at all; native here). */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
