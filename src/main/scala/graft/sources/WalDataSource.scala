@@ -76,8 +76,14 @@ final class WalTable(paths: Seq[String]) extends Table
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+  /** TIME TRAVEL: `option("asOfEpoch", E)` pins a batch read to the
+    * sink's state as of streaming epoch E — the batch base generation
+    * plus every COMMITTED epoch ≤ E. Epochs publish atomically and are
+    * append-only, so an as-of read is a stable snapshot no matter how
+    * far the live sink has advanced since. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WalScanBuilder(resolvePaths(options))
+    new WalScanBuilder(resolvePaths(options),
+      Option(options.get("asOfEpoch")).map(_.toLong))
 
   /** Write side (SINK): `df.write.format("graft.sources.WalDataSource")
     * .mode(...).save(dir)` emits the engine's exact record format
@@ -301,8 +307,9 @@ final class WalDataWriter(dir: String, partitionId: Int, taskId: Long)
   override def close(): Unit = ()
 }
 
-final class WalScanBuilder(paths: Seq[String]) extends ScanBuilder {
-  override def build(): Scan = new WalScan(paths)
+final class WalScanBuilder(paths: Seq[String],
+    asOfEpoch: Option[Long] = None) extends ScanBuilder {
+  override def build(): Scan = new WalScan(paths, asOfEpoch)
 }
 
 /** Published-segment discovery shared by the batch scan and the
@@ -328,14 +335,15 @@ object WalSegments {
     * This order is APPEND-ONLY under the streaming sink (epochs only
     * grow), which is what lets the micro-batch stream use "number of
     * published segments" as its offset. */
-  def expandDir(dirP: Path): Seq[String] = {
+  def expandDir(dirP: Path, maxEpoch: Option[Long] = None): Seq[String] = {
     val names = scala.util.Using.resource(Files.list(dirP)) { st =>
       st.iterator().asScala.map(_.getFileName.toString).toList
     }
     val committed = names.collect { case Marker(e) => e.toLong }.toSet
     names.flatMap {
       case n @ BatchSeg(i) => Some(((-1L, i.toLong), n))
-      case n @ EpochSeg(e, i) if committed(e.toLong) =>
+      case n @ EpochSeg(e, i)
+          if committed(e.toLong) && maxEpoch.forall(e.toLong <= _) =>
         Some(((e.toLong, i.toLong), n))
       case _ => None
     }.sortBy(_._1).map { case (_, n) => dirP.resolve(n).toString }
@@ -345,10 +353,11 @@ object WalSegments {
     * themselves) and assign each segment its global ordinal — the high
     * bits of every record's `seq`, making (key, seq) folds well-ordered
     * ACROSS segments, not just within one. */
-  def plan(paths: Seq[String]): Seq[WalInputPartition] =
+  def plan(paths: Seq[String],
+      maxEpoch: Option[Long] = None): Seq[WalInputPartition] =
     paths.flatMap { p =>
       val path = Paths.get(p)
-      if (Files.isDirectory(path)) expandDir(path) else Seq(p)
+      if (Files.isDirectory(path)) expandDir(path, maxEpoch) else Seq(p)
     }.zipWithIndex.map { case (p, ord) =>
       WalInputPartition(p, ord.toLong << 32)
     }
@@ -391,7 +400,8 @@ object WalSink {
       |FROM customer ORDER BY key""".stripMargin
 }
 
-final class WalScan(paths: Seq[String]) extends Scan with Batch {
+final class WalScan(paths: Seq[String],
+    asOfEpoch: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = WalDataSource.schema
   override def toBatch: Batch = this
 
@@ -400,7 +410,7 @@ final class WalScan(paths: Seq[String]) extends Scan with Batch {
     * [[InputPartition]] — so `load(dir)` round-trips either committer's
     * output without the caller listing files. */
   override def planInputPartitions(): Array[InputPartition] =
-    WalSegments.plan(paths).map(p => p: InputPartition).toArray
+    WalSegments.plan(paths, asOfEpoch).map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WalReaderFactory

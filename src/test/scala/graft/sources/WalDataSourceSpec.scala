@@ -245,6 +245,48 @@ class WalDataSourceSpec extends AnyFunSuite with SparkSpec {
     assert((rows(1)._1 >> 32) == (rows(0)._1 >> 32) + 1)
   }
 
+  test("time travel: asOfEpoch pins the batch read to the epoch-E snapshot; later epochs invisible; beyond-latest reads everything") {
+    val out = Files.createTempDirectory("graft-walasof-")
+    def temp(content: String): String = {
+      val t = Files.createTempFile(out, ".part-asof", ".tmp")
+      Files.writeString(t, content)
+      t.toString
+    }
+    val enc = java.util.Base64.getEncoder
+    def put(k: String, v: String) =
+      s"PUT\t${enc.encodeToString(k.getBytes)}\t${enc.encodeToString(v.getBytes)}\t#\n"
+    val w = new WalStreamingWrite(out.toString)
+    w.commit(2L, Array(WalCommitMessage(temp(put("k", "v2")))))
+    w.commit(5L, Array(WalCommitMessage(temp(put("k", "v5")))))
+    w.commit(9L, Array(WalCommitMessage(temp(put("k", "v9")))))
+    def lastValue(df: org.apache.spark.sql.DataFrame): String = {
+      val rows = df.orderBy(col("seq")).collect()
+        .map(r => new String(r.getAs[Array[Byte]](3)))
+      rows.last
+    }
+    def readAsOf(e: Long) = spark.read
+      .format("graft.sources.WalDataSource")
+      .option("asOfEpoch", e.toString).load(out.toString)
+    // the snapshot at epoch 5 folds to v5 even though epoch 9 is live
+    assert(lastValue(readAsOf(5L)) == "v5")
+    assert(readAsOf(5L).count() == 2, "epoch-5 snapshot read a later epoch")
+    // an as-of BETWEEN committed epochs pins to the floor (epoch 2)
+    assert(lastValue(readAsOf(4L)) == "v2")
+    // beyond-latest as-of and the plain read agree
+    val full = spark.read.format("graft.sources.WalDataSource")
+      .load(out.toString)
+    assert(lastValue(readAsOf(100L)) == "v9")
+    assert(readAsOf(100L).count() == full.count())
+    // snapshot STABILITY: a previously planned as-of frame re-executed
+    // after a NEW epoch lands still reads the pinned set
+    val pinned = readAsOf(5L)
+    w.commit(12L, Array(WalCommitMessage(temp(put("k", "v12")))))
+    assert(lastValue(pinned) == "v5",
+      "as-of snapshot moved when a later epoch published")
+    assert(lastValue(full.sparkSession.read
+      .format("graft.sources.WalDataSource").load(out.toString)) == "v12")
+  }
+
   test("streaming source: micro-batches follow committed epochs; restart resumes from the checkpointed offset; digest equals batch read") {
     val out = Files.createTempDirectory("graft-walmbr-")
     val cp = Files.createTempDirectory("graft-walmbr-cp-")
