@@ -98,6 +98,9 @@ object SparkEntry {
     // interval join WITHOUT an equi key, decomposed into a bucket
     // equi-join (no nested loop); oracle = the naive BETWEEN join
     "range_join" -> (Relational.rangeJoinBucketed _),
+    // per-group top-k via a bounded partial Aggregator (no window sort;
+    // map side reduces each group to <=k entries before the exchange)
+    "topk_per_group" -> (Relational.topkPerGroup _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -272,6 +275,9 @@ object SparkEntry {
     "repeat_scrub" -> graft.operators.CorpusOps.repeatScrubSql,
     "asof_join" -> Relational.asofJoinSql,
     "range_join" -> Relational.rangeJoinBucketedSql,
+    // oracle = the row_number window query: equality proves the
+    // k-bounded partial-merge ranking is exact
+    "topk_per_group" -> Relational.topkPerGroupSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded PARTIAL top-k aggregation — per-group top-k WITHOUT a window
+  * sort. The window formulation (`row_number() OVER (PARTITION BY g ORDER
+  * BY v)`) shuffles EVERY row of every group and sorts each partition;
+  * this Aggregator keeps a k-bounded buffer per group, so the map side
+  * reduces each (partition, group) to ≤ k entries before the exchange —
+  * the shuffle carries ≤ k·partitions rows per group and nothing is ever
+  * globally sorted. That is the same partial-combine property that makes
+  * count/sum scale, applied to ranking (an ObjectHashAggregate with a
+  * [[graft.engine.MrAggregator]]-style typed buffer; ref precedent:
+  * the associative KMR tier, SURVEY §7.3).
+  *
+  * Ordering contract: descending by value, ties broken ASCENDING by id —
+  * a total order, so the result is partitioning-independent and the
+  * DuckDB window oracle replays it exactly.
+  */
+object TopKAgg {
+
+  /** One candidate row: (id, value). */
+  final case class Entry(id: Long, v: Double)
+
+  private def lt(a: Entry, b: Entry): Boolean =
+    a.v > b.v || (a.v == b.v && a.id < b.id)
+
+  /** Merge two rank-sorted bounded lists into one, truncated at k. */
+  private def mergeK(k: Int, a: List[Entry], b: List[Entry]): List[Entry] = {
+    @annotation.tailrec
+    def go(x: List[Entry], y: List[Entry], acc: List[Entry], n: Int): List[Entry] =
+      if (n == 0) acc.reverse
+      else (x, y) match {
+        case (Nil, Nil) => acc.reverse
+        case (h :: t, Nil) => go(t, Nil, h :: acc, n - 1)
+        case (Nil, h :: t) => go(Nil, t, h :: acc, n - 1)
+        case (hx :: tx, hy :: ty) =>
+          if (lt(hx, hy)) go(tx, y, hx :: acc, n - 1)
+          else go(x, ty, hy :: acc, n - 1)
+      }
+    go(a, b, Nil, k)
+  }
+
+  def of(k: Int): Aggregator[Entry, List[Entry], Seq[Entry]] =
+    new Aggregator[Entry, List[Entry], Seq[Entry]] {
+      def zero: List[Entry] = Nil
+      def reduce(buf: List[Entry], e: Entry): List[Entry] =
+        mergeK(k, buf, e :: Nil)
+      def merge(a: List[Entry], b: List[Entry]): List[Entry] = mergeK(k, a, b)
+      def finish(buf: List[Entry]): Seq[Entry] = buf
+      def bufferEncoder: Encoder[List[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: Encoder[Seq[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
+  /** Untyped column for DataFrame groupBy: `top_k(3)(col_id, col_value)`
+    * → array<struct<id,v>> in rank order. */
+  def top_k(k: Int): (Column, Column) => Column = {
+    val f = udaf(of(k), Encoders.product[Entry])
+    (id: Column, v: Column) => f.apply(id, v)
+  }
+}

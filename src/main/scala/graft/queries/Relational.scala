@@ -414,6 +414,33 @@ object Relational {
        |  ON l_extendedprice >= lo AND l_extendedprice <= hi
        |GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  /** Per-group top-k via BOUNDED PARTIAL AGGREGATION
+    * ([[graft.functions.TopKAgg]]) instead of a ranking window: the
+    * window formulation shuffles every order row and sorts whole
+    * partitions; here the map side reduces each (partition, customer) to
+    * ≤ 3 entries before the exchange, and nothing is globally sorted —
+    * top-k gains the same partial-combine scaling as count/sum. Oracle =
+    * the row_number window query: equality proves the k-bounded merge
+    * implements exactly the (price DESC, orderkey ASC) ranking. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKAgg.top_k(3)
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_orderkey"), col("o_totalprice")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("o_orderkey"), col("col.v").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
   /** Calendar aggregation: monthly revenue via date_trunc (SURVEY §2.7 —
     * the ref has no date functions at all; native here). */
   def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
