@@ -28,6 +28,9 @@ object SparkEntry {
     "rollup_agg" -> (Relational.rollupAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "monthly_revenue" -> (Relational.monthlyRevenue _),
+    // exact reaggregation from the materialized daily layer (decimal
+    // partials are associative); oracle = the DIRECT monthly query
+    "monthly_from_daily" -> (Relational.monthlyFromDaily _),
     "q4_exists" -> (Relational.q4Exists _),
     "percentiles" -> (Relational.percentiles _),
     "left_outer_orders" -> (Relational.leftOuterOrders _),
@@ -82,6 +85,9 @@ object SparkEntry {
     // tokenizer APPLICATION with the trained merges (train→apply loop)
     "bpe_encode" -> (graft.operators.CorpusOps.bpeEncode _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
+    // snapshot diff between corpus versions: added/removed/changed by
+    // content fingerprint, one full-outer join on the unique doc id
+    "corpus_diff" -> (graft.operators.CorpusOps.corpusDiff _),
     "lm_bigram_score" -> (graft.operators.CorpusOps.lmBigramScore _),
     // per-source upsampling to a common token budget (materialized plan)
     "epoch_mix" -> (graft.operators.CorpusOps.epochMix _),
@@ -213,6 +219,9 @@ object SparkEntry {
     "rollup_agg" -> Relational.rollupAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
+    // the verified-twin gate: equality vs the direct monthly SQL proves
+    // the daily->monthly decimal rollup is lossless
+    "monthly_from_daily" -> Relational.monthlyRevenueSql,
     "q4_exists" -> Relational.q4ExistsSql,
     "percentiles" -> Relational.percentilesSql,
     "left_outer_orders" -> Relational.leftOuterOrdersSql,
@@ -263,6 +272,7 @@ object SparkEntry {
     // equality proves the trained merges apply identically to every doc
     "bpe_encode" -> graft.operators.CorpusOps.bpeEncodeSql,
     "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
+    "corpus_diff" -> graft.operators.CorpusOps.corpusDiffSql,
     "lm_bigram_score" -> graft.operators.CorpusOps.lmBigramScoreSql,
     // integer lottery (lot·src_tokens < remainder·2^16) — bit-identical
     // replication counts, so equality proves the whole mixing plan

@@ -538,6 +538,57 @@ object CorpusOps {
 
   private val KnownLangs = Seq("en", "de", "fr", "es", "zh")
 
+  /** Corpus SNAPSHOT DIFF — the audit companion of the incremental
+    * family ([[Dedup.dedupIncremental]] and friends): given two corpus
+    * versions, report every document that was added, removed, or changed
+    * (content hash inequality) between them. One full-outer hash join on
+    * doc_id with md5 content fingerprints — partition-parallel, no
+    * windows, no skew key (doc_id is unique on both sides), partial-
+    * aggregation-free. Versions here are derived deterministically from
+    * the one documents table (v1 = the pre-[[Dedup.IncrementalCut]]
+    * corpus with every 40th doc "edited"; v2 = the current corpus minus
+    * every 97th doc) — the stand-in for two real snapshot manifests,
+    * exercising all three verdicts non-vacuously at every SF. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val h = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val v1 = h.filter(col("doc_id") < Dedup.IncrementalCut)
+      .select(col("doc_id").as("id1"),
+        when(col("doc_id") % 40 === 0,
+          md5(concat(col("h"), lit("edit")).cast("binary")))
+          .otherwise(col("h")).as("h1"))
+    val v2 = h.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("id2"), col("h").as("h2"))
+    v1.join(v2, col("id1") === col("id2"), "full_outer")
+      .withColumn("status",
+        when(col("id1").isNull, lit("added"))
+          .when(col("id2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(coalesce(col("id1"), col("id2")).as("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |v1 AS (
+       |  SELECT doc_id AS id1,
+       |    CASE WHEN doc_id % 40 = 0 THEN md5(h || 'edit') ELSE h END AS h1
+       |  FROM h WHERE doc_id < ${Dedup.IncrementalCut}),
+       |v2 AS (SELECT doc_id AS id2, h AS h2 FROM h WHERE doc_id % 97 <> 0)
+       |SELECT COALESCE(id1, id2) AS doc_id,
+       |  CASE WHEN id1 IS NULL THEN 'added'
+       |       WHEN id2 IS NULL THEN 'removed'
+       |       WHEN h1 <> h2 THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM v1 FULL OUTER JOIN v2 ON id1 = id2
+       |WHERE (CASE WHEN id1 IS NULL THEN 'added'
+       |            WHEN id2 IS NULL THEN 'removed'
+       |            WHEN h1 <> h2 THEN 'changed'
+       |            ELSE 'unchanged' END) <> 'unchanged'
+       |ORDER BY doc_id""".stripMargin
+
   /** Data-integrity audit across the corpus tables — the invariants a
     * pipeline run asserts before training: doc↔embedding alignment (both
     * directions), no empty text, declared metadata (`n_chars`) consistent

@@ -452,6 +452,28 @@ object Relational {
         asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
       .orderBy(col("month"))
 
+  /** Monthly revenue REAGGREGATED from a materialized daily layer — the
+    * incremental-aggregation pattern every 100 TB warehouse runs on: raw
+    * facts roll into per-day partials ONCE (append-only as days close),
+    * and coarser queries read ~30 daily rows per month instead of
+    * rescanning raw orders. Exactness hinges on the partials being
+    * DECIMAL, not double: decimal addition is associative, so
+    * sum-of-day-sums is bit-identical to the direct monthly sum — the
+    * oracle IS [[monthlyRevenueSql]] (the direct query), and equality
+    * proves the two-level rollup lossless. (A double partial would drift
+    * by association order and hash-mismatch.) */
+  def monthlyFromDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders_day"),
+        sum(dec(col("o_totalprice"))).as("rev_day"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(sum(col("n_orders_day")).as("n_orders"),
+        asDouble(sum(col("rev_day"))).as("revenue"))
+      .orderBy(col("month"))
+  }
+
   val monthlyRevenueSql: String =
     """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue

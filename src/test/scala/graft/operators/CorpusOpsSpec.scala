@@ -479,4 +479,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(chunks.map(_._1).distinct.length == tokens.size,
       "every document must be chunked")
   }
+
+  test("corpus_diff: all three verdicts populated; driver replay of the version derivation agrees row-for-row") {
+    val got = CorpusOps.corpusDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ids = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val v1 = ids.filter(_ < graft.operators.Dedup.IncrementalCut)
+    val v2 = ids.filterNot(_ % 97 == 0)
+    val expected = (v1 ++ v2).toSeq.sorted.flatMap { id =>
+      if (!v1(id)) Some(id -> "added")
+      else if (!v2(id)) Some(id -> "removed")
+      // content change iff the v1 side was "edited" (hash salted)
+      else if (id % 40 == 0) Some(id -> "changed")
+      else None
+    }
+    assert(got.toSeq == expected, "diff diverges from the replay")
+    val statuses = got.map(_._2).toSet
+    assert(statuses == Set("added", "removed", "changed"),
+      s"verdict classes missing: $statuses")
+  }
 }
