@@ -68,6 +68,9 @@ object SparkEntry {
     "quality_model_score" -> (graft.operators.CorpusOps.qualityModelScore _),
     "pii_redact" -> (graft.operators.CorpusOps.piiRedact _),
     "sample_mix" -> (graft.operators.CorpusOps.sampleMix _),
+    // exact-size per-language sample via the k-bounded partial
+    // aggregator (no hot-key window); md5 ranking, engine-independent
+    "sample_stratified" -> (graft.operators.CorpusOps.sampleStratifiedExact _),
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
     "bpe_vocab" -> (graft.operators.CorpusOps.bpeVocab _),
@@ -263,6 +266,7 @@ object SparkEntry {
     "quality_model_score" -> graft.operators.CorpusOps.qualityModelScoreSql,
     "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
+    "sample_stratified" -> graft.operators.CorpusOps.sampleStratifiedExactSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
     "token_bpe" -> graft.operators.CorpusOps.tokenBpeSql,
     // oracle unrolls the same merge rounds as static SQL — equality proves

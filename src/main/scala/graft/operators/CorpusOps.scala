@@ -534,6 +534,48 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact per-stratum sample size for [[sampleStratifiedExact]]. */
+  final val StratSampleK = 20
+
+  /** EXACT-SIZE stratified sampling — the eval-set carve: exactly
+    * [[StratSampleK]] documents per language, chosen by an engine-
+    * independent md5 ranking (so the carve is reproducible across runs,
+    * partitionings, and engines — the [[sampleMix]] determinism contract,
+    * but with an exact count instead of a rate).
+    *
+    * Scale shape: the naive formulation is a row_number window
+    * partitioned by lang — and a language stratum is CORPUS-scale (half
+    * of a web corpus is one language), so that window is a single-task
+    * sort on a hot key. Here the per-stratum top-k runs through the
+    * k-BOUNDED partial aggregator ([[graft.functions.TopKAgg]]): every
+    * (partition, lang) reduces to ≤ k candidates before the exchange and
+    * nothing is ever sorted corpus-wide. Ranking key: the first 13 hex
+    * digits of md5(doc_id) as a 52-bit integer — exactly representable
+    * in double, so the aggregator's (value, id) total order replays
+    * bit-identically in the oracle's window. */
+  def sampleStratifiedExact(spark: SparkSession, dir: String): DataFrame = {
+    val topk = graft.functions.TopKAgg.top_k(StratSampleK)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)" +
+          "), 1, 13), 16, 10) as bigint)").as("hk"))
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), -col("hk").cast("double")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val sampleStratifiedExactSql: String =
+    s"""SELECT lang, rnk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY
+       |      CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+       |        AS BIGINT), doc_id) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $StratSampleK ORDER BY lang, rnk""".stripMargin
+
   // ---- pipeline integrity audit ----
 
   private val KnownLangs = Seq("en", "de", "fr", "es", "zh")

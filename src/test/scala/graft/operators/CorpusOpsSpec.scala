@@ -499,4 +499,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(statuses == Set("added", "removed", "changed"),
       s"verdict classes missing: $statuses")
   }
+
+  test("sample_stratified: exactly k per language; md5 ranking replayed driver-side; deterministic carve") {
+    val got = CorpusOps.sampleStratifiedExact(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val langs = docs.map(_._2).distinct.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    langs.foreach { l =>
+      val mine = got.filter(_._1 == l)
+      val pop = docs.filter(_._2 == l).map(_._1)
+      assert(mine.length == math.min(CorpusOps.StratSampleK, pop.length),
+        s"stratum $l: ${mine.length} sampled of ${pop.length}")
+      val expected = pop.map(id => (hk(id), id)).sorted
+        .take(CorpusOps.StratSampleK).map(_._2).toSeq
+      assert(mine.sortBy(_._2).map(_._3).toSeq == expected,
+        s"stratum $l: carve diverges from the md5 ranking")
+    }
+    // ranks are 1..k within each stratum
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"stratum $l ranks not contiguous") }
+  }
 }
