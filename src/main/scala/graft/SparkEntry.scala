@@ -166,6 +166,9 @@ object SparkEntry {
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
+    // the EVAL-side audit: per-eval-doc leaked grams / leak fraction /
+    // corpus docs carrying the leak (same two-stage hashed probe)
+    "contamination_report" -> (Dedup.contaminationReport _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
@@ -308,6 +311,7 @@ object SparkEntry {
     // star-contraction loop itself stays under the DuckDB equality gate
     "dedup_clusters_star_dist" -> Dedup.dedupClustersSql,
     "decontaminate" -> Dedup.decontaminateSql,
+    "contamination_report" -> Dedup.contaminationReportSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dup_spans" -> Dedup.dupSpansSql,

@@ -1313,6 +1313,72 @@ object Dedup {
       docs.filter(col("doc_id") < ContamEvalCap))
   }
 
+  /** The EVAL-side contamination audit — the report a benchmark owner
+    * reads before trusting scores: for every eval document, how much of
+    * it leaked into the training corpus (distinct leaked grams, leak
+    * fraction, and how many corpus docs carry the leak). The corpus-side
+    * twin [[decontaminate]] answers "which training docs must go"; this
+    * answers "which eval tasks are compromised, and how badly".
+    *
+    * Same two-stage scale shape as [[decontaminateFrom]]: stage 1 flags
+    * candidate corpus docs with the hashed broadcast probe (no corpus
+    * gram strings, no corpus-sized shuffle); stage 2 re-derives exact
+    * string grams for the FLAGGED remnant only and joins them to the
+    * broadcast eval gram table for per-eval-doc attribution — hash
+    * collisions die in the exact join, so every count is string-true. */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GramHashes.gram_hashes
+    val docs = t(spark, dir, "documents")
+      .filter(length(col("text")) >= ContamGram)
+    val evalDocs = docs.filter(col("doc_id") < ContamEvalCap)
+    val corpus = docs.filter(col("doc_id") >= ContamEvalCap)
+    val flagged = corpus
+      .select(col("doc_id"),
+        explode(gram_hashes(col("text"), ContamGram)).as("gh"))
+      .join(broadcast(evalGramHashes(evalDocs)), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val evalGrams = evalDocs
+      .select(col("doc_id").as("eval_doc"), explode(contamGrams).as("gram"))
+      .distinct()
+    val pairs = corpus.join(broadcast(flagged), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("c_doc"), explode(contamGrams).as("gram"))
+      .distinct()
+      .join(broadcast(evalGrams), Seq("gram"))
+    val hits = pairs.groupBy(col("eval_doc"))
+      .agg(countDistinct(col("gram")).as("n_leaked"),
+        countDistinct(col("c_doc")).as("n_docs_hit"))
+    evalGrams.groupBy(col("eval_doc")).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("eval_doc"), "left_outer")
+      .select(col("eval_doc"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_grams"))
+          .as("leak_frac"))
+      .orderBy(col("eval_doc"))
+  }
+
+  val contaminationReportSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, length(text) - ${ContamGram - 2}),
+       |    i -> substring(text, i, $ContamGram))) AS gram
+       |  FROM documents WHERE length(text) >= $ContamGram),
+       |g AS (SELECT DISTINCT doc_id, gram FROM raw),
+       |e AS (SELECT doc_id AS eval_doc, gram FROM g
+       |      WHERE doc_id < $ContamEvalCap),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id >= $ContamEvalCap),
+       |tot AS (SELECT eval_doc, COUNT(*) AS n_grams FROM e GROUP BY eval_doc),
+       |hit AS (
+       |  SELECT eval_doc, COUNT(DISTINCT c.gram) AS n_leaked,
+       |         COUNT(DISTINCT c.doc_id) AS n_docs_hit
+       |  FROM e JOIN c ON e.gram = c.gram GROUP BY eval_doc)
+       |SELECT eval_doc, n_grams,
+       |  COALESCE(n_leaked, 0) AS n_leaked,
+       |  COALESCE(n_docs_hit, 0) AS n_docs_hit,
+       |  CAST(COALESCE(n_leaked, 0) AS DOUBLE) / n_grams AS leak_frac
+       |FROM tot LEFT JOIN hit USING (eval_doc)
+       |ORDER BY eval_doc""".stripMargin
+
   /** The fingerprinted eval-set probe table — distinct rolling 64-bit gram
     * hashes of the eval docs, 8-byte keys meant for a broadcast semi-join.
     * SHARED by batch stage 1 ([[decontaminateFrom]]) and the streaming

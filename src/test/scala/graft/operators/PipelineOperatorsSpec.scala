@@ -1049,4 +1049,47 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
         s"image $img: sampled negatives diverge from the md5 ranking")
     }
   }
+
+  test("contamination_report: reconciles with the corpus-side decontaminate totals; leak fractions sane and non-vacuous") {
+    val report = Dedup.contaminationReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(report.nonEmpty)
+    report.foreach { case (d, nGrams, nLeaked, nDocs, frac) =>
+      assert(d < Dedup.ContamEvalCap)
+      assert(nLeaked <= nGrams, s"eval $d leaked more grams than it has")
+      assert((nLeaked == 0) == (nDocs == 0), s"eval $d leak/doc mismatch")
+      assert(math.abs(frac - nLeaked.toDouble / nGrams) == 0.0)
+    }
+    assert(report.exists(_._3 > 0), "no eval doc leaks — vacuous report")
+    // cross-check against the corpus-side view: the set of corpus docs
+    // carrying any leak must be exactly decontaminate's flagged set
+    val corpusFlagged = Dedup.decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // recompute the report's corpus-doc universe driver-side
+    val texts = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= Dedup.ContamGram)
+    def grams(t: String): Set[String] =
+      (1 to (t.length - Dedup.ContamGram + 1))
+        .map(i => t.substring(i - 1, i - 1 + Dedup.ContamGram)).toSet
+    val evalGrams = texts.filter(_._1 < Dedup.ContamEvalCap)
+      .flatMap(x => grams(x._2)).toSet
+    val hitDocs = texts.filter(_._1 >= Dedup.ContamEvalCap)
+      .filter(x => grams(x._2).exists(evalGrams)).map(_._1).toSet
+    assert(hitDocs == corpusFlagged,
+      "driver replay disagrees with decontaminate's flag set")
+    // and the per-eval attribution is consistent with the replay
+    val byEval = texts.filter(_._1 < Dedup.ContamEvalCap).map { case (d, t) =>
+      val eg = grams(t)
+      val corpusG = texts.filter(_._1 >= Dedup.ContamEvalCap)
+      val leaked = eg.filter(g => corpusG.exists(c => c._2.contains(g)))
+      d -> leaked.size.toLong
+    }.toMap
+    report.foreach { case (d, _, nLeaked, _, _) =>
+      assert(nLeaked == byEval(d),
+        s"eval $d: n_leaked $nLeaked != replay ${byEval(d)}")
+    }
+  }
 }
