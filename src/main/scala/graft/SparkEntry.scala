@@ -110,6 +110,10 @@ object SparkEntry {
     // per-group top-k via a bounded partial Aggregator (no window sort;
     // map side reduces each group to <=k entries before the exchange)
     "topk_per_group" -> (Relational.topkPerGroup _),
+    // 3-step funnel via chained as-of windows (one shuffle, no range
+    // self-joins); retention cohorts as pure partial-combinable rollups
+    "funnel_conversion" -> (Relational.funnelConversion _),
+    "retention_cohorts" -> (Relational.retentionCohorts _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -295,6 +299,8 @@ object SparkEntry {
     // oracle = the row_number window query: equality proves the
     // k-bounded partial-merge ranking is exact
     "topk_per_group" -> Relational.topkPerGroupSql,
+    "funnel_conversion" -> Relational.funnelConversionSql,
+    "retention_cohorts" -> Relational.retentionCohortsSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

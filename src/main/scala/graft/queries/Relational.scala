@@ -347,6 +347,108 @@ object Relational {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |WHERE event_type = 'click'""".stripMargin
 
+  /** Funnel step window: each step must follow the previous within 24
+    * hours (microseconds — the events table's native resolution). 24 h
+    * keeps BOTH verdict classes populated at every SF on this corpus's
+    * per-user event density (19 / 246 / 2554 conversions at
+    * sf0.001/0.01/0.1, all well under the purchase count — pinned in
+    * FunnelSpec); tighter windows go vacuous at the small SFs. */
+  final val FunnelWindowUs = 24L * 3600 * 1000000
+
+  /** Three-step FUNNEL (view → click → purchase) via CHAINED as-of
+    * windows — the product-analytics sequence query, composed from the
+    * [[asofJoin]] primitive instead of a quadratic self-join chain: one
+    * per-user pass computes, at every row, the last prior view ts; a
+    * second window over the same (user, ts, id) order carries, at every
+    * purchase, the last prior click WITH that click's own prior-view ts
+    * (the (cts, vts) struct travels atomically — the asofJoin NULL-pair
+    * discipline). A purchase converts iff its click is within
+    * [[FunnelWindowUs]] and that click's view is within the same window.
+    *
+    * Scale shape: both windows share one partitioning and sort (user
+    * keys are high-cardinality — no hot key), so the whole funnel is ONE
+    * shuffle + one per-partition sort; the naive 3-way self-join is two
+    * corpus-sized range joins. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("pv_ts", last(when(col("event_type") === "view",
+        col("tus")), ignoreNulls = true).over(w))
+      .withColumn("pc", last(when(col("event_type") === "click",
+        struct(col("tus").as("cts"), col("pv_ts").as("vts"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("pc").isNotNull &&
+          col("tus") - col("pc.cts") <= FunnelWindowUs &&
+          col("pc.vts").isNotNull &&
+          col("pc.cts") - col("pc.vts") <= FunnelWindowUs, 1L)
+          .otherwise(0L)).as("n_funnels"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelConversionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+       |  FROM events),
+       |s1 AS (
+       |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN tus END
+       |      IGNORE NULLS) OVER w AS pv_ts
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |s2 AS (
+       |  SELECT *, last_value(CASE WHEN event_type = 'click'
+       |        THEN {'cts': tus, 'vts': pv_ts} END
+       |      IGNORE NULLS) OVER w AS pc
+       |  FROM s1
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, COUNT(*) AS n_purchases,
+       |  CAST(SUM(CASE WHEN pc IS NOT NULL
+       |    AND tus - (pc).cts <= $FunnelWindowUs
+       |    AND (pc).vts IS NOT NULL
+       |    AND (pc).cts - (pc).vts <= $FunnelWindowUs
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_funnels
+       |FROM s2 WHERE event_type = 'purchase'
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** RETENTION COHORTS — the other canonical product-analytics rollup:
+    * users grouped by first-seen day, activity counted per day offset.
+    * Shapes: one distinct on (user, day) (map-side partial), one
+    * user-keyed min, one co-keyed join, one (cohort, offset) count —
+    * every stage partial-combinable, no windows at all. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("cast(floor(unix_micros(ts) / 86400000000) as bigint)")
+          .as("day"))
+      .distinct()
+    val first = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  COUNT(DISTINCT user_id) AS n_active
+      |FROM days JOIN first USING (user_id)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Number of price bands and the bucket granularity for
     * [[rangeJoinBucketed]] (bands overlap by construction: width span/12,
     * stride span/60 → ~5 bands cover any price point). */
