@@ -18,6 +18,15 @@ final case class QuotaVerdict(user_id: Long, event_id: Long, admitted: Boolean,
 final case class ClickEnriched(user_id: Long, event_id: Long, ts_us: Long,
     prior_view_id: Option[Long], prior_view_value: Option[Double])
 
+/** Streaming funnel state: the latest view ts and the latest click with
+  * ITS OWN prior-view ts frozen at click time — exactly the (cts, vts)
+  * struct the batch window carries, three longs per user. */
+final case class FunnelState(view_ts: Option[Long], click_ts: Option[Long],
+    click_view_ts: Option[Long])
+
+final case class PurchaseVerdict(user_id: Long, event_id: Long, ts_us: Long,
+    converted: Boolean)
+
 /** Event carrying a real TimestampType column (required for watermarks /
   * event-time timeouts). */
 final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
@@ -246,6 +255,45 @@ object EventStreams {
               last = Some((e.ts_us, e.event_id, e.value))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming FUNNEL — the O(1)-state twin of
+    * [[graft.queries.Relational.funnelConversion]]: every purchase is
+    * emitted with its conversion verdict (a click within the step window,
+    * whose own prior view was within the step window of the click). The
+    * batch query's chained windows hold the whole per-user ordering; the
+    * stream carries THREE LONGS per user ([[FunnelState]]) forever —
+    * state updates happen AFTER the verdict, matching the batch windows'
+    * strictly-earlier frames. In-order per-user delivery across
+    * micro-batches assumed (the [[quotaAdmission]]/[[asofEnrich]]
+    * contract); EventStreamsSpec proves exact batch parity over in-order
+    * splits. */
+  def funnelStream(events: Dataset[Event],
+      windowUs: Long = graft.queries.Relational.FunnelWindowUs)
+      : Dataset[PurchaseVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, PurchaseVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = List.newBuilder[PurchaseVerdict]
+          batch.toList.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase") {
+              val conv = (s.click_ts, s.click_view_ts) match {
+                case (Some(cts), Some(vts)) =>
+                  e.ts_us - cts <= windowUs && cts - vts <= windowUs
+                case _ => false
+              }
+              out += PurchaseVerdict(userId, e.event_id, e.ts_us, conv)
+            }
+            if (e.event_type == "view") s = s.copy(view_ts = Some(e.ts_us))
+            if (e.event_type == "click")
+              s = s.copy(click_ts = Some(e.ts_us), click_view_ts = s.view_ts)
+          }
+          state.update(s)
           out.result().iterator
       }
   }

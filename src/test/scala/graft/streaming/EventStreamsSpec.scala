@@ -148,6 +148,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: per-user verdict totals EXACTLY equal the batch funnel across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append")
+      .start()
+    try {
+      val sorted = rows.sortBy(e => (e.ts_us, e.event_id))
+      sorted.grouped(math.max(1, sorted.length / 4)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel").as[PurchaseVerdict].collect()
+      val perUser = streamed.groupBy(_.user_id).map { case (u, vs) =>
+        u -> (vs.length.toLong, vs.count(_.converted).toLong) }
+      val batch = graft.queries.Relational.funnelConversion(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(perUser == batch, "stream/batch funnel divergence")
+      assert(streamed.exists(_.converted) && streamed.exists(!_.converted),
+        "verdict classes not both populated")
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
