@@ -1036,9 +1036,12 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       }
     }
     // driver replay of the deterministic ranking for a sample of images
+    // (52-bit md5 prefix as the numeric key, cap id as the tie-break —
+    // the TopKAgg total order)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def key(i: Long, c: Long): String =
-      md.digest(s"$i:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def key(i: Long, c: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"$i:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
     imgIds.take(5).foreach { img =>
       val expected = docIds
         .filter(c => c != img && c != img + 1 &&
