@@ -161,6 +161,9 @@ object SparkEntry {
     // token spans (island-merged), keep the rest of the document
     "decontaminate_scrub" -> (Dedup.decontaminateScrub _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    // fuzzy (edit-distance <= 1) matching via the SymSpell deletion-
+    // neighborhood equi-join; oracle = the naive all-pairs query
+    "dedup_edit_distance" -> (Dedup.dedupEditDistance _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
     // batch-cadence near-dup: delta buckets probe the stored corpus
@@ -338,6 +341,7 @@ object SparkEntry {
     // bloom pre-filter is transparent (superset probe + exact resolve)
     "dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_edit_distance" -> Dedup.dedupEditDistanceSql,
     // the verified LSH twins' oracle IS the exact-Jaccard SQL: equality
     // holds iff the candidate generators caught every true >=0.7 pair on
     // the bounded slice — an end-to-end recall check the driver can see

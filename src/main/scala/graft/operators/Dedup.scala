@@ -1313,6 +1313,46 @@ object Dedup {
       docs.filter(col("doc_id") < ContamEvalCap))
   }
 
+  /** EDIT-DISTANCE near-dup pairs (Levenshtein ≤ 1) over the customer
+    * name column — the SymSpell-lineage DELETION-NEIGHBORHOOD join, the
+    * scalable formulation of fuzzy matching: two strings within edit
+    * distance 1 ALWAYS share a member of each other's 1-deletion
+    * neighborhood (substitution: delete the differing position from
+    * both; insert/delete: the shorter string IS a variant of the
+    * longer), so exploding each string into |s|+1 variants turns the
+    * O(n²) all-pairs scan into an EQUI-join on the variant — candidate
+    * pairs ∝ Σ|neighborhood-bucket|², bounded by the shared-variant
+    * structure, each verified by one exact `levenshtein` call. The
+    * oracle IS the naive all-pairs query: equality proves the
+    * neighborhood join generates every qualifying pair (completeness is
+    * the theorem above) and the verification kills every false
+    * candidate. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val variants = c.select(col("id"), col("s"), explode(expr(
+      "array_union(array(s), transform(sequence(1, length(s)), " +
+        "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)))))"))
+      .as("v"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val dedupEditDistanceSql: String =
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id1, id2""".stripMargin
+
   /** The EVAL-side contamination audit — the report a benchmark owner
     * reads before trusting scores: for every eval document, how much of
     * it leaked into the training corpus (distinct leaked grams, leak

@@ -1053,6 +1053,37 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup_edit_distance: deletion-neighborhood join ≡ exact all-pairs Levenshtein; candidate completeness theorem holds on adversarial strings") {
+    val got = Dedup.dedupEditDistance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val names = graft.Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (i1, s1) <- names; (i2, s2) <- names if i1 < i2
+      d = lev(s1, s2) if d <= 1
+    } yield (i1, i2, d.toLong)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == expected, "neighborhood join missed or invented a pair")
+    assert(got.nonEmpty, "no close pairs — vacuous")
+    // the completeness theorem on adversarial shapes: substitution,
+    // insertion, deletion, identical, and a distance-2 NON-pair
+    def d1(s: String): Set[String] =
+      (0 until s.length).map(i => s.take(i) + s.drop(i + 1)).toSet + s
+    assert(d1("abcd").intersect(d1("abXd")).nonEmpty) // substitution
+    assert(d1("abcd").intersect(d1("abd")).nonEmpty)  // deletion
+    assert(d1("abcd").intersect(d1("abcde")).nonEmpty) // insertion
+    assert(d1("abcd").intersect(d1("aXYd")).isEmpty,
+      "distance-2 strings must NOT share a 1-deletion variant here")
+  }
+
   test("contamination_report: reconciles with the corpus-side decontaminate totals; leak fractions sane and non-vacuous") {
     val report = Dedup.contaminationReport(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
