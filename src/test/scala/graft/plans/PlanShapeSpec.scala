@@ -282,4 +282,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
       s"mktsegment filter not pushed:\n$p")
   }
+
+  test("GLOBAL sweep: no CartesianProduct and no partition-less window in ANY registered plan") {
+    // Two anti-patterns that are fatal at 100 TB whatever the query:
+    //  - CartesianProduct: an unbounded all-pairs shuffle (a 1-row
+    //    broadcast build plans as BroadcastNestedLoopJoin, which is the
+    //    allowed carrier for scalar crossJoins — so asserting on the
+    //    CartesianProduct NODE catches exactly the unbounded case);
+    //  - a window whose spec opens with a sort column (no partition
+    //    columns): ONE task sorts the world at any corpus size.
+    // Construction of some queries runs bounded driver work (training
+    // rounds, index writes, MG candidate collects) — at sf0.001 that is
+    // seconds, and the sweep deliberately pays it to keep EVERY
+    // registered plan under the pin, new queries included by default.
+    val globalWindow = """windowspecdefinition\(\w+#\d+L? (ASC|DESC)""".r
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val res = try {
+          val p = plan(fn(spark, dir))
+          val bad = List(
+            if (p.contains("CartesianProduct"))
+              Some("CartesianProduct") else None,
+            if (globalWindow.findFirstIn(p).isDefined)
+              Some("partition-less window") else None).flatten
+          if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+        } catch {
+          case e: Throwable => Some(s"$name: plan construction failed: $e")
+        } finally graft.SharedFrames.releaseAll()
+        res
+    }
+    assert(failures.isEmpty,
+      s"scale anti-patterns in registered plans:\n${failures.mkString("\n")}")
+  }
 }
