@@ -26,6 +26,7 @@ object SparkEntry {
     "set_ops" -> (Relational.setOps _),
     "distinct_agg" -> (Relational.distinctAgg _),
     "rollup_agg" -> (Relational.rollupAgg _),
+    "cube_agg" -> (Relational.cubeAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "monthly_revenue" -> (Relational.monthlyRevenue _),
     // exact reaggregation from the materialized daily layer (decimal
@@ -230,6 +231,7 @@ object SparkEntry {
     "set_ops" -> Relational.setOpsSql,
     "distinct_agg" -> Relational.distinctAggSql,
     "rollup_agg" -> Relational.rollupAggSql,
+    "cube_agg" -> Relational.cubeAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
     // the verified-twin gate: equality vs the direct monthly SQL proves

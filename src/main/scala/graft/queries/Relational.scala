@@ -195,6 +195,23 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over (lang, source) — the full grouping-sets lattice (rollup
+    * covers the hierarchical prefix sets; cube adds the cross-marginals
+    * a mixing dashboard reads: per-lang, per-source, and both). One
+    * Expand + one hash aggregation — each input row fans out to its 4
+    * grouping sets map-side, partials combine as usual. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  val cubeAggSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   /** Exact (holistic) percentile aggregation — the ref's reduce_func is the
     * only holistic aggregate it has (SURVEY §2.7); this is the built-in
     * columnar form. Spark `percentile` and DuckDB `quantile_cont` both use
