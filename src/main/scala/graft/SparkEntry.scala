@@ -115,6 +115,7 @@ object SparkEntry {
     // self-joins); retention cohorts as pure partial-combinable rollups
     "funnel_conversion" -> (Relational.funnelConversion _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
+    "events_anomaly" -> (Relational.eventsAnomaly _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_ivf_verified" -> (Similarity.annIvfVerified _),
     "ann_ivf_indexed" -> (Similarity.annIvfIndexedQuery _),
+    "ann_pq" -> (Similarity.annPq _),
     // NAME PINNED since r2: embedding_neardup = the bounded EXACT primitive
     // (oracle-checked); embedding_neardup_lsh = the full-corpus LSH path.
     // r1's "embedding_neardup" was the LSH computation — r1→r2 numbers
@@ -306,6 +308,7 @@ object SparkEntry {
     "topk_per_group" -> Relational.topkPerGroupSql,
     "funnel_conversion" -> Relational.funnelConversionSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
+    "events_anomaly" -> Relational.eventsAnomalySql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,
@@ -380,6 +383,7 @@ object SparkEntry {
     // ann_ivf_indexed through the written cluster-partitioned index
     "ann_ivf_verified" -> Similarity.annBruteForceSql,
     "ann_ivf_indexed" -> Similarity.annBruteForceSql,
+    "ann_pq" -> Similarity.annPqSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
     // SemDeDup: the oracle replays centroid assignment AND the
     // within-cluster lower-id prune — strict-left-fold cosines make every

@@ -615,34 +615,46 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
       .as[(Long, Array[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var centroids = vecs.orderBy(col("vec_id")).limit(k)
-        .collect().map(_._2)
-      (0 until iters).foreach { _ =>
-        val bc = spark.sparkContext.broadcast(centroids)
-        val assigned = vecs.mapPartitions { it =>
-          val cs = bc.value
-          it.map { case (_, v) => (nearestCentroid(v, cs), v) }
-        }.toDF("cluster", "ev")
-        val sums = assigned
-          .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(sum(floor(col("x") * SemDedupQScale)).as("sq"),
-            count(lit(1)).as("n"))
-          .collect()
-        bc.unpersist(blocking = false) // iteration-scoped, release inline
-        val upd = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
-          rows.sortBy(_.getInt(1)).map { r =>
-            // JVM long division truncates toward zero — the SQL twin
-            // emulates exactly this (CASE on sign over `//`)
-            (r.getLong(2) / r.getLong(3)).toDouble / SemDedupQScale
-          }
-        }.toMap
-        centroids = centroids.indices
-          .map(c => upd.getOrElse(c, centroids(c))).toArray
-      }
-      centroids
-    } finally vecs.unpersist(blocking = false)
+    try quantizedLloyd(vecs, k, iters)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  /** The quantized-Lloyd's loop itself, over any (vec_id, vector) set —
+    * shared verbatim by [[semDedupCentroids]] (full vectors) and
+    * [[pqCodebooks]] (per-subspace slices), so both trainings are
+    * bit-replayable by the same SQL template. Caller owns persistence of
+    * `vecs` (init + every iteration re-reads it). */
+  private def quantizedLloyd(
+      vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    import vecs.sparkSession.implicits._
+    val sc = vecs.sparkSession.sparkContext
+    var centroids = vecs.orderBy(col("vec_id")).limit(k)
+      .collect().map(_._2)
+    (0 until iters).foreach { _ =>
+      val bc = sc.broadcast(centroids)
+      val assigned = vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, v) => (nearestCentroid(v, cs), v) }
+      }.toDF("cluster", "ev")
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(floor(col("x") * SemDedupQScale)).as("sq"),
+          count(lit(1)).as("n"))
+        .collect()
+      bc.unpersist(blocking = false) // iteration-scoped, release inline
+      val upd = sums.groupBy(_.getInt(0)).view.mapValues { rows =>
+        rows.sortBy(_.getInt(1)).map { r =>
+          // JVM long division truncates toward zero — the SQL twin
+          // emulates exactly this (CASE on sign over `//`)
+          (r.getLong(2) / r.getLong(3)).toDouble / SemDedupQScale
+        }
+      }.toMap
+      centroids = centroids.indices
+        .map(c => upd.getOrElse(c, centroids(c))).toArray
+    }
+    centroids
   }
 
   /** Core of [[semDedup]] over any (vec_id, ev, nrm) frame and any centroid
@@ -749,4 +761,185 @@ object Similarity {
        |  (a.vec_id NOT IN (SELECT vec_id FROM p)) AS kept
        |FROM a ORDER BY a.vec_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011): the memory-bounded ANN
+  // path. The 64-d vector splits into PqSubspaces contiguous subvectors;
+  // each subspace trains its own PqCodes-entry codebook (quantized
+  // Lloyd's — the semDedup fixed-point discipline, so training is
+  // bit-replayable in SQL), and every vector compresses to PqSubspaces
+  // small codes. Query-time scoring is ADC (asymmetric distance): a
+  // (PqSubspaces × PqCodes) table of exact query→centroid L2 distances,
+  // then per-vector score = Σ table[m][code_m] — a broadcast-literal
+  // lookup inside whole-stage codegen, no vector arithmetic per row.
+  //
+  // The 100 TB argument: the scanned index is (vec_id + M codes) per
+  // vector — with M=2×1B codes this is ~100× smaller than raw floats, so
+  // the exhaustive ADC scan that replaces the IVF probe reads ~1% of the
+  // bytes, stays partition-local, and shuffles only the final k rows
+  // (TakeOrdered). Codebooks and the distance table are K×M driver-side
+  // doubles. Unlike annIvf (float k-means → no_oracle), the fixed-point
+  // training makes the ENTIRE train→encode→score→top-k path oracle-exact.
+  // ------------------------------------------------------------------
+
+  /** Number of PQ subspaces (contiguous [[PqSubDim]]-wide slices). */
+  final val PqSubspaces = 2
+  /** Dimensions per subspace: [[Dims]] / [[PqSubspaces]]. */
+  final val PqSubDim = Dims / PqSubspaces
+  /** Codebook entries per subspace (one byte would hold 256; 16 keeps the
+    * oracle's training replay tractable while exercising the full path). */
+  final val PqCodes = 16
+  /** Lloyd iterations per subspace codebook (the [[SemDedupIters]] cap). */
+  final val PqIters = 3
+
+  /** Per-subspace PQ codebooks: `books(m)(c)` = centroid `c` of subspace
+    * `m`, trained by the shared [[quantizedLloyd]] over the subvector
+    * slices (init = the [[PqCodes]] lowest vec_ids' slices; empty
+    * clusters keep their previous centroid — identical semantics to
+    * [[semDedupCentroids]], per subspace). */
+  def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    (0 until PqSubspaces).map { m =>
+      val sub = t(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(toDouble(col("embedding")), m * PqSubDim + 1, PqSubDim).as("ev"))
+        .as[(Long, Array[Double])]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try quantizedLloyd(sub, PqCodes, PqIters)
+      finally sub.unpersist(blocking = false)
+    }.toArray
+  }
+
+  /** PQ-encode the corpus: one row per vector with its per-subspace codes
+    * (argmin L2 to the subspace codebook, lowest index on ties — the
+    * [[nearestCentroid]] rule, same as training assignment). mapPartitions
+    * over broadcast codebooks: per-row work is PqSubspaces × PqCodes
+    * bounded comparisons, no row blowup, no shuffle. */
+  def pqEncode(spark: SparkSession, dir: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (id, v) =>
+          val c0 = nearestCentroid(
+            java.util.Arrays.copyOfRange(v, 0, PqSubDim), bs(0))
+          val c1 = nearestCentroid(
+            java.util.Arrays.copyOfRange(v, PqSubDim, Dims), bs(1))
+          (id, c0.toLong, c1.toLong)
+        }
+      }
+      .toDF("vec_id", "c0", "c1")
+  }
+
+  /** Exact strict-fold L2 distance (ascending index, one accumulator —
+    * the [[l2FoldSql]] op order, bit-identical doubles). */
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** PQ-ANN top-10 for the min-vec_id query vector (the [[annBruteForce]]
+    * query convention): train codebooks, encode the corpus, score every
+    * other vector by ADC approximate squared L2, ascending top-10 with
+    * vec_id tie-break. Output carries the codes as the index-audit
+    * columns. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val books = pqCodebooks(spark, dir)
+    val codes = pqEncode(spark, dir, books)
+    val (qid, qv) = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+      .orderBy(col("vec_id")).limit(1).collect()(0)
+    // ADC table: exact query→centroid L2 per subspace, PqSubspaces×PqCodes
+    // driver doubles shipped as array literals (codegen'd element_at)
+    val tab = Array.tabulate(PqSubspaces, PqCodes) { (m, c) =>
+      l2(java.util.Arrays.copyOfRange(qv, m * PqSubDim, (m + 1) * PqSubDim),
+        books(m)(c))
+    }
+    codes.filter(col("vec_id") =!= qid)
+      .withColumn("qid", lit(qid))
+      .withColumn("approx_l2sq",
+        element_at(typedlit(tab(0).toSeq), (col("c0") + 1).cast("int")) +
+          element_at(typedlit(tab(1).toSeq), (col("c1") + 1).cast("int")))
+      .select(col("qid"), col("vec_id"), col("c0"), col("c1"),
+        col("approx_l2sq"))
+      .orderBy(col("approx_l2sq"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** One subspace's training + encoding chain as CTEs with prefix `m<m>`:
+    * init from the k lowest vec_ids' slices, [[PqIters]] quantized Lloyd
+    * rounds (the [[semDedupSql]] template over subvectors), then the
+    * final code assignment `m<m>code(vec_id, code)`. */
+  private def pqTrainSql(m: Int): String = {
+    val q = SemDedupQScale
+    val sub = s"s$m"
+    val train = (1 to PqIters).map { i =>
+      val prev = s"m${m}c${i - 1}"
+      s"""m${m}a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT x.vec_id, c.cid, row_number() OVER (
+         |        PARTITION BY x.vec_id
+         |        ORDER BY ${l2FoldSql("x.sv", "c.cv")}, c.cid) AS rn
+         |    FROM $sub x CROSS JOIN $prev c) WHERE rn = 1),
+         |m${m}s$i AS (
+         |  SELECT a.cid, t.i AS pos,
+         |    SUM(CAST(floor(v.sv[t.i] * $q) AS BIGINT)) AS sq,
+         |    COUNT(*) AS n
+         |  FROM m${m}a$i a JOIN $sub v ON v.vec_id = a.vec_id,
+         |    UNNEST(range(1, len(v.sv)+1)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |m${m}u$i AS (
+         |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
+         |  FROM (SELECT cid, pos,
+         |          CASE WHEN sq >= 0 THEN sq // n
+         |               ELSE -((-sq) // n) END AS td
+         |        FROM m${m}s$i) GROUP BY cid),
+         |m${m}c$i AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m${m}u$i u USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""m${m}c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cid, sv AS cv
+       |  FROM $sub WHERE vec_id IN
+       |    (SELECT vec_id FROM $sub ORDER BY vec_id LIMIT $PqCodes)),
+       |$train,
+       |m${m}code AS (
+       |  SELECT vec_id, cid AS code FROM (
+       |    SELECT x.vec_id, c.cid, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY ${l2FoldSql("x.sv", "c.cv")}, c.cid) AS rn
+       |    FROM $sub x CROSS JOIN m${m}c$PqIters c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle: replays the ENTIRE PQ path — both subspace codebooks trained
+    * through the identical fixed-point Lloyd arithmetic, the same argmin
+    * encoding, the same strict-fold ADC table, the same score sum — so the
+    * top-10 (ids, codes AND double scores) is bit-identical at any SF. */
+  val annPqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |s0 AS (SELECT vec_id, ev[1:$PqSubDim] AS sv FROM e),
+       |s1 AS (SELECT vec_id, ev[${PqSubDim + 1}:$Dims] AS sv FROM e),
+       |${pqTrainSql(0)},
+       |${pqTrainSql(1)},
+       |q AS (SELECT min(vec_id) AS qid FROM e),
+       |q0 AS (SELECT sv FROM s0 JOIN q ON vec_id = qid),
+       |q1 AS (SELECT sv FROM s1 JOIN q ON vec_id = qid),
+       |t0 AS (SELECT c.cid, ${l2FoldSql("q0.sv", "c.cv")} AS d
+       |  FROM m0c$PqIters c CROSS JOIN q0),
+       |t1 AS (SELECT c.cid, ${l2FoldSql("q1.sv", "c.cv")} AS d
+       |  FROM m1c$PqIters c CROSS JOIN q1)
+       |SELECT q.qid, c0.vec_id, c0.code AS c0, c1.code AS c1,
+       |  t0.d + t1.d AS approx_l2sq
+       |FROM m0code c0 JOIN m1code c1 USING (vec_id) CROSS JOIN q
+       |JOIN t0 ON t0.cid = c0.code JOIN t1 ON t1.cid = c1.code
+       |WHERE c0.vec_id <> q.qid
+       |ORDER BY approx_l2sq, c0.vec_id LIMIT 10""".stripMargin
 }

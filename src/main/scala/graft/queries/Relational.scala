@@ -666,6 +666,63 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Fixed-point scale for [[eventsAnomaly]]: `events.value` carries
+    * 2-decimal granularity, so ×100 + round makes the scaled value an
+    * exact integer and every downstream moment exact (the
+    * [[graft.operators.Similarity.SemDedupQScale]] discipline applied to
+    * anomaly stats). `round` (not `floor`): `v*100` can land an ulp below
+    * the integer for a 2-decimal double, and half-up rounding of positive
+    * values agrees between Spark and DuckDB. */
+  final val AnomalyScale = 100L
+
+  /** σ-multiplier for the outlier flag: |x − μ| > 3σ (population σ). */
+  final val AnomalyK = 3L
+
+  /** OUTLIER DETECTION over the event stream — flag events whose value
+    * sits more than [[AnomalyK]] population standard deviations from its
+    * event-type mean, entirely in exact integer arithmetic so the verdict
+    * is order-independent and engine-neutral:
+    * with q = round(value·S), n = count, s = Σq, qq = Σq² per type, the
+    * flag is (n·q − s)² > K²·(n·qq − s²) — both sides exact integers
+    * (widened through decimal(38,0)/HUGEINT for the squares), no floating
+    * σ ever computed.
+    *
+    * Scale shape: one partial-combinable aggregation to ~|event_type|
+    * rows, broadcast back, then a map-side codegen'd filter — two scans,
+    * zero windows, zero per-group sorts. The BIGINT partials hold to
+    * ~10⁹ rows/group at this value range; beyond that the partials (not
+    * the comparison, already decimal) move to decimal sums. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("q", round(col("value") * AnomalyScale).cast("long"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("qq"))
+    val d = (col("n") * col("q") - col("s")).cast("decimal(38,0)")
+    val varN2 = col("n").cast("decimal(38,0)") * col("qq") -
+      col("s").cast("decimal(38,0)") * col("s")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(d * d > lit(AnomalyK * AnomalyK).cast("decimal(38,0)") * varN2)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type, value,
+       |    CAST(round(value * $AnomalyScale) AS BIGINT) AS q
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS qq
+       |  FROM ev GROUP BY event_type)
+       |SELECT event_id, event_type, value
+       |FROM ev JOIN st USING (event_type)
+       |WHERE (CAST(n AS HUGEINT)*q - s) * (CAST(n AS HUGEINT)*q - s)
+       |    > ${AnomalyK * AnomalyK} * (CAST(n AS HUGEINT)*qq - CAST(s AS HUGEINT)*s)
+       |ORDER BY event_id""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,

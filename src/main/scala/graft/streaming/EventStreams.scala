@@ -32,6 +32,14 @@ final case class PurchaseVerdict(user_id: Long, event_id: Long, ts_us: Long,
 final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
     event_type: String, value: Double, ts: java.sql.Timestamp)
 
+/** Streaming anomaly state: exact integer moments of everything seen so
+  * far for one event type — three longs, the
+  * [[graft.queries.Relational.eventsAnomaly]] (n, Σq, Σq²) triple. */
+final case class AnomalyState(n: Long, s: Long, qq: Long)
+
+final case class AnomalyVerdict(event_type: String, event_id: Long,
+    n_so_far: Long, flagged: Boolean)
+
 /** Structured Streaming twins of the batch event operators (SURVEY §2.4/§2.5
   * note the quota sliding window as the reference's only time construct; the
   * builder brief asks for watermarked windows + custom state):
@@ -295,6 +303,55 @@ object EventStreams {
           }
           state.update(s)
           out.result().iterator
+      }
+  }
+
+  /** The anomaly verdict both the stream and its batch replay share (the
+    * [[admitOne]] single-implementation discipline): with prefix moments
+    * (n, s=Σq, qq=Σq²) INCLUDING the current scaled value q, flag iff
+    * (n·q − s)² > K²·(n·qq − s²) — the
+    * [[graft.queries.Relational.eventsAnomaly]] integer z-rule verbatim,
+    * widened through BigInt so the squares never overflow. */
+  private[streaming] def anomalyFlag(n: Long, s: Long, qq: Long,
+      q: Long): Boolean = {
+    val (bn, bs, bq) = (BigInt(n), BigInt(s), BigInt(q))
+    val d = bn * bq - bs
+    val k = graft.queries.Relational.AnomalyK
+    d * d > BigInt(k * k) * (bn * BigInt(qq) - bs * bs)
+  }
+
+  /** Events with fewer than this many same-type predecessors are never
+    * flagged — prefix moments are meaningless on a cold start. */
+  final val AnomalyMinN = 30L
+
+  /** STREAMING OUTLIER DETECTION — the prefix twin of
+    * [[graft.queries.Relational.eventsAnomaly]]: every event is judged
+    * against the exact integer moments of its own type's history SO FAR
+    * (inclusive of itself), the deployable semantics when the full-corpus
+    * stats of the batch operator do not exist yet. State per event type is
+    * THREE LONGS forever — no window buffer, no event retention — and the
+    * verdict arithmetic is [[anomalyFlag]], the same code the batch replay
+    * in EventStreamsSpec runs, so stream ≡ replay bit-exactly. In-order
+    * per-type delivery across micro-batches assumed (the [[funnelStream]]
+    * contract). As the prefix grows the verdicts converge to the batch
+    * operator's (same rule, same arithmetic, full stats). */
+  def anomalyStream(events: Dataset[Event],
+      minN: Long = AnomalyMinN): Dataset[AnomalyVerdict] = {
+    import events.sparkSession.implicits._
+    val scale = graft.queries.Relational.AnomalyScale
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype, batch, state) =>
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val q = math.round(e.value * scale)
+            st = AnomalyState(st.n + 1, st.s + q, st.qq + q * q)
+            AnomalyVerdict(etype, e.event_id, st.n,
+              st.n >= minN && anomalyFlag(st.n, st.s, st.qq, q))
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

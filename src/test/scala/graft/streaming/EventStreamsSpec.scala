@@ -173,6 +173,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream: verdicts EXACTLY equal a prefix replay across micro-batch splits; final state = whole-table moments") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.anomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("anom").outputMode("append")
+      .start()
+    try {
+      val sorted = rows.sortBy(e => (e.ts_us, e.event_id))
+      sorted.grouped(math.max(1, sorted.length / 3)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("anom").as[AnomalyVerdict].collect()
+        .map(v => v.event_id -> ((v.n_so_far, v.flagged))).toMap
+      // driver replay of the same prefix rule through the SAME verdict code
+      val scale = graft.queries.Relational.AnomalyScale
+      val expected = rows.groupBy(_.event_type).flatMap { case (_, es) =>
+        var (n, s, qq) = (0L, 0L, 0L)
+        es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+          val qv = math.round(e.value * scale)
+          n += 1; s += qv; qq += qv * qv
+          e.event_id -> ((n, n >= EventStreams.AnomalyMinN &&
+            EventStreams.anomalyFlag(n, s, qq, qv)))
+        }
+      }.toMap
+      assert(streamed == expected, "stream/replay anomaly divergence")
+      assert(streamed.values.exists(_._2) &&
+        streamed.values.exists(!_._2), "flag classes not both populated")
+      // final per-type n equals the whole table's per-type count —
+      // the stream's state converged to the batch operator's moments
+      val finalN = streamed.values.map(_._1).max
+      assert(rows.groupBy(_.event_type).values.map(_.size.toLong).max == finalN)
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
