@@ -193,6 +193,7 @@ object SparkEntry {
     // under this name compare different computations; r2 onward is stable.
     "embedding_neardup" -> (Similarity.embeddingNearDupExact _),
     "semdedup" -> (Similarity.semDedup _),
+    "semdedup_incremental" -> (Similarity.semDedupIncremental _),
     "embedding_neardup_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingNearDup(s, d)),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
@@ -390,6 +391,7 @@ object SparkEntry {
     // comparison bit-identical, so equality proves cluster assignment,
     // tie-breaks and keeper election exactly
     "semdedup" -> Similarity.semDedupSql,
+    "semdedup_incremental" -> Similarity.semDedupIncrementalSql,
     // oracle replays the sequential per-user admission fold as a
     // recursive CTE carrying the admitted window as a list — equality
     // proves the distributed secondary-sort replay (and therefore the

@@ -605,13 +605,16 @@ object Similarity {
     * make a bit-exact oracle replay impossible. Init = the k lowest
     * vec_ids; empty clusters keep their previous centroid. */
   def semDedupCentroids(spark: SparkSession, dir: String,
-      k: Int = SemDedupK, iters: Int = SemDedupIters): Array[Array[Double]] = {
+      k: Int = SemDedupK, iters: Int = SemDedupIters,
+      maxId: Long = Long.MaxValue): Array[Array[Double]] = {
     import spark.implicits._
     // persisted for the training loop: init + every Lloyd iteration read
     // these blocks instead of re-scanning the embeddings parquet per
     // iteration; released as soon as training collects its last update
-    // (the loop owns the lifetime — no registry needed)
+    // (the loop owns the lifetime — no registry needed). maxId bounds
+    // training to the stored-corpus prefix for the incremental cadence.
     val vecs = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < maxId)
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
       .as[(Long, Array[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -659,12 +662,13 @@ object Similarity {
 
   /** Core of [[semDedup]] over any (vec_id, ev, nrm) frame and any centroid
     * table — K rows broadcast, so assignment is a map-side argmax scan. */
-  def semDedupCore(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+  /** Nearest-centroid assignment of an (vec_id, ev, nrm) frame against a
+    * broadcast K-row centroid table — the shared front half of
+    * [[semDedupCore]] and [[semDedupIncremental]]. Materialized once (it
+    * feeds both sides of the pair join + the verdict join). */
+  private def semDedupAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the assignment feeds THREE consumers (both sides of the pair join +
-    // the final verdict join) — materialize it once or the K-way
-    // crossJoin and argmax window execute three times per query
-    val assigned = graft.SharedFrames.shared(e.crossJoin(broadcast(centroids))
+    graft.SharedFrames.shared(e.crossJoin(broadcast(centroids))
       .withColumn("cos_c", dot(col("ev"), col("cv")) / (col("nrm") * col("cn")))
       // argmax over K centroid rows per vector; ties (only possible with
       // duplicate centroids) break to the lowest centroid id
@@ -674,6 +678,10 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cluster"),
         col("cos_c").as("cos_centroid"), col("ev"), col("nrm")))
+  }
+
+  def semDedupCore(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = semDedupAssign(e, centroids)
     // a vector is dropped iff some LOWER-id vector in its cluster is ≥ τ
     // close — an equi-join on cluster, bounded by cluster populations
     val dropped = assigned.as("x").join(assigned.as("y"),
@@ -760,6 +768,121 @@ object Similarity {
        |SELECT a.vec_id, a.cluster, a.cos_centroid,
        |  (a.vec_id NOT IN (SELECT vec_id FROM p)) AS kept
        |FROM a ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** INCREMENTAL SemDeDup — semantic dedup at the
+    * [[graft.operators.Dedup.dedupIncremental]] batch cadence, closing the
+    * incremental family across modalities (exact-prefix, dup-spans,
+    * MinHash near-dup, and now embeddings): verdicts for the DELTA
+    * (vec_id ≥ [[graft.operators.Dedup.IncrementalCut]]) against the
+    * stored corpus, without retraining or re-pruning the corpus.
+    *
+    * Production premise: centroids and the corpus's cluster assignments
+    * are the stored artifact of the last full run (the IVF-append / SAV
+    * cadence); both are derived inline here. K derives from the CORPUS
+    * size (the artifact's K — a batch cannot change the stored geometry).
+    * A delta vector is dropped iff some lower-id vector — corpus or
+    * earlier delta — in its cluster is cosine-≥ τ, which is EXACTLY the
+    * full rule restricted to delta rows (corpus verdicts never depend on
+    * delta members, so the restriction loses nothing).
+    *
+    * Scale shape: centroid assignment of the delta is one broadcast
+    * map-side pass; the pair join puts the corpus-side assignment
+    * (stored, bucketable by cluster) on the build side and only
+    * delta-cluster populations on the probe side — per-batch pair work is
+    * delta-sized × O([[SemDedupTargetPop]]), never corpus². */
+  def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = graft.operators.Dedup.IncrementalCut
+    val e = withNorm(spark, dir)
+    val k = semDedupKFor(
+      t(spark, dir, "embeddings").filter(col("vec_id") < cut).count())
+    val cents = semDedupCentroids(spark, dir, k = k, maxId = cut).zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }.toSeq
+      .toDF("cid", "cv")
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val assigned = semDedupAssign(e, cents)
+    val deltaA = assigned.filter(col("vec_id") >= cut)
+    // lower-id neighbors come from the WHOLE assignment (corpus + earlier
+    // delta); the equi-join on cluster bounds candidates per delta vector
+    val dropped = deltaA.as("x").join(assigned.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(dot(col("x.ev"), col("y.ev")) /
+        (col("x.nrm") * col("y.nrm")) >= SemDedupTau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    deltaA
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("cos_centroid"),
+        col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the [[semDedupSql]] replay with the incremental premise made
+    * explicit — training (init, K derivation, every Lloyd round) runs over
+    * the CORPUS subset only, assignment covers everything, the prune pairs
+    * a delta x against ALL lower-id y in its cluster, and the output is
+    * the delta's verdicts. Bit-identical at any SF for the same reasons
+    * as the full oracle (fixed-point training, strict-fold cosines). */
+  val semDedupIncrementalSql: String = {
+    val q = SemDedupQScale
+    val cut = graft.operators.Dedup.IncrementalCut
+    val train = (1 to SemDedupIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT x.vec_id, c.cid, row_number() OVER (
+         |        PARTITION BY x.vec_id
+         |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
+         |    FROM ec x CROSS JOIN $prev c) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT a.cid, t.i AS pos,
+         |    SUM(CAST(floor(e.ev[t.i] * $q) AS BIGINT)) AS sq,
+         |    COUNT(*) AS n
+         |  FROM a$i a JOIN ec e ON e.vec_id = a.vec_id,
+         |    UNNEST(range(1, len(e.ev)+1)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |u$i AS (
+         |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
+         |  FROM (SELECT cid, pos,
+         |          CASE WHEN sq >= 0 THEN sq // n
+         |               ELSE -((-sq) // n) END AS td
+         |        FROM s$i) GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |ec AS (SELECT * FROM e WHERE vec_id < $cut),
+       |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |         AS cid, ev AS cv
+       |       FROM ec WHERE vec_id IN
+       |         (SELECT vec_id FROM ec ORDER BY vec_id LIMIT (
+       |            SELECT GREATEST($SemDedupK,
+       |              (COUNT(*) + ${SemDedupTargetPop - 1}) // $SemDedupTargetPop)
+       |            FROM ec))),
+       |$train,
+       |c AS (SELECT cid, cv, sqrt(${foldSql("cv", "cv")}) AS cn
+       |      FROM c$SemDedupIters),
+       |a0 AS (SELECT x.vec_id, c.cid,
+       |         ${foldSql("x.ev", "c.cv")} / (x.nrm * c.cn) AS cos_c
+       |       FROM n x CROSS JOIN c),
+       |a AS (SELECT vec_id, cid AS cluster, cos_c AS cos_centroid FROM (
+       |        SELECT *, row_number() OVER (
+       |          PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+       |        FROM a0) WHERE rn = 1),
+       |p AS (SELECT DISTINCT x.vec_id
+       |      FROM a x JOIN a y
+       |        ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+       |      JOIN n nx ON nx.vec_id = x.vec_id
+       |      JOIN n ny ON ny.vec_id = y.vec_id
+       |      WHERE x.vec_id >= $cut
+       |        AND ${foldSql("nx.ev", "ny.ev")} / (nx.nrm * ny.nrm)
+       |        >= $SemDedupTau)
+       |SELECT a.vec_id, a.cluster, a.cos_centroid,
+       |  (a.vec_id NOT IN (SELECT vec_id FROM p)) AS kept
+       |FROM a WHERE a.vec_id >= $cut ORDER BY a.vec_id""".stripMargin
   }
 
   // ------------------------------------------------------------------
