@@ -187,6 +187,7 @@ object SparkEntry {
     "ann_ivf_verified" -> (Similarity.annIvfVerified _),
     "ann_ivf_indexed" -> (Similarity.annIvfIndexedQuery _),
     "ann_pq" -> (Similarity.annPq _),
+    "ann_ivfpq" -> (Similarity.annIvfPq _),
     // NAME PINNED since r2: embedding_neardup = the bounded EXACT primitive
     // (oracle-checked); embedding_neardup_lsh = the full-corpus LSH path.
     // r1's "embedding_neardup" was the LSH computation — r1→r2 numbers
@@ -385,6 +386,7 @@ object SparkEntry {
     "ann_ivf_verified" -> Similarity.annBruteForceSql,
     "ann_ivf_indexed" -> Similarity.annBruteForceSql,
     "ann_pq" -> Similarity.annPqSql,
+    "ann_ivfpq" -> Similarity.annIvfPqSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
     // SemDeDup: the oracle replays centroid assignment AND the
     // within-cluster lower-id prune — strict-left-fold cosines make every

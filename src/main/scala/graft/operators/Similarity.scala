@@ -996,50 +996,54 @@ object Similarity {
       .limit(10)
   }
 
-  /** One subspace's training + encoding chain as CTEs with prefix `m<m>`:
-    * init from the k lowest vec_ids' slices, [[PqIters]] quantized Lloyd
-    * rounds (the [[semDedupSql]] template over subvectors), then the
-    * final code assignment `m<m>code(vec_id, code)`. */
-  private def pqTrainSql(m: Int): String = {
+  /** One subspace's training + encoding chain as CTEs with prefix `pfx`
+    * over subvector source CTE `sub(vec_id, sv)`: init from the k lowest
+    * vec_ids' slices, [[PqIters]] quantized Lloyd rounds (the
+    * [[semDedupSql]] template over subvectors), then the final code
+    * assignment `<pfx>code(vec_id, code)`. Shared by [[annPqSql]] (raw
+    * slices) and [[annIvfPqSql]] (residual slices). */
+  private def pqTrainSql(m: Int, subName: String = null,
+      pfxName: String = null): String = {
     val q = SemDedupQScale
-    val sub = s"s$m"
+    val sub = Option(subName).getOrElse(s"s$m")
+    val pfx = Option(pfxName).getOrElse(s"m$m")
     val train = (1 to PqIters).map { i =>
-      val prev = s"m${m}c${i - 1}"
-      s"""m${m}a$i AS (
+      val prev = s"${pfx}c${i - 1}"
+      s"""${pfx}a$i AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT x.vec_id, c.cid, row_number() OVER (
          |        PARTITION BY x.vec_id
          |        ORDER BY ${l2FoldSql("x.sv", "c.cv")}, c.cid) AS rn
          |    FROM $sub x CROSS JOIN $prev c) WHERE rn = 1),
-         |m${m}s$i AS (
+         |${pfx}s$i AS (
          |  SELECT a.cid, t.i AS pos,
          |    SUM(CAST(floor(v.sv[t.i] * $q) AS BIGINT)) AS sq,
          |    COUNT(*) AS n
-         |  FROM m${m}a$i a JOIN $sub v ON v.vec_id = a.vec_id,
+         |  FROM ${pfx}a$i a JOIN $sub v ON v.vec_id = a.vec_id,
          |    UNNEST(range(1, len(v.sv)+1)) AS t(i)
          |  GROUP BY a.cid, t.i),
-         |m${m}u$i AS (
+         |${pfx}u$i AS (
          |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
          |  FROM (SELECT cid, pos,
          |          CASE WHEN sq >= 0 THEN sq // n
          |               ELSE -((-sq) // n) END AS td
-         |        FROM m${m}s$i) GROUP BY cid),
-         |m${m}c$i AS (
+         |        FROM ${pfx}s$i) GROUP BY cid),
+         |${pfx}c$i AS (
          |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN m${m}u$i u USING (cid))""".stripMargin
+         |  FROM $prev p LEFT JOIN ${pfx}u$i u USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""m${m}c0 AS (
+    s"""${pfx}c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |    AS cid, sv AS cv
        |  FROM $sub WHERE vec_id IN
        |    (SELECT vec_id FROM $sub ORDER BY vec_id LIMIT $PqCodes)),
        |$train,
-       |m${m}code AS (
+       |${pfx}code AS (
        |  SELECT vec_id, cid AS code FROM (
        |    SELECT x.vec_id, c.cid, row_number() OVER (
        |        PARTITION BY x.vec_id
        |        ORDER BY ${l2FoldSql("x.sv", "c.cv")}, c.cid) AS rn
-       |    FROM $sub x CROSS JOIN m${m}c$PqIters c) WHERE rn = 1)""".stripMargin
+       |    FROM $sub x CROSS JOIN ${pfx}c$PqIters c) WHERE rn = 1)""".stripMargin
   }
 
   /** Oracle: replays the ENTIRE PQ path — both subspace codebooks trained
@@ -1065,4 +1069,218 @@ object Similarity {
        |JOIN t0 ON t0.cid = c0.code JOIN t1 ON t1.cid = c1.code
        |WHERE c0.vec_id <> q.qid
        |ORDER BY approx_l2sq, c0.vec_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // IVF-PQ (Jégou et al. 2011 §IV): the production-scale ANN composite —
+  // a coarse quantizer partitions the corpus into inverted lists
+  // (IVF), and PQ codes the RESIDUAL v − coarse(v) inside each list.
+  // Queries probe the nprobe nearest lists and score candidates by ADC
+  // against per-list residual tables. At 100 TB this is the architecture
+  // that holds: the scan is pruned to nprobe/K of the corpus (the IVF
+  // win) AND reads codes ~100× smaller than floats (the PQ win), with
+  // per-list ADC tables — nprobe × M × K doubles — built driver-side per
+  // query. Both trainings run the fixed-point quantizedLloyd, so unlike
+  // the float-trained annIvf the ENTIRE composite is oracle-exact.
+  // ------------------------------------------------------------------
+
+  /** Coarse-quantizer cells (inverted lists). */
+  final val IvfPqCoarseK = 16
+  /** Inverted lists probed per query. */
+  final val IvfPqProbes = 4
+
+  /** Residuals against the fixed-point-trained coarse quantizer: one row
+    * per vector with its coarse cell and `rv = v − coarse(cell)`.
+    * Assignment is the [[nearestCentroid]] L2 argmin — the same rule
+    * coarse training used. */
+  def ivfPqResiduals(spark: SparkSession, dir: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(coarse)
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          val c = nearestCentroid(v, cs)
+          val cv = cs(c)
+          val rv = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { rv(i) = v(i) - cv(i); i += 1 }
+          (id, c, rv)
+        }
+      }
+      .toDF("vec_id", "cluster", "rv")
+  }
+
+  /** PQ codebooks over the residual subspace slices (the
+    * [[pqCodebooks]] discipline with residuals as input). One shared
+    * codebook pair across all cells — the standard IVF-PQ memory deal. */
+  def ivfPqBooks(res: DataFrame): Array[Array[Array[Double]]] = {
+    import res.sparkSession.implicits._
+    (0 until PqSubspaces).map { m =>
+      val sub = res
+        .select(col("vec_id"),
+          slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("ev"))
+        .as[(Long, Array[Double])]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try quantizedLloyd(sub, PqCodes, PqIters)
+      finally sub.unpersist(blocking = false)
+    }.toArray
+  }
+
+  /** IVF-PQ ANN top-10 for the min-vec_id query (the [[annBruteForce]]
+    * convention): train the coarse quantizer (fixed-point, full vectors)
+    * and the residual PQ codebooks, encode every vector's residual to two
+    * codes, probe the [[IvfPqProbes]] cells nearest the query, and score
+    * the probed candidates by per-cell ADC (query residual vs codebook).
+    * Output carries cell + codes as the index-audit columns. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val coarse = semDedupCentroids(spark, dir, k = IvfPqCoarseK)
+    val res = ivfPqResiduals(spark, dir, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = ivfPqBooks(res)
+      val bcBooks = spark.sparkContext.broadcast(books)
+      val codes = res.as[(Long, Int, Array[Double])]
+        .mapPartitions { it =>
+          val bs = bcBooks.value
+          it.map { case (id, cell, rv) =>
+            val c0 = nearestCentroid(
+              java.util.Arrays.copyOfRange(rv, 0, PqSubDim), bs(0))
+            val c1 = nearestCentroid(
+              java.util.Arrays.copyOfRange(rv, PqSubDim, Dims), bs(1))
+            (id, cell.toLong, c0.toLong, c1.toLong)
+          }
+        }
+        .toDF("vec_id", "cluster", "c0", "c1")
+      val (qid, qv) = t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+        .as[(Long, Array[Double])]
+        .orderBy(col("vec_id")).limit(1).collect()(0)
+      val probes = nearestProbes(coarse, qv, IvfPqProbes)
+      // per-probed-cell ADC tables on the QUERY residual — nprobe × M × K
+      // driver doubles, shipped as a broadcast K-row join table
+      val cellTabs = probes.toSeq.sorted.map { cell =>
+        val qrv = qv.indices.map(i => qv(i) - coarse(cell)(i)).toArray
+        val t0 = (0 until PqCodes).map(c =>
+          l2(java.util.Arrays.copyOfRange(qrv, 0, PqSubDim), books(0)(c)))
+        val t1 = (0 until PqCodes).map(c =>
+          l2(java.util.Arrays.copyOfRange(qrv, PqSubDim, Dims), books(1)(c)))
+        (cell.toLong, t0, t1)
+      }.toDF("cluster", "tab0", "tab1")
+      codes
+        .filter(col("cluster").isInCollection(probes.map(_.toLong)) &&
+          col("vec_id") =!= qid)
+        .join(broadcast(cellTabs), Seq("cluster"))
+        .withColumn("qid", lit(qid))
+        .withColumn("approx_l2sq",
+          element_at(col("tab0"), (col("c0") + 1).cast("int")) +
+            element_at(col("tab1"), (col("c1") + 1).cast("int")))
+        .select(col("qid"), col("vec_id"), col("cluster"), col("c0"),
+          col("c1"), col("approx_l2sq"))
+        .orderBy(col("approx_l2sq"), col("vec_id"))
+        .limit(10)
+    } finally res.unpersist(blocking = false)
+  }
+
+  /** The coarse-quantizer training chain (prefix `g`) — the
+    * [[semDedupSql]] fixed-point template at K=[[IvfPqCoarseK]] — plus
+    * the post-training L2-argmin assignment `gassign(vec_id, cluster)`. */
+  private def ivfPqCoarseSql: String = {
+    val q = SemDedupQScale
+    val train = (1 to SemDedupIters).map { i =>
+      val prev = s"gc${i - 1}"
+      s"""ga$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT x.vec_id, c.cid, row_number() OVER (
+         |        PARTITION BY x.vec_id
+         |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
+         |    FROM e x CROSS JOIN $prev c) WHERE rn = 1),
+         |gs$i AS (
+         |  SELECT a.cid, t.i AS pos,
+         |    SUM(CAST(floor(v.ev[t.i] * $q) AS BIGINT)) AS sq,
+         |    COUNT(*) AS n
+         |  FROM ga$i a JOIN e v ON v.vec_id = a.vec_id,
+         |    UNNEST(range(1, len(v.ev)+1)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |gu$i AS (
+         |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
+         |  FROM (SELECT cid, pos,
+         |          CASE WHEN sq >= 0 THEN sq // n
+         |               ELSE -((-sq) // n) END AS td
+         |        FROM gs$i) GROUP BY cid),
+         |gc$i AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN gu$i u USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""gc0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |    AS cid, ev AS cv
+       |  FROM e WHERE vec_id IN
+       |    (SELECT vec_id FROM e ORDER BY vec_id LIMIT $IvfPqCoarseK)),
+       |$train,
+       |gassign AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT x.vec_id, c.cid, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN gc$SemDedupIters c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle: replays the ENTIRE IVF-PQ composite — coarse training,
+    * assignment, residuals, both residual-PQ trainings, encoding, probe
+    * selection, the per-cell ADC tables and the top-k — bit-identically
+    * (fixed-point trainings, strict-fold distances, lowest-id ties
+    * everywhere). Every CTE is MATERIALIZED: the chain is twice as deep
+    * as [[semDedupSql]] (coarse train → assign → residuals → two PQ
+    * trains → encode), and DuckDB's default CTE inlining re-expands the
+    * whole upstream chain at every reference — measured as a >90 s hang
+    * at sf0.001 where the materialized form runs in 0.6 s. */
+  val annIvfPqSql: String = raw"""(\b[A-Za-z0-9_]+) AS \(""".r
+    .replaceAllIn(annIvfPqSqlRaw, m => s"${m.group(1)} AS MATERIALIZED (")
+
+  private def annIvfPqSqlRaw: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |$ivfPqCoarseSql,
+       |res AS (
+       |  SELECT e.vec_id, g.cluster,
+       |    list_transform(range(1, len(e.ev)+1), i -> e.ev[i] - c.cv[i]) AS rv
+       |  FROM e JOIN gassign g USING (vec_id)
+       |  JOIN gc$SemDedupIters c ON c.cid = g.cluster),
+       |rs0 AS (SELECT vec_id, rv[1:$PqSubDim] AS sv FROM res),
+       |rs1 AS (SELECT vec_id, rv[${PqSubDim + 1}:$Dims] AS sv FROM res),
+       |${pqTrainSql(0, "rs0", "r0")},
+       |${pqTrainSql(1, "rs1", "r1")},
+       |q AS (SELECT min(vec_id) AS qid FROM e),
+       |qe AS (SELECT ev FROM e JOIN q ON vec_id = qid),
+       |qprobe AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |        ORDER BY ${l2FoldSql("qe.ev", "c.cv")}, c.cid) AS rn
+       |    FROM gc$SemDedupIters c CROSS JOIN qe) WHERE rn <= $IvfPqProbes),
+       |qres AS (
+       |  SELECT c.cid AS pcell,
+       |    list_transform(range(1, len(qe.ev)+1), i -> qe.ev[i] - c.cv[i]) AS qrv
+       |  FROM gc$SemDedupIters c CROSS JOIN qe
+       |  WHERE c.cid IN (SELECT cid FROM qprobe)),
+       |qr0 AS (SELECT pcell, qrv[1:$PqSubDim] AS sv FROM qres),
+       |qr1 AS (SELECT pcell, qrv[${PqSubDim + 1}:$Dims] AS sv FROM qres),
+       |t0 AS (SELECT qr.pcell, b.cid AS code, ${l2FoldSql("qr.sv", "b.cv")} AS d
+       |  FROM qr0 qr CROSS JOIN r0c$PqIters b),
+       |t1 AS (SELECT qr.pcell, b.cid AS code, ${l2FoldSql("qr.sv", "b.cv")} AS d
+       |  FROM qr1 qr CROSS JOIN r1c$PqIters b),
+       |cand AS (
+       |  SELECT c0.vec_id, g.cluster, c0.code AS code0, c1.code AS code1
+       |  FROM r0code c0 JOIN r1code c1 USING (vec_id)
+       |  JOIN gassign g USING (vec_id)
+       |  WHERE g.cluster IN (SELECT cid FROM qprobe)
+       |    AND c0.vec_id <> (SELECT qid FROM q))
+       |SELECT (SELECT qid FROM q) AS qid, cand.vec_id, cand.cluster,
+       |  code0 AS c0, code1 AS c1, t0.d + t1.d AS approx_l2sq
+       |FROM cand
+       |JOIN t0 ON t0.pcell = cand.cluster AND t0.code = code0
+       |JOIN t1 ON t1.pcell = cand.cluster AND t1.code = code1
+       |ORDER BY approx_l2sq, cand.vec_id LIMIT 10""".stripMargin
 }

@@ -53,6 +53,48 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(codes.select(countDistinct(col("c1"))).head.getLong(0) > 1)
   }
 
+  test("ann_ivfpq: probed-cell containment, code ranges, bit-exact residual encode + per-cell ADC replay") {
+    import spark.implicits._
+    val out = Similarity.annIvfPq(spark, dir).collect()
+    assert(out.length == 10)
+    val qid = out.head.getLong(0)
+    assert(out.forall(_.getLong(1) != qid))
+    val scores = out.map(_.getDouble(5))
+    assert(scores.sameElements(scores.sorted))
+    // replay the whole composite driver-side on the returned rows
+    val coarse = Similarity.semDedupCentroids(spark, dir,
+      k = Similarity.IvfPqCoarseK)
+    val res = Similarity.ivfPqResiduals(spark, dir, coarse)
+    val books = Similarity.ivfPqBooks(res)
+    val ids = out.map(_.getLong(1)).toSet
+    val resRows = res.filter(col("vec_id").isInCollection(ids + qid))
+      .as[(Long, Int, Array[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].collect()
+    val qv = vecs(0)
+    // probe set: the nprobe nearest coarse cells, candidates confined to it
+    val probeDists = coarse.indices.map(c => (l2(qv, coarse(c)), c))
+    val probes = probeDists.sorted.take(Similarity.IvfPqProbes).map(_._2).toSet
+    out.foreach { r =>
+      val (cell, rv) = resRows(r.getLong(1))
+      assert(cell.toLong == r.getLong(2) && probes.contains(cell),
+        s"vec ${r.getLong(1)}: cell $cell outside probe set $probes")
+      val cs = (0 until Similarity.PqSubspaces).map { m =>
+        books(m).zipWithIndex
+          .map { case (cv, c) => (l2(sliceOf(rv, m), cv), c) }
+          .reduceLeft((a, b) => if (b._1 < a._1) b else a)._2.toLong
+      }
+      assert(cs(0) == r.getLong(3) && cs(1) == r.getLong(4))
+      val qrv = qv.indices.map(i => qv(i) - coarse(cell)(i)).toArray
+      val score = l2(sliceOf(qrv, 0), books(0)(cs(0).toInt)) +
+        l2(sliceOf(qrv, 1), books(1)(cs(1).toInt))
+      assert(score == r.getDouble(5), s"ADC score drift for ${r.getLong(1)}")
+    }
+  }
+
   test("ann_pq: encode + ADC score replay bit-exactly on the returned rows") {
     import spark.implicits._
     val books = Similarity.pqCodebooks(spark, dir)
