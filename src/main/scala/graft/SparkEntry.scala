@@ -116,6 +116,7 @@ object SparkEntry {
     "funnel_conversion" -> (Relational.funnelConversion _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
+    "json_extract_agg" -> (Relational.jsonExtractAgg _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -311,6 +312,7 @@ object SparkEntry {
     "funnel_conversion" -> Relational.funnelConversionSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
+    "json_extract_agg" -> Relational.jsonExtractAggSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

@@ -723,6 +723,35 @@ object Relational {
        |    > ${AnomalyK * AnomalyK} * (CAST(n AS HUGEINT)*qq - CAST(s AS HUGEINT)*s)
        |ORDER BY event_id""".stripMargin
 
+  /** SEMI-STRUCTURED EXTRACTION — schema-on-read over the `events.props`
+    * JSON column: parse the typed field with `from_json` (codegen'd
+    * Jackson parse, not a per-row UDF), then an integer-exact rollup per
+    * (event_type, k-decile). The extraction happens IN the scan
+    * projection, so at 100 TB the JSON never survives past the first
+    * operator — only the parsed BIGINT shuffles, and the aggregate is
+    * partial-combinable. Malformed JSON yields NULL (both engines), kept
+    * as its own decile row rather than dropped, so parse health is
+    * visible in the result. */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .groupBy(col("event_type"),
+        expr("k div 10").as("k_decile"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_decile"))
+
+  val jsonExtractAggSql: String =
+    """SELECT event_type, CAST(props->>'k' AS BIGINT) // 10 AS k_decile,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type, k_decile
+      |ORDER BY event_type, k_decile""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,

@@ -306,6 +306,37 @@ object EventStreams {
       }
   }
 
+  /** Time bound for [[viewClickStreamJoin]]: a click pairs with views up
+    * to this far in its past. */
+  final val StreamJoinWindow = "30 minutes"
+
+  /** TRUE STREAM-STREAM JOIN — the two-moving-sides capability the other
+    * twins sidestep with per-key state: views and clicks are BOTH
+    * unbounded streams (here two filters of one source — a streaming
+    * self-join), inner-joined per user with an event-time bound
+    * (click within [[StreamJoinWindow]] after the view). Each side
+    * carries a 1-hour watermark, so Spark's symmetric hash join can
+    * EVICT: a view leaves state once the click-side watermark passes
+    * view_ts + bound — state is bounded by the time window × arrival
+    * rate, never the stream's history. Works identically on batch frames
+    * (the join is just a range join there); EventStreamsSpec pins exact
+    * batch parity across micro-batch splits. */
+  def viewClickStreamJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $StreamJoinWindow"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** The anomaly verdict both the stream and its batch replay share (the
     * [[admitOne]] single-implementation discipline): with prefix moments
     * (n, s=Σq, qq=Σq²) INCLUDING the current scaled value q, flag iff

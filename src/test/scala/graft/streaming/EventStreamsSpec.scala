@@ -209,6 +209,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("viewClickStreamJoin: stream-stream join equals the batch range join across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props"))
+    val rows = batchEvents.collect()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val q = EventStreams.viewClickStreamJoin(stream)
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .start()
+    try {
+      val sorted = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), ""))
+      sorted.grouped(math.max(1, sorted.length / 4)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("ssj")
+        .as[(Long, Long, Long)].collect().toSet
+      // batch truth: the identical join on the full static frame
+      val batch = EventStreams.viewClickStreamJoin(batchEvents)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch join divergence: ${(streamed diff batch).size} extra, " +
+          s"${(batch diff streamed).size} missing of ${batch.size}")
+      assert(batch.nonEmpty, "join vacuous — no view→click pair in window")
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
