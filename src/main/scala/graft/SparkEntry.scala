@@ -28,6 +28,7 @@ object SparkEntry {
     "rollup_agg" -> (Relational.rollupAgg _),
     "cube_agg" -> (Relational.cubeAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    "session_window_agg" -> (Relational.sessionWindowAgg _),
     "monthly_revenue" -> (Relational.monthlyRevenue _),
     // exact reaggregation from the materialized daily layer (decimal
     // partials are associative); oracle = the DIRECT monthly query
@@ -117,6 +118,7 @@ object SparkEntry {
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
+    "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -238,6 +240,7 @@ object SparkEntry {
     "rollup_agg" -> Relational.rollupAggSql,
     "cube_agg" -> Relational.cubeAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
+    "session_window_agg" -> Relational.sessionWindowAggSql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
     // the verified-twin gate: equality vs the direct monthly SQL proves
     // the daily->monthly decimal rollup is lossless
@@ -313,6 +316,7 @@ object SparkEntry {
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
     "json_extract_agg" -> Relational.jsonExtractAggSql,
+    "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

@@ -322,6 +322,45 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** NATIVE SESSION WINDOWS — the same 30-minute-gap sessions as
+    * [[eventsSessionize]] but through Spark's built-in `session_window`
+    * aggregation (one `SessionWindow` hash-agg with per-key session
+    * merging, usable verbatim under `readStream`) instead of the
+    * lag/cumsum window composition. At scale the two differ in shape:
+    * the builtin is a single partial-merge aggregation — no per-user
+    * ordered window pass — which is why real pipelines prefer it once
+    * it expresses the semantics. Session end here is the builtin's
+    * contract: last event + gap (the window's exclusive upper bound),
+    * whereas [[eventsSessionize]] reports the last EVENT time; the
+    * oracle replays exactly the builtin's bound. */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowAggSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** AS-OF JOIN (SURVEY §2.7 absence — an operator Spark has no native
     * node for): each `click` event is joined to the MOST RECENT prior
     * `view` of the same user. The naive formulation is a range join
@@ -751,6 +790,35 @@ object Relational {
       |FROM events
       |GROUP BY event_type, k_decile
       |ORDER BY event_type, k_decile""".stripMargin
+
+  /** The documents corpus's closed language set — pivot columns are
+    * DECLARED, not discovered: an implicit `pivot("lang")` runs a
+    * distinct-collect job over the corpus before planning, a hidden
+    * full scan at 100 TB. */
+  final val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** PIVOT — the wide-format rollup: per source, one column of doc
+    * counts per language. With the value set declared this is ONE
+    * partial-combinable aggregation (the pivot lowers to conditional
+    * aggregates inside a single hash-agg); empty (source, lang) cells
+    * are filled to 0 so the result matches the conditional-count SQL
+    * formulation exactly. */
+  def pivotLangCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+
+  val pivotLangCountsSql: String = {
+    val cols = PivotLangs.map(l =>
+      s"  CAST(COUNT(CASE WHEN lang = '$l' THEN 1 END) AS BIGINT) AS $l")
+      .mkString(",\n")
+    s"""SELECT source,
+       |$cols
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
 
   val eventsSessionizeSql: String =
     """WITH flagged AS (
