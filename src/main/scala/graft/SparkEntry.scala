@@ -214,6 +214,7 @@ object SparkEntry {
     // md5-ranked top-k — deterministic, metadata-only (no decode)
     "crossmodal_negatives" -> (Multimodal.crossModalNegatives _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
+    "orc_roundtrip" -> (graft.sources.JsonlExport.orcRoundtrip _),
     // DSv2 SINK: engine WAL format written via the two-phase committer,
     // read back with the DSv2 reader — lossless round trip
     "wal_sink_roundtrip" -> (graft.sources.WalSink.walSinkRoundtrip _),
@@ -379,6 +380,7 @@ object SparkEntry {
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,
+    "orc_roundtrip" -> graft.sources.JsonlExport.orcRoundtripSql,
     // oracle digests the parquet SOURCE; Spark digests the WAL SINK
     // round trip — equality proves format + committer are lossless
     "wal_sink_roundtrip" -> graft.sources.WalSink.walSinkRoundtripSql,

@@ -51,4 +51,29 @@ object JsonlExport {
     """SELECT doc_id, lang, md5(text) AS fp,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** ORC round-trip — the second columnar format (Spark ships the ORC
+    * reader/writer natively): documents are written as ORC PARTITIONED BY
+    * LANGUAGE (`lang=xx/` directories — the partition column leaves the
+    * file payload and comes back from directory names), read back, and
+    * digested per document. A green oracle row proves the whole cycle —
+    * columnar encode/decode, partition scatter, partition-column
+    * reconstruction — is byte-lossless. The partitioned layout is the
+    * point at 100 TB: a per-language read prunes to one directory
+    * (JsonlExportSpec asserts the pruned scan), and language is the
+    * natural partition key for corpus exports consumed by per-language
+    * pipelines. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.SessionResources.scratchDir(spark, "orc", dir)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").partitionBy("lang").orc(out)
+    spark.read.orc(out)
+      .select(col("doc_id"), col("lang").cast("string").as("lang"),
+        md5(col("text").cast("binary")).as("fp"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val orcRoundtripSql: String = jsonlRoundtripSql
 }

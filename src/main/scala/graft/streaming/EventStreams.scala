@@ -320,8 +320,15 @@ object EventStreams {
     * view_ts + bound — state is bounded by the time window × arrival
     * rate, never the stream's history. Works identically on batch frames
     * (the join is just a range join there); EventStreamsSpec pins exact
-    * batch parity across micro-batch splits. */
-  def viewClickStreamJoin(events: DataFrame): DataFrame = {
+    * batch parity across micro-batch splits.
+    *
+    * `joinType = "left_outer"` exercises the semantics only a
+    * watermarked stream-stream join can offer: a view with NO click in
+    * its window emits (view, NULL) — but only once the watermark proves
+    * no matching click can still arrive (emission-on-eviction, the
+    * streaming analog of the batch outer join's null row). */
+  def viewClickStreamJoin(events: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -333,7 +340,8 @@ object EventStreams {
     views.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"interval $StreamJoinWindow"))
+        col("click_ts") <= col("view_ts") + expr(s"interval $StreamJoinWindow"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"))
   }
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -239,6 +241,99 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
           s"${(batch diff streamed).size} missing of ${batch.size}")
       assert(batch.nonEmpty, "join vacuous — no view→click pair in window")
     } finally q.stop()
+  }
+
+  test("viewClickStreamJoin left_outer: unmatched views emit NULL clicks on eviction; equals the batch outer join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), lit("").as("props"))
+    val rows = batchEvents.collect()
+      .sortBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), ""))
+    // sentinel pair far past the data (distinct users, > window apart) to
+    // push BOTH sides' watermarks so every pending outer row evicts
+    val lastTs = rows.last._2.getTime
+    val day = 86400000L
+    val sentinels = Seq(
+      (9000001L, new java.sql.Timestamp(lastTs + 10 * day), 999901L,
+        "view", 0.0, ""),
+      (9000002L, new java.sql.Timestamp(lastTs + 10 * day + 7200000L),
+        999902L, "click", 0.0, ""))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val q = EventStreams.viewClickStreamJoin(stream, "left_outer")
+      .writeStream.format("memory").queryName("ssjlo").outputMode("append")
+      .start()
+    try {
+      (rows.grouped(math.max(1, rows.length / 3)).map(_.toSeq).toSeq :+
+        sentinels).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("ssjlo")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val augmented = batchEvents.union(sentinels.toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props"))
+      val batch = EventStreams.viewClickStreamJoin(augmented, "left_outer")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      // the final sentinel view may still sit in state (nothing after it
+      // advances the watermark past its bound) — exclude it from parity
+      val pending = Set[Any](9000001L)
+      def settled(s: Set[(Long, Long, Option[Long])]) =
+        s.filterNot(r => pending.contains(r._2))
+      assert(settled(streamed) == settled(batch),
+        s"stream/batch outer-join divergence: ${(settled(batch) diff settled(streamed)).size} missing")
+      assert(settled(streamed).exists(_._3.isEmpty),
+        "no NULL-click row — outer emission never happened")
+      assert(settled(streamed).exists(_._3.nonEmpty))
+    } finally q.stop()
+  }
+
+  test("anomalyStream: state survives a checkpointed restart — the second run continues the prefix, not a cold start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-anomaly-ckpt-").toString
+    val rows = eventRows().sortBy(e => (e.ts_us, e.event_id))
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[Event]
+    // foreachBatch sink: the memory sink refuses checkpoint recovery, and
+    // a buffer per phase isolates exactly what the restarted run emits
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[AnomalyVerdict]()
+    def start() = EventStreams.anomalyStream(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AnomalyVerdict],
+          _: Long) => df.collect().foreach(buf.add) }
+      .start()
+    val q1 = start()
+    try { mem.addData(half1); q1.processAllAvailable() } finally q1.stop()
+    buf.clear() // phase 2 observes ONLY the restarted run's output
+    val q2 = start()
+    try {
+      mem.addData(half2); q2.processAllAvailable()
+      val resumed = buf.iterator().asScala.toSeq
+        .map(v => v.event_id -> ((v.n_so_far, v.flagged))).toMap
+      assert(resumed.keySet == half2.map(_.event_id).toSet)
+      // truth: the full-prefix replay over ALL events, restricted to the
+      // second half — a cold-started second run would restart n_so_far at
+      // 1 per type and diverge immediately
+      val scale = graft.queries.Relational.AnomalyScale
+      val expected = rows.groupBy(_.event_type).flatMap { case (_, es) =>
+        var (n, s, qq) = (0L, 0L, 0L)
+        es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+          val qv = math.round(e.value * scale)
+          n += 1; s += qv; qq += qv * qv
+          e.event_id -> ((n, n >= EventStreams.AnomalyMinN &&
+            EventStreams.anomalyFlag(n, s, qq, qv)))
+        }
+      }.filter(kv => resumed.contains(kv._1))
+      assert(resumed == expected,
+        "post-restart verdicts diverge from the continued prefix — state lost")
+      assert(resumed.values.map(_._1).max ==
+        rows.groupBy(_.event_type).values.map(_.size.toLong).max)
+    } finally q2.stop()
   }
 
   test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
