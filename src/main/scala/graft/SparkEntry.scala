@@ -60,6 +60,7 @@ object SparkEntry {
     "pack_shards" -> (TextAnalysis.packShards _),
     "corpus_clean" -> (TextAnalysis.corpusClean _),
     "pipeline_e2e" -> (graft.operators.Pipeline.pipelineE2e _),
+    "lineage_report" -> (graft.operators.Pipeline.lineageReport _),
     "lang_detect" -> (TextAnalysis.langDetect _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // corpus-hygiene extensions: repetition quality gate, PII scrubbing,
@@ -282,6 +283,7 @@ object SparkEntry {
     // operators CHAIN correctly (shard boundaries depend on exactly
     // which docs survived cleaning + decontamination)
     "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2eSql,
+    "lineage_report" -> graft.operators.Pipeline.lineageReportSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
     "quality_gopher" -> graft.operators.CorpusOps.qualityGopherSql,
     "quality_model_score" -> graft.operators.CorpusOps.qualityModelScoreSql,

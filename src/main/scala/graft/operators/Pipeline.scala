@@ -79,6 +79,89 @@ object Pipeline {
       cleaned.join(contaminatedIds, Seq("doc_id"), "left_anti"))
   }
 
+  /** PIPELINE LINEAGE — the observability face of [[pipelineE2e]]: one row
+    * per raw document naming its FATE, the first stage that removed it (or
+    * `kept`), in pipeline precedence order:
+    *
+    *   `eval_holdout`  — the benchmark slice itself (never training data)
+    *   `cleaned_out`   — failed exact-dedup keeper / quality / language
+    *   `near_dup`      — non-min member of a j≥0.7 cluster
+    *   `contaminated`  — shares a 20-gram with the eval set
+    *   `semantic_dup`  — its embedding (vec_id = doc_id, where one
+    *                     exists) lost the SemDeDup keeper election —
+    *                     the embedding modality joined INTO the document
+    *                     pipeline; docs without embeddings skip the stage
+    *   `kept`          — training data.
+    *
+    * Every verdict set is the SAME code its standalone oracle-checked
+    * query runs; the report is id-only left joins over those sets
+    * (broadcastable at scale — each set is a survivor/casualty id list,
+    * orders of magnitude smaller than the corpus). The contamination
+    * probe is restricted to docs surviving the earlier stages, which is
+    * result-identical under precedence (a doc's contamination verdict
+    * depends only on the doc and the eval set, never on other corpus
+    * docs) and skips hashing the already-dropped majority. */
+  def lineageReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"))
+    // both id sets feed TWO consumers (the survivor build and the final
+    // verdict join) — share them or the cleaning scan and the iterative
+    // star contraction execute twice (measured 9.6 s → 5.3 s at sf0.1)
+    val cleanedIds = graft.SharedFrames.shared(
+      TextAnalysis.corpusClean(spark, dir).select("doc_id"))
+    val nonKeepers = graft.SharedFrames.shared(
+      Dedup.dedupClustersStar(spark, dir)
+        .filter(col("doc_id") =!= col("cluster")).select("doc_id"))
+    val survivors = graft.SharedFrames.shared(
+      t(spark, dir, "documents")
+        .filter(col("doc_id") >= Dedup.ContamEvalCap)
+        .join(cleanedIds, Seq("doc_id"), "left_semi")
+        .join(nonKeepers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text")))
+    val contaminatedIds = Dedup.decontaminateFrom(survivors,
+      t(spark, dir, "documents").filter(col("doc_id") < Dedup.ContamEvalCap))
+      .select("doc_id")
+    val semDropIds = graft.operators.Similarity.semDedup(spark, dir)
+      .filter(!col("kept")).select(col("vec_id").as("doc_id"))
+    def flagged(ids: DataFrame, name: String) =
+      ids.withColumn(name, lit(true))
+    docs
+      .join(flagged(cleanedIds, "c"), Seq("doc_id"), "left_outer")
+      .join(flagged(nonKeepers, "nk"), Seq("doc_id"), "left_outer")
+      .join(flagged(contaminatedIds, "ct"), Seq("doc_id"), "left_outer")
+      .join(flagged(semDropIds, "sd"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("doc_id") < Dedup.ContamEvalCap, "eval_holdout")
+          .when(col("c").isNull, "cleaned_out")
+          .when(col("nk").isNotNull, "near_dup")
+          .when(col("ct").isNotNull, "contaminated")
+          .when(col("sd").isNotNull, "semantic_dup")
+          .otherwise("kept").as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the stage verdicts are the standalone queries' own oracles
+    * composed as subqueries (the [[pipelineE2eSql]] pattern, plus the
+    * full [[Similarity.semDedupSql]] training replay for the semantic
+    * stage), cased in the same precedence order. */
+  val lineageReportSql: String =
+    s"""WITH clean AS (SELECT doc_id FROM (${TextAnalysis.corpusCleanSql})),
+       |nonkeep AS (SELECT doc_id FROM (${Dedup.dedupClustersSql})
+       |            WHERE doc_id <> cluster),
+       |contam AS (SELECT doc_id FROM (${Dedup.decontaminateSql})),
+       |sem AS (SELECT vec_id AS doc_id
+       |        FROM (${graft.operators.Similarity.semDedupSql})
+       |        WHERE NOT kept)
+       |SELECT d.doc_id, CASE
+       |    WHEN d.doc_id < ${Dedup.ContamEvalCap} THEN 'eval_holdout'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM clean)
+       |      THEN 'cleaned_out'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM nonkeep) THEN 'near_dup'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM contam)
+       |      THEN 'contaminated'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM sem) THEN 'semantic_dup'
+       |    ELSE 'kept' END AS stage
+       |FROM documents d ORDER BY d.doc_id""".stripMargin
+
   val pipelineE2eSql: String =
     s"""WITH clean AS (SELECT doc_id FROM (${TextAnalysis.corpusCleanSql})),
        |nonkeep AS (SELECT doc_id FROM (${Dedup.dedupClustersSql})

@@ -1126,4 +1126,28 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
         s"eval $d: n_leaked $nLeaked != replay ${byEval(d)}")
     }
   }
+
+  test("lineage_report: every stage populated; kept ∪ semantic_dup ≡ the pipeline_e2e survivor set; one row per doc") {
+    import org.apache.spark.sql.functions._
+    val lin = Pipeline.lineageReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lin.size ==
+      graft.Tables.t(spark, dir, "documents").count())
+    val byStage = lin.values.groupBy(identity).view.mapValues(_.size).toMap
+    Seq("eval_holdout", "cleaned_out", "near_dup", "contaminated",
+      "semantic_dup", "kept").foreach { s =>
+      assert(byStage.getOrElse(s, 0) > 0, s"stage $s vacuous: $byStage")
+    }
+    // the report's "survived stages 1-4" set (kept + semantic_dup) is by
+    // construction EXACTLY the doc set pipeline_e2e packs into shards —
+    // the lineage table and the shard manifest must tell the same story
+    val survivedTo5 = lin.collect {
+      case (id, s) if s == "kept" || s == "semantic_dup" => id
+    }.toSet
+    val packed = Pipeline.pipelineE2e(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivedTo5 == packed,
+      s"lineage vs pipeline divergence: ${(survivedTo5 diff packed).size} " +
+        s"extra, ${(packed diff survivedTo5).size} missing")
+  }
 }
