@@ -176,6 +176,7 @@ object SparkEntry {
     // bucket table; oracle = full-rebuild truth restricted to delta pairs
     "dedup_minhash_incremental" -> (Dedup.dedupMinhashIncremental _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "pagerank_sim" -> (graft.operators.GraphRank.pagerankSim _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
@@ -328,6 +329,7 @@ object SparkEntry {
     // same graph with a recursive CTE — equality proves the distributed
     // min-label-propagation loop computes exactly the transitive closure
     "dedup_clusters" -> Dedup.dedupClustersSql,
+    "pagerank_sim" -> graft.operators.GraphRank.pagerankSimSql,
     // the O(log n) star-contraction engine against the SAME oracle:
     // equality proves the alternating contraction computes exactly the
     // transitive closure the propagation loop does

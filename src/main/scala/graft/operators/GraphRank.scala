@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Graph analytics over the document-similarity graph, beyond reachability
+  * (connected components live in [[Dedup]]): PageRank in EXACT fixed-point
+  * arithmetic, so the iterative ranking — the canonical "many rounds of
+  * join + aggregate" distributed workload — is bit-replayable in SQL.
+  *
+  * Graph: trigram-Jaccard ≥ [[GraphRank.PrTau]] pairs over the
+  * [[GraphRank.PrCap]]-doc verification slice (the
+  * [[Dedup.dedupNgramJaccard]] θ-join primitive at a similarity — not
+  * dedup — threshold; τ=0.6 yields a ~1k-edge graph at every SF where the
+  * 0.7 dedup threshold leaves almost none). The doc cap bounds the
+  * quadratic pair mining BY CONTRACT, exactly as the Jaccard primitive
+  * documents; rank iteration itself is the unbounded-scale shape — each
+  * round is one equi-join on src + one partial-combinable sum by dst, the
+  * textbook distributed PageRank step.
+  *
+  * Arithmetic: ranks are BIGINT fixed-point ([[GraphRank.PrScale]] total
+  * mass split evenly), damping d = 17/20 applied as integer
+  * multiply-then-truncate, per-edge contribution = pr // deg (truncating)
+  * — every operation order-independent and identical in Spark (`div`) and
+  * DuckDB (`//` on non-negatives), the [[Similarity.SemDedupQScale]]
+  * discipline applied to graph iteration. Mass from dangling nodes (none
+  * here — every node with deg 0 simply contributes nothing) and rounding
+  * residue is deliberately NOT redistributed: the fixed point is defined
+  * by the recurrence, not by mass conservation.
+  */
+object GraphRank {
+
+  /** Similarity-graph slice bound (the Jaccard primitive's contract). */
+  final val PrCap = 200L
+  /** Edge threshold — similarity, not dedup: 0.6 gives a dense graph. */
+  final val PrTau = 0.6
+  /** Total fixed-point rank mass (2^20). */
+  final val PrScale = 1L << 20
+  /** Power-iteration rounds (unrolled in the oracle). */
+  final val PrIters = 5
+
+  /** Symmetric (src, dst) edge list of the τ-similarity graph. */
+  private[operators] def simEdges(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap && length(col("text")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.GramPackSet.gram_pack_set(col("text"), 3).as("gset"))
+      .withColumn("sz", size(col("gset")).cast("long"))
+    val pairs = g.as("a")
+      .join(broadcast(g.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        graft.functions.SortedIntersectCount
+          .sorted_intersect_count(col("a.gset"), col("b.gset")).as("i"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .filter(col("i").cast("double") /
+        (col("sz1") + col("sz2") - col("i")) >= PrTau)
+      .select(col("d1"), col("d2"))
+    pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+  }
+
+  /** Fixed-point PageRank over the similarity graph: one row per slice
+    * doc with its final rank and degree. Per iteration: edges ⋈ ranks on
+    * src (the corpus-sized shuffle at real scale), per-dst sum
+    * (partial-combinable), teleport term added map-side. Edges and
+    * degrees are mined ONCE and shared across all [[PrIters]] rounds. */
+  def pagerankSim(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
+    val n = nodes.count()
+    val edges = graft.SharedFrames.shared(simEdges(spark, dir))
+    val deg = graft.SharedFrames.shared(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val base = (3L * PrScale) / (20L * n)
+    var ranks = nodes.withColumn("pr", lit(PrScale / n))
+    (1 to PrIters).foreach { _ =>
+      val incoming = edges
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "v"), Seq("v"), "left_outer")
+        .select(col("v"),
+          (lit(base) + expr("(17 * coalesce(inc, 0L)) div 20")).as("pr"))
+    }
+    ranks
+      .join(deg.withColumnRenamed("src", "v"), Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"), col("pr"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the τ-graph from the exploded-gram Jaccard formulation (the
+    * [[Dedup.dedupNgramJaccardSql]] equivalence, already gate-proven
+    * against the packed θ-join) and all [[PrIters]] rounds unrolled with
+    * the identical integer arithmetic. CTEs MATERIALIZED — the edge list
+    * feeds every round, and DuckDB's default inlining would re-mine the
+    * gram join per round. */
+  val pagerankSimSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.v,
+         |    CAST((SELECT (3 * $PrScale) // (20 * n) FROM nn)
+         |      + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.pr // d.deg) AS s
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN r${i - 1} r ON r.v = e.src
+         |    GROUP BY e.dst) inc ON inc.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    val raw =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+         |                                        i -> text[i:i+2]))) AS gram
+         |  FROM documents WHERE doc_id < $PrCap),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT v, (SELECT $PrScale // n FROM nn) AS pr FROM nodes),
+         |$iters
+         |SELECT r.v AS doc_id, r.pr, COALESCE(d.deg, 0) AS deg
+         |FROM r$PrIters r LEFT JOIN deg d ON d.src = r.v
+         |ORDER BY doc_id""".stripMargin
+    raw"""(\b[A-Za-z0-9_]+) AS \(""".r
+      .replaceAllIn(raw, m => s"${m.group(1)} AS MATERIALIZED (")
+  }
+}
