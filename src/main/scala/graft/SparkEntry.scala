@@ -217,6 +217,7 @@ object SparkEntry {
     "crossmodal_negatives" -> (Multimodal.crossModalNegatives _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     "orc_roundtrip" -> (graft.sources.JsonlExport.orcRoundtrip _),
+    "schema_evolution" -> (graft.sources.JsonlExport.schemaEvolution _),
     // DSv2 SINK: engine WAL format written via the two-phase committer,
     // read back with the DSv2 reader — lossless round trip
     "wal_sink_roundtrip" -> (graft.sources.WalSink.walSinkRoundtrip _),
@@ -385,6 +386,7 @@ object SparkEntry {
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,
     "orc_roundtrip" -> graft.sources.JsonlExport.orcRoundtripSql,
+    "schema_evolution" -> graft.sources.JsonlExport.schemaEvolutionSql,
     // oracle digests the parquet SOURCE; Spark digests the WAL SINK
     // round trip — equality proves format + committer are lossless
     "wal_sink_roundtrip" -> graft.sources.WalSink.walSinkRoundtripSql,

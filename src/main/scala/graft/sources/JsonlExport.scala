@@ -76,4 +76,39 @@ object JsonlExport {
   }
 
   val orcRoundtripSql: String = jsonlRoundtripSql
+
+  /** SCHEMA EVOLUTION — the read-side contract every long-lived corpus
+    * store needs: half the docs are written with the ORIGINAL schema
+    * (doc_id, text), half with an EVOLVED one that added `lang`; a
+    * `mergeSchema` read unifies them, old rows surfacing NULL for the
+    * added column. The query proves the merge end-to-end: per-language
+    * rollup where legacy rows land in the `unknown` bucket. At 100 TB
+    * schema merging is a footer-only planning step (no data rewrite) —
+    * which is exactly why additive evolution is the only kind a corpus
+    * store should allow. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.SessionResources.scratchDir(spark, "schemaevo", dir)
+    val docs = t(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+      .select(coalesce(col("lang"), lit("unknown")).as("lang_bucket"),
+        col("text"))
+      .groupBy(col("lang_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy(col("lang_bucket"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END
+      |    AS lang_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY lang_bucket ORDER BY lang_bucket""".stripMargin
 }
