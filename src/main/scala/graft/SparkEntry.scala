@@ -120,6 +120,7 @@ object SparkEntry {
     "events_anomaly" -> (Relational.eventsAnomaly _),
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
+    "unpivot_long" -> (Relational.unpivotLong _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -322,6 +323,7 @@ object SparkEntry {
     "events_anomaly" -> Relational.eventsAnomalySql,
     "json_extract_agg" -> Relational.jsonExtractAggSql,
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
+    "unpivot_long" -> Relational.unpivotLongSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

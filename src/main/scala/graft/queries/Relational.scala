@@ -820,6 +820,30 @@ object Relational {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** UNPIVOT — the inverse reshape of [[pivotLangCounts]]: the wide
+    * per-source × per-language count matrix melts back to long
+    * (source, lang, n) rows through Spark's native `unpivot` (one
+    * Expand node — each wide row fans out to |langs| rows map-side, no
+    * shuffle beyond the pivot's own aggregation). Zero-count cells are
+    * kept: the unpivoted long table is the pivot's EXACT inverse image,
+    * which is what makes the pair round-trippable — and the oracle (the
+    * direct long-format conditional count) proves both reshapes at once. */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame =
+    pivotLangCounts(spark, dir)
+      .unpivot(Array(col("source")), PivotLangs.map(col).toArray, "lang", "n")
+      .orderBy(col("source"), col("lang"))
+
+  val unpivotLongSql: String =
+    """WITH langs AS (SELECT unnest(['de','en','es','fr','zh']) AS lang),
+      |src AS (SELECT DISTINCT source FROM documents)
+      |SELECT s.source, l.lang,
+      |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |FROM src s CROSS JOIN langs l
+      |LEFT JOIN (SELECT source, lang, COUNT(*) AS n
+      |           FROM documents GROUP BY source, lang) c
+      |  ON c.source = s.source AND c.lang = l.lang
+      |ORDER BY s.source, l.lang""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
