@@ -336,6 +336,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q2.stop()
   }
 
+  test("native session_window under readStream: flushed sessions equal the batch builtin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id")).collect()
+      .sortBy(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"))
+    val q = stream.writeStream.format("memory").queryName("swagg")
+      .outputMode("append").start()
+    try {
+      val lastTs = rows.last._2.getTime
+      val sentinel = Seq((9000099L,
+        new java.sql.Timestamp(lastTs + 10L * 86400000L), 999999L))
+      (rows.grouped(math.max(1, rows.length / 3)).map(_.toSeq).toSeq :+
+        sentinel).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("swagg")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .filter(_._1 != 999999L)
+        .map(r => (r._1, r._2.getTime, r._3.getTime, r._4)).toSet
+      val batch = graft.queries.Relational.sessionWindowAgg(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream/batch session_window divergence: ${(batch diff streamed).size} " +
+          s"missing, ${(streamed diff batch).size} extra of ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: trailing session emits once the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
