@@ -121,6 +121,7 @@ object SparkEntry {
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     "unpivot_long" -> (Relational.unpivotLong _),
+    "view_click_pairs" -> (Relational.viewClickPairs _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -324,6 +325,7 @@ object SparkEntry {
     "json_extract_agg" -> Relational.jsonExtractAggSql,
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     "unpivot_long" -> Relational.unpivotLongSql,
+    "view_click_pairs" -> Relational.viewClickPairsSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

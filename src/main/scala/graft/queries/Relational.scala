@@ -844,6 +844,26 @@ object Relational {
       |  ON c.source = s.source AND c.lang = l.lang
       |ORDER BY s.source, l.lang""".stripMargin
 
+  /** The stream-stream join's BATCH face, registered on the oracle gate:
+    * [[graft.streaming.EventStreams.viewClickStreamJoin]] runs verbatim
+    * on a static frame (the watermarks are no-ops there), where it is a
+    * per-user interval join — the equi key bounds candidates per user, so
+    * unlike [[rangeJoinBucketed]] no bucket decomposition is needed. A
+    * green row proves the exact join semantics the streaming twin
+    * executes micro-batch by micro-batch. */
+  def viewClickPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.viewClickStreamJoin(
+      t(spark, dir, "events"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+
+  val viewClickPairsSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
