@@ -122,6 +122,7 @@ object SparkEntry {
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     "unpivot_long" -> (Relational.unpivotLong _),
     "view_click_pairs" -> (Relational.viewClickPairs _),
+    "merge_upsert" -> (Relational.mergeUpsert _),
     // co-located join through the bucketed physical layout (no Exchange on
     // either join side — plan shape pinned in ScaleLayoutSpec)
     "bucketed_join" -> (graft.operators.ScaleLayout.bucketedJoin _),
@@ -326,6 +327,7 @@ object SparkEntry {
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     "unpivot_long" -> Relational.unpivotLongSql,
     "view_click_pairs" -> Relational.viewClickPairsSql,
+    "merge_upsert" -> Relational.mergeUpsertSql,
     // oracle is the PLAIN join aggregate: equality proves the bucketed
     // write + co-located join path is result-invariant
     "bucketed_join" -> graft.operators.ScaleLayout.bucketedJoinSql,

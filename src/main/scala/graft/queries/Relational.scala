@@ -864,6 +864,61 @@ object Relational {
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** MERGE / UPSERT — the lakehouse apply-changes contract: a snapshot
+    * (customer) merged with a delta of updates, deletes and inserts in
+    * ONE co-keyed full-outer hash join (matched+U → update, matched+D →
+    * drop, unmatched change → insert, unmatched snapshot row → keep).
+    * The delta here is DERIVED deterministically from the snapshot
+    * (id%3 updates, id%7 deletes — delete wins where both match, the
+    * MERGE precedence — id%11 inserts above the max id) so the oracle
+    * replays it exactly; in production it is the batch's change feed.
+    * Scale shape: the join is the only shuffle and the delta side is
+    * batch-sized — the engine's own LWW/tombstone fold
+    * (`kv_upsert_fold`/`kv_delete_fold`) is this operator at log
+    * granularity; this is the set-oriented face. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val snap = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val mx = snap.agg(max(col("id")).as("mx"))
+    val changes = snap
+      .filter(col("id") % 7 === 0)
+      .select(col("id"), col("name"), lit("D").as("op"))
+      .union(snap.filter(col("id") % 3 === 0 && col("id") % 7 =!= 0)
+        .select(col("id"), concat(col("name"), lit("*U")).as("name"),
+          lit("U").as("op")))
+      .union(snap.filter(col("id") % 11 === 0).crossJoin(broadcast(mx))
+        .select((col("id") + col("mx")).as("id"),
+          concat(col("name"), lit("*I")).as("name"), lit("I").as("op")))
+    snap.as("s").join(changes.as("c"), Seq("id"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("id"),
+        coalesce(col("c.name"), col("s.name")).as("name"),
+        when(col("c.op").isNull, "kept")
+          .when(col("c.op") === "I", "inserted")
+          .otherwise("updated").as("verdict"))
+      .orderBy(col("id"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH snap AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      |mx AS (SELECT max(id) AS mx FROM snap),
+      |changes AS (
+      |  SELECT id, name, 'D' AS op FROM snap WHERE id % 7 = 0
+      |  UNION ALL
+      |  SELECT id, name || '*U', 'U' FROM snap
+      |  WHERE id % 3 = 0 AND id % 7 <> 0
+      |  UNION ALL
+      |  SELECT id + (SELECT mx FROM mx), name || '*I', 'I' FROM snap
+      |  WHERE id % 11 = 0)
+      |SELECT COALESCE(s.id, c.id) AS id,
+      |  COALESCE(c.name, s.name) AS name,
+      |  CASE WHEN c.op IS NULL THEN 'kept'
+      |       WHEN c.op = 'I' THEN 'inserted'
+      |       ELSE 'updated' END AS verdict
+      |FROM snap s FULL OUTER JOIN changes c ON s.id = c.id
+      |WHERE COALESCE(c.op, '') <> 'D'
+      |ORDER BY id""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
