@@ -810,9 +810,22 @@ object Dedup {
     * the DuckDB oracle partitions by the exact STRING, so the equality
     * gate proves collision-freedom at test SFs, and at corpus scale a
     * false excision is a benign dedup overreach, never corruption (the
-    * kept copy of each true group always survives). */
+    * kept copy of each true group always survives).
+    *
+    * Keep-first ELECTION shape: per-span_key `min(struct(doc_id,
+    * span_start))` — a partial-combinable aggregate — then excised =
+    * every span row whose (doc_id, span_start) differs from its group's
+    * elected first. The earlier `row_number() OVER (PARTITION BY
+    * span_key)` put a boilerplate span duplicated across millions of
+    * docs into ONE window partition (a single-task sort AQE cannot
+    * split — its skew handling covers joins, not windows); the aggregate
+    * folds map-side and the one span_key equi-join back onto the span
+    * rows IS AQE-skew-splittable. (doc_id, span_start) is unique within
+    * a group — spans are per-doc disjoint islands — so the min-struct
+    * elects exactly the row the old ORDER BY doc_id, span_start ranked
+    * first: same excision set by construction, and the string-keyed
+    * oracle below proves it row-for-row. */
   def dupSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the FINGERPRINTED span spine: span-identical to the string
     // formulation (the dup_spans_hashed verified twin is the standing
     // proof), and the detection stage shuffles 8-byte gram keys instead
@@ -830,10 +843,11 @@ object Dedup {
         col("span_end"))
       .agg(xxhash64(joined(collect_list(struct(col("t.idx").as("i"),
         col("t.tok").as("k"))))).as("span_key"))
-    val excised = spanKeyed
-      .withColumn("rn", row_number().over(Window.partitionBy(col("span_key"))
-        .orderBy(col("doc_id"), col("span_start"))))
-      .filter(col("rn") > 1)
+    val firsts = spanKeyed.groupBy(col("span_key"))
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("first"))
+    val excised = spanKeyed.join(firsts, Seq("span_key"))
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("span_start") =!= col("first.span_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
     scrubRebuild(spark, dir, toks, excised)
   }

@@ -214,11 +214,17 @@ object Similarity {
     * distributed posexplode + groupBy average. Init = the k lowest vec_ids
     * (seedless, reproducible). */
   def ivfCentroids(spark: SparkSession, dir: String,
-      k: Int = IvfClusters, iters: Int = IvfIters): Array[Array[Double]] = {
-    import spark.implicits._
-    val vecs = t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
-      .as[(Long, Array[Double])]
+      k: Int = IvfClusters, iters: Int = IvfIters): Array[Array[Double]] =
+    ivfCentroidsOf(t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev")), k, iters)
+
+  /** [[ivfCentroids]] over an arbitrary (vec_id, ev) frame — factored so
+    * modality-restricted indexes (e.g. the image-side slice of
+    * [[crossModalRetrieval]]) train with the same Lloyd code. */
+  private def ivfCentroidsOf(vecFrame: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import vecFrame.sparkSession.implicits._
+    val vecs = vecFrame.as[(Long, Array[Double])]
     var centroids = vecs.orderBy(col("vec_id")).limit(k)
       .collect().map(_._2)
     (0 until iters).foreach { _ =>
@@ -406,6 +412,111 @@ object Similarity {
       .orderBy(col("vec_id")).limit(1)
       .as[(Long, Array[Double])].collect()(0)
     annIvfIndexed(spark, indexPath, centroids, qid, qv, IvfVerifyProbes)
+  }
+
+  // ---- Cross-modal retrieval through the written IVF index ----
+
+  /** Caption-side query batch size (the lowest odd vec_ids — odd doc_ids
+    * are the caption/text modality in the cross-modal convention of
+    * [[Multimodal.crossModalPairs]]; even ids are images). Bounded by
+    * contract: this is the per-request query batch, not a corpus scan. */
+  final val XModalQueries = 5
+  /** Neighbors returned per query. */
+  final val XModalK = 10
+  /** Probe width for the cross-modal index: MEASURED to make every one
+    * of the [[XModalQueries]] caption queries return exactly its
+    * brute-force top-[[XModalK]] image neighbors at sf0.001/0.01/0.1
+    * (the [[IvfVerifyProbes]] calibration discipline, re-measured for
+    * the image-side index because its centroids are trained on half the
+    * corpus). The driver's DuckDB gate — brute-force cross-modal SQL —
+    * enforces the recall end-to-end. */
+  final val XModalProbes = 6
+
+  /** CROSS-MODAL RETRIEVAL — text→image ANN through the WRITTEN IVF
+    * index: caption embeddings (odd vec_ids) probe a cluster-partitioned
+    * index built over ONLY the image-side embeddings (even vec_ids), and
+    * each query reads just its [[XModalProbes]] nearest inverted lists
+    * via partition pruning (plan-asserted in IvfLayoutSpec).
+    *
+    * Composition of two r8 pieces: [[Multimodal.crossModalPairs]]'
+    * modality convention supplies the query/corpus split, and the
+    * [[ivfWriteIndex]]/[[annIvfIndexed]] layout supplies the probe path —
+    * this is the "retrieve candidate images for a caption" primitive a
+    * contrastive-training pipeline runs per batch.
+    *
+    * Scale shape: index build is one distributed assign + partitioned
+    * write (amortized across every query batch); the query side scans
+    * only the UNION of the batch's probed clusters — a static partition
+    * filter — then joins the tiny (query × probe) frame by broadcast, so
+    * each candidate row is scored only against the queries that probed
+    * its cluster. Per-query top-k runs through the k-BOUNDED partial
+    * aggregator ([[graft.functions.TopKAgg]]) — no window over the
+    * candidate stream, map-side reduction to ≤ k rows per (partition,
+    * query). Exactness: the cosine is the shared strict-fold double; the
+    * oracle is the brute-force cross-modal SQL, so a green row proves
+    * the trained centroids + probe selection + pruned scan + bounded
+    * top-k reproduce exact search for every query in the batch. */
+  def crossModalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+    val imgs = emb.filter(col("vec_id") % 2 === 0)
+    val centroids = ivfCentroidsOf(imgs, IvfClusters, IvfIters)
+    val indexPath = graft.SessionResources.scratchDir(spark, "ivf_xmodal", dir)
+    assignVecs(imgs, centroids)
+      .write.partitionBy("cluster").mode("overwrite").parquet(indexPath)
+    val qs = emb.filter(col("vec_id") % 2 === 1)
+      .orderBy(col("vec_id")).limit(XModalQueries)
+      .as[(Long, Array[Double])].collect()
+    // (query, probed cluster) fan-out: XModalQueries × XModalProbes rows
+    // of driver-side doubles — broadcast by construction
+    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+      nearestProbes(centroids, qv, XModalProbes).toSeq.sorted
+        .map(c => (qid, qv, c))
+    }
+    val probeDf = probeRows.toDF("qid", "qv", "cluster")
+    val unionProbes = probeRows.map(_._3).toSet
+    val topk = graft.functions.TopKAgg.top_k(XModalK)
+    spark.read.parquet(indexPath)
+      .filter(col("cluster").isInCollection(unionProbes)) // partition pruning
+      .join(broadcast(probeDf), Seq("cluster"))
+      .withColumn("cosine",
+        dot(col("ev"), col("qv")) /
+          (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
+      .groupBy(col("qid"))
+      .agg(topk(col("vec_id"), col("cosine")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("img_vec"), col("col.v").as("cosine"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Oracle for [[crossModalRetrieval]]: brute-force cross-modal search —
+    * every caption query scored against EVERY image vector, exact
+    * strict-fold cosine, per-query ranking replayed with the
+    * [[graft.functions.TopKAgg]] ordering contract (cosine DESC, vec_id
+    * ASC). Equality is the end-to-end recall gate: the IVF path must
+    * return exactly these rows. */
+  val crossModalRetrievalSql: String = {
+    val cos = s"""${foldSql("i.ev", "q.qv")}
+       |    / (sqrt(${foldSql("i.ev", "i.ev")})
+       |       * sqrt(${foldSql("q.qv", "q.qv")}))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS qid, ev AS qv FROM e
+       |      WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT $XModalQueries),
+       |i AS (SELECT vec_id, ev FROM e WHERE vec_id % 2 = 0),
+       |s AS (
+       |  SELECT q.qid, i.vec_id,
+       |    $cos AS cosine
+       |  FROM i, q),
+       |r AS (
+       |  SELECT qid, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM s)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id AS img_vec, cosine
+       |FROM r WHERE rnk <= $XModalK
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** Per-vector affine INT8 quantization — the storage/bandwidth path for
@@ -905,8 +1016,18 @@ object Similarity {
   // training makes the ENTIRE train→encode→score→top-k path oracle-exact.
   // ------------------------------------------------------------------
 
-  /** Number of PQ subspaces (contiguous [[PqSubDim]]-wide slices). */
+  /** Number of PQ subspaces (contiguous [[PqSubDim]]-wide slices).
+    *
+    * PINNED at 2, and not freely tunable: [[pqEncode]]'s (c0, c1) code
+    * columns, [[annPq]]'s two-term ADC expression, the ivfPq encode's
+    * copyOfRange pair, and the oracle SQL's column set are all written
+    * against exactly two subspaces — retuning the constant alone would
+    * silently encode only the first two slices. The `require` below
+    * turns that silent partial encode into a loud init-time failure;
+    * widening M means generalizing those four sites together. */
   final val PqSubspaces = 2
+  require(PqSubspaces == 2,
+    "the (c0, c1) PQ encode surface is written against exactly 2 subspaces")
   /** Dimensions per subspace: [[Dims]] / [[PqSubspaces]]. */
   final val PqSubDim = Dims / PqSubspaces
   /** Codebook entries per subspace (one byte would hold 256; 16 keeps the

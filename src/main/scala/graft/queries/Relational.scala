@@ -728,19 +728,24 @@ object Relational {
     *
     * Scale shape: one partial-combinable aggregation to ~|event_type|
     * rows, broadcast back, then a map-side codegen'd filter — two scans,
-    * zero windows, zero per-group sorts. The BIGINT partials hold to
-    * ~10⁹ rows/group at this value range; beyond that the partials (not
-    * the comparison, already decimal) move to decimal sums. */
+    * zero windows, zero per-group sorts. The moment partials (s, qq) are
+    * staged through decimal(38,0) — NOT summed in BIGINT — so they are
+    * exact to 10³⁸, matching the oracle's HUGEINT partials: a Long
+    * Σq² wraps silently past ~10⁹ rows/group at this value range, and
+    * wrapped partials would flip verdicts with no error. Decimal sums
+    * stay partial-combinable (Spark's decimal sum aggregate folds
+    * map-side like the long one). */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("q", round(col("value") * AnomalyScale).cast("long"))
+    val qd = col("q").cast("decimal(38,0)")
     val stats = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
-        sum(col("q") * col("q")).as("qq"))
-    val d = (col("n") * col("q") - col("s")).cast("decimal(38,0)")
+      .agg(count(lit(1)).as("n"), sum(qd).as("s"),
+        sum(qd * col("q")).as("qq"))
+    val d = col("n").cast("decimal(38,0)") * col("q") - col("s")
     val varN2 = col("n").cast("decimal(38,0)") * col("qq") -
-      col("s").cast("decimal(38,0)") * col("s")
+      col("s") * col("s")
     ev.join(broadcast(stats), Seq("event_type"))
       .filter(d * d > lit(AnomalyK * AnomalyK).cast("decimal(38,0)") * varN2)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -753,8 +758,11 @@ object Relational {
        |    CAST(round(value * $AnomalyScale) AS BIGINT) AS q
        |  FROM events),
        |st AS (
+       |  -- partials stay HUGEINT (no BIGINT narrowing): exact to 10^38,
+       |  -- the same headroom as the Spark side's decimal(38,0) sums
        |  SELECT event_type, COUNT(*) AS n,
-       |    CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q*q) AS BIGINT) AS qq
+       |    CAST(SUM(q) AS HUGEINT) AS s,
+       |    SUM(CAST(q AS HUGEINT) * q) AS qq
        |  FROM ev GROUP BY event_type)
        |SELECT event_id, event_type, value
        |FROM ev JOIN st USING (event_type)
@@ -768,9 +776,14 @@ object Relational {
     * (event_type, k-decile). The extraction happens IN the scan
     * projection, so at 100 TB the JSON never survives past the first
     * operator — only the parsed BIGINT shuffles, and the aggregate is
-    * partial-combinable. Malformed JSON yields NULL (both engines), kept
-    * as its own decile row rather than dropped, so parse health is
-    * visible in the result. */
+    * partial-combinable. Malformed JSON yields NULL in Spark
+    * (`from_json` is permissive); DuckDB's `->>` would ERROR on invalid
+    * JSON, so the oracle guards the extraction with `json_valid` to
+    * replay the same yield-NULL semantics, and the NULL decile is kept
+    * as its own row (ordered first in BOTH engines — NULLS FIRST is
+    * pinned in the oracle, since DuckDB's ASC default is NULLS LAST
+    * while Spark's is NULLS FIRST) so parse health is visible in the
+    * result. */
   def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("event_type"),
@@ -782,14 +795,20 @@ object Relational {
       .orderBy(col("event_type"), col("k_decile"))
 
   val jsonExtractAggSql: String =
-    """SELECT event_type, CAST(props->>'k' AS BIGINT) // 10 AS k_decile,
+    """WITH ev AS (
+      |  -- json_valid guard replays Spark's permissive from_json: a
+      |  -- malformed props row yields k = NULL instead of erroring
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |         THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
+      |  FROM events)
+      |SELECT event_type, k // 10 AS k_decile,
       |  COUNT(*) AS n,
-      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
-      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
-      |FROM events
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM ev
       |GROUP BY event_type, k_decile
-      |ORDER BY event_type, k_decile""".stripMargin
+      |ORDER BY event_type, k_decile NULLS FIRST""".stripMargin
 
   /** The documents corpus's closed language set — pivot columns are
     * DECLARED, not discovered: an implicit `pivot("lang")` runs a

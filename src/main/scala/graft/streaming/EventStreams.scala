@@ -33,9 +33,14 @@ final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
     event_type: String, value: Double, ts: java.sql.Timestamp)
 
 /** Streaming anomaly state: exact integer moments of everything seen so
-  * far for one event type — three longs, the
-  * [[graft.queries.Relational.eventsAnomaly]] (n, Σq, Σq²) triple. */
-final case class AnomalyState(n: Long, s: Long, qq: Long)
+  * far for one event type — the
+  * [[graft.queries.Relational.eventsAnomaly]] (n, Σq, Σq²) triple. The
+  * moments are BigInt (encoded as Decimal(38,0) in the state store), not
+  * Long: this operator runs unbounded, and a Long Σq² wraps silently
+  * after ~10¹⁰ events/type at this value range — after which EVERY later
+  * verdict is corrupt. Decimal state is exact to 10³⁸ (~10²⁶ events),
+  * and past that the encoder fails loudly instead of wrapping. */
+final case class AnomalyState(n: Long, s: BigInt, qq: BigInt)
 
 final case class AnomalyVerdict(event_type: String, event_id: Long,
     n_so_far: Long, flagged: Boolean)
@@ -349,14 +354,15 @@ object EventStreams {
     * [[admitOne]] single-implementation discipline): with prefix moments
     * (n, s=Σq, qq=Σq²) INCLUDING the current scaled value q, flag iff
     * (n·q − s)² > K²·(n·qq − s²) — the
-    * [[graft.queries.Relational.eventsAnomaly]] integer z-rule verbatim,
-    * widened through BigInt so the squares never overflow. */
-  private[streaming] def anomalyFlag(n: Long, s: Long, qq: Long,
+    * [[graft.queries.Relational.eventsAnomaly]] integer z-rule verbatim —
+    * the moments arrive as BigInt (the [[AnomalyState]] store type) and
+    * every product stays BigInt, so nothing here can overflow. */
+  private[streaming] def anomalyFlag(n: Long, s: BigInt, qq: BigInt,
       q: Long): Boolean = {
-    val (bn, bs, bq) = (BigInt(n), BigInt(s), BigInt(q))
-    val d = bn * bq - bs
+    val (bn, bq) = (BigInt(n), BigInt(q))
+    val d = bn * bq - s
     val k = graft.queries.Relational.AnomalyK
-    d * d > BigInt(k * k) * (bn * BigInt(qq) - bs * bs)
+    d * d > BigInt(k * k) * (bn * qq - s * s)
   }
 
   /** Events with fewer than this many same-type predecessors are never
@@ -368,7 +374,9 @@ object EventStreams {
     * against the exact integer moments of its own type's history SO FAR
     * (inclusive of itself), the deployable semantics when the full-corpus
     * stats of the batch operator do not exist yet. State per event type is
-    * THREE LONGS forever — no window buffer, no event retention — and the
+    * ONE moments triple forever (a long count + two Decimal(38,0)
+    * moments, see [[AnomalyState]]) — no window buffer, no event
+    * retention — and the
     * verdict arithmetic is [[anomalyFlag]], the same code the batch replay
     * in EventStreamsSpec runs, so stream ≡ replay bit-exactly. In-order
     * per-type delivery across micro-batches assumed (the [[funnelStream]]
@@ -382,10 +390,11 @@ object EventStreams {
       .flatMapGroupsWithState[AnomalyState, AnomalyVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (etype, batch, state) =>
-          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+          var st = state.getOption.getOrElse(
+            AnomalyState(0L, BigInt(0), BigInt(0)))
           val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
             val q = math.round(e.value * scale)
-            st = AnomalyState(st.n + 1, st.s + q, st.qq + q * q)
+            st = AnomalyState(st.n + 1, st.s + q, st.qq + BigInt(q) * q)
             AnomalyVerdict(etype, e.event_id, st.n,
               st.n >= minN && anomalyFlag(st.n, st.s, st.qq, q))
           }

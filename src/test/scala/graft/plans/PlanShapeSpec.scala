@@ -224,17 +224,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
-  test("dup_span_scrub: keep-first exchange is keyed by the 8-byte span hash, not the span body") {
+  test("dup_span_scrub: keep-first election is aggregate-shaped — no span_key window") {
     graft.SharedFrames.releaseAll()
     val p = graft.operators.Dedup.dupSpanScrub(spark, dir)
       .queryExecution.sparkPlan.toString
-    // the keep-first window partitions by span_key (xxhash64 of the span
-    // text, computed inside the span-assembly aggregate); the raw span
-    // string must not reach any windowspecdefinition
+    // the keep-first key is span_key (xxhash64 of the span text, computed
+    // inside the span-assembly aggregate); the raw span string must not
+    // reach any windowspecdefinition
     assert(p.contains("span_key"),
       s"dup_span_scrub lost its hashed keep-first key:\n$p")
     assert(!p.contains("windowspecdefinition(span_text"),
       s"dup_span_scrub partitions its keep-first window by the raw span body:\n$p")
+    // the election itself must be the partial-combinable min-struct
+    // aggregate, NOT a window partitioned by span_key: a boilerplate span
+    // duplicated across millions of docs makes its span_key a hot key,
+    // and a window puts that whole group into one un-splittable task
+    // (AQE skew handling covers joins, not windows). The equi-join back
+    // onto the span rows that replaces it IS skew-splittable.
+    assert(!p.contains("windowspecdefinition(span_key#"),
+      s"dup_span_scrub: keep-first election windows over span_key:\n$p")
     graft.SharedFrames.releaseAll()
   }
 

@@ -193,10 +193,10 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       // driver replay of the same prefix rule through the SAME verdict code
       val scale = graft.queries.Relational.AnomalyScale
       val expected = rows.groupBy(_.event_type).flatMap { case (_, es) =>
-        var (n, s, qq) = (0L, 0L, 0L)
+        var (n, s, qq) = (0L, BigInt(0), BigInt(0))
         es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
           val qv = math.round(e.value * scale)
-          n += 1; s += qv; qq += qv * qv
+          n += 1; s += qv; qq += BigInt(qv) * qv
           e.event_id -> ((n, n >= EventStreams.AnomalyMinN &&
             EventStreams.anomalyFlag(n, s, qq, qv)))
         }
@@ -321,10 +321,10 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       // 1 per type and diverge immediately
       val scale = graft.queries.Relational.AnomalyScale
       val expected = rows.groupBy(_.event_type).flatMap { case (_, es) =>
-        var (n, s, qq) = (0L, 0L, 0L)
+        var (n, s, qq) = (0L, BigInt(0), BigInt(0))
         es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
           val qv = math.round(e.value * scale)
-          n += 1; s += qv; qq += qv * qv
+          n += 1; s += qv; qq += BigInt(qv) * qv
           e.event_id -> ((n, n >= EventStreams.AnomalyMinN &&
             EventStreams.anomalyFlag(n, s, qq, qv)))
         }
