@@ -218,6 +218,9 @@ object SparkEntry {
     // contrastive negative mining: bucketed candidate join + per-image
     // md5-ranked top-k — deterministic, metadata-only (no decode)
     "crossmodal_negatives" -> (Multimodal.crossModalNegatives _),
+    // text->image retrieval through the written cluster-partitioned IVF
+    // index (caption queries probe only their nearest inverted lists)
+    "crossmodal_retrieval" -> (Similarity.crossModalRetrieval _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     "orc_roundtrip" -> (graft.sources.JsonlExport.orcRoundtrip _),
     "schema_evolution" -> (graft.sources.JsonlExport.schemaEvolution _),
@@ -388,6 +391,8 @@ object SparkEntry {
     "multimodal_video" -> Multimodal.videoFramesSql,
     "crossmodal_pairs" -> Multimodal.crossModalPairsSql,
     "crossmodal_negatives" -> Multimodal.crossModalNegativesSql,
+    // brute-force cross-modal SQL — the end-to-end IVF recall gate
+    "crossmodal_retrieval" -> Similarity.crossModalRetrievalSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,
