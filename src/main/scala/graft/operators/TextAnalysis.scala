@@ -246,22 +246,37 @@ object TextAnalysis {
     * pattern in any engine (ln-based idf would differ by libm ulps across
     * engines; with N fixed per corpus, tf/df ranks identically to
     * tf·ln(N/df) for the within-document ordering wherever df differs, and
-    * is exactly reproducible). Shape: explode → two hash-aggs (tf by
-    * (doc, token), df by token) → equi-join on token → per-doc window
-    * top-3. The df side is vocabulary-sized — broadcastable in practice;
-    * Catalyst/AQE picks that up from stats rather than a hardcoded hint. */
+    * is exactly reproducible). Shape: explode → tf hash-agg by
+    * (doc, token), MATERIALIZED once as a shared generation → df derived
+    * from tf's key set (one row per distinct (doc, token) — never a
+    * second corpus explode) → equi-join on token → per-doc window top-3.
+    *
+    * The tf generation is MATERIALIZED once (SharedFrames) and the df
+    * side explicitly broadcast, both deliberate. Without the cache,
+    * ColumnPruning rewrites the df branch's inner aggregate into a bare
+    * distinct (the tf count is dead there — and it survives a live
+    * count(tf) too, via RemoveRedundantAggregates), the two
+    * explode→aggregate subtrees become structurally different,
+    * ReuseExchange cannot dedup them, and the corpus is scanned,
+    * exploded, and shuffled TWICE. Worse, AQE then mis-sized the twin
+    * stages at runtime (observed at sf0.1, r8) and broadcast the
+    * CORPUS-scale tf side of the join — the one side that must never
+    * broadcast at 100 TB. The cache pins one explode; the explicit
+    * broadcast(df) pins the vocabulary-scale build side (one row per
+    * distinct token — the standard working assumption everywhere a dim
+    * table broadcasts; a vocabulary that outgrows executor memory means
+    * dropping the hint for a token-keyed shuffle join, AQE-splittable on
+    * hot tokens). Both pinned in PlanShapeSpec. */
   def tfidfTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val tf = tok.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    // df falls out of tf's key set — one row per (doc, token) — so the
-    // corpus is exploded and shuffled ONCE, not twice (a separate
-    // tok.distinct() branch re-exploded every document)
+    val tf = graft.SharedFrames.shared(
+      tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("token"))
+    val scored = tf.join(broadcast(df), Seq("token"))
       .withColumn("score", col("tf").cast("double") / col("df"))
     scored
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))

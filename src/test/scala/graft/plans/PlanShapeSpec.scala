@@ -291,6 +291,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"mktsegment filter not pushed:\n$p")
   }
 
+  test("tfidf_topk: ONE shared explode generation; the vocabulary side builds the broadcast") {
+    graft.SharedFrames.releaseAll()
+    val df = graft.operators.TextAnalysis.tfidfTopk(spark, dir)
+    df.collect() // executedPlan: AQE's runtime build-side choice is the claim
+    val p = df.queryExecution.executedPlan.toString
+    // both the tf probe side and the df derivation must read the ONE
+    // materialized (doc, token, tf) generation — without it the corpus
+    // is exploded and shuffled twice (ReuseExchange cannot dedup the
+    // branches once ColumnPruning rewrites df's input into a distinct)
+    assert(p.contains("InMemoryTableScan"),
+      s"tfidf_topk branches do not read the shared tf generation:\n$p")
+    // the build side must be the vocabulary-scale df aggregate — r8's
+    // uncached plan let AQE broadcast the CORPUS-scale tf side, the one
+    // relation that must never broadcast at 100 TB
+    assert(p.contains("BuildRight") && !p.contains("BuildLeft"),
+      s"tfidf_topk broadcasts the corpus-scale tf side:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("GLOBAL sweep: no CartesianProduct and no partition-less window in ANY registered plan") {
     // Two anti-patterns that are fatal at 100 TB whatever the query:
     //  - CartesianProduct: an unbounded all-pairs shuffle (a 1-row
