@@ -37,6 +37,10 @@ object SparkEntry {
     "percentiles" -> (Relational.percentiles _),
     "left_outer_orders" -> (Relational.leftOuterOrders _),
     "salted_join" -> (Relational.saltedJoinAgg _),
+    // Zipf(2)-skewed synthetic key (~50% of rows on ONE key) through the
+    // salted join; oracle = the plain join SQL (result-invariance under
+    // real skew). Task-metric measurement: SkewHarnessSpec.
+    "skew_zipf_salted" -> (Relational.skewZipfSalted _),
     "full_outer_nations" -> (Relational.fullOuterNations _),
     "scalar_funcs" -> (Relational.scalarFuncs _),
     "above_avg_sql" -> (Relational.aboveAvgSql _),
@@ -261,6 +265,7 @@ object SparkEntry {
     // oracle is the PLAIN join: equality proves the salt split +
     // small-side replication is result-invariant
     "salted_join" -> Relational.saltedJoinAggSql,
+    "skew_zipf_salted" -> Relational.skewZipfSaltedSql,
     "full_outer_nations" -> Relational.fullOuterNationsSql,
     "scalar_funcs" -> Relational.scalarFuncsSql,
     "above_avg_sql" -> Relational.aboveAvgSqlOracle,

@@ -705,6 +705,55 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Zipf-key derivation domain for [[skewZipfSalted]]. With u uniform on
+    * [0, N), `N div (u+1)` = v occurs for u ∈ [N/(v+1), N/v) — frequency
+    * ∝ 1/v², a Zipf(2) law: key 1 alone carries ~50% of all rows, key 2
+    * ~17%, a long 1/v² tail after. The multiplier is Knuth's 2⁳²·φ⁻¹
+    * scramble so the skew is NOT aligned with l_orderkey's own
+    * clustering. */
+  final val ZipfN = 1000L
+  private final val ZipfMix = 2654435761L
+
+  /** EMPIRICAL SKEW HARNESS, query face — a DELIBERATELY Zipf-skewed join
+    * the uniform TPC-H keys cannot produce: every lineitem row derives a
+    * Zipf(2) synthetic key in-engine (~50% of the corpus lands on ONE
+    * key), folds it onto the 25-key nation dimension, and joins through
+    * [[graft.operators.ScaleLayout.saltedJoin]] — the pathological-skew
+    * tool — with the per-nation rollup on top. The oracle is the PLAIN
+    * join's SQL, so the green row proves salting is result-invariant
+    * under real skew (no row duplicated by the small-side replication,
+    * none dropped by the salt split). The MEASUREMENT half lives in
+    * SkewHarnessSpec: per-task row/straggler bounds for this exact join
+    * shape, naive vs salted, on a corpus big enough to resolve them —
+    * converting the suite's 100×-skew claims from plan inspection into
+    * task-metric evidence. */
+  def skewZipfSalted(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .select(expr(s"$ZipfN div (pmod(l_orderkey * $ZipfMix, $ZipfN) + 1)")
+        .as("zkey"), col("l_quantity"))
+      .withColumn("nkey", pmod(col("zkey"), lit(25L)))
+    val small = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("nkey"), col("n_name"))
+    graft.operators.ScaleLayout.saltedJoin(big, small, "nkey", salts = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        asDouble(sum(dec(col("l_quantity")))).as("total_qty"))
+      .orderBy(col("n_name"))
+  }
+
+  val skewZipfSaltedSql: String =
+    s"""WITH b AS (
+       |  SELECT ($ZipfN // ((l_orderkey * $ZipfMix) % $ZipfN + 1)) % 25
+       |      AS nkey,
+       |    l_quantity
+       |  FROM lineitem)
+       |SELECT n.n_name, COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |    AS total_qty
+       |FROM b JOIN nation n ON b.nkey = n.n_nationkey
+       |GROUP BY n.n_name
+       |ORDER BY n.n_name""".stripMargin
+
   /** Fixed-point scale for [[eventsAnomaly]]: `events.value` carries
     * 2-decimal granularity, so ×100 + round makes the scaled value an
     * exact integer and every downstream moment exact (the

@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** EMPIRICAL skew harness (VERDICT r8 item #4): the suite's 100×-scale
+  * claims — "the salted path splits the hot key", "a skewed window is a
+  * single-task sort" — are plan-asserted everywhere else but MEASURED
+  * nowhere, because the sf testdata keys are uniform. This spec builds a
+  * deliberately Zipf(2)-skewed corpus (the [[graft.queries.Relational
+  * .skewZipfSalted]] key law: ~50% of rows on ONE key) big enough to
+  * resolve task-level behavior, runs the SAME join naive vs salted under
+  * identical configs, and pins TASK-METRIC facts, not plan strings:
+  *
+  *  1. concentration: the naive shuffle join puts ≳ the hot key's whole
+  *     row mass into ONE task (the straggler the plans warn about);
+  *  2. dispersion: with S salts no task sees more than a bounded slice —
+  *     the hot key's mass divided across the salt buckets;
+  *  3. the straggler beat: the salted plan's slowest task is faster than
+  *     the naive plan's slowest task (wall-clock per task, the quantity
+  *     that sets stage latency at scale).
+  *
+  * AQE's own skew handling is exercised as variant 4: with skew-join
+  * thresholds lowered to test scale, the naive plan's sort-merge join is
+  * rewritten with `skew=true` — the runtime split the engine applies
+  * when nobody salted by hand.
+  */
+class SkewHarnessSpec extends AnyFunSuite with SparkSpec {
+
+  private val Rows = 2000000L
+  private val Salts = 8
+
+  /** Per-task (shuffle-read records, run time ms) captured for every task
+    * that read shuffle data during `body` — join/aggregate reduce tasks;
+    * map-side and result tasks with no shuffle read are excluded. */
+  private def measureTasks(body: => Unit): Seq[(Long, Long)] = {
+    val buf = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          buf.put(t.taskInfo.taskId,
+            (m.shuffleReadMetrics.recordsRead, t.taskInfo.duration))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // the listener bus is async: poll until events settle (the public
+      // surface has no waitUntilEmpty; a short settle loop is enough for
+      // a completed local job)
+      var last = -1
+      var same = 0
+      val deadline = System.currentTimeMillis() + 30000
+      while (same < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        if (buf.size == last) same += 1 else { same = 0; last = buf.size }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    buf.values.toSeq
+  }
+
+  /** The Zipf(2) corpus: key k carries ~N/k² of the rows, key 1 ~half. */
+  private def zipfBig = spark.range(0L, Rows)
+    .select(expr("1000 div (pmod(id * 2654435761, 1000) + 1)").as("k"),
+      col("id").as("payload"))
+
+  private def dim = spark.range(1L, 1001L)
+    .select(col("id").as("k"), (col("id") % 7).as("label"))
+
+  private def runJoin(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  test("Zipf hot key: naive join concentrates into one task; salting bounds every task; salted straggler beats naive straggler") {
+    // force the shuffle join both times: the measurement is about the
+    // reduce-side key placement, not the broadcast escape hatch — and
+    // disable AQE's own skew split so the NAIVE run shows the unhandled
+    // pathology the salted run must beat. Partition coalescing is also
+    // off: at test byte-scale AQE would merge ALL reduce partitions into
+    // one task (32 MB < one advisory partition), hiding key placement
+    // entirely — production-scale partitions are GB-sized and never
+    // coalesce into one.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // the test session runs 4 shuffle partitions (fine for oracle runs);
+    // dispersion only resolves when reduce partitions ≥ salt count —
+    // with P < S several salt buckets of the hot key re-collide in one
+    // task and the measurement reads as a salting failure
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val naive = measureTasks(runJoin(
+        zipfBig.join(dim, Seq("k")).groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))))
+      val salted = measureTasks(runJoin(
+        graft.operators.ScaleLayout.saltedJoin(zipfBig, dim, "k", Salts)
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))))
+      val naiveMaxRows = naive.map(_._1).max
+      val saltedMaxRows = salted.map(_._1).max
+      val naiveMaxMs = naive.map(_._2).max
+      val saltedMaxMs = salted.map(_._2).max
+      info(s"naive:  maxTaskRows=$naiveMaxRows maxTaskMs=$naiveMaxMs over ${naive.size} shuffle-read tasks")
+      info(s"salted: maxTaskRows=$saltedMaxRows maxTaskMs=$saltedMaxMs over ${salted.size} shuffle-read tasks")
+
+      // 1. CONCENTRATION — the naive join's hottest task read at least the
+      // hot key's share (~Rows/2) of the corpus: the single-task straggler
+      assert(naiveMaxRows >= Rows * 2 / 5,
+        s"naive join did not concentrate the hot key: max task read $naiveMaxRows of $Rows")
+
+      // 2. DISPERSION — with S=8 salts the hot key's mass splits 8 ways;
+      // balls-in-bins co-residency (several (key, salt) buckets hashing
+      // into one of the 32 reduce partitions — observed max ≈ 2× the
+      // hot-slice fair share) eats part of the theoretical 8×, so the pin
+      // is a ≥3× reduction of the hottest task — still a categorical
+      // improvement that scales with S, not a lucky constant
+      assert(saltedMaxRows * 3 <= naiveMaxRows,
+        s"salting failed to split the hot key: max salted task read " +
+          s"$saltedMaxRows vs naive $naiveMaxRows ($Salts salts)")
+
+      // 3. STRAGGLER BEAT — per-task wall-clock, the latency quantity:
+      // the salted plan's slowest task processes ~1/S of the rows the
+      // naive straggler sorts, and must finish faster
+      assert(saltedMaxMs <= naiveMaxMs,
+        s"salted straggler ($saltedMaxMs ms) did not beat the naive straggler ($naiveMaxMs ms)")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
+  test("AQE skew-join: with test-scale thresholds the naive SMJ is runtime-split (skew=true)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // test-scale thresholds: flag a partition as skewed at >256 KB and
+    // >2× median, split to ~128 KB — the same mechanism production runs
+    // with GB-scale defaults
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    try {
+      val joined = zipfBig.join(dim, Seq("k"))
+        .select(col("k"), col("payload"), col("label"))
+      // execute through the Dataset's OWN queryExecution so its adaptive
+      // plan finalizes (a .write spawns a separate execution; .collect of
+      // 2M rows is driver waste) — toRdd runs the plan without
+      // materializing results on the driver
+      joined.queryExecution.toRdd.foreachPartition(_ => ())
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join at test thresholds:\n${p.take(4000)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+}
