@@ -94,6 +94,10 @@ object SparkEntry {
       (graft.operators.CorpusOps.bpeVocabLargeBatched _),
     // tokenizer APPLICATION with the trained merges (train→apply loop)
     "bpe_encode" -> (graft.operators.CorpusOps.bpeEncode _),
+    // the apply loop at PRODUCTION depth: encode against the batched
+    // 256-merge vocab; rows-only like its training twin, with the whole
+    // train→apply chain driver-replayed in CorpusOpsSpec
+    "bpe_encode_batched" -> (graft.operators.CorpusOps.bpeEncodeBatched _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
     // snapshot diff between corpus versions: added/removed/changed by
     // content fingerprint, one full-outer join on the unique doc id
@@ -445,5 +449,10 @@ object SparkEntry {
     // rows-only check; each has an oracle-checked exact twin
     // (dedup_*_verified, ann_ivf_verified/indexed, percentiles) and/or
     // ScalaTest recall/error-bound pins against the exact operators.
+    // bpe_vocab_256 / bpe_vocab_256_batched / bpe_encode_batched:
+    // 256 merge rounds are past unrolled-SQL tractability → rows-only,
+    // with FULL driver replays (every merge, and for the encoder every
+    // document's statistics) pinned in CorpusOpsSpec; bpe_vocab /
+    // bpe_encode are the oracle-exact shallow twins of the same loops.
   )
 }

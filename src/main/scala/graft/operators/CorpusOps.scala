@@ -982,7 +982,8 @@ object CorpusOps {
     * query registers rows-only). */
   private[operators] def bpeTrainBatched(spark: SparkSession, dir: String,
       merges: Int = BpeMergesLarge, k: Int = BpeBatchK,
-      partitionsOverride: Int = 0): Seq[(Int, String, String, Long)] = {
+      partitionsOverride: Int = 0)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val agg = t(spark, dir, "documents")
@@ -1058,7 +1059,8 @@ object CorpusOps {
     }
     graft.SharedFrames.sharedRdd(cur)
     if (prev != null) graft.SharedFrames.sharedRdd(prev)
-    out.result()
+    (out.result(),
+      cur.map { case (w, repr, _) => (w, repr) }.toDF("word", "repr"))
   }
 
   /** Per-partition top-k under the election order (count desc, UTF-8
@@ -1085,7 +1087,7 @@ object CorpusOps {
   /** The registered batched-training query: the merge table at
     * [[BpeMergesLarge]] depth via [[bpeTrainBatched]]. */
   def bpeVocabLargeBatched(spark: SparkSession, dir: String): DataFrame = {
-    val rows = bpeTrainBatched(spark, dir)
+    val (rows, _) = bpeTrainBatched(spark, dir)
     import spark.implicits._
     rows.toDF("merge_rank", "pair", "merged", "pair_count")
       .orderBy(col("merge_rank"))
@@ -1105,6 +1107,14 @@ object CorpusOps {
     * doc-keyed hash-aggregate with map-side partials. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val (_, words) = bpeTrain(spark, dir)
+    encodeWithVocab(spark, dir, words)
+  }
+
+  /** The shared APPLY tail of both encoders: explode the corpus, join
+    * each word against the (word, final repr) vocab table, roll up the
+    * per-doc encoding statistics. */
+  private def encodeWithVocab(spark: SparkSession, dir: String,
+      words: DataFrame): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -1116,6 +1126,23 @@ object CorpusOps {
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
         (col("n_chars").cast("double") / col("n_tokens")).as("compression"))
       .orderBy(col("doc_id"))
+
+  /** Tokenizer APPLICATION at PRODUCTION depth — the [[bpeEncode]] loop
+    * closed over the BATCHED 256-merge vocabulary ([[bpeTrainBatched]])
+    * instead of the 10-merge sequential one: train the
+    * [[BpeMergesLarge]]-deep merge table with the symbol-disjoint
+    * batched election, then encode every document against the final
+    * (word → repr) table. Same corpus-scale-free apply shape as
+    * [[bpeEncode]] (merge work ∝ vocab; encoding is one explode +
+    * vocab equi-join + per-doc rollup, the vocab never broadcast).
+    * Registers ROWS-ONLY for the same reason as `bpe_vocab_256_batched`
+    * (a 256-round unrolled SQL oracle is intractable); exactness of the
+    * WHOLE train→apply chain at this depth is pinned by the
+    * CorpusOpsSpec driver replay, which recomputes every merge AND every
+    * document's encoded statistics from first principles. */
+  def bpeEncodeBatched(spark: SparkSession, dir: String): DataFrame = {
+    val (_, words) = bpeTrainBatched(spark, dir)
+    encodeWithVocab(spark, dir, words)
   }
 
   /** The shared rounds CTE chain (w0 … w[[BpeMerges]] — the same

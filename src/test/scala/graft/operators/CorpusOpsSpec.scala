@@ -229,19 +229,19 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"only ${rows.length} merges — realistic-depth path never ran")
   }
 
-  test("bpe_vocab_256_batched: EVERY merge matches a driver replay of the batched rule; rounds collapse k-fold; partitioning-independent") {
+  /** Driver replay of the batched election rule from first principles —
+    * rank all global pair counts, truncate to the top-k, greedily accept
+    * symbol-disjoint pairs, apply the whole batch, repeat — carrying the
+    * WORD identity through so the applied-encoding test can replay the
+    * final (word → repr) table too. Returns (merge table, word→repr,
+    * rounds run). */
+  private def batchedReplay(): (Vector[(Int, String, String, Long)], Map[String, String], Int) = {
     val k = CorpusOps.BpeBatchK
-    val rows = CorpusOps.bpeVocabLargeBatched(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-    graft.SharedFrames.releaseAll()
-    // driver replay of the batched election: rank all global pair counts,
-    // truncate to the top-k, greedily accept symbol-disjoint pairs, apply
-    // the whole batch, repeat
     var vocab = graft.Tables.t(spark, dir, "documents")
       .select("text").collect()
       .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length.toLong)
-      .toSeq.map { case (w, c) => (w, c) }
+      .toSeq.map { case (w, c) => (w, w, c) }
     var expected = Vector.empty[(Int, String, String, Long)]
     var rank = 0
     var rounds = 0
@@ -249,7 +249,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     while (rank < CorpusOps.BpeMergesLarge && !dry) {
       rounds += 1
       val counts = scala.collection.mutable.Map.empty[String, Long]
-      vocab.foreach { case (repr, cnt) =>
+      vocab.foreach { case (_, repr, cnt) =>
         // windows over CODE POINTS, matching production pairCounts — a
         // UTF-16 sliding(2) would split surrogate pairs on any future
         // non-BMP corpus and silently diverge from the engine's pairs
@@ -281,11 +281,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
           expected :+= ((rank, p, m, c))
           (p, m)
         }
-        vocab = vocab.map { case (repr, cnt) =>
-          (batch.foldLeft(repr) { case (r, (p, m)) => r.replace(p, m) }, cnt)
+        vocab = vocab.map { case (w, repr, cnt) =>
+          (w, batch.foldLeft(repr) { case (r, (p, m)) => r.replace(p, m) }, cnt)
         }
       }
     }
+    (expected, vocab.map { case (w, repr, _) => w -> repr }.toMap, rounds)
+  }
+
+  test("bpe_vocab_256_batched: EVERY merge matches a driver replay of the batched rule; rounds collapse k-fold; partitioning-independent") {
+    val k = CorpusOps.BpeBatchK
+    val rows = CorpusOps.bpeVocabLargeBatched(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    graft.SharedFrames.releaseAll()
+    val (expected, _, rounds) = batchedReplay()
     assert(rows.length == expected.length,
       s"merge count ${rows.length} != replay's ${expected.length}")
     rows.zip(expected).foreach { case (got, want) =>
@@ -298,10 +307,41 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       s"$rounds rounds for ${rows.length} merges — batching is not batching")
     // truncate-to-top-k makes the result a pure function of the counts:
     // a forced multi-partition run must agree merge-for-merge
-    val multi = CorpusOps.bpeTrainBatched(spark, dir, partitionsOverride = 4)
+    val (multi, _) = CorpusOps.bpeTrainBatched(spark, dir, partitionsOverride = 4)
     graft.SharedFrames.releaseAll()
     assert(multi == rows.toSeq,
       "batched elections diverged across partitionings")
+  }
+
+  test("bpe_encode_batched: every document's encoded statistics match the driver replay of the full train→apply chain") {
+    val rows = CorpusOps.bpeEncodeBatched(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    graft.SharedFrames.releaseAll()
+    val (_, wordRepr, _) = batchedReplay()
+    // replay the APPLY step: per doc, word/char/token counts and the
+    // compression ratio from the replayed final reprs — the same
+    // statistic, derived without Spark
+    val expected = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val words = r.getString(1).split(" ").filter(_.nonEmpty)
+        val nChars = words.map(_.length.toLong).sum
+        val nToks = words.map(w => wordRepr(w).length.toLong).sum
+        (r.getLong(0),
+          (words.length.toLong, nChars, nToks, nChars.toDouble / nToks))
+      }
+      .filter(_._2._1 > 0)
+      .sortBy(_._1)
+    assert(rows.length == expected.length,
+      s"doc count ${rows.length} != replay's ${expected.length}")
+    rows.zip(expected).foreach { case (got, want) =>
+      assert(got == want, s"doc ${want._1}: $got != replay $want")
+    }
+    // the deep vocab must actually compress: strictly fewer tokens than
+    // chars somewhere, or the 256-merge apply did nothing
+    assert(rows.exists { case (_, (_, ch, tk, _)) => tk < ch },
+      "no document compressed — the batched vocab never applied")
   }
 
   test("bpe election paths agree: single-partition and two-level reduceByKey merge-for-merge") {
