@@ -507,4 +507,99 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         s"event ${e.event_id}: tracker=$admitted stream=${streamed(e.event_id)}")
     }
   }
+
+  test("WAL-loop E2E: log A → stateful quota twin → log B, restart mid-stream with state; equals the continuous replay, not a cold start") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // the full production loop VERDICT r8 item #7 asks for: the engine's
+    // OWN WAL (written by the streaming committer) feeds a STATEFUL
+    // streaming twin whose verdicts land in a second WAL, with source
+    // offsets, sink epochs AND operator state in one checkpoint — a
+    // restart must re-read nothing, re-publish nothing, and CONTINUE the
+    // per-user admission windows
+    val a = Files.createTempDirectory("graft-wal-loop-a-")
+    val b = Files.createTempDirectory("graft-wal-loop-b-")
+    val cp = Files.createTempDirectory("graft-wal-loop-cp-")
+    val enc = java.util.Base64.getEncoder
+    val maxAmount = 100.0
+    val windowUs = 7000L
+    // 2 users, 30-unit charges every 2000 µs per user: the 7 ms window
+    // holds ≤3 admitted predecessors (sum 90), so the 4th charge in a
+    // full window refuses — admits AND refusals, deterministically
+    val events = (0 until 40).map(i =>
+      Event(i.toLong, i.toLong * 1000, (i % 2).toLong, "up", 30.0))
+    def put(e: Event): String = {
+      val csv = s"${e.event_id},${e.ts_us},${e.user_id},${e.event_type},${e.value}"
+      s"PUT\t${enc.encodeToString(e.user_id.toString.getBytes)}\t${enc.encodeToString(csv.getBytes)}\t#\n"
+    }
+    def temp(content: String): String = {
+      val t = Files.createTempFile(a, ".part-loop", ".tmp")
+      Files.writeString(t, content)
+      t.toString
+    }
+    val wA = new graft.sources.WalStreamingWrite(a.toString)
+    val (h1, h2) = events.splitAt(20)
+    wA.commit(0L, Array(graft.sources.WalCommitMessage(temp(h1.map(put).mkString))))
+
+    def startLoop() = {
+      val src = spark.readStream
+        .format("graft.sources.WalDataSource").load(a.toString)
+        .filter(col("op") === "PUT")
+        .select(split(col("value").cast("string"), ",").as("f"))
+        .select(col("f")(0).cast("long").as("event_id"),
+          col("f")(1).cast("long").as("ts_us"),
+          col("f")(2).cast("long").as("user_id"),
+          col("f")(3).as("event_type"),
+          col("f")(4).cast("double").as("value"))
+        .as[Event]
+      EventStreams.quotaAdmission(src, maxAmount, windowUs)
+        .select(lit(0L).as("seq"), lit("VERDICT").as("op"),
+          col("event_id").cast("string").as("key"),
+          concat_ws(",", col("user_id"), col("admitted"), col("window_sum"))
+            .cast("binary").as("value"))
+        .writeStream.format("graft.sources.WalDataSource")
+        .option("path", b.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode("append").start()
+    }
+
+    val q1 = startLoop()
+    try q1.processAllAvailable() finally q1.stop()
+    // a new source epoch lands in A while the pipeline is DOWN
+    wA.commit(1L, Array(graft.sources.WalCommitMessage(temp(h2.map(put).mkString))))
+    val q2 = startLoop()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.format("graft.sources.WalDataSource")
+      .load(b.toString).collect().map { r =>
+        val parts = new String(r.getAs[Array[Byte]](3)).split(",")
+        r.getString(2).toLong ->
+          ((parts(0).toLong, parts(1).toBoolean, parts(2).toDouble))
+      }.toMap
+
+    // truth: the CONTINUOUS per-user fold through the same admitOne code
+    def replay(es: Seq[Event]): Map[Long, (Long, Boolean, Double)] =
+      es.groupBy(_.user_id).flatMap { case (u, ue) =>
+        var w = List.empty[(Long, Double)]
+        ue.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+          val (w2, admit, inWin) =
+            EventStreams.admitOne(w, e.ts_us, e.value, maxAmount, windowUs)
+          w = w2
+          e.event_id -> ((u, admit, inWin))
+        }
+      }
+    val expected = replay(events)
+    assert(got.keySet == events.map(_.event_id).toSet,
+      s"loop lost or duplicated events: got ${got.size} of ${events.size}")
+    assert(got == expected, "WAL-loop verdicts diverge from the continuous replay")
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "verdict classes not both populated — the quota never bound")
+    // state really SURVIVED the restart: a cold-started second run would
+    // restart every user's window empty and produce different second-half
+    // verdicts (first admissions with window_sum 0) — the harness must be
+    // able to tell the difference, or the continuity claim is vacuous
+    val cold = replay(h2)
+    assert(h2.exists(e => got(e.event_id) != cold(e.event_id)),
+      "second-half verdicts indistinguishable from a cold start — state loss undetectable")
+  }
 }
