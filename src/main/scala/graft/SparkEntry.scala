@@ -164,6 +164,10 @@ object SparkEntry {
     // two-pass maximal spans: DISTINCT union of chains against both
     // canonical occurrences - tightens toward suffix-level maximality
     "dup_spans_maximal2" -> (Dedup.dupSpansMaximal2 _),
+    // rank-3+ closure: TRUE pairwise-maximal aligned repeats per
+    // canonical (doc, partner) pair via dot-plot diagonal chaining +
+    // containment maximality; oracle replays the identical construction
+    "dup_spans_maximal_pairwise" -> (Dedup.dupSpansMaximalPairwise _),
     // batch-cadence substring dedup: delta-vs-corpus gram probe; the
     // oracle IS the full rebuild restricted to the delta
     "dup_spans_incremental" -> (Dedup.dupSpansIncremental _),
@@ -367,6 +371,7 @@ object SparkEntry {
     "dup_spans_hashed" -> Dedup.dupSpansSql,
     "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
     "dup_spans_maximal2" -> Dedup.dupSpansMaximal2Sql,
+    "dup_spans_maximal_pairwise" -> Dedup.dupSpansMaximalPairwiseSql,
     "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,

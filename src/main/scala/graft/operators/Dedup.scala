@@ -622,6 +622,167 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** PAIRWISE-MAXIMAL aligned repeats — the rank-3+ closure of the
+    * maximal-span family (r8 stretch). [[dupSpansMaximal]]/
+    * [[dupSpansMaximal2]] chain each hit against the canonical
+    * occurrences' FIRST positions only, so a repeat whose partner copy
+    * sits at a non-first position of the partner doc still splits. This
+    * operator computes, for every (doc D, partner P) pair the canonical
+    * elections name, the TRUE maximal common substrings of (D, P): every
+    * (D-gram-start, P-gram-start) co-occurrence becomes a dot-plot cell,
+    * consecutive cells on one DIAGONAL (pos − idx constant, idx step 1)
+    * are a verbatim aligned run — overlapping n-grams at aligned
+    * positions force token-for-token equality of the whole window — and
+    * a run survives iff no longer run of the same pair strictly contains
+    * its D-interval (the suffix-automaton match-length maximality
+    * criterion, reached declaratively). Result rows ⊇ the A∪B passes'
+    * coverage per partner (spec-pinned superset); the remaining
+    * under-approximation is only the PARTNER SET itself — partners
+    * beyond the two canonical occurrences are not paired, which is what
+    * keeps the pair space linear in hits instead of the quadratic
+    * all-occurrence blowup a boilerplate gram would trigger.
+    *
+    * Scale shape: the pair list is ≤2 partners per (doc, gram) —
+    * distinct-bounded; the co-occurrence join expands each pair by at
+    * most |D-grams|·|P-grams| per shared gram, DOC-BOUNDED per pair (the
+    * corpus-wide gram key never drives a window); the diagonal chaining
+    * windows partition by (doc, partner, diagonal) — doc-pair-bounded;
+    * the containment filter is a per-pair anti-join over span-sized
+    * rows. The one hot join key (a boilerplate partner doc named by many
+    * pairs) is an equi-join — AQE-skew-splittable. */
+  def dupSpansMaximalPairwise(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = DupSpanGram
+    val (_, grams) = hashedGramParts(spark, dir)
+    val docMin = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(min(col("idx")).as("di"))
+    val firstOcc = docMin.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("di"))).as("o1"))
+    val pairTab = docMin.join(firstOcc, Seq("gh"))
+      .filter(col("doc_id") > col("o1.doc_id"))
+      .groupBy(col("gh"))
+      .agg(min(col("o1")).as("o1"),
+        min(struct(col("doc_id"), col("di"))).as("o2"))
+      .select(col("gh"), col("o1.doc_id").as("d1"), col("o2.doc_id").as("d2"))
+    val base = grams.join(pairTab, Seq("gh"))
+      .select(col("doc_id"), col("d1"), col("d2"))
+    // the A∪B partner set, as (doc, partner) pairs — ≤2 per (doc, gram)
+    val pairs = base.select(col("doc_id"),
+        when(col("doc_id") === col("d1"), col("d2"))
+          .otherwise(col("d1")).as("p_doc"))
+      .union(base.select(col("doc_id"),
+        when(col("doc_id") === col("d2"), col("d1"))
+          .otherwise(col("d2")).as("p_doc")))
+      .filter(col("doc_id") =!= col("p_doc"))
+      .distinct()
+    // every gram co-occurrence of each pair: one dot-plot cell per
+    // (D idx, P pos) sharing a gram
+    val cells = grams.join(pairs, Seq("doc_id"))
+      .join(grams.select(col("doc_id").as("p_doc"), col("idx").as("pos"),
+        col("gh")), Seq("p_doc", "gh"))
+      .select(col("doc_id"), col("p_doc"), col("idx"), col("pos"),
+        (col("pos") - col("idx")).as("diag"))
+    val byDiag = Window.partitionBy(col("doc_id"), col("p_doc"), col("diag"))
+      .orderBy(col("idx"))
+    val runs = cells
+      .withColumn("l_idx", lag(col("idx"), 1).over(byDiag))
+      .withColumn("brk", when(col("l_idx").isNull ||
+        col("idx") - col("l_idx") =!= 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDiag))
+      .groupBy(col("doc_id"), col("p_doc"), col("diag"), col("island"))
+      .agg(min(col("idx")).as("s"), max(col("idx")).as("m"),
+        min(col("pos")).as("src_start"))
+      .select(col("doc_id"), col("p_doc"), col("s"),
+        (col("m") + (n - 1)).as("e"), col("src_start"))
+    // maximality: drop a run strictly contained (in D-interval space) in
+    // a longer run of the SAME pair — the SA match-length criterion
+    val maximal = runs.alias("x").join(runs.alias("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.p_doc") === col("y.p_doc") &&
+          col("y.s") <= col("x.s") && col("x.e") <= col("y.e") &&
+          (col("y.s") < col("x.s") || col("y.e") > col("x.e")),
+        "left_anti")
+    maximal.select(col("doc_id"),
+        col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s") + 1).cast("long").as("span_tokens"),
+        col("p_doc").cast("long").as("src_doc"),
+        col("src_start").cast("long").as("src_start"))
+      .orderBy(col("doc_id"), col("span_start"), col("src_doc"),
+        col("src_start"))
+  }
+
+  /** Oracle for [[dupSpansMaximalPairwise]]: the identical pair mining,
+    * dot-plot diagonal chaining, and containment filter over literal
+    * gram strings (every CTE MATERIALIZED — the chain re-reads `grams`
+    * four times and DuckDB's default inlining re-expands the tokenize
+    * window chain at every reference). */
+  lazy val dupSpansMaximalPairwiseSql: String =
+    // negative lookbehind: `WINDOW w AS (...)` is a window clause, not a
+    // CTE — materializing it is a syntax error
+    raw"""(?<!WINDOW )(\b[A-Za-z0-9_]+) AS \(""".r
+      .replaceAllIn(dupSpansMaximalPairwiseSqlRaw,
+        m => s"${m.group(1)} AS MATERIALIZED (")
+
+  private lazy val dupSpansMaximalPairwiseSqlRaw: String = {
+    val n = DupSpanGram
+    s"""$dupSpanPrefixSql,
+       |pf AS (SELECT gram, doc_id AS d1
+       |       FROM (SELECT gram, doc_id, row_number() OVER (
+       |               PARTITION BY gram ORDER BY doc_id, idx) AS rn
+       |             FROM grams) WHERE rn = 1),
+       |ps AS (SELECT gram, doc_id AS d2
+       |       FROM (SELECT g.gram, g.doc_id, row_number() OVER (
+       |               PARTITION BY g.gram ORDER BY g.doc_id, g.idx) AS rn
+       |             FROM grams g JOIN pf USING (gram)
+       |             WHERE g.doc_id <> pf.d1) WHERE rn = 1),
+       |prs AS (
+       |  SELECT DISTINCT doc_id, p_doc FROM (
+       |    SELECT g.doc_id,
+       |      CASE WHEN g.doc_id = pf.d1 THEN ps.d2 ELSE pf.d1 END AS p_doc
+       |    FROM grams g JOIN pf USING (gram) JOIN ps USING (gram)
+       |    UNION
+       |    SELECT g.doc_id,
+       |      CASE WHEN g.doc_id = ps.d2 THEN pf.d1 ELSE ps.d2 END AS p_doc
+       |    FROM grams g JOIN pf USING (gram) JOIN ps USING (gram))
+       |  WHERE doc_id <> p_doc),
+       |cells AS (
+       |  SELECT p.doc_id, p.p_doc, g1.idx, g2.idx AS pos,
+       |    g2.idx - g1.idx AS diag
+       |  FROM prs p
+       |  JOIN grams g1 ON g1.doc_id = p.doc_id
+       |  JOIN grams g2 ON g2.doc_id = p.p_doc AND g2.gram = g1.gram),
+       |cc AS (
+       |  SELECT doc_id, p_doc, diag, idx, pos,
+       |    CASE WHEN lag(idx) OVER w IS NULL
+       |         OR idx - lag(idx) OVER w <> 1 THEN 1 ELSE 0 END AS brk
+       |  FROM cells
+       |  WINDOW w AS (PARTITION BY doc_id, p_doc, diag ORDER BY idx)),
+       |ci AS (
+       |  SELECT doc_id, p_doc, diag, idx, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id, p_doc, diag
+       |                   ORDER BY idx) AS island
+       |  FROM cc),
+       |runs AS (
+       |  SELECT doc_id, p_doc, MIN(idx) AS s,
+       |    MAX(idx) + ${n - 1} AS e, MIN(pos) AS src_start
+       |  FROM ci GROUP BY doc_id, p_doc, diag, island),
+       |mx AS (
+       |  SELECT x.* FROM runs x
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM runs y
+       |    WHERE y.doc_id = x.doc_id AND y.p_doc = x.p_doc
+       |      AND y.s <= x.s AND y.e >= x.e
+       |      AND (y.s < x.s OR y.e > x.e)))
+       |SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+       |  CAST(e AS BIGINT) AS span_end,
+       |  CAST(e - s + 1 AS BIGINT) AS span_tokens,
+       |  CAST(p_doc AS BIGINT) AS src_doc,
+       |  CAST(src_start AS BIGINT) AS src_start
+       |FROM mx
+       |ORDER BY doc_id, span_start, src_doc, src_start""".stripMargin
+  }
+
   /** Oracle for [[dupSpansMaximal]]: the identical canonical-partner
     * chain construction over literal gram strings, appended to the shared
     * tokenize/gram CTE chain. (`lazy` — [[dupSpanPrefixSql]] is declared

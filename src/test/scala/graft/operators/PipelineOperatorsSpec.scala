@@ -747,6 +747,51 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("dup_spans_maximal_pairwise: covers every A∪B span per partner; every span a verbatim repeat; tightening non-vacuous") {
+    graft.SharedFrames.releaseAll()
+    val ab = Dedup.dupSpansMaximal2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    graft.SharedFrames.releaseAll()
+    val pw = Dedup.dupSpansMaximalPairwise(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    graft.SharedFrames.releaseAll()
+    // SUPERSET pin (the r8 stretch contract): every A∪B span, which is a
+    // verbatim aligned run against its partner, must be CONTAINED in a
+    // pairwise-maximal span of the same (doc, partner) — the pairwise
+    // report chains the same alignment in the partner's FULL occurrence
+    // space, so it can only extend, never lose
+    val byPair = pw.groupBy(s => (s._1, s._5))
+    ab.foreach { case (id, s, e, src) =>
+      val cover = byPair.getOrElse((id, src), Array.empty)
+        .exists(m => m._2 <= s && e <= m._3)
+      assert(cover,
+        s"A∪B span doc=$id [$s,$e] vs partner=$src not covered by any pairwise span")
+    }
+    // every pairwise span carries a true verbatim alignment at its OWN
+    // src_start (a non-first partner position — the rank-3+ reach)
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).filter(_.nonEmpty))
+      .toMap
+    pw.foreach { case (id, s, e, len, src, ss) =>
+      assert(src != id)
+      assert(toks(id).slice(s.toInt, e.toInt + 1)
+        .sameElements(toks(src).slice(ss.toInt, (ss + len).toInt)),
+        s"pairwise span doc=$id [$s,$e] is not a verbatim repeat of doc=$src @$ss")
+    }
+    // the tightening must be REAL on this corpus: some pairwise span must
+    // strictly extend beyond every A∪B span of its (doc, partner) — i.e.
+    // an alignment the canonical-first-position chaining had split
+    val abByPair = ab.groupBy(x => (x._1, x._4))
+    val extended = pw.exists { case (id, s, e, _, src, _) =>
+      abByPair.getOrElse((id, src), Array.empty)
+        .forall(x => !(x._2 <= s && e <= x._3)) }
+    assert(extended || pw.length > ab.length,
+      "pairwise chaining added nothing beyond A∪B — the closure is vacuous here")
+  }
+
   test("dup_span_scrub_aligned: exact driver replay of the provenance keep-first policy; corpus-first copies survive") {
     val spans = Dedup.dupSpansMaximal(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
