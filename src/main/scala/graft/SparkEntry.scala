@@ -41,6 +41,9 @@ object SparkEntry {
     // salted join; oracle = the plain join SQL (result-invariance under
     // real skew). Task-metric measurement: SkewHarnessSpec.
     "skew_zipf_salted" -> (Relational.skewZipfSalted _),
+    // SCD type-2 temporal dimension: per-user attribute validity
+    // intervals with change-only versioning (all windows user-keyed)
+    "scd2_history" -> (Relational.scd2History _),
     "full_outer_nations" -> (Relational.fullOuterNations _),
     "scalar_funcs" -> (Relational.scalarFuncs _),
     "above_avg_sql" -> (Relational.aboveAvgSql _),
@@ -98,6 +101,9 @@ object SparkEntry {
     // 256-merge vocab; rows-only like its training twin, with the whole
     // train→apply chain driver-replayed in CorpusOpsSpec
     "bpe_encode_batched" -> (graft.operators.CorpusOps.bpeEncodeBatched _),
+    // losslessness proof: decode(encode(word)) == word for every trained
+    // repr (reverse-rank symbol expansion), mismatches counted
+    "bpe_roundtrip" -> (graft.operators.CorpusOps.bpeRoundtrip _),
     "integrity_audit" -> (graft.operators.CorpusOps.integrityAudit _),
     // snapshot diff between corpus versions: added/removed/changed by
     // content fingerprint, one full-outer join on the unique doc id
@@ -274,6 +280,7 @@ object SparkEntry {
     // small-side replication is result-invariant
     "salted_join" -> Relational.saltedJoinAggSql,
     "skew_zipf_salted" -> Relational.skewZipfSaltedSql,
+    "scd2_history" -> Relational.scd2HistorySql,
     "full_outer_nations" -> Relational.fullOuterNationsSql,
     "scalar_funcs" -> Relational.scalarFuncsSql,
     "above_avg_sql" -> Relational.aboveAvgSqlOracle,
@@ -319,6 +326,7 @@ object SparkEntry {
     // encode rides the SAME unrolled rounds (word carried through), so
     // equality proves the trained merges apply identically to every doc
     "bpe_encode" -> graft.operators.CorpusOps.bpeEncodeSql,
+    "bpe_roundtrip" -> graft.operators.CorpusOps.bpeRoundtripSql,
     "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
     "corpus_diff" -> graft.operators.CorpusOps.corpusDiffSql,
     "lm_bigram_score" -> graft.operators.CorpusOps.lmBigramScoreSql,

@@ -1145,6 +1145,60 @@ object CorpusOps {
     encodeWithVocab(spark, dir, words)
   }
 
+  /** TOKENIZER ROUND TRIP — the losslessness proof of the BPE pair:
+    * decode every trained repr by expanding merge symbols back to their
+    * pairs in REVERSE rank order (later merges may reference earlier
+    * merge symbols, so reverse application is the unique correct
+    * inverse), and count mismatches against the original words. A
+    * lossless tokenizer is the contract every downstream token count and
+    * packing budget silently assumes — this query makes it a checked
+    * row: n_mismatch must be 0, and n_merged_words > 0 proves the check
+    * is not vacuous (some reprs really did change).
+    *
+    * Scale shape: the decode is a per-row codegen'd `replace` chain over
+    * the vocab-sized (word, repr) table — no corpus scan at all beyond
+    * training, no shuffle beyond the final scalar aggregate. */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, words) = bpeTrain(spark, dir)
+    val decoded = merges.sortBy(-_._1).foldLeft(col("repr")) {
+      case (c, (_, pair, sym, _)) => replace(c, lit(sym), lit(pair))
+    }
+    words
+      .withColumn("decoded", decoded)
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("repr") =!= col("word"), 1L).otherwise(0L))
+          .as("n_merged_words"),
+        sum(when(col("decoded") =!= col("word"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+  }
+
+  /** Oracle for [[bpeRoundtrip]]: the identical reverse-order expansion
+    * over the shared rounds chain — each round's symbol replaced by its
+    * elected pair (scalar subquery; a dry round's empty election
+    * coalesces to a no-op pattern, matching the engine loop's early
+    * stop, whose merge list simply ends there). */
+  lazy val bpeRoundtripSql: String = {
+    val decode = (BpeMerges to 1 by -1).foldLeft("repr") { (acc, r) =>
+      s"replace($acc, chr(${BpeMergeCharBase + r}),\n" +
+        s"    coalesce((SELECT pair FROM b$r), ''))"
+    }
+    val raw =
+      s"""WITH $bpeRoundsCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(CASE WHEN repr <> word THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_merged_words,
+         |  CAST(SUM(CASE WHEN $decode <> word THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mismatch
+         |FROM w$BpeMerges""".stripMargin
+    // every CTE MATERIALIZED: unlike bpeVocabSql/bpeEncodeSql (each b$r
+    // referenced once), the decode chain references ALL ten election
+    // CTEs, and DuckDB's default inlining re-expands each one's whole
+    // upstream rounds chain — quadratic blowup, measured as a multi-
+    // minute hang at sf0.01. (Lookbehind: WINDOW clauses are not CTEs.)
+    raw"""(?<!WINDOW )(\b[A-Za-z0-9_]+) AS \(""".r
+      .replaceAllIn(raw, m => s"${m.group(1)} AS MATERIALIZED (")
+  }
+
   /** The shared rounds CTE chain (w0 … w[[BpeMerges]] — the same
     * [[BpeMerges]] rounds [[bpeTrain]] runs, unrolled as static SQL: each
     * round a pair-count CTE, a LIMIT-1 argmax CTE, and a replace

@@ -705,6 +705,60 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** SCD TYPE-2 HISTORY BUILD — the warehouse temporal-dimension pattern:
+    * fold each user's event stream into attribute VALIDITY INTERVALS. A
+    * new version opens only when the tracked attribute (`event_type`)
+    * actually CHANGES (consecutive duplicates collapse — the defining
+    * SCD2 rule); each version carries [valid_from, valid_to) in event
+    * time, a per-key version number, and the open-interval current flag
+    * (valid_to NULL). This is the set-oriented face of a CDC pipeline's
+    * dimension maintenance — the MERGE family's temporal sibling.
+    *
+    * Scale shape: two window passes and a ranking, ALL partitioned by
+    * user_id (a well-spread key; per-partition work bounded by one
+    * user's history) — change detection via lag, interval close via
+    * lead, version via row_number. Zero joins, one shuffle on user_id
+    * reused by every window (same partitioning and ordering → one Sort,
+    * three window functions in one Window node). Determinism: ordering
+    * pinned by (ts_us, event_id) — a same-microsecond pair folds
+    * identically in both engines. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(byUser))
+      .withColumn("version", row_number().over(byUser))
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("event_type").as("attr"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |d AS (
+      |  SELECT *, lag(event_type) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |c AS (
+      |  SELECT user_id, event_type, ts_us, event_id FROM d
+      |  WHERE prev IS NULL OR event_type <> prev),
+      |v AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    lead(ts_us) OVER w AS valid_to_us,
+      |    row_number() OVER w AS version
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, CAST(version AS BIGINT) AS version,
+      |  event_type AS attr, ts_us AS valid_from_us, valid_to_us,
+      |  (valid_to_us IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   /** Zipf-key derivation domain for [[skewZipfSalted]]. With u uniform on
     * [0, N), `N div (u+1)` = v occurs for u ∈ [N/(v+1), N/v) — frequency
     * ∝ 1/v², a Zipf(2) law: key 1 alone carries ~50% of all rows, key 2

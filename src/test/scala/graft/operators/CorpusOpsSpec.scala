@@ -344,6 +344,19 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       "no document compressed — the batched vocab never applied")
   }
 
+  test("bpe_roundtrip: decode is the exact inverse — zero mismatches, non-vacuously") {
+    val row = CorpusOps.bpeRoundtrip(spark, dir).collect()(0)
+    graft.SharedFrames.releaseAll()
+    val (nWords, nMerged, nMismatch) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the CONTENT claim the oracle gate alone cannot make: equality would
+    // hold even if decode were broken identically in both engines — the
+    // losslessness itself must be asserted
+    assert(nMismatch == 0L, s"$nMismatch of $nWords words fail decode(encode(w)) == w")
+    assert(nMerged > 0L, "no repr changed — the round trip proved nothing")
+    assert(nWords > 0L)
+  }
+
   test("bpe election paths agree: single-partition and two-level reduceByKey merge-for-merge") {
     // the vocab-derived partitioning picks the shuffle-free single-task
     // election at test SF; the two-level reduceByKey path is what a
