@@ -81,6 +81,12 @@ object SparkEntry {
     // exact-size per-language sample via the k-bounded partial
     // aggregator (no hot-key window); md5 ranking, engine-independent
     "sample_stratified" -> (graft.operators.CorpusOps.sampleStratifiedExact _),
+    // temperature-sampled multilingual mixture (n_l^0.5 quotas in exact
+    // integer arithmetic; per-lang selection via the bounded aggregator)
+    "temperature_mix" -> (graft.operators.CorpusOps.temperatureMix _),
+    // T5-style span corruption: deterministic block masking + sentinel
+    // (input, target) pair construction, strings oracle-compared
+    "span_corruption" -> (graft.operators.CorpusOps.spanCorruption _),
     "chunk_docs" -> (graft.operators.CorpusOps.chunkDocs _),
     "token_bpe" -> (graft.operators.CorpusOps.tokenBpe _),
     "bpe_vocab" -> (graft.operators.CorpusOps.bpeVocab _),
@@ -318,6 +324,8 @@ object SparkEntry {
     "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "sample_stratified" -> graft.operators.CorpusOps.sampleStratifiedExactSql,
+    "temperature_mix" -> graft.operators.CorpusOps.temperatureMixSql,
+    "span_corruption" -> graft.operators.CorpusOps.spanCorruptionSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
     "token_bpe" -> graft.operators.CorpusOps.tokenBpeSql,
     // oracle unrolls the same merge rounds as static SQL — equality proves

@@ -534,6 +534,180 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sample budget for [[temperatureMix]]. */
+  final val TempMixBudget = 200L
+
+  /** TEMPERATURE-SAMPLED multilingual mixture — the XLM-R / mT5 data
+    * recipe: language l is sampled ∝ n_l^α (α = 0.5 here), flattening
+    * the head language's dominance while keeping low-resource languages
+    * above their natural rate. Exactness discipline: the weight is
+    * isqrt(n_l) = floor(sqrt(n_l)) — floor of a correctly-rounded IEEE
+    * sqrt is the exact integer square root for n < 2^52, identical in
+    * both engines — and quotas divide in BIGINT, so the per-language
+    * quota table is integer-exact. Document selection inside each
+    * language is the [[sampleStratifiedExact]] machinery: engine-
+    * independent md5 ranking through the k-BOUNDED partial aggregator
+    * (a language stratum is corpus-scale — a per-lang row_number window
+    * would be a hot-key single-task sort), trimmed to the language's
+    * quota by a broadcast join against the 5-row quota table. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val weights = counts
+      .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val quotas = weights
+      .crossJoin(broadcast(weights.agg(sum(col("w")).as("tw"))))
+      .select(col("lang"),
+        expr(s"CAST(($TempMixBudget * w) div tw AS BIGINT)").as("quota"))
+    val topk = graft.functions.TopKAgg.top_k(TempMixBudget.toInt)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)" +
+          "), 1, 13), 16, 10) as bigint)").as("hk"))
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), -col("hk").cast("double")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("lang"), col("quota"), col("rnk"), col("doc_id"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |w AS (SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+       |q AS (SELECT lang,
+       |        CAST(($TempMixBudget * w) // (SELECT SUM(w) FROM w) AS BIGINT)
+       |          AS quota
+       |      FROM w),
+       |r AS (SELECT lang, doc_id, row_number() OVER (
+       |        PARTITION BY lang ORDER BY
+       |          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+       |            1, 13)) AS BIGINT), doc_id) AS rnk
+       |      FROM documents)
+       |SELECT r.lang, q.quota, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id
+       |FROM r JOIN q ON q.lang = r.lang
+       |WHERE r.rnk <= q.quota
+       |ORDER BY r.lang, r.rnk""".stripMargin
+
+  /** Span width (tokens) for [[spanCorruption]]. */
+  final val CorruptSpanLen = 3
+  /** Mask a block iff the first md5 byte of (doc_id:block) is below this
+    * hex ceiling — 0x28/0x100 ≈ 15.6%, the T5 corruption-rate
+    * neighborhood, derived deterministically from content ids (the
+    * [[sampleMix]] hash-bucket discipline: no RNG state anywhere). */
+  final val CorruptCeil = "28"
+
+  /** T5-STYLE SPAN CORRUPTION — denoising-objective sample construction:
+    * partition each document's token stream into [[CorruptSpanLen]]-token
+    * blocks, deterministically mask ~15.6% of blocks, and emit the
+    * (input, target) training pair — the input with each masked block
+    * replaced by its ordinal `<extra_id_k>` sentinel, the target
+    * listing each sentinel followed by the tokens it hides (Raffel et
+    * al. 2020's objective, the standard denoising recipe).
+    *
+    * Scale shape: masking is a per-row md5 projection in the scan stage;
+    * sentinel ordinals and both reassemblies are doc-partitioned
+    * (doc-bounded windows and sorted aggregates — the [[Dedup]] rebuild
+    * pattern); no joins beyond the per-doc left-joins of the report.
+    * Both engines rebuild the strings from the same sorted struct
+    * order, so input AND target are oracle-compared byte-for-byte. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def joined(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(transform(array_sort(c), x => x.getField("k")), " ")
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", expr(s"CAST(pos div $CorruptSpanLen AS BIGINT)"))
+    val flagged = toks.withColumn("mask",
+      expr("substring(md5(cast(concat(cast(doc_id as string), ':', " +
+        s"cast(b as string)) as binary)), 1, 2) < '$CorruptCeil'"))
+    val mb = flagged.filter(col("mask")).select(col("doc_id"), col("b"))
+      .distinct()
+      .withColumn("k", (row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("b"))) - 1)
+        .cast("long"))
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("k").cast("string"), lit(">")))
+    val inputRows = flagged.filter(!col("mask"))
+        .select(col("doc_id"), col("pos").cast("long").as("po"), col("tok"))
+      .union(mb.select(col("doc_id"),
+        (col("b") * CorruptSpanLen).as("po"), col("sentinel").as("tok")))
+    val inp = inputRows.groupBy(col("doc_id"))
+      .agg(joined(collect_list(struct(col("po").as("i"), col("tok").as("k"))))
+        .as("input_text"))
+    val targetRows = mb.select(col("doc_id"), col("b"),
+        lit(-1L).as("po"), col("sentinel").as("tok"))
+      .union(flagged.filter(col("mask")).select(col("doc_id"), col("b"),
+        col("pos").cast("long").as("po"), col("tok")))
+    val tgt = targetRows.groupBy(col("doc_id"))
+      .agg(joined(collect_list(struct(col("b").as("a"), col("po").as("i"),
+        col("tok").as("k")))).as("target_text"))
+    val st = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val nm = mb.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left_outer")
+      .join(nm, Seq("doc_id"), "left_outer")
+      .join(inp, Seq("doc_id"), "left_outer")
+      .join(tgt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("nb"), lit(0L)).as("n_masked_blocks"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, o FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS o
+       |    FROM documents)
+       |  WHERE tok <> ''),
+       |bl AS (SELECT doc_id, tok, o - 1 AS pos,
+       |         (o - 1) // $CorruptSpanLen AS b
+       |       FROM toks),
+       |fl AS (SELECT *, substring(md5(concat(CAST(doc_id AS VARCHAR), ':',
+       |         CAST(b AS VARCHAR))), 1, 2) < '$CorruptCeil' AS mask
+       |       FROM bl),
+       |mb AS (SELECT doc_id, b,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS k
+       |       FROM (SELECT DISTINCT doc_id, b FROM fl WHERE mask)),
+       |inp AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY po) AS input_text
+       |  FROM (
+       |    SELECT doc_id, pos AS po, tok FROM fl WHERE NOT mask
+       |    UNION ALL
+       |    SELECT doc_id, b * $CorruptSpanLen AS po,
+       |      '<extra_id_' || k || '>' AS tok
+       |    FROM mb)
+       |  GROUP BY doc_id),
+       |tg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY b, po) AS target_text
+       |  FROM (
+       |    SELECT doc_id, b, -1 AS po, '<extra_id_' || k || '>' AS tok
+       |    FROM mb
+       |    UNION ALL
+       |    SELECT doc_id, b, pos AS po, tok FROM fl WHERE mask)
+       |  GROUP BY doc_id),
+       |st AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       |nm AS (SELECT doc_id, count(*) AS n FROM mb GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(st.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(nm.n, 0) AS BIGINT) AS n_masked_blocks,
+       |  COALESCE(inp.input_text, '') AS input_text,
+       |  COALESCE(tg.target_text, '') AS target_text
+       |FROM documents d
+       |LEFT JOIN st USING (doc_id)
+       |LEFT JOIN nm USING (doc_id)
+       |LEFT JOIN inp USING (doc_id)
+       |LEFT JOIN tg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Exact per-stratum sample size for [[sampleStratifiedExact]]. */
   final val StratSampleK = 20
 
