@@ -27,6 +27,16 @@ final case class FunnelState(view_ts: Option[Long], click_ts: Option[Long],
 final case class PurchaseVerdict(user_id: Long, event_id: Long, ts_us: Long,
     converted: Boolean)
 
+/** Streaming SCD2 state: the one OPEN version of a user's tracked
+  * attribute — three fields forever, no event retention. */
+final case class Scd2State(attr: String, version: Long, validFrom: Long)
+
+/** A CLOSED SCD2 version row — emitted exactly once, when the closing
+  * attribute change arrives (the batch build's `is_current = false`
+  * rows, field for field). */
+final case class Scd2Version(user_id: Long, version: Long, attr: String,
+    valid_from_us: Long, valid_to_us: Long)
+
 /** Event carrying a real TimestampType column (required for watermarks /
   * event-time timeouts). */
 final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
@@ -436,6 +446,42 @@ object EventStreams {
             QuotaVerdict(userId, e.event_id, admit, inWindow)
           }
           state.update(window)
+          out.iterator
+      }
+  }
+
+  /** STREAMING SCD2 — the live face of
+    * [[graft.queries.Relational.scd2History]]: per-user dimension
+    * maintenance as events arrive. State is ONE open version per user
+    * (attr, version number, valid_from — three fields forever, no event
+    * retention); an arriving event whose tracked attribute differs from
+    * the open version CLOSES it — emitting the finished
+    * (user, version, attr, [valid_from, valid_to)) row, exactly the
+    * `is_current = false` rows of the batch build — and opens the next.
+    * Same-attribute events are no-ops (the change-only SCD2 rule). The
+    * open (current) version lives only in state until its closing change
+    * arrives — Append semantics: a row is emitted exactly once, when it
+    * is final. In-order per-user delivery across micro-batches assumed
+    * (the [[quotaAdmission]] contract); EventStreamsSpec pins stream ≡
+    * the batch build's closed rows across micro-batch splits. */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Version] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st == null)
+              st = Scd2State(e.event_type, 1L, e.ts_us)
+            else if (e.event_type != st.attr) {
+              out += Scd2Version(userId, st.version, st.attr,
+                st.validFrom, e.ts_us)
+              st = Scd2State(e.event_type, st.version + 1, e.ts_us)
+            }
+          }
+          if (st != null) state.update(st)
           out.iterator
       }
   }
