@@ -684,7 +684,10 @@ object Dedup {
         (col("pos") - col("idx")).as("diag"))
     val byDiag = Window.partitionBy(col("doc_id"), col("p_doc"), col("diag"))
       .orderBy(col("idx"))
-    val runs = cells
+    // materialized ONCE (run-sized rows): BOTH sides of the containment
+    // anti-join read it — uncached, the whole cells+chaining subtree
+    // would compute twice
+    val runs = graft.SharedFrames.shared(cells
       .withColumn("l_idx", lag(col("idx"), 1).over(byDiag))
       .withColumn("brk", when(col("l_idx").isNull ||
         col("idx") - col("l_idx") =!= 1, 1).otherwise(0))
@@ -693,7 +696,7 @@ object Dedup {
       .agg(min(col("idx")).as("s"), max(col("idx")).as("m"),
         min(col("pos")).as("src_start"))
       .select(col("doc_id"), col("p_doc"), col("s"),
-        (col("m") + (n - 1)).as("e"), col("src_start"))
+        (col("m") + (n - 1)).as("e"), col("src_start")))
     // maximality: drop a run strictly contained (in D-interval space) in
     // a longer run of the SAME pair — the SA match-length criterion
     val maximal = runs.alias("x").join(runs.alias("y"),
@@ -996,14 +999,17 @@ object Dedup {
     val (toks, spans) = hashedSpanParts(spark, dir)
     def joined(c: Column): Column = array_join(
       transform(array_sort(c), x => x.getField("k")), " ")
-    val spanKeyed = spans.alias("s")
+    // materialized ONCE (span-sized rows): both the election and the
+    // keep-first filter read it — uncached, the expensive span-assembly
+    // join+aggregate would run twice (one per consumer)
+    val spanKeyed = graft.SharedFrames.shared(spans.alias("s")
       .join(toks.alias("t"), col("s.doc_id") === col("t.doc_id") &&
         col("t.idx") >= col("s.span_start") &&
         col("t.idx") <= col("s.span_end"))
       .groupBy(col("s.doc_id").as("doc_id"), col("span_start"),
         col("span_end"))
       .agg(xxhash64(joined(collect_list(struct(col("t.idx").as("i"),
-        col("t.tok").as("k"))))).as("span_key"))
+        col("t.tok").as("k"))))).as("span_key")))
     val firsts = spanKeyed.groupBy(col("span_key"))
       .agg(min(struct(col("doc_id"), col("span_start"))).as("first"))
     val excised = spanKeyed.join(firsts, Seq("span_key"))
