@@ -245,6 +245,10 @@ object SparkEntry {
     // text->image retrieval through the written cluster-partitioned IVF
     // index (caption queries probe only their nearest inverted lists)
     "crossmodal_retrieval" -> (Similarity.crossModalRetrieval _),
+    // image-modality dedup artifact: per-image 64-bit average hash as
+    // band integers (pairing spec-gated on ground-truth synthetic
+    // near-dups; this corpus provably has none to find)
+    "image_phash" -> (Multimodal.imagePhash _),
     "jsonl_roundtrip" -> (graft.sources.JsonlExport.jsonlRoundtrip _),
     "orc_roundtrip" -> (graft.sources.JsonlExport.orcRoundtrip _),
     "schema_evolution" -> (graft.sources.JsonlExport.schemaEvolution _),
@@ -423,6 +427,7 @@ object SparkEntry {
     "crossmodal_negatives" -> Multimodal.crossModalNegativesSql,
     // brute-force cross-modal SQL — the end-to-end IVF recall gate
     "crossmodal_retrieval" -> Similarity.crossModalRetrievalSql,
+    "image_phash" -> Multimodal.imagePhashSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless
     "jsonl_roundtrip" -> graft.sources.JsonlExport.jsonlRoundtripSql,

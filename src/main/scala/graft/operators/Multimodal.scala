@@ -121,6 +121,125 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash bands (16 bits each over the 64-bit aHash) and the
+    * near-dup hamming threshold. Pigeonhole: hamming ≤ 3 over 4 bands
+    * guarantees at least one IDENTICAL band, so the banded equi-join's
+    * recall at the threshold is 100% — the MinHash-LSH banding argument
+    * applied to image hashes. At larger corpora the band width scales
+    * with the corpus (wider hash, wider bands) exactly like LSH band
+    * tuning, so random 16-bit collisions never dominate the join. */
+  final val PhashBands = 4
+  final val PhashHamming = 3
+
+  /** The 64-bit average hash of one BMP payload, as [[PhashBands]]
+    * 16-bit band integers: decode, nearest-neighbor to
+    * [[ResizeW]]×[[ResizeH]], bit i = thumbnail pixel i above the
+    * integer mean (aHash, the classic pHash-family baseline). Shared by
+    * the registered hash query and the spec's ground-truth pairing. */
+  private[operators] def phashBands(payload: Array[Byte]): Array[Int] = {
+    val (w, h, px) = MediaCodec.decodeBmpPixels(payload)
+    val small = MediaCodec.resizeNearest(w, h, px, ResizeW, ResizeH)
+    val mean = small.map(_.toLong).sum / (ResizeW * ResizeH)
+    val bands = Array.fill(PhashBands)(0)
+    var i = 0
+    while (i < ResizeW * ResizeH) {
+      if (small(i) > mean) bands(i / 16) |= (1 << (i % 16))
+      i += 1
+    }
+    bands
+  }
+
+  /** IMAGE PERCEPTUAL HASHING — the image-modality face of the dedup
+    * family: the per-image 64-bit average hash as [[PhashBands]] band
+    * integers plus the set-bit count, the stored artifact an image-dedup
+    * pipeline banding-joins against.
+    *
+    * Scale shape: partition-local decode work — payloads never leave the
+    * executor; only four 16-bit ints + a count per image shuffle (to the
+    * presentation sort). The PAIRING operator over this table is
+    * [[imagePhashPairsOf]]; it stays UNREGISTERED because this corpus
+    * provably has no near-duplicate images to find — the synthesized
+    * image dims are doc_id-dependent (w = 64 + id%64), so even two
+    * byte-identical texts render structurally different images (measured
+    * min cross-image hamming: 8 at sf0.01) — and a thresholded pair
+    * query would be either empty or noise. Pairing correctness is
+    * instead gated on ground-truth synthetic near-dups in
+    * MediaCodecPropertiesSpec. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .filter(_.media_type == "image/bmp")
+      .mapPartitions(_.map { a =>
+        val b = phashBands(a.payload)
+        (a.doc_id, b(0).toLong, b(1).toLong, b(2).toLong, b(3).toLong,
+          b.map(java.lang.Integer.bitCount).sum.toLong)
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "n_bits")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup image pairs over a (doc_id, b0..b3) hash table: candidates
+    * from [[PhashBands]] band equi-joins (never an all-pairs product; a
+    * corpus-sized self-join side must not broadcast, hence the
+    * shuffle_hash hint), exact bit_count(xor) hamming inside the join's
+    * codegen stage, threshold [[PhashHamming]] — at which the pigeonhole
+    * bound (≤3 differing bits over 4 bands ⇒ one band identical) makes
+    * the banded candidate recall exact. */
+  def imagePhashPairsOf(hashes: DataFrame): DataFrame = {
+    val cand = (0 until PhashBands).map { j =>
+      hashes.alias("x").hint("shuffle_hash")
+        .join(hashes.alias("y"),
+          col(s"x.b$j") === col(s"y.b$j") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.b0").as("xb0"), col("x.b1").as("xb1"),
+          col("x.b2").as("xb2"), col("x.b3").as("xb3"),
+          col("y.b0").as("yb0"), col("y.b1").as("yb1"),
+          col("y.b2").as("yb2"), col("y.b3").as("yb3"))
+    }.reduce(_ union _)
+    cand.distinct()
+      .withColumn("hamming", (0 until PhashBands).map(j =>
+          bit_count(col(s"xb$j").bitwiseXOR(col(s"yb$j"))))
+        .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= PhashHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** First-principles oracle for [[imagePhash]]: thumbnail pixels via
+    * the [[resizeImagesSql]] nearest-neighbor index formula, integer
+    * mean, bits, band integers, set-bit count — exact integer arithmetic
+    * end to end. */
+  val imagePhashSql: String = {
+    val srcIdx = s"((x.g * w // ${ResizeW}) + (y.g * h // ${ResizeH}) * w)"
+    val gray = s"CASE WHEN hx IS NULL THEN 0 ELSE " +
+      byteAtSql("hx", s"$srcIdx % len") + " END"
+    val bandCols = (0 until PhashBands).map { j =>
+      s"""CAST(SUM(CASE WHEN i // 16 = $j
+         |      THEN bit * (1 << (i % 16)) ELSE 0 END) AS BIGINT) AS b$j"""
+        .stripMargin
+    }.mkString(",\n    ")
+    s"""WITH ${bytesCte(0)},
+       |geo AS (
+       |  SELECT doc_id, hx, len, 64 + doc_id % 64 AS w,
+       |         64 + (doc_id // 2) % 64 AS h
+       |  FROM b),
+       |px AS (
+       |  SELECT doc_id, y.g * ${ResizeW} + x.g AS i, $gray AS gray
+       |  FROM geo, generate_series(0, ${ResizeW - 1}) x(g),
+       |       generate_series(0, ${ResizeH - 1}) y(g)),
+       |m AS (SELECT doc_id, SUM(gray) // ${ResizeW * ResizeH} AS mean
+       |      FROM px GROUP BY doc_id),
+       |bits AS (
+       |  SELECT px.doc_id, i,
+       |    CASE WHEN gray > mean THEN 1 ELSE 0 END AS bit
+       |  FROM px JOIN m ON m.doc_id = px.doc_id)
+       |SELECT doc_id,
+       |  $bandCols,
+       |  CAST(SUM(bit) AS BIGINT) AS n_bits
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Audio frame-sampling stride: analyze every 2nd frame (temporal
     * subsampling — the video-frame-sample shape applied to PCM frames). */
   final val FrameStride = 2

@@ -747,6 +747,40 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("image_phash: pairing detects ground-truth near-dups, rejects different images; corpus emptiness pinned") {
+    import spark.implicits._
+    // ground truth at the thumbnail size (8×8 BMPs — resize is identity):
+    // a = checkerboard; b = a with exactly TWO extra lit cells (hamming 2
+    // by construction, mean shift included in the arithmetic); c = the
+    // inverse checkerboard (hamming 64 vs a)
+    def img(f: (Int, Int) => Int) = MediaCodec.encodeBmp(8, 8, f)
+    val a = img((x, y) => if ((x + y) % 2 == 0) 255 else 0)
+    val b = img((x, y) =>
+      if ((x + y) % 2 == 0 || (y == 0 && (x == 1 || x == 3))) 255 else 0)
+    val c = img((x, y) => if ((x + y) % 2 == 1) 255 else 0)
+    val hashes = Seq((1L, a), (2L, b), (3L, c)).map { case (id, p) =>
+      val h = Multimodal.phashBands(p)
+      (id, h(0), h(1), h(2), h(3))
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val pairs = Multimodal.imagePhashPairsOf(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 2L)),
+      s"expected exactly the (a, b) near-dup at hamming 2, got $pairs")
+
+    // the corpus hash table is real and non-degenerate...
+    val corpus = Multimodal.imagePhash(spark, dir)
+    val rows = corpus.collect()
+    assert(rows.length > 100)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).distinct.length > rows.length / 2,
+      "corpus hashes are degenerate")
+    // ...and its pairing is EMPTY — the documented physics (image dims
+    // are doc_id-dependent, so no two corpus images are near-dups): the
+    // scaladoc claim, pinned instead of asserted in prose
+    assert(Multimodal.imagePhashPairsOf(corpus).count() == 0L,
+      "corpus unexpectedly contains near-dup images — register the pair query")
+  }
+
   test("dup_spans_maximal_pairwise: covers every A∪B span per partner; every span a verbatim repeat; tightening non-vacuous") {
     graft.SharedFrames.releaseAll()
     val ab = Dedup.dupSpansMaximal2(spark, dir).collect()
