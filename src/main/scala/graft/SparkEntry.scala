@@ -44,6 +44,9 @@ object SparkEntry {
     // SCD type-2 temporal dimension: per-user attribute validity
     // intervals with change-only versioning (all windows user-keyed)
     "scd2_history" -> (Relational.scd2History _),
+    // ANALYZE-style exact column statistics: one scan, multi-distinct
+    // agg through a single Expand, stack to long format map-side
+    "table_stats" -> (Relational.tableStats _),
     "full_outer_nations" -> (Relational.fullOuterNations _),
     "scalar_funcs" -> (Relational.scalarFuncs _),
     "above_avg_sql" -> (Relational.aboveAvgSql _),
@@ -84,6 +87,8 @@ object SparkEntry {
     // temperature-sampled multilingual mixture (n_l^0.5 quotas in exact
     // integer arithmetic; per-lang selection via the bounded aggregator)
     "temperature_mix" -> (graft.operators.CorpusOps.temperatureMix _),
+    // one-row dataset card: exact corpus totals in one scan
+    "corpus_report" -> (graft.operators.CorpusOps.corpusReport _),
     // T5-style span corruption: deterministic block masking + sentinel
     // (input, target) pair construction, strings oracle-compared
     "span_corruption" -> (graft.operators.CorpusOps.spanCorruption _),
@@ -291,6 +296,7 @@ object SparkEntry {
     "salted_join" -> Relational.saltedJoinAggSql,
     "skew_zipf_salted" -> Relational.skewZipfSaltedSql,
     "scd2_history" -> Relational.scd2HistorySql,
+    "table_stats" -> Relational.tableStatsSql,
     "full_outer_nations" -> Relational.fullOuterNationsSql,
     "scalar_funcs" -> Relational.scalarFuncsSql,
     "above_avg_sql" -> Relational.aboveAvgSqlOracle,
@@ -329,6 +335,7 @@ object SparkEntry {
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "sample_stratified" -> graft.operators.CorpusOps.sampleStratifiedExactSql,
     "temperature_mix" -> graft.operators.CorpusOps.temperatureMixSql,
+    "corpus_report" -> graft.operators.CorpusOps.corpusReportSql,
     "span_corruption" -> graft.operators.CorpusOps.spanCorruptionSql,
     "chunk_docs" -> graft.operators.CorpusOps.chunkDocsSql,
     "token_bpe" -> graft.operators.CorpusOps.tokenBpeSql,

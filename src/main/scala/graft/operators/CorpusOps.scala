@@ -534,6 +534,43 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DATASET CARD — the one-row corpus report a data release ships with:
+    * document/language/source counts, exact token and character totals,
+    * empty-doc and redundant-copy counts (docs beyond their fingerprint
+    * group's one keeper), and the longest document. ONE scan, one
+    * partial-combinable aggregation (the multi-distinct plans through a
+    * single Expand); at 100 TB this is the cheapest full-corpus
+    * statement of record there is. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(col("text"), " "),
+      x => length(x) > 0)).cast("long")
+    t(spark, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      sum(toks).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_docs"),
+      (count(lit(1)) - count_distinct(md5(col("text").cast("binary"))))
+        .as("n_dup_docs"),
+      max(toks).as("max_doc_tokens"))
+  }
+
+  val corpusReportSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |    AS BIGINT) AS total_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+      |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+      |  CAST(MAX(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |    AS BIGINT) AS max_doc_tokens
+      |FROM documents""".stripMargin
+
   /** Sample budget for [[temperatureMix]]. */
   final val TempMixBudget = 200L
 

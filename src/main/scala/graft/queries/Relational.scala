@@ -705,6 +705,61 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Columns profiled by [[tableStats]] (a declared subset of orders —
+    * doubles are excluded deliberately: min/max STRING rendering of
+    * floats differs between engines, while integer/date/varchar
+    * renderings are identical). */
+  private val StatsCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_orderdate")
+
+  /** ANALYZE-style EXACT column statistics — the engine-surface stats
+    * collection every cost-based optimizer feeds on: per column, row
+    * count, null count, exact distinct count, and min/max (rendered as
+    * strings so one schema carries every type). ONE scan computes all
+    * columns' aggregates (Spark plans the multi-distinct agg through a
+    * single Expand — no per-column passes), and the 1-row wide result
+    * unpivots to the long (col_name, …) shape with `stack` — map-side,
+    * no shuffle beyond the one aggregation. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: StatsCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stackArgs = StatsCols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    t(spark, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), expr(s"stack(${StatsCols.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val tableStatsSql: String = {
+    val aggs = StatsCols.map { c =>
+      s"""    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nn_$c,
+         |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd_$c,
+         |    CAST(MIN($c) AS VARCHAR) AS mn_$c,
+         |    CAST(MAX($c) AS VARCHAR) AS mx_$c""".stripMargin
+    }.mkString(",\n")
+    val legs = StatsCols.map { c =>
+      s"""SELECT '$c' AS col_name, n, nn_$c AS n_null, nd_$c AS n_distinct,
+         |  mn_$c AS min_val, mx_$c AS max_val FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |$aggs
+       |  FROM orders)
+       |$legs
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** SCD TYPE-2 HISTORY BUILD — the warehouse temporal-dimension pattern:
     * fold each user's event stream into attribute VALIDITY INTERVALS. A
     * new version opens only when the tracked attribute (`event_type`)
