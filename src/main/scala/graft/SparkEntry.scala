@@ -185,6 +185,8 @@ object SparkEntry {
     // canonical (doc, partner) pair via dot-plot diagonal chaining +
     // containment maximality; oracle replays the identical construction
     "dup_spans_maximal_pairwise" -> (Dedup.dupSpansMaximalPairwise _),
+    // whole-doc duplication-pressure score: gram counts + dup fraction
+    "doc_novelty" -> (Dedup.docNovelty _),
     // batch-cadence substring dedup: delta-vs-corpus gram probe; the
     // oracle IS the full rebuild restricted to the delta
     "dup_spans_incremental" -> (Dedup.dupSpansIncremental _),
@@ -250,6 +252,9 @@ object SparkEntry {
     // text->image retrieval through the written cluster-partitioned IVF
     // index (caption queries probe only their nearest inverted lists)
     "crossmodal_retrieval" -> (Similarity.crossModalRetrieval _),
+    // embedding-space decontamination: paraphrase-robust eval-leak
+    // flagging (broadcast eval set, strict-fold max cosine, tau verdict)
+    "decontaminate_semantic" -> (Similarity.decontaminateSemantic _),
     // image-modality dedup artifact: per-image 64-bit average hash as
     // band integers (pairing spec-gated on ground-truth synthetic
     // near-dups; this corpus provably has none to find)
@@ -399,6 +404,7 @@ object SparkEntry {
     "dup_spans_maximal" -> Dedup.dupSpansMaximalSql,
     "dup_spans_maximal2" -> Dedup.dupSpansMaximal2Sql,
     "dup_spans_maximal_pairwise" -> Dedup.dupSpansMaximalPairwiseSql,
+    "doc_novelty" -> Dedup.docNoveltySql,
     "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
@@ -434,6 +440,7 @@ object SparkEntry {
     "crossmodal_negatives" -> Multimodal.crossModalNegativesSql,
     // brute-force cross-modal SQL — the end-to-end IVF recall gate
     "crossmodal_retrieval" -> Similarity.crossModalRetrievalSql,
+    "decontaminate_semantic" -> Similarity.decontaminateSemanticSql,
     "image_phash" -> Multimodal.imagePhashSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL
     // ROUND-TRIP — equality proves the sharded export/import is lossless

@@ -417,6 +417,60 @@ object Dedup {
     (toks, spanIslands(hits))
   }
 
+  /** PER-DOCUMENT NOVELTY SCORE — the duplication-pressure quality
+    * signal: for every document, the count of its 8-grams, the count of
+    * those shared with AT LEAST one other document (the [[dupSpans]]
+    * duplication gate, gram-exact), and the dup fraction — one IEEE
+    * division of two exact integers, bit-identical across engines. A
+    * curriculum or pruning stage ranks on exactly this column; unlike
+    * the span family this is the cheap whole-doc aggregate (no islands,
+    * no alignment), the score you compute for EVERY doc before deciding
+    * which ones deserve span surgery.
+    *
+    * Scale shape: rides the ONE materialized hashed-gram generation; the
+    * dup gate is the two-level distinct-doc count (8-byte keys); both
+    * per-doc rollups are partial-combinable; the gate join is a
+    * left-semi on gh (AQE-skew-splittable on boilerplate grams). */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val (_, grams) = hashedGramParts(spark, dir)
+    val dup = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val dupPerDoc = grams.join(dup, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .join(dupPerDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("ng"), lit(0L)) > 0,
+          coalesce(col("nd"), lit(0L)).cast("double") / col("ng"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[docNovelty]]: the identical gate and rollups over
+    * literal gram strings (the hashed-spine verified-twin discipline —
+    * equality proves the fingerprinted plan gram-identical). */
+  lazy val docNoveltySql: String =
+    s"""$dupSpanPrefixSql,
+       |pg AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |dg AS (SELECT doc_id, count(*) AS n FROM grams
+       |       WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(pg.n, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(dg.n, 0) AS BIGINT) AS n_dup_grams,
+       |  CASE WHEN COALESCE(pg.n, 0) > 0
+       |       THEN CAST(COALESCE(dg.n, 0) AS DOUBLE) / pg.n
+       |       ELSE 0.0 END AS dup_frac
+       |FROM documents d
+       |LEFT JOIN pg USING (doc_id)
+       |LEFT JOIN dg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def dupSpansHashed(spark: SparkSession, dir: String): DataFrame =
     hashedSpanParts(spark, dir)._2.orderBy(col("doc_id"), col("span_start"))
 

@@ -594,6 +594,67 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Eval slice (vec_id < cap) and cosine threshold for
+    * [[decontaminateSemantic]]. τ = 0.25 sits inside the corpus's
+    * measured cross-vector cosine range ([−0.31, 0.36] — the
+    * [[Multimodal.CrossModalTau]] calibration), so flagged AND clean
+    * classes are both populated at every SF. */
+  final val SemContamEvalCap = 10L
+  final val SemContamTau = 0.25
+
+  /** SEMANTIC DECONTAMINATION — the embedding-space face of
+    * [[Dedup.decontaminate]]: gram decontamination only catches VERBATIM
+    * benchmark leakage; paraphrased eval material shares no 8-gram but
+    * sits close in embedding space. Every corpus vector is scored
+    * against the full eval-embedding set (bounded by contract, like the
+    * gram variant's broadcast eval grams), reporting its nearest eval
+    * item, the exact strict-fold max cosine, and the τ-verdict.
+    *
+    * Scale shape: the eval set broadcasts; scoring is one map-side pass
+    * (corpus × |eval| bounded fan-out, argmax via a vec_id-partitioned
+    * window over |eval| rows — row-bounded, never corpus-keyed); no
+    * corpus shuffle beyond the presentation sort. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(spark, dir)
+    val evalE = e.filter(col("vec_id") < SemContamEvalCap)
+      .select(col("vec_id").as("eval_id"), col("ev").as("qv"),
+        col("nrm").as("qn"))
+    e.filter(col("vec_id") >= SemContamEvalCap)
+      .crossJoin(broadcast(evalE))
+      .withColumn("cos", dot(col("ev"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id").as("nearest_eval"),
+        col("cos").as("max_cos"),
+        (col("cos") >= SemContamTau).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle for [[decontaminateSemantic]]: the identical strict-fold
+    * cosines and (cos DESC, eval_id) argmax over the same eval slice. */
+  val decontaminateSemanticSql: String = {
+    val cos = s"""${foldSql("c.ev", "q.ev")}
+       |      / (sqrt(${foldSql("c.ev", "c.ev")})
+       |         * sqrt(${foldSql("q.ev", "q.ev")}))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |s AS (
+       |  SELECT c.vec_id, q.vec_id AS eval_id,
+       |    $cos AS cos
+       |  FROM e c, e q
+       |  WHERE c.vec_id >= $SemContamEvalCap
+       |    AND q.vec_id < $SemContamEvalCap),
+       |r AS (
+       |  SELECT vec_id, eval_id, cos, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+       |  FROM s)
+       |SELECT vec_id, eval_id AS nearest_eval, cos AS max_cos,
+       |  (cos >= $SemContamTau) AS contaminated
+       |FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Per-vector affine INT8 quantization — the storage/bandwidth path for
     * embedding columns at 100 TB (4× smaller than float32 inverted lists;
     * codes live beside the IVF partitions, full-precision re-rank only for
