@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions.udaf
 
 /** Bounded PARTIAL top-k aggregation — per-group top-k WITHOUT a window
   * sort. The window formulation (`row_number() OVER (PARTITION BY g ORDER
-  * BY v)`) shuffles EVERY row of every group and sorts each partition;
-  * this Aggregator keeps a k-bounded buffer per group, so the map side
-  * reduces each (partition, group) to ≤ k entries before the exchange —
-  * the shuffle carries ≤ k·partitions rows per group and nothing is ever
-  * globally sorted. That is the same partial-combine property that makes
+  * BY v)` + `rn <= k`) is partially rescued by Spark's WindowGroupLimit
+  * pushdown (measured in SkewHarnessSpec: a PARTIAL group-limit bounds
+  * what shuffles to ≤ k per (partition, group)) — but it still SORTS
+  * every map partition by (g, v) and again on the reduce side, and the
+  * pushdown exists only for rank-limit filters. This Aggregator keeps a
+  * k-bounded buffer per group instead: no sort anywhere (hash aggregate
+  * + bounded ordered insert), the same ≤ k·partitions shuffle bound, and
+  * the shape composes where group-limit pushdown cannot apply (inside
+  * multi-aggregate plans, under variable per-group quotas as in
+  * temperature_mix). That is the partial-combine property that makes
   * count/sum scale, applied to ranking (an ObjectHashAggregate with a
   * [[graft.engine.MrAggregator]]-style typed buffer; ref precedent:
   * the associative KMR tier, SURVEY §7.3).

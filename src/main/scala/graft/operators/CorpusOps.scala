@@ -584,9 +584,12 @@ object CorpusOps {
     * quota table is integer-exact. Document selection inside each
     * language is the [[sampleStratifiedExact]] machinery: engine-
     * independent md5 ranking through the k-BOUNDED partial aggregator
-    * (a language stratum is corpus-scale — a per-lang row_number window
-    * would be a hot-key single-task sort), trimmed to the language's
-    * quota by a broadcast join against the 5-row quota table. */
+    * (a language stratum is corpus-scale, and the variable per-language
+    * quota means no rank-limit filter exists for WindowGroupLimit to
+    * push down — a per-lang window here really is a hot-key sorted
+    * partition, see the SkewHarnessSpec measurement), trimmed to the
+    * language's quota by a broadcast join against the 5-row quota
+    * table. */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir, "documents")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
@@ -756,9 +759,12 @@ object CorpusOps {
     *
     * Scale shape: the naive formulation is a row_number window
     * partitioned by lang — and a language stratum is CORPUS-scale (half
-    * of a web corpus is one language), so that window is a single-task
-    * sort on a hot key. Here the per-stratum top-k runs through the
-    * k-BOUNDED partial aggregator ([[graft.functions.TopKAgg]]): every
+    * of a web corpus is one language). Spark's WindowGroupLimit pushdown
+    * bounds what such a rank≤K window SHUFFLES, but every map partition
+    * still sorts by (lang, rank key) and the pushdown only exists for
+    * rank-limit filters (SkewHarnessSpec measures the distinction). Here
+    * the per-stratum top-k runs through the k-BOUNDED partial
+    * aggregator ([[graft.functions.TopKAgg]]): every
     * (partition, lang) reduces to ≤ k candidates before the exchange and
     * nothing is ever sorted corpus-wide. Ranking key: the first 13 hex
     * digits of md5(doc_id) as a 52-bit integer — exactly representable
