@@ -29,6 +29,8 @@ object SparkEntry {
     "cube_agg" -> (Relational.cubeAgg _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "session_window_agg" -> (Relational.sessionWindowAgg _),
+    // sweep-line max concurrent sessions: bucketed two-phase running sum
+    "peak_concurrency" -> (Relational.peakConcurrency _),
     "monthly_revenue" -> (Relational.monthlyRevenue _),
     // exact reaggregation from the materialized daily layer (decimal
     // partials are associative); oracle = the DIRECT monthly query
@@ -289,6 +291,7 @@ object SparkEntry {
     "cube_agg" -> Relational.cubeAggSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "session_window_agg" -> Relational.sessionWindowAggSql,
+    "peak_concurrency" -> Relational.peakConcurrencySql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
     // the verified-twin gate: equality vs the direct monthly SQL proves
     // the daily->monthly decimal rollup is lossless

@@ -322,6 +322,96 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Sweep-point time bucket for [[peakConcurrency]] — one day. The
+    * bucket table is TIME-RANGE-bounded, not corpus-bounded: a corpus
+    * 100× bigger spans the same calendar, so the bucket-offset θ-join
+    * stays constant-sized while all per-row work stays bucket-
+    * partitioned. */
+  final val ConcBucketUs = 86400000000L
+
+  /** PEAK CONCURRENCY — the sweep-line capacity question over the
+    * session table: the maximum number of simultaneously open sessions
+    * (the [[eventsSessionize]] 30-minute-gap sessions) and the earliest
+    * instant it is reached. Semantically a SEQUENTIAL running sum of
+    * +1/−1 sweep points in time order; implemented as the
+    * [[graft.operators.TextAnalysis.packDocs]] two-phase decomposition:
+    * deltas aggregate per instant (which also makes same-instant
+    * open/close ordering irrelevant — concurrency is measured after all
+    * deltas at an instant apply, identically in both engines), a window
+    * cumsum WITHIN day buckets (parallel across days), day-level offsets
+    * via a bounded θ-join broadcast back, and the argmax folds through
+    * one min(struct) aggregate — no partition-less window, no
+    * single-task sort, at any corpus size. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+    val sessions = ev
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("tus")).as("s"), max(col("tus")).as("e"))
+    val deltas = sessions.select(col("s").as("ts"), lit(1L).as("d"))
+      .union(sessions.select((col("e") + 1).as("ts"), lit(-1L).as("d")))
+      .groupBy(col("ts")).agg(sum(col("d")).as("d"))
+      .withColumn("bucket", expr(s"ts div $ConcBucketUs"))
+    val sums = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("bsum"))
+    val offsets = sums.alias("a")
+      .join(sums.alias("b"), col("b.bucket") < col("a.bucket"), "left_outer")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.bsum")), lit(0L)).as("offset"))
+    deltas.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("conc", col("offset") + sum(col("d")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("ts"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(min(struct((-col("conc")).as("nc"), col("ts").as("t"))).as("m"))
+      .select((-col("m.nc")).as("peak_concurrency"),
+        col("m.t").as("at_ts_us"))
+  }
+
+  /** Oracle for [[peakConcurrency]]: the straight SEQUENTIAL sweep —
+    * global running sum in time order, peak with earliest-instant
+    * tie-break — so the green row proves the bucket decomposition IS the
+    * sequential semantics (integer arithmetic, no FP slack: the
+    * [[graft.operators.TextAnalysis.packDocs]] gate argument). */
+  val peakConcurrencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+       |d0 AS (
+       |  SELECT user_id, tus, event_id,
+       |    CASE WHEN lag(tus) OVER w IS NULL
+       |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0
+       |    END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |d1 AS (
+       |  SELECT user_id, tus,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM d0),
+       |sess AS (
+       |  SELECT user_id, sid, MIN(tus) AS s, MAX(tus) AS e
+       |  FROM d1 GROUP BY user_id, sid),
+       |pts AS (
+       |  SELECT s AS ts, 1 AS d FROM sess
+       |  UNION ALL
+       |  SELECT e + 1 AS ts, -1 AS d FROM sess),
+       |ds AS (SELECT ts, SUM(d) AS d FROM pts GROUP BY ts),
+       |run AS (
+       |  SELECT ts, SUM(d) OVER (ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+       |  FROM ds)
+       |SELECT CAST(conc AS BIGINT) AS peak_concurrency,
+       |  CAST(ts AS BIGINT) AS at_ts_us
+       |FROM (SELECT conc, ts,
+       |        row_number() OVER (ORDER BY conc DESC, ts) AS rn
+       |      FROM run)
+       |WHERE rn = 1""".stripMargin
+
   /** NATIVE SESSION WINDOWS — the same 30-minute-gap sessions as
     * [[eventsSessionize]] but through Spark's built-in `session_window`
     * aggregation (one `SessionWindow` hash-agg with per-key session
