@@ -134,6 +134,9 @@ object SparkEntry {
     // scrubbed text itself is oracle-compared)
     "repeat_scrub" -> (graft.operators.CorpusOps.repeatScrub _),
     "asof_join" -> (Relational.asofJoin _),
+    // full merge_asof direction surface: nearest view in either time
+    // direction, ties backward, one shared (user, time) sort
+    "asof_join_nearest" -> (Relational.asofJoinNearest _),
     // interval join WITHOUT an equi key, decomposed into a bucket
     // equi-join (no nested loop); oracle = the naive BETWEEN join
     "range_join" -> (Relational.rangeJoinBucketed _),
@@ -367,6 +370,7 @@ object SparkEntry {
     "curriculum" -> TextAnalysis.curriculumSql,
     "repeat_scrub" -> graft.operators.CorpusOps.repeatScrubSql,
     "asof_join" -> Relational.asofJoinSql,
+    "asof_join_nearest" -> Relational.asofJoinNearestSql,
     "range_join" -> Relational.rangeJoinBucketedSql,
     // oracle = the row_number window query: equality proves the
     // k-bounded partial-merge ranking is exact

@@ -493,6 +493,72 @@ object Relational {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |WHERE event_type = 'click'""".stripMargin
 
+  /** NEAREST-direction as-of join — the full `merge_asof` direction
+    * surface: each click pairs with its nearest view in EITHER time
+    * direction (min |Δt|, ties to the earlier view — the backward
+    * default), reporting which direction won. Same linear shape as
+    * [[asofJoin]]: the backward candidate rides `last(…, ignoreNulls)`
+    * over strictly-earlier rows, the forward candidate `first(…,
+    * ignoreNulls)` over strictly-later rows — BOTH frames share the one
+    * (user, time) shuffle and sort (plan: ONE Exchange feeding two
+    * Window nodes back to back — the frames differ so Spark keeps two
+    * nodes, but no second exchange or sort appears), never a range
+    * self-join. The candidate struct carries
+    * its own timestamp so the |Δt| comparison and the direction verdict
+    * are pure row-local arithmetic. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = order.rowsBetween(1, Window.unboundedFollowing)
+    val viewStruct = when(col("event_type") === "view",
+      struct(col("tus").as("t"), col("event_id").as("i"),
+        col("value").as("v")))
+    t(spark, dir, "events")
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("pv", last(viewStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(viewStruct, ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "click")
+      .withColumn("use_prev",
+        col("pv").isNotNull && (col("nv").isNull ||
+          (col("tus") - col("pv.t")) <= (col("nv.t") - col("tus"))))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("use_prev"), col("pv.i")).otherwise(col("nv.i"))
+          .as("nearest_view_id"),
+        when(col("use_prev"), col("pv.v")).otherwise(col("nv.v"))
+          .as("nearest_view_value"),
+        when(col("pv").isNull && col("nv").isNull,
+            lit(null).cast("string"))
+          .when(col("use_prev"), lit("backward"))
+          .otherwise(lit("forward")).as("direction"))
+  }
+
+  val asofJoinNearestSql: String =
+    """SELECT user_id, event_id, ts,
+      |  CASE WHEN use_prev THEN (pv).i ELSE (nv).i END AS nearest_view_id,
+      |  CASE WHEN use_prev THEN (pv).v ELSE (nv).v END AS nearest_view_value,
+      |  CASE WHEN pv IS NULL AND nv IS NULL THEN NULL
+      |       WHEN use_prev THEN 'backward'
+      |       ELSE 'forward' END AS direction
+      |FROM (
+      |  SELECT *,
+      |    (pv IS NOT NULL AND (nv IS NULL
+      |       OR tus - (pv).t <= (nv).t - tus)) AS use_prev
+      |  FROM (
+      |    SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS tus,
+      |      last_value(CASE WHEN event_type = 'view'
+      |          THEN {'t': epoch_us(ts), 'i': event_id, 'v': value} END
+      |        IGNORE NULLS) OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |      first_value(CASE WHEN event_type = 'view'
+      |          THEN {'t': epoch_us(ts), 'i': event_id, 'v': value} END
+      |        IGNORE NULLS) OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      |    FROM events))
+      |WHERE event_type = 'click'""".stripMargin
+
   /** Funnel step window: each step must follow the previous within 24
     * hours (microseconds — the events table's native resolution). 24 h
     * keeps BOTH verdict classes populated at every SF on this corpus's
