@@ -1411,9 +1411,8 @@ object CorpusOps {
     // referenced once), the decode chain references ALL ten election
     // CTEs, and DuckDB's default inlining re-expands each one's whole
     // upstream rounds chain — quadratic blowup, measured as a multi-
-    // minute hang at sf0.01. (Lookbehind: WINDOW clauses are not CTEs.)
-    raw"""(?<!WINDOW )(\b[A-Za-z0-9_]+) AS \(""".r
-      .replaceAllIn(raw, m => s"${m.group(1)} AS MATERIALIZED (")
+    // minute hang at sf0.01.
+    OracleSql.materializeCtes(raw)
   }
 
   /** The shared rounds CTE chain (w0 … w[[BpeMerges]] — the same

@@ -775,11 +775,7 @@ object Dedup {
     * four times and DuckDB's default inlining re-expands the tokenize
     * window chain at every reference). */
   lazy val dupSpansMaximalPairwiseSql: String =
-    // negative lookbehind: `WINDOW w AS (...)` is a window clause, not a
-    // CTE — materializing it is a syntax error
-    raw"""(?<!WINDOW )(\b[A-Za-z0-9_]+) AS \(""".r
-      .replaceAllIn(dupSpansMaximalPairwiseSqlRaw,
-        m => s"${m.group(1)} AS MATERIALIZED (")
+    OracleSql.materializeCtes(dupSpansMaximalPairwiseSqlRaw)
 
   private lazy val dupSpansMaximalPairwiseSqlRaw: String = {
     val n = DupSpanGram

@@ -137,7 +137,6 @@ object GraphRank {
          |SELECT r.v AS doc_id, r.pr, COALESCE(d.deg, 0) AS deg
          |FROM r$PrIters r LEFT JOIN deg d ON d.src = r.v
          |ORDER BY doc_id""".stripMargin
-    raw"""(\b[A-Za-z0-9_]+) AS \(""".r
-      .replaceAllIn(raw, m => s"${m.group(1)} AS MATERIALIZED (")
+    OracleSql.materializeCtes(raw)
   }
 }

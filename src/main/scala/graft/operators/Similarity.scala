@@ -558,9 +558,8 @@ object Similarity {
     * cosines, top-k — bit-identically (the [[annIvfPqSql]] discipline,
     * incl. AS MATERIALIZED on every CTE against DuckDB's exponential
     * CTE re-inlining). */
-  val crossModalRetrievalSql: String = raw"""(\b[A-Za-z0-9_]+) AS \(""".r
-    .replaceAllIn(crossModalRetrievalSqlRaw,
-      m => s"${m.group(1)} AS MATERIALIZED (")
+  val crossModalRetrievalSql: String =
+    OracleSql.materializeCtes(crossModalRetrievalSqlRaw)
 
   private def crossModalRetrievalSqlRaw: String = {
     val cos = s"""${foldSql("i.ev", "q.qv")}
@@ -611,11 +610,15 @@ object Similarity {
     * item, the exact strict-fold max cosine, and the τ-verdict.
     *
     * Scale shape: the eval set broadcasts; scoring is one map-side pass
-    * (corpus × |eval| bounded fan-out, argmax via a vec_id-partitioned
-    * window over |eval| rows — row-bounded, never corpus-keyed); no
-    * corpus shuffle beyond the presentation sort. */
+    * (corpus × |eval| bounded fan-out); the per-vector argmax is a
+    * partial-combinable `min(struct(-cos, eval_id))` election, so each
+    * map task folds its |eval|-sized fan-out back to ONE row per vec_id
+    * before anything shuffles — the exchange that remains is corpus-row-
+    * sized (the same mass as the presentation sort), never the ×|eval|
+    * scored frame. (IEEE negation is exact, so `-(-cos)` restores the
+    * cosine bit-identically; ties break on lowest eval_id, matching the
+    * oracle's `ORDER BY cos DESC, eval_id` row_number.) */
   def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(spark, dir)
     val evalE = e.filter(col("vec_id") < SemContamEvalCap)
       .select(col("vec_id").as("eval_id"), col("ev").as("qv"),
@@ -623,12 +626,12 @@ object Similarity {
     e.filter(col("vec_id") >= SemContamEvalCap)
       .crossJoin(broadcast(evalE))
       .withColumn("cos", dot(col("ev"), col("qv")) / (col("nrm") * col("qn")))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("eval_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("eval_id").as("nearest_eval"),
-        col("cos").as("max_cos"),
-        (col("cos") >= SemContamTau).as("contaminated"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("neg_cos"),
+        col("eval_id").as("eval_id"))).as("best"))
+      .select(col("vec_id"), col("best.eval_id").as("nearest_eval"),
+        (-col("best.neg_cos")).as("max_cos"),
+        (-col("best.neg_cos") >= SemContamTau).as("contaminated"))
       .orderBy(col("vec_id"))
   }
 
@@ -1495,8 +1498,7 @@ object Similarity {
     * trains → encode), and DuckDB's default CTE inlining re-expands the
     * whole upstream chain at every reference — measured as a >90 s hang
     * at sf0.001 where the materialized form runs in 0.6 s. */
-  val annIvfPqSql: String = raw"""(\b[A-Za-z0-9_]+) AS \(""".r
-    .replaceAllIn(annIvfPqSqlRaw, m => s"${m.group(1)} AS MATERIALIZED (")
+  val annIvfPqSql: String = OracleSql.materializeCtes(annIvfPqSqlRaw)
 
   private def annIvfPqSqlRaw: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

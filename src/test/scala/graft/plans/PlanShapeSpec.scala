@@ -246,6 +246,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("decontaminate_semantic: argmax is a partial-combinable aggregate — no vec_id window over the scored fan-out") {
+    val df = graft.operators.Similarity.decontaminateSemantic(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    // the corpus×|eval| scored frame must fold map-side: a vec_id-
+    // partitioned window would shuffle the whole ×|eval| fan-out keyed by
+    // vec_id (the round-9 advisor finding); the min-struct election's
+    // partial aggregate collapses each map task's fan-out to one row per
+    // vec_id before the exchange
+    assert(!p.contains("windowspecdefinition(vec_id#"),
+      s"decontaminate_semantic argmax windows over vec_id:\n$p")
+    assert(p.contains("partial_min"),
+      s"decontaminate_semantic election has no map-side partial aggregate:\n$p")
+    // eval side still broadcasts (the scoring pass itself never shuffles)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"decontaminate_semantic eval side is not broadcast:\n$p")
+  }
+
   test("dup_span_scrub: only the doc-spine scan is live; span/excision work reads shared frames") {
     graft.SharedFrames.releaseAll()
     val df = graft.operators.Dedup.dupSpanScrub(spark, dir)
