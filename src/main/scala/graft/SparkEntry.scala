@@ -162,6 +162,12 @@ object SparkEntry {
     // sketch aggregates: rows-only (sketch internals differ across engines
     // by design; error bounds vs exact are pinned in ScalaTest)
     "approx_stats" -> (TextAnalysis.approxStats _),
+    // engine-neutral mergeable sketches — deterministic universal hashing
+    // over the rolling-hash fold, so the DuckDB oracle replays the SKETCH
+    // CONTENT bit-identically (unlike approx_stats' native HLL++ above);
+    // error vs exact pinned in SketchesSpec
+    "sketch_cms" -> (graft.operators.Sketches.sketchCms _),
+    "hll_distinct" -> (graft.operators.Sketches.hllDistinct _),
     // exact heavy hitters via the two-pass Misra-Gries candidate/recount
     // scheme; oracle = the naive full-vocabulary HAVING query
     "heavy_hitters" -> (TextAnalysis.heavyHitters _),
@@ -328,6 +334,8 @@ object SparkEntry {
     // oracle is the naive full-vocabulary HAVING query: equality proves
     // the per-partition Misra-Gries candidate pass loses no heavy hitter
     "heavy_hitters" -> TextAnalysis.heavyHittersSql,
+    "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
+    "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

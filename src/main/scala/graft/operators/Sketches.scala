@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.RollingHash.rolling_hash
+
+/** Mergeable frequency/cardinality sketches with EXACT cross-engine
+  * replay — the bounded-memory summaries a 100 TB ingest needs where the
+  * exact operators ([[TextAnalysis.heavyHitters]], `COUNT(DISTINCT)`)
+  * shuffle per-key state:
+  *
+  *   - [[sketchCms]]: a count–min sketch (Cormode & Muthukrishnan 2005).
+  *     The D×W counter matrix is BOUNDED state (D·W rows) no matter the
+  *     corpus size, and it MERGES by elementwise addition — expressed
+  *     relationally as `groupBy(row, bucket).count`, whose map-side
+  *     partial aggregation IS the per-partition sketch and whose exchange
+  *     IS the merge, capped at D·W rows per partition. Nothing
+  *     token-keyed ever shuffles.
+  *   - [[hllDistinct]]: a HyperLogLog register table (Flajolet et al.
+  *     2007) at p=10 (1024 registers/group). `groupBy(key, bucket).max`
+  *     is the register update (partial-combinable max — the classic HLL
+  *     merge), so per-group distinct-cardinality estimation shuffles
+  *     ≤ groups·1024 rows per partition where `COUNT(DISTINCT)` shuffles
+  *     every distinct key.
+  *
+  * Unlike Spark's built-in `approx_count_distinct` (whose HLL++ internals
+  * are engine-specific — see [[TextAnalysis.approxStats]], deliberately
+  * `no_oracle`), BOTH sketches here are built from engine-neutral exact
+  * arithmetic — the [[graft.functions.RollingHash]] code-point fold plus
+  * universal hashing `(a·h + b) mod P` with P = 1e9+7 (products ≤ ~7e13,
+  * exact in 64-bit; DuckDB's checked BIGINT arithmetic never overflows) —
+  * so the DuckDB oracle replays the sketch BIT-IDENTICALLY and the driver
+  * gate proves the sketch content, not just its error band. Estimation
+  * error vs the exact operators is pinned in SketchesSpec.
+  *
+  * Reference analog: the reference has no sketch/approximate layer at all
+  * (its aggregates are the exact KMR reduces, SURVEY §2.1) — this is
+  * part of the beyond-reference training-pipeline surface.
+  */
+object Sketches {
+
+  /** CMS depth: (a, b) universal-hash constants, one row per pair. */
+  final val CmsRows: Seq[(Long, Long)] =
+    Seq((31L, 7L), (131L, 19L), (1031L, 101L), (65537L, 3L))
+  /** CMS width (buckets per row). */
+  final val CmsW = 1024L
+  /** Hash modulus (the [[graft.functions.RollingHash.Mod]] prime). */
+  final val HashP = 1000000007L
+  /** Probe set size: the exact top-K tokens get their CMS estimate. */
+  final val CmsProbeK = 20
+
+  private def cmsBucket(a: Long, b: Long, h: Column): Column =
+    ((lit(a) * h + lit(b)) % lit(HashP)) % lit(CmsW)
+
+  /** COUNT–MIN SKETCH over the token stream, verified against exact
+    * counts: builds the D×W matrix in one pass, then reports, for the
+    * exact top-[[CmsProbeK]] tokens, the true count and the CMS estimate
+    * `min_i cms[i][h_i(token)]`.
+    *
+    * The exact top-K pass is the VERIFICATION face (at 100 TB one keeps
+    * only the sketch; SketchesSpec pins `est >= cnt` — the one-sided CMS
+    * guarantee — and the gate proves both faces exactly). Probe rows
+    * (K·D of them) broadcast onto the ≤ D·W-row matrix; the min over D
+    * rows is a partial-combinable aggregate over D rows per token. */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.SharedFrames.shared(
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("token"), rolling_hash(col("token")).as("h")))
+    val bucketArr = array(CmsRows.map { case (a, b) =>
+      cmsBucket(a, b, col("h")) }: _*)
+    val cms = toks
+      .select(posexplode(bucketArr).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("token"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(CmsProbeK)
+    val probes = top.select(col("token"), col("cnt"),
+      posexplode(bucketArr).as(Seq("row", "bucket")))
+    broadcast(probes)
+      .join(cms, Seq("row", "bucket"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** DuckDB fold replaying [[rolling_hash]] over `expr`'s code points. */
+  private def rollFoldSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length($expr)+1),
+       |                   i -> CAST(unicode($expr[i]) AS BIGINT))),
+       |    (a, b) -> (a*31 + b) % $HashP)""".stripMargin
+
+  val sketchCmsSql: String = OracleSql.materializeCtes {
+    val rowVals = CmsRows.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH th AS (
+       |  SELECT token, ${rollFoldSql("token")} AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  WHERE length(token) > 0),
+       |rws(i, a, b) AS (VALUES $rowVals),
+       |cms AS (
+       |  SELECT i, ((a*h + b) % $HashP) % $CmsW AS bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM th CROSS JOIN rws GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, h, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM th GROUP BY 1, 2
+       |  ORDER BY cnt DESC, token LIMIT $CmsProbeK),
+       |probes AS (
+       |  SELECT token, cnt, i, ((a*h + b) % $HashP) % $CmsW AS bucket
+       |  FROM top CROSS JOIN rws)
+       |SELECT p.token, p.cnt, min(c.c) AS est
+       |FROM probes p JOIN cms c ON c.i = p.i AND c.bucket = p.bucket
+       |GROUP BY 1, 2
+       |ORDER BY cnt DESC, token""".stripMargin
+  }
+
+  /** HLL precision: 2^10 = 1024 registers per group. */
+  final val HllM = 1024L
+  /** Rho domain: 20 bits of the second hash; registers range 1..21. */
+  final val HllWBits = 20
+  /** Bucket-hash / rho-hash universal constants (MINSTD multipliers). */
+  final val HllA1 = 69621L; final val HllB1 = 29L
+  final val HllA2 = 48271L; final val HllB2 = 101L
+
+  /** HYPERLOGLOG distinct-orderkey estimate per returnflag, beside the
+    * exact count. Register update = `groupBy(flag, bucket).max(rho)`;
+    * the register sum is kept INTEGER — Σ 2^(21−M_j) over all 1024
+    * registers (empty registers contribute 2^21) — so the whole sketch
+    * state is exact int64 and the only floating arithmetic is the final
+    * `α·m²·2^21 / S` (one parenthesized chain of correctly-rounded IEEE
+    * ops, bit-identical across engines). No small-range (linear-counting)
+    * correction: that needs `ln`, which differs by libm ulps across
+    * engines — the RAW estimator is the contract, and its ~1.04/√m ≈ 3%
+    * expected error is pinned against the exact count in SketchesSpec.
+    *
+    * rho is computed WITHOUT log2: for v in [1, 2^20),
+    * `21 − length(bin(v))` equals leading-zeros+1 exactly (bin() is
+    * integer string formatting in both engines); v = 0 → 21.
+    *
+    * Hash pipeline (measured — the obvious choices fail): sequential
+    * orderkeys through any LINEAR map give bucket/rho pairs structured
+    * enough to bias the estimate 0.3–0.6× (composition of linear maps is
+    * linear, so extra rounds don't help). The pipeline is therefore the
+    * [[rolling_hash]] fold over the key's DECIMAL-STRING form (breaks
+    * sequentiality into digit mixing) → one QUADRATIC round
+    * `g = (h² + a·h + b) mod P` (kills the run-of-10 structure adjacent
+    * last digits leave in h; h² ≤ ~1.0e18, exact in int64 and under
+    * DuckDB's checked-overflow ceiling) → two independent MINSTD maps for
+    * bucket and rho. Measured |est/exact − 1| ≤ 5% at sf0.01/sf0.1.
+    * Remaining known bias: the RAW estimator over-reads ~25% when
+    * n ≲ 2.5m (sf0.001's n ≈ m) — the regime HLL's linear-counting
+    * correction exists for; it needs `ln`, which differs by libm ulps
+    * across engines, so the raw estimator is the deliberate contract and
+    * SketchesSpec pins accuracy in the n ≫ m regime. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val h = rolling_hash(col("l_orderkey").cast("string"))
+    val g = (h * h + lit(HllA2) * h + lit(11L)) % lit(HashP)
+    val bucket = ((lit(HllA1) * g + lit(HllB1)) % lit(HashP)) % lit(HllM)
+    val v = ((lit(HllA2) * g + lit(HllB2)) % lit(HashP)) % lit(1L << HllWBits)
+    val rho = when(v === 0, lit(HllWBits + 1))
+      .otherwise(lit(HllWBits + 1) - length(bin(v)))
+    val regs = li
+      .select(col("l_returnflag"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val full = lit(1L << (HllWBits + 1)) // empty register term 2^21
+    val regAgg = regs.groupBy(col("l_returnflag"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllWBits + 1} - m)"))
+          .as("s_present"),
+        count(lit(1)).as("present"))
+      .select(col("l_returnflag"),
+        (col("s_present") + (lit(HllM) - col("present")) * full)
+          .as("hll_regsum"),
+        (lit(HllM) - col("present")).as("hll_zeros"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    val alphaM2Full = ((lit(0.7213) / (lit(1.0) + (lit(1.079) / lit(1024.0))))
+      * lit(1048576.0)) * lit(2097152.0)
+    exact.join(regAgg, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"),
+        col("hll_regsum"), col("hll_zeros"),
+        (alphaM2Full / col("hll_regsum").cast("double")).as("hll_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val hllDistinctSql: String = OracleSql.materializeCtes(
+    s"""WITH rh AS (
+       |  SELECT l_returnflag, l_orderkey,
+       |    ${rollFoldSql("s")} AS hh
+       |  FROM (SELECT l_returnflag, l_orderkey,
+       |          CAST(l_orderkey AS VARCHAR) AS s FROM lineitem)),
+       |g AS (
+       |  SELECT l_returnflag, l_orderkey,
+       |    (hh*hh + $HllA2*hh + 11) % $HashP AS gg
+       |  FROM rh),
+       |h AS (
+       |  SELECT l_returnflag, l_orderkey,
+       |    (($HllA1 * gg + $HllB1) % $HashP) % $HllM AS bucket,
+       |    (($HllA2 * gg + $HllB2) % $HashP) % ${1L << HllWBits} AS v
+       |  FROM g),
+       |regs AS (
+       |  SELECT l_returnflag, bucket,
+       |    max(CASE WHEN v = 0 THEN ${HllWBits + 1}
+       |             ELSE ${HllWBits + 1} - length(bin(v)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |ra AS (
+       |  SELECT l_returnflag,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (${HllWBits + 1} - m))
+       |         + ($HllM - COUNT(*)) * ${1L << (HllWBits + 1)} AS BIGINT)
+       |      AS hll_regsum,
+       |    CAST($HllM - COUNT(*) AS BIGINT) AS hll_zeros
+       |  FROM regs GROUP BY 1),
+       |ex AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT e.l_returnflag, e.n_exact, r.hll_regsum, r.hll_zeros,
+       |  (((0.7213 / (1.0 + (1.079 / 1024.0))) * 1048576.0) * 2097152.0)
+       |    / CAST(r.hll_regsum AS DOUBLE) AS hll_est
+       |FROM ex e JOIN ra r USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin)
+}

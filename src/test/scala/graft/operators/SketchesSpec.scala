@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Sketch properties BEYOND the DuckDB equality gate (which proves the
+  * sketch content bit-identically): the CMS one-sided guarantee, HLL
+  * estimation error vs the exact cardinality, and the bounded-state plan
+  * shape (nothing token-keyed shuffles in the sketch build). */
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+  val dir = "/root/testdata/sf0.01"
+
+  test("sketch_cms: estimates never undercount, and overcount stays under the eps*N CMS bound") {
+    graft.SharedFrames.releaseAll()
+    val rows = Sketches.sketchCms(spark, dir).collect()
+    assert(rows.length == Sketches.CmsProbeK)
+    val totalToks = graft.Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    rows.foreach { r =>
+      val (cnt, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= cnt, s"CMS undercounted ${r.getString(0)}: $est < $cnt")
+      // depth-4 CMS: P(over > 2N/W) <= (1/2)^4 per row pair; with W=1024
+      // buckets the expected overcount is N/W — allow 8x slack
+      assert(est - cnt <= 8L * totalToks / Sketches.CmsW,
+        s"CMS overcount ${est - cnt} exceeds 8N/W for ${r.getString(0)}")
+    }
+    graft.SharedFrames.releaseAll()
+  }
+
+  test("hll_distinct: raw estimate within 10% of the exact cardinality at every group") {
+    val rows = Sketches.hllDistinct(spark, dir).collect()
+    assert(rows.length == 3) // A, N, R returnflags
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(4)
+      // expected std error 1.04/sqrt(1024) ~ 3.3%; 10% = ~3 sigma
+      assert(math.abs(est - exact) / exact < 0.10,
+        s"HLL est $est vs exact $exact at flag ${r.getString(0)}")
+      // register-sum sanity: zeros in [0, m); regsum positive
+      assert(r.getLong(3) >= 0 && r.getLong(3) < Sketches.HllM)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("hll registers are scale-bounded: the register table never exceeds groups*m rows") {
+    // the sketch state that shuffles is the register table itself — at
+    // any corpus size it is <= 3 flags * 1024 buckets
+    import graft.functions.RollingHash.rolling_hash
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    val p = Sketches.HashP
+    val h = rolling_hash(col("l_orderkey").cast("string"))
+    val g = (h * h + lit(Sketches.HllA2) * h + lit(11L)) % p
+    val regs = li.select(col("l_returnflag"),
+      (((lit(Sketches.HllA1) * g + Sketches.HllB1) % p) % Sketches.HllM)
+        .as("bucket"))
+      .groupBy(col("l_returnflag"), col("bucket")).count()
+    assert(regs.count() <= 3 * Sketches.HllM)
+  }
+
+  test("cms build: the sketch aggregate is partial-combinable (map-side partial before the exchange)") {
+    graft.SharedFrames.releaseAll()
+    val p = aqeFinalPlan(Sketches.sketchCms(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"CMS build has no map-side partial aggregation:\n$p")
+    // the probe side (K*D rows) must broadcast onto the matrix
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"CMS probe rows are not broadcast:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+}
