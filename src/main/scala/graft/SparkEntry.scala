@@ -168,6 +168,10 @@ object SparkEntry {
     // error vs exact pinned in SketchesSpec
     "sketch_cms" -> (graft.operators.Sketches.sketchCms _),
     "hll_distinct" -> (graft.operators.Sketches.hllDistinct _),
+    // DSIR-style domain selection: hashed-bigram likelihood-ratio
+    // weights (linear-domain, decimal-quantized — ln differs by libm
+    // ulps across engines), top-K most target-like candidate docs
+    "dsir_select" -> (graft.operators.DsirSelect.dsirSelect _),
     // exact heavy hitters via the two-pass Misra-Gries candidate/recount
     // scheme; oracle = the naive full-vocabulary HAVING query
     "heavy_hitters" -> (TextAnalysis.heavyHitters _),
@@ -336,6 +340,7 @@ object SparkEntry {
     "heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
+    "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum
