@@ -42,7 +42,12 @@ object SharedFrames {
     // cache manager and must still be releasable — unpersisting a frame
     // that never computed is safe and frees whatever partials landed
     live.add(() => { p.unpersist(blocking = false); () })
-    p.count()
+    if (sys.env.contains("SPARK_GRAFT_SHARED_TIMING")) {
+      val t0 = System.nanoTime()
+      p.count()
+      Console.err.println(f"[shared] ${(System.nanoTime() - t0) / 1e9}%.3f s  " +
+        df.queryExecution.logical.nodeName)
+    } else p.count()
     p
   }
 

@@ -335,7 +335,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
+    // the token face is returned lazily: no caller consumes it (the
+    // string spine exists for dup_spans and its oracle twin), so only
+    // the gram frame pays a materialization
+    val toks = tokFrame(spark, dir)
     val grams = graft.SharedFrames.shared(toks
       .withColumn("gram", concat_ws(" ",
         col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
@@ -381,23 +384,30 @@ object Dedup {
     * production substring-dedup makes (Lee et al. 2021 use the same
     * hashed-seed shape). */
   /** The fingerprinted gram spine shared by [[dupSpansHashed]],
-    * [[dupSpansMaximal]] and [[dupSpanScrub]]: the materialized token
-    * frame plus (doc_id, idx, gh) where gh is a 64-bit xxhash64 over the
-    * window's [[DupSpanGram]] token columns — the gram string is never
-    * materialized. Both frames register with [[graft.SharedFrames]] so
-    * every consumer in one query reads the same generation. */
+    * [[dupSpansMaximal]] and [[dupSpanScrub]]: the token stream plus
+    * (doc_id, idx, gh) where gh is a 64-bit xxhash64 over the window's
+    * [[DupSpanGram]] token columns — the gram string is never
+    * materialized. ONE combined frame registers with
+    * [[graft.SharedFrames]] (gh null on the tail rows that carry no full
+    * n-gram); the token and gram faces are narrow views of it. The
+    * former toks→grams chain materialized TWICE per query, and the
+    * per-materialization fixed cost (plan + codegen + persist + job
+    * dispatch, ~0.3-0.6 s each at local[32]) dominated the span family's
+    * bench profile at EVERY SF — one cached generation halves it while
+    * every consumer still reads identical rows. */
   private def hashedGramParts(spark: SparkSession, dir: String,
       n: Int = DupSpanGram): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val toks = graft.SharedFrames.shared(tokFrame(spark, dir))
-    val grams = graft.SharedFrames.shared(toks
-      .withColumn("gh", xxhash64(
-        col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*))
-      .withColumn("tail", lead(col("tok"), n - 1).over(byDoc))
-      .filter(col("tail").isNotNull)
-      .select(col("doc_id"), col("idx"), col("gh")))
-    (toks, grams)
+    val combined = graft.SharedFrames.shared(tokFrame(spark, dir)
+      .withColumn("gh",
+        when(lead(col("tok"), n - 1).over(byDoc).isNotNull,
+          xxhash64(col("tok") +: (1 until n).map(k =>
+            lead(col("tok"), k).over(byDoc)): _*)))
+      .select(col("doc_id"), col("idx"), col("tok"), col("gh")))
+    (combined.select(col("doc_id"), col("idx"), col("tok")),
+      combined.filter(col("gh").isNotNull)
+        .select(col("doc_id"), col("idx"), col("gh")))
   }
 
   /** (toks, spans) under the FINGERPRINTED duplication gate — the span set

@@ -31,8 +31,17 @@ object TimeQueries {
       // Bench (which is the contract measurement and was right)
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, dir)
+      val t1 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
-      println(f"TIMING $n pass$pass ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t2 = System.nanoTime()
+      println(f"TIMING $n pass$pass ${(t2 - t0) / 1e9}%.3f s" +
+        f" (build ${(t1 - t0) / 1e9}%.3f, exec ${(t2 - t1) / 1e9}%.3f)")
+      if (args.contains("-phases")) {
+        val ph = df.queryExecution.tracker.phases
+        ph.toSeq.sortBy(_._2.startTimeMs).foreach { case (name, s) =>
+          println(f"PHASE  $name%-16s ${(s.endTimeMs - s.startTimeMs) / 1e3}%.3f s")
+        }
+      }
       if (metrics && pass == 3) {
         def walk(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
           val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
