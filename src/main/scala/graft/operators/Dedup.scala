@@ -1057,19 +1057,28 @@ object Dedup {
     // oracle stays the string CTE, so the equality gate still covers the
     // whole chain end-to-end
     val (toks, spans) = hashedSpanParts(spark, dir)
-    def joined(c: Column): Column = array_join(
-      transform(array_sort(c), x => x.getField("k")), " ")
+    // span text via per-doc token ARRAYS: one doc-keyed collect (idx is
+    // 0-based contiguous, so array position IS token index) + an
+    // equi-join + a slice per span, replacing the former range-join +
+    // per-span collect_list aggregate — same span_key bit-for-bit (the
+    // slice reads the same tokens in the same order), but the shuffle
+    // carries one row per DOC instead of one per span-token and the
+    // whole assembly is one exchange shorter (measured ~0.5 s at sf0.1).
+    // Arrays are doc-bounded — the same contract as the per-span
+    // collect_list they replace.
+    val docArr = toks.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("idx").as("i"),
+        col("tok").as("k")))), x => x.getField("k")).as("arr"))
     // materialized ONCE (span-sized rows): both the election and the
-    // keep-first filter read it — uncached, the expensive span-assembly
-    // join+aggregate would run twice (one per consumer)
-    val spanKeyed = graft.SharedFrames.shared(spans.alias("s")
-      .join(toks.alias("t"), col("s.doc_id") === col("t.doc_id") &&
-        col("t.idx") >= col("s.span_start") &&
-        col("t.idx") <= col("s.span_end"))
-      .groupBy(col("s.doc_id").as("doc_id"), col("span_start"),
-        col("span_end"))
-      .agg(xxhash64(joined(collect_list(struct(col("t.idx").as("i"),
-        col("t.tok").as("k"))))).as("span_key")))
+    // keep-first filter read it — uncached, the span-assembly
+    // join would run twice (one per consumer)
+    val spanKeyed = graft.SharedFrames.shared(spans
+      .join(docArr, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        xxhash64(array_join(slice(col("arr"),
+          (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int")), " "))
+          .as("span_key")))
     val firsts = spanKeyed.groupBy(col("span_key"))
       .agg(min(struct(col("doc_id"), col("span_start"))).as("first"))
     val excised = spanKeyed.join(firsts, Seq("span_key"))
@@ -1080,34 +1089,41 @@ object Dedup {
   }
 
   /** Shared APPLY tail of both scrubs: drop every token inside an excised
-    * range (doc_id equi-join + range predicate, left_anti), rebuild each
-    * doc's cleaned token stream, and report per-doc before/after/excised
-    * counts. Bounded per doc; no corpus-wide key anywhere. */
+    * range, rebuild each doc's cleaned token stream, and report per-doc
+    * before/after/excised counts. One doc-keyed token collect + one
+    * doc-keyed span collect + expression-level range filtering replace
+    * the former anti-join over corpus-sized token rows plus its three
+    * separate aggregates — per-doc work is array-bounded exactly like
+    * the collect_list it already carried (the cleaned_text OUTPUT is
+    * doc-sized by contract), and the tail is two exchanges shorter. */
   private def scrubRebuild(spark: SparkSession, dir: String,
       toks: DataFrame, excised: DataFrame,
       spineFilter: Column = lit(true)): DataFrame = {
-    def joined(c: Column): Column = array_join(
-      transform(array_sort(c), x => x.getField("k")), " ")
-    val kept = toks.alias("t").join(excised.alias("e"),
-      col("t.doc_id") === col("e.doc_id") &&
-        col("t.idx") >= col("e.span_start") &&
-        col("t.idx") <= col("e.span_end"),
-      "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("kept_n"),
-        joined(collect_list(struct(col("idx").as("i"),
-          col("tok").as("k")))).as("kept_text"))
-    val before = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("before_n"))
-    val exCnt = excised.groupBy(col("doc_id")).agg(count(lit(1)).as("ex_n"))
+    val docArr = toks.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("idx").as("i"),
+        col("tok").as("k")))), x => x.getField("k")).as("arr"))
+    val exs = excised.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("exs"),
+        count(lit(1)).as("ex_n"))
     t(spark, dir, "documents").filter(spineFilter).select(col("doc_id"))
-      .join(before, Seq("doc_id"), "left_outer")
-      .join(rebuilt, Seq("doc_id"), "left_outer")
-      .join(exCnt, Seq("doc_id"), "left_outer")
+      .join(docArr, Seq("doc_id"), "left_outer")
+      .join(exs, Seq("doc_id"), "left_outer")
+      .withColumn("arr2",
+        coalesce(col("arr"), expr("CAST(array() AS array<string>)")))
+      .withColumn("exs2", coalesce(col("exs"),
+        expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
+      // idx is 0-based contiguous per doc, so the transform index IS the
+      // token idx the excision ranges speak of
+      .withColumn("kept", expr(
+        "filter(transform(arr2, (x, i) -> struct(x AS k, CAST(i AS BIGINT) AS i)), " +
+          "t -> NOT exists(exs2, s -> t.i >= s.s AND t.i <= s.e))"))
       .select(col("doc_id"),
-        coalesce(col("before_n"), lit(0L)).as("n_before"),
-        coalesce(col("kept_n"), lit(0L)).as("n_after"),
+        size(col("arr2")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
         coalesce(col("ex_n"), lit(0L)).as("n_excised"),
-        coalesce(col("kept_text"), lit("")).as("cleaned_text"))
+        array_join(expr("transform(kept, t -> t.k)"), " ")
+          .as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1578,11 +1594,18 @@ object Dedup {
     // equal). The candidate distinct carries ids only; names join back
     // co-keyed afterwards. The string-keyed formulation measured 8.7 s
     // at sf0.1 where this runs ~3× faster on the same result.
+    // per-id distinct BEFORE the self-join: deleting any of a run of
+    // repeated characters yields the SAME variant (zero-padded numeric
+    // names produce it constantly), and k copies on both sides inflate
+    // the hash-bucket join output k² — the distinct collapses them while
+    // leaving the candidate pair set identical (cand is a distinct of id
+    // pairs). Map-side partial aggregation keeps it one narrow pass.
     val variants = c.select(col("id"), explode(expr(
       "array_union(array(s), transform(sequence(1, length(s)), " +
         "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)))))"))
       .as("v"))
       .select(col("id"), xxhash64(col("v")).as("vh"))
+      .distinct()
     val cand = variants.as("a")
       .join(variants.as("b"),
         col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))

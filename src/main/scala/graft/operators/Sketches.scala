@@ -53,6 +53,20 @@ object Sketches {
   private def cmsBucket(a: Long, b: Long, h: Column): Column =
     ((lit(a) * h + lit(b)) % lit(HashP)) % lit(CmsW)
 
+  /** The CMS counter matrix over a (h: bigint) hash stream — the ONE
+    * aggregation both faces share. On a batch frame it is the sketch
+    * build; on a STREAMING frame (update/complete mode) the very same
+    * plan maintains the matrix as ≤ D·W rows of state under an unbounded
+    * stream — the mergeable-sketch property IS the streaming-state
+    * bound. SketchesSpec pins exact batch parity across micro-batch
+    * splits. */
+  def cmsMatrixOf(hashes: DataFrame): DataFrame =
+    hashes
+      .select(posexplode(array(CmsRows.map { case (a, b) =>
+        cmsBucket(a, b, col("h")) }: _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** COUNT–MIN SKETCH over the token stream, verified against exact
     * counts: builds the D×W matrix in one pass, then reports, for the
     * exact top-[[CmsProbeK]] tokens, the true count and the CMS estimate
@@ -71,10 +85,7 @@ object Sketches {
         .select(col("token"), rolling_hash(col("token")).as("h")))
     val bucketArr = array(CmsRows.map { case (a, b) =>
       cmsBucket(a, b, col("h")) }: _*)
-    val cms = toks
-      .select(posexplode(bucketArr).as(Seq("row", "bucket")))
-      .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val cms = cmsMatrixOf(toks.select(col("h")))
     val top = toks.groupBy(col("token"), col("h"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
@@ -159,18 +170,31 @@ object Sketches {
     * correction exists for; it needs `ln`, which differs by libm ulps
     * across engines, so the raw estimator is the deliberate contract and
     * SketchesSpec pins accuracy in the n ≫ m regime. */
-  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    val h = rolling_hash(col("l_orderkey").cast("string"))
+  /** Per-group HLL register maintenance over a (grp, key: string) frame —
+    * the shared aggregation of both faces: `groupBy(grp, bucket).max(rho)`
+    * is the textbook HLL merge, and on a STREAMING frame the same plan
+    * holds ≤ groups·m register rows as state under an unbounded key
+    * stream (update mode). SketchesSpec pins batch parity across
+    * micro-batch splits. */
+  def hllRegistersOf(keyed: DataFrame): DataFrame = {
+    val h = rolling_hash(col("key"))
     val g = (h * h + lit(HllA2) * h + lit(11L)) % lit(HashP)
     val bucket = ((lit(HllA1) * g + lit(HllB1)) % lit(HashP)) % lit(HllM)
     val v = ((lit(HllA2) * g + lit(HllB2)) % lit(HashP)) % lit(1L << HllWBits)
     val rho = when(v === 0, lit(HllWBits + 1))
       .otherwise(lit(HllWBits + 1) - length(bin(v)))
-    val regs = li
-      .select(col("l_returnflag"), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col("l_returnflag"), col("bucket"))
+    keyed
+      .select(col("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("m"))
+  }
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val regs = hllRegistersOf(li.select(
+      col("l_returnflag").as("grp"),
+      col("l_orderkey").cast("string").as("key")))
+      .withColumnRenamed("grp", "l_returnflag")
     val full = lit(1L << (HllWBits + 1)) // empty register term 2^21
     val regAgg = regs.groupBy(col("l_returnflag"))
       .agg(

@@ -59,6 +59,59 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(regs.count() <= 3 * Sketches.HllM)
   }
 
+  test("cmsMatrixOf: streaming micro-batch matrix equals the batch sketch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.RollingHash.rolling_hash
+    val toks = graft.Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(rolling_hash(col("token")).as("h")).as[Long].collect()
+    val mem = MemoryStream[Long]
+    val q = Sketches.cmsMatrixOf(mem.toDF().toDF("h"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: the matrix must MERGE across them (the
+      // mergeable-sketch property as streaming state)
+      val (b1, b2) = toks.splitAt(toks.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.cmsMatrixOf(
+        toks.toSeq.toDF("h"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == batch, "streaming CMS matrix diverged from batch")
+      assert(got.size <= 4 * Sketches.CmsW, "CMS state exceeded D*W rows")
+    } finally q.stop()
+  }
+
+  test("hllRegistersOf: streaming register table equals batch exactly and stays bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keys = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey").cast("string"))
+      .as[(String, String)].collect()
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.hllRegistersOf(mem.toDF().toDF("grp", "key"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = keys.splitAt(keys.length / 3)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("hll_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val batch = Sketches.hllRegistersOf(keys.toSeq.toDF("grp", "key"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == batch, "streaming HLL registers diverged from batch")
+      assert(got.size <= 3 * Sketches.HllM, "register state exceeded groups*m")
+    } finally q.stop()
+  }
+
   test("cms build: the sketch aggregate is partial-combinable (map-side partial before the exchange)") {
     graft.SharedFrames.releaseAll()
     val p = aqeFinalPlan(Sketches.sketchCms(spark, dir))
