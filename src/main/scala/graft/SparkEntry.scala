@@ -172,6 +172,9 @@ object SparkEntry {
     // weights (linear-domain, decimal-quantized — ln differs by libm
     // ulps across engines), top-K most target-like candidate docs
     "dsir_select" -> (graft.operators.DsirSelect.dsirSelect _),
+    // cluster-keyed train/val/test hashing: near-dups never straddle a
+    // split boundary (split is a function of the CC cluster label)
+    "split_leakfree" -> (graft.operators.Pipeline.splitLeakfree _),
     // exact heavy hitters via the two-pass Misra-Gries candidate/recount
     // scheme; oracle = the naive full-vocabulary HAVING query
     "heavy_hitters" -> (TextAnalysis.heavyHitters _),
@@ -341,6 +344,7 @@ object SparkEntry {
     "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
+    "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

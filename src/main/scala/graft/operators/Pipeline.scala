@@ -184,4 +184,57 @@ object Pipeline {
        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |        FROM surv))
        |ORDER BY doc_id""".stripMargin
+
+  /** Train/val/test split-hash modulus and boundaries: < 80 → train,
+    * < 90 → val, else test. */
+  final val SplitBuckets = 100L
+  final val SplitTrainLt = 80L
+  final val SplitValLt = 90L
+  private final val SplitP = 1000000007L
+
+  /** LEAKAGE-FREE SPLIT ASSIGNMENT — the step every eval pipeline needs
+    * after near-dup analysis: hash-assign documents to train/val/test by
+    * their DEDUP CLUSTER, never by doc_id, so two near-duplicate
+    * documents can never straddle a split boundary (the classic
+    * train→test leak that inflates benchmark scores; Lee et al. 2021
+    * §6). Cluster labels come from the oracle-pinned
+    * [[Dedup.dedupClusters]] connected components over the j ≥ 0.7 pair
+    * graph; docs outside the similarity graph are their own singleton
+    * cluster. The assignment is the deterministic MINSTD residue of the
+    * cluster label — reproducible across runs and engines, no RNG state.
+    *
+    * Scale shape: one left join of the doc spine against the (graph-node
+    * sized, far sub-corpus) cluster table, then a pure map — the split
+    * column adds NO exchange beyond the CC operator's own; the no-
+    * straddle guarantee is STRUCTURAL (split is a function of cluster),
+    * pinned anyway in PipelineOperatorsSpec. */
+  def splitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.dedupClusters(spark, dir)
+    val spine = t(spark, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val r = ((lit(48271L) * (col("cluster") % lit(SplitP)) + lit(11L))
+      % lit(SplitP)) % lit(SplitBuckets)
+    spine
+      .select(col("doc_id"), col("cluster"),
+        when(r < SplitTrainLt, "train")
+          .when(r < SplitValLt, "val")
+          .otherwise("test").as("split_name"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the CC oracle's recursive walk + the identical residue CASE. */
+  val splitLeakfreeSql: String =
+    s"""WITH cl AS (SELECT * FROM (${Dedup.dedupClustersSql})),
+       |spine AS (
+       |  SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cl USING (doc_id))
+       |SELECT doc_id, cluster,
+       |  CASE WHEN ((48271 * (cluster % $SplitP) + 11) % $SplitP)
+       |              % $SplitBuckets < $SplitTrainLt THEN 'train'
+       |       WHEN ((48271 * (cluster % $SplitP) + 11) % $SplitP)
+       |              % $SplitBuckets < $SplitValLt THEN 'val'
+       |       ELSE 'test' END AS split_name
+       |FROM spine ORDER BY doc_id""".stripMargin
 }

@@ -1229,4 +1229,28 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
       s"lineage vs pipeline divergence: ${(survivedTo5 diff packed).size} " +
         s"extra, ${(packed diff survivedTo5).size} missing")
   }
+
+  test("split_leakfree: no dedup cluster straddles a split; every doc assigned once; sane proportions") {
+    graft.SharedFrames.releaseAll()
+    val rows = Pipeline.splitLeakfree(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = graft.Tables.t(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "split must cover every doc exactly once")
+    // the leakage guarantee: a cluster maps to ONE split
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // multi-member clusters exist at this SF (else the guarantee is vacuous)
+    assert(rows.groupBy(_._2).exists(_._2.length > 1),
+      "no multi-doc cluster — the no-straddle pin is vacuous")
+    // MINSTD residue proportions: nominal 80/10/10 over CLUSTERS; loose
+    // bands (small cluster count at tiny SF)
+    val frac = rows.groupBy(_._3).view.mapValues(_.length.toDouble / nDocs)
+    assert(frac.getOrElse("train", 0.0) > 0.6 && frac("train") < 0.95,
+      s"train fraction ${frac.get("train")} out of band")
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0,
+      s"empty val/test split: $frac")
+    graft.SharedFrames.releaseAll()
+  }
 }
