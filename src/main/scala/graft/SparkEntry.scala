@@ -175,6 +175,13 @@ object SparkEntry {
     // cluster-keyed train/val/test hashing: near-dups never straddle a
     // split boundary (split is a function of the CC cluster label)
     "split_leakfree" -> (graft.operators.Pipeline.splitLeakfree _),
+    // exact kNN graph on the contract-capped slice; per-node ranking is
+    // the bounded partial TopKAgg (no window sort), the aggregate the
+    // LSH/IVF candidate streams feed at full scale
+    "knn_graph" -> (Similarity.knnGraph _),
+    // mixture balancing after semantic clustering: per-cluster top-m
+    // most-diverse kept vectors via the same bounded partial TopKAgg
+    "cluster_balanced_sample" -> (Similarity.clusterBalancedSample _),
     // exact heavy hitters via the two-pass Misra-Gries candidate/recount
     // scheme; oracle = the naive full-vocabulary HAVING query
     "heavy_hitters" -> (TextAnalysis.heavyHitters _),
@@ -345,6 +352,8 @@ object SparkEntry {
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
+    "knn_graph" -> Similarity.knnGraphSql,
+    "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

@@ -1542,4 +1542,100 @@ object Similarity {
        |JOIN t0 ON t0.pcell = cand.cluster AND t0.code = code0
        |JOIN t1 ON t1.pcell = cand.cluster AND t1.code = code1
        |ORDER BY approx_l2sq, cand.vec_id LIMIT 10""".stripMargin
+
+  /** Per-cluster sample size for [[clusterBalancedSample]]. */
+  final val ClusterSampleM = 5
+
+  /** CLUSTER-BALANCED SUBSAMPLING — the mixture-balancing step after
+    * semantic clustering (SemDeDup/DoReMi-style pipelines): from the
+    * [[semDedup]] KEPT set, take up to [[ClusterSampleM]] members per
+    * cluster, preferring the vectors FARTHEST from their centroid
+    * (ascending cos_centroid — the most diverse representatives), ties
+    * on vec_id. Head clusters stop dominating the training mix; tail
+    * clusters keep all their members.
+    *
+    * The per-cluster ranking is the [[graft.functions.TopKAgg]] bounded
+    * partial aggregate (on negated cosine — IEEE negation is exact, so
+    * the oracle's ASC window replays it bit-for-bit): ≤ m·partitions
+    * rows shuffle, no per-cluster sort, no window over the head
+    * cluster's full population. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val kept = semDedup(spark, dir).filter(col("kept"))
+    val topk = graft.functions.TopKAgg.top_k(ClusterSampleM)
+    kept.groupBy(col("cluster"))
+      .agg(topk(col("vec_id"), -col("cos_centroid")).as("picks"))
+      .select(col("cluster"), posexplode(col("picks")).as(Seq("pos", "e")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("vec_id"), (-col("e.v")).as("cos_centroid"))
+      .orderBy(col("cluster"), col("rnk"))
+  }
+
+  /** Oracle: the full [[semDedupSql]] replay + the ASC window twin of the
+    * bounded partial ranking. */
+  lazy val clusterBalancedSampleSql: String = OracleSql.materializeCtes(
+    s"""WITH sd AS (SELECT * FROM ($semDedupSql)),
+       |r AS (
+       |  SELECT cluster, vec_id, cos_centroid, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY cos_centroid, vec_id) AS rnk
+       |  FROM sd WHERE kept)
+       |SELECT cluster, CAST(rnk AS BIGINT) AS rnk, vec_id, cos_centroid
+       |FROM r WHERE rnk <= $ClusterSampleM
+       |ORDER BY cluster, rnk""".stripMargin)
+
+  /** k-NN graph slice bound (the [[GraphRank.PrCap]] contract) and
+    * neighbors per node. */
+  final val KnnCap = 200L
+  final val KnnK = 3
+
+  /** K-NEAREST-NEIGHBOR GRAPH — every node's exact top-[[KnnK]] cosine
+    * neighbors, the primitive under graph-based dedup clustering, kNN
+    * label propagation and manifold methods. The per-node ranking is the
+    * [[graft.functions.TopKAgg]] bounded PARTIAL aggregate — no window,
+    * no per-node sort; each map task keeps a k-bounded buffer per node
+    * and ≤ k·partitions rows shuffle.
+    *
+    * The all-pairs scoring is contract-capped at [[KnnCap]] nodes (the
+    * [[GraphRank]] slice discipline): the exact face verifies the
+    * ranking machinery bit-for-bit against the DuckDB window replay; at
+    * full corpus the SAME TopKAgg consumes LSH/IVF candidate pairs
+    * ([[embeddingNearDupLsh]] / [[annIvfIndexed]] shapes) instead of the
+    * quadratic frame — candidate generation is the only thing that
+    * changes, the ranking aggregate is already scale-shaped. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).filter(col("vec_id") < KnnCap)
+    val pairs = e.alias("a")
+      .crossJoin(broadcast(e.select(col("vec_id").as("nid"),
+        col("ev").as("nev"), col("nrm").as("nnrm"))))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id").as("src"), col("nid"),
+        (dot(col("ev"), col("nev")) / (col("nrm") * col("nnrm")))
+          .as("cos"))
+    val topk = graft.functions.TopKAgg.top_k(KnnK)
+    pairs.groupBy(col("src"))
+      .agg(topk(col("nid"), col("cos")).as("nn"))
+      .select(col("src"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("nbr"), col("e.v").as("cosine"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  /** Oracle: the identical strict-fold cosines ranked by the window
+    * twin — equality proves the bounded partial aggregate replays the
+    * full (cos DESC, nbr) total order. */
+  val knnGraphSql: String = OracleSql.materializeCtes(
+    s"""WITH e AS (
+       |  SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev
+       |        FROM embeddings WHERE vec_id < $KnnCap)),
+       |p AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |    ${foldSql("a.ev", "b.ev")} / (a.nrm * b.nrm) AS cosine
+       |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT src, nbr, cosine, row_number() OVER (
+       |      PARTITION BY src ORDER BY cosine DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, nbr, cosine
+       |FROM r WHERE rnk <= $KnnK
+       |ORDER BY src, rnk""".stripMargin)
 }

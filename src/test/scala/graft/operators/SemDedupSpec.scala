@@ -37,6 +37,35 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(12L) == ((1L, true))) // only member above τ with nobody
   }
 
+  test("cluster_balanced_sample: per-cluster cap holds; picks are kept vectors in diversity order") {
+    graft.SharedFrames.releaseAll()
+    val picks = Similarity.clusterBalancedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(picks.nonEmpty)
+    val kept = Similarity.semDedup(spark, dir).filter(col("kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    picks.groupBy(_._1).foreach { case (cl, members) =>
+      assert(members.length <= Similarity.ClusterSampleM,
+        s"cluster $cl exceeds the per-cluster cap")
+      // ranks contiguous from 1; cosines ascending (farthest first)
+      assert(members.map(_._2).sorted.toSeq == (1L to members.length).toSeq)
+      val cos = members.sortBy(_._2).map(_._4).toSeq
+      assert(cos == cos.sorted, s"cluster $cl picks not in diversity order")
+      members.foreach { m =>
+        assert(kept.get(m._3).contains(cl),
+          s"pick ${m._3} is not a kept member of cluster $cl")
+      }
+    }
+    // a tail cluster with <= M kept members keeps ALL of them
+    val keptSizes = kept.groupBy(_._2).view.mapValues(_.size)
+    val small = keptSizes.filter(_._2 <= Similarity.ClusterSampleM)
+    small.foreach { case (cl, n) =>
+      assert(picks.count(_._1 == cl) == n,
+        s"tail cluster $cl lost members: ${picks.count(_._1 == cl)} of $n")
+    }
+    graft.SharedFrames.releaseAll()
+  }
+
   test("semdedup: non-vacuous keep split; clusters in [0, K); affinity in [-1, 1]") {
     val rows = Similarity.semDedup(spark, dir).collect()
     assert(rows.length == graft.Tables.t(spark, dir, "embeddings").count())

@@ -246,6 +246,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("knn_graph / cluster_balanced_sample: per-group ranking is the bounded TopKAgg aggregate — no window, no per-group sort") {
+    graft.SharedFrames.releaseAll()
+    val knn = graft.operators.Similarity.knnGraph(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // the ranking must be the k-bounded partial aggregate (an
+    // ObjectHashAggregate over the typed buffer), never a window over
+    // the full per-group population (a hot group = one sort task)
+    assert(!knn.contains("windowspecdefinition"),
+      s"knn_graph ranking fell back to a window:\n$knn")
+    assert(knn.contains("ObjectHashAggregate"),
+      s"knn_graph TopKAgg buffer aggregate missing:\n$knn")
+    val cbs = graft.operators.Similarity.clusterBalancedSample(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // upstream semDedup legitimately windows per-VECTOR (|K|-bounded);
+    // the per-CLUSTER ranking itself must never window (a head cluster
+    // = one sort task)
+    assert(!cbs.contains("windowspecdefinition(cluster#"),
+      s"cluster_balanced_sample ranks via a cluster window:\n$cbs")
+    assert(cbs.contains("ObjectHashAggregate"),
+      s"cluster_balanced_sample TopKAgg buffer aggregate missing:\n$cbs")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("decontaminate_semantic: argmax is a partial-combinable aggregate — no vec_id window over the scored fan-out") {
     val df = graft.operators.Similarity.decontaminateSemantic(spark, dir)
     val p = df.queryExecution.sparkPlan.toString
