@@ -172,6 +172,9 @@ object SparkEntry {
     // weights (linear-domain, decimal-quantized — ln differs by libm
     // ulps across engines), top-K most target-like candidate docs
     "dsir_select" -> (graft.operators.DsirSelect.dsirSelect _),
+    // mergeable equi-width histogram + exact-replay quantile estimate
+    // (the bounded-state path beside the exact `percentiles` sort)
+    "hist_quantiles" -> (graft.operators.Sketches.histQuantiles _),
     // cluster-keyed train/val/test hashing: near-dups never straddle a
     // split boundary (split is a function of the CC cluster label)
     "split_leakfree" -> (graft.operators.Pipeline.splitLeakfree _),
@@ -351,6 +354,7 @@ object SparkEntry {
     "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
+    "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,

@@ -216,6 +216,103 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Histogram bins per group and the quantiles reported. */
+  final val HistBins = 256
+  final val HistQs: Seq[Double] = Seq(0.5, 0.95)
+
+  /** MERGEABLE EQUI-WIDTH HISTOGRAM + quantile estimation — the
+    * bounded-state quantile path beside the exact
+    * [[graft.queries.Relational.percentiles]] (which must globally sort
+    * its group): two narrow passes (min/max, then bin counts), histogram
+    * state ≤ groups·[[HistBins]] rows with map-side partials (elementwise
+    * addition IS the histogram merge), then P50/P95 by cumulative walk
+    * with linear interpolation inside the located bin.
+    *
+    * Like the other sketches here (and unlike `percentile_approx`, whose
+    * KLL internals are engine-specific), every arithmetic step — bin
+    * width, bin index (floor of one exact-order double chain), the
+    * q·n target, the interpolation — is a fixed parenthesized IEEE
+    * sequence both engines evaluate identically, so the DuckDB oracle
+    * replays the ESTIMATE bit-for-bit and the driver gate proves the
+    * sketch, not an error band. |est − exact| is pinned vs the sorted
+    * exact quantile in SketchesSpec. The quantile walk windows over the
+    * hist rows — bounded at [[HistBins]] per group BY CONSTRUCTION, so
+    * the partition-size concern that bans data-keyed windows elsewhere
+    * does not apply. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val x = col("l_extendedprice").cast("double")
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), x.as("x"))
+    val mm = li.groupBy(col("l_returnflag")).agg(
+      min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+      .withColumn("w", (col("mx") - col("mn")) / lit(HistBins.toDouble))
+    val hist = li.join(broadcast(mm), Seq("l_returnflag"))
+      .withColumn("bin", when(col("w") === 0.0, lit(0)).otherwise(
+        least(lit(HistBins - 1),
+          floor((col("x") - col("mn")) / col("w")).cast("int"))))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val byBin = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(byBin))
+      .join(broadcast(mm), Seq("l_returnflag"))
+    val qs = HistQs.toDF("q")
+    cum.crossJoin(broadcast(qs))
+      .filter(col("cum").cast("double") >= col("q") * col("n").cast("double"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(min(struct(col("bin"), col("c"), col("cum"), col("mn"),
+        col("w"), col("n"))).as("b"))
+      .select(col("l_returnflag"), col("q"), col("b.n").as("n"),
+        (col("b.mn") + (col("b.w") * (col("b.bin").cast("double")
+          + (((col("q") * col("b.n").cast("double"))
+            - (col("b.cum") - col("b.c")).cast("double"))
+            / col("b.c").cast("double"))))).as("est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  val histQuantilesSql: String = OracleSql.materializeCtes(
+    s"""WITH li AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE) AS x
+       |  FROM lineitem),
+       |mm AS (
+       |  SELECT l_returnflag, min(x) AS mn, max(x) AS mx,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    (max(x) - min(x)) / ${HistBins.toDouble} AS w
+       |  FROM li GROUP BY 1),
+       |hist AS (
+       |  SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT li.l_returnflag,
+       |      CASE WHEN w = 0.0 THEN 0
+       |           ELSE LEAST(${HistBins - 1},
+       |                      CAST(floor((x - mn) / w) AS INTEGER)) END
+       |        AS bin
+       |    FROM li JOIN mm USING (l_returnflag))
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT h.l_returnflag, h.bin, h.c, mm.mn, mm.w, mm.n,
+       |    SUM(h.c) OVER (PARTITION BY h.l_returnflag ORDER BY h.bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist h JOIN mm USING (l_returnflag)),
+       |qs(q) AS (VALUES ${
+           HistQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}),
+       |hit AS (
+       |  SELECT l_returnflag, q, bin, c, cum, mn, w, n,
+       |    row_number() OVER (PARTITION BY l_returnflag, q
+       |      ORDER BY bin) AS rn
+       |  FROM cum CROSS JOIN qs
+       |  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+       |SELECT l_returnflag, q, n,
+       |  (mn + (w * (CAST(bin AS DOUBLE)
+       |    + (((q * CAST(n AS DOUBLE)) - CAST(cum - c AS DOUBLE))
+       |       / CAST(c AS DOUBLE))))) AS est
+       |FROM hit WHERE rn = 1
+       |ORDER BY l_returnflag, q""".stripMargin)
+
   val hllDistinctSql: String = OracleSql.materializeCtes(
     s"""WITH rh AS (
        |  SELECT l_returnflag, l_orderkey,

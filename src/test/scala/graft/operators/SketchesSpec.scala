@@ -59,6 +59,29 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(regs.count() <= 3 * Sketches.HllM)
   }
 
+  test("hist_quantiles: estimates land within one bin width of the exact sorted quantile") {
+    val est = Sketches.histQuantiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(est.size == 3 * Sketches.HistQs.size)
+    val li = graft.Tables.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("x"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.95)").as("p95"),
+        ((max(col("x")) - min(col("x"))) / Sketches.HistBins).as("w"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    exact.foreach { case (flag, (p50, p95, w)) =>
+      // the true quantile lies inside the located bin; linear
+      // interpolation keeps the estimate within that bin too
+      assert(math.abs(est((flag, 0.5)) - p50) <= w,
+        s"$flag P50 est ${est((flag, 0.5))} vs exact $p50 (bin width $w)")
+      assert(math.abs(est((flag, 0.95)) - p95) <= w,
+        s"$flag P95 est ${est((flag, 0.95))} vs exact $p95 (bin width $w)")
+    }
+  }
+
   test("cmsMatrixOf: streaming micro-batch matrix equals the batch sketch exactly") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
