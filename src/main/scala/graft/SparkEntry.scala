@@ -175,6 +175,9 @@ object SparkEntry {
     // mergeable equi-width histogram + exact-replay quantile estimate
     // (the bounded-state path beside the exact `percentiles` sort)
     "hist_quantiles" -> (graft.operators.Sketches.histQuantiles _),
+    // RFC-4180 quoted CSV export + multiLine read-back, digest-proven
+    // byte-lossless (the third interchange format after JSONL/ORC)
+    "csv_roundtrip" -> (graft.sources.JsonlExport.csvRoundtrip _),
     // cluster-keyed train/val/test hashing: near-dups never straddle a
     // split boundary (split is a function of the CC cluster label)
     "split_leakfree" -> (graft.operators.Pipeline.splitLeakfree _),
@@ -355,6 +358,7 @@ object SparkEntry {
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,
+    "csv_roundtrip" -> graft.sources.JsonlExport.csvRoundtripSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,

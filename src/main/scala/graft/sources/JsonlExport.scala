@@ -77,6 +77,40 @@ object JsonlExport {
 
   val orcRoundtripSql: String = jsonlRoundtripSql
 
+  /** CSV round-trip — the interchange format every external tool reads.
+    * The danger CSV poses to a TEXT corpus is quoting: document text
+    * freely contains commas, quotes and (in general) newlines, so the
+    * export writes RFC-4180 quoted/escaped fields and the read-back runs
+    * in `multiLine` mode with the same quote/escape contract. A green
+    * oracle row (md5 + length per doc vs the parquet source) proves the
+    * full encode→escape→parse cycle byte-lossless — the property to pin
+    * BEFORE any 100 TB corpus leaves the columnar world. Shards bound
+    * parallel writers exactly like the JSONL export. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.SessionResources.scratchDir(spark, "csv", dir)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(Shards)
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      // the WRITER trims field whitespace by default — a silent corpus
+      // mutation; disable both sides explicitly
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    spark.read.schema(docSchema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(out)
+      .select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("fp"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val csvRoundtripSql: String = jsonlRoundtripSql
+
   /** SCHEMA EVOLUTION — the read-side contract every long-lived corpus
     * store needs: half the docs are written with the ORIGINAL schema
     * (doc_id, text), half with an EVOLVED one that added `lang`; a

@@ -59,7 +59,10 @@ class BenchHygieneSpec extends AnyFunSuite with SparkSpec {
     "dedup_clusters_star", "pack_shards", "pipeline_e2e",
     "curriculum", "global_shuffle", "epoch_mix", "semdedup", "bpe_encode",
     // the round-7 gram-spine users (toks + grams shared generations)
-    "dup_span_scrub_aligned", "decontaminate_scrub")
+    "dup_span_scrub_aligned", "decontaminate_scrub",
+    // round-10 shared-frame users (CMS token hashes, DSIR features,
+    // TopKAgg over the semdedup assignment)
+    "sketch_cms", "dsir_select", "cluster_balanced_sample")
 
   for (name <- Sampled)
     test(s"$name: bounded residency during runs, ZERO residue after release") {

@@ -51,4 +51,41 @@ class ColumnarExportSpec extends AnyFunSuite with SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files but lang=en holds " +
         s"only $filesInEn — partition pruning not effective")
   }
+
+  test("CSV export survives hostile content: commas, quotes, newlines, CRLF, leading/trailing spaces") {
+    import spark.implicits._
+    // the synthetic corpus has none of these characters, so the oracle
+    // digest row alone cannot prove the escaping contract — constructed
+    // documents must
+    val hostile = Seq(
+      (1L, "en", "plain text"),
+      (2L, "en", "comma, separated, values"),
+      (3L, "en", "a \"quoted\" word and \"\"doubled\"\""),
+      (4L, "en", "line one\nline two\nline three"),
+      (5L, "en", "crlf\r\nline"),
+      (6L, "en", "  leading and trailing  "),
+      (7L, "en", "all, of: \"it\"\n, together\r\n \"end\""),
+      (8L, "en", ""))
+    val df = hostile.toDF("doc_id", "lang", "text")
+    val out = graft.SessionResources.scratchDir(spark, "csvhostile", dir)
+    df.repartition(2).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      // writer-side trimming is ON by default — the exact silent
+      // mutation this test exists to catch
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    val back = spark.read
+      .schema("doc_id LONG, lang STRING, text STRING")
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(out)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2)).getOrElse(""))
+      .toMap
+    hostile.foreach { case (id, _, text) =>
+      assert(back(id) == text,
+        s"doc $id mutated through CSV: ${back(id).take(60)} vs ${text.take(60)}")
+    }
+  }
 }
