@@ -232,6 +232,9 @@ object SparkEntry {
     // token spans (island-merged), keep the rest of the document
     "decontaminate_scrub" -> (Dedup.decontaminateScrub _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    // asymmetric-Jaccard (containment) pairs: the dedup mode symmetric
+    // resemblance misses (short doc quoted whole inside a long one)
+    "dedup_containment" -> (Dedup.dedupContainment _),
     // fuzzy (edit-distance <= 1) matching via the SymSpell deletion-
     // neighborhood equi-join; oracle = the naive all-pairs query
     "dedup_edit_distance" -> (Dedup.dedupEditDistance _),
@@ -457,6 +460,7 @@ object SparkEntry {
     // bloom pre-filter is transparent (superset probe + exact resolve)
     "dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_edit_distance" -> Dedup.dedupEditDistanceSql,
     // the verified LSH twins' oracle IS the exact-Jaccard SQL: equality
     // holds iff the candidate generators caught every true >=0.7 pair on

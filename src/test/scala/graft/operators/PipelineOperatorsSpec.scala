@@ -1230,6 +1230,27 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
         s"extra, ${(packed diff survivedTo5).size} missing")
   }
 
+  test("dedup_containment: catches pairs symmetric Jaccard misses; ratios consistent") {
+    val cont = Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    assert(cont.nonEmpty, "containment pairs vacuous at this SF")
+    val jac = Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cont.foreach { case ((d1, d2), (c, c1, c2, contained)) =>
+      assert(c >= Dedup.ContainTau && c <= 1.0)
+      // mutual containment is the max of the direction ratios
+      assert(math.abs(c - math.max(c1, c2)) < 1e-12)
+      assert(contained == d1 || contained == d2)
+    }
+    // the asymmetric catch must be non-vacuous: some contained pair is
+    // NOT a resemblance pair (j < 0.7) — the exact miss this mode exists
+    // to cover
+    assert(cont.keySet.exists(p => !jac.contains(p)),
+      "every containment pair is also a Jaccard pair — asymmetric mode vacuous")
+  }
+
   test("split_leakfree: no dedup cluster straddles a split; every doc assigned once; sane proportions") {
     graft.SharedFrames.releaseAll()
     val rows = Pipeline.splitLeakfree(spark, dir)
