@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusOps, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{KvSurface, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -178,6 +178,9 @@ object SparkEntry {
     // RFC-4180 quoted CSV export + multiLine read-back, digest-proven
     // byte-lossless (the third interchange format after JSONL/ORC)
     "csv_roundtrip" -> (graft.sources.JsonlExport.csvRoundtrip _),
+    // two-sample chi-square drift between snapshot halves (lang mix +
+    // length histogram) — rational arithmetic, no ln, oracle-exact
+    "corpus_drift" -> (CorpusOps.corpusDrift _),
     // cluster-keyed train/val/test hashing: near-dups never straddle a
     // split boundary (split is a function of the CC cluster label)
     "split_leakfree" -> (graft.operators.Pipeline.splitLeakfree _),
@@ -362,6 +365,7 @@ object SparkEntry {
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,
     "csv_roundtrip" -> graft.sources.JsonlExport.csvRoundtripSql,
+    "corpus_drift" -> CorpusOps.corpusDriftSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,

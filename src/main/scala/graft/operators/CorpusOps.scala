@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.t
+import graft.Tables.{t, dec, asDouble}
 
 /** Corpus-hygiene operators a pre-training pipeline runs beyond dedup +
   * decontamination (builder brief): repetition-based quality gating
@@ -1618,4 +1618,101 @@ object CorpusOps {
        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |        FROM documents))
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- distribution-drift monitor ----
+
+  /** Char-length bucket width / cap for [[corpusDrift]]. */
+  final val DriftLenBucket = 50L
+  final val DriftLenCap = 19L
+
+  /** DISTRIBUTION-DRIFT MONITOR — the audit every recurring ingest runs
+    * before accepting a new corpus snapshot: a two-sample chi-square
+    * statistic per monitored dimension (language mix, doc-length
+    * histogram) between two versions, here derived deterministically as
+    * the doc_id parity halves. Content diffing ([[corpusDiff]]) says
+    * WHICH docs changed; this says whether the POPULATION changed shape
+    * — the alarm for a crawler suddenly over-sampling one language or
+    * truncating documents.
+    *
+    * The statistic avoids PSI/KL on purpose: both need `ln`, which
+    * differs by libm ulps across engines. Chi-square is rational — each
+    * bucket term is a fixed parenthesized IEEE chain over exact integer
+    * counts — and per-bucket terms are DECIMAL(18,6)-quantized before
+    * the order-independent decimal sum, so the oracle replays the
+    * statistic exactly.
+    *
+    * Scale shape: one scan derives both dimensions via `stack` (map-side
+    * long format, no second pass); bucket tables are dimension-bounded
+    * (5 langs + 20 length buckets); everything downstream of the first
+    * partial-combinable count aggregate is constant-sized. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val rows = t(spark, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("v1"), col("lang"),
+        least(lit(DriftLenCap), length(col("text")) / lit(DriftLenBucket))
+          .cast("long").as("lb"))
+      .select(col("v1"), expr(
+        "stack(2, 'lang', lang, 'length', CAST(lb AS STRING))")
+        .as(Seq("dim", "bucket")))
+    val buckets = rows.groupBy(col("dim"), col("bucket")).agg(
+      sum(when(col("v1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("v1"), 0L).otherwise(1L)).as("n2"))
+    val totals = buckets.groupBy(col("dim")).agg(
+      sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val e1 = (col("t1").cast("double") * (col("n1") + col("n2")).cast("double")) /
+      (col("t1") + col("t2")).cast("double")
+    val e2 = (col("t2").cast("double") * (col("n1") + col("n2")).cast("double")) /
+      (col("t1") + col("t2")).cast("double")
+    buckets.join(broadcast(totals), Seq("dim"))
+      .select(col("dim"), dec(
+        (((col("n1").cast("double") - e1) * (col("n1").cast("double") - e1))
+          / e1)
+          + (((col("n2").cast("double") - e2) * (col("n2").cast("double") - e2))
+            / e2)).as("term"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_buckets"), asDouble(sum(col("term"))).as("chi2"))
+      .orderBy(col("dim"))
+  }
+
+  val corpusDriftSql: String =
+    s"""WITH r AS (
+       |  SELECT doc_id % 2 = 0 AS v1, 'lang' AS dim, lang AS bucket
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 2 = 0, 'length',
+       |    CAST(LEAST($DriftLenCap, length(text) // $DriftLenBucket)
+       |         AS VARCHAR)
+       |  FROM documents),
+       |b AS (
+       |  SELECT dim, bucket,
+       |    CAST(SUM(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN v1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+       |  FROM r GROUP BY 1, 2),
+       |t AS (
+       |  SELECT dim, CAST(SUM(n1) AS BIGINT) AS t1,
+       |    CAST(SUM(n2) AS BIGINT) AS t2
+       |  FROM b GROUP BY 1),
+       |terms AS (
+       |  SELECT dim, CAST(
+       |    (((CAST(n1 AS DOUBLE)
+       |        - ((CAST(t1 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+       |           / CAST(t1 + t2 AS DOUBLE)))
+       |      * (CAST(n1 AS DOUBLE)
+       |        - ((CAST(t1 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+       |           / CAST(t1 + t2 AS DOUBLE))))
+       |     / ((CAST(t1 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+       |        / CAST(t1 + t2 AS DOUBLE)))
+       |    + (((CAST(n2 AS DOUBLE)
+       |        - ((CAST(t2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+       |           / CAST(t1 + t2 AS DOUBLE)))
+       |      * (CAST(n2 AS DOUBLE)
+       |        - ((CAST(t2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+       |           / CAST(t1 + t2 AS DOUBLE))))
+       |     / ((CAST(t2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+       |        / CAST(t1 + t2 AS DOUBLE)))
+       |    AS DECIMAL(18,6)) AS term
+       |  FROM b JOIN t USING (dim))
+       |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS chi2
+       |FROM terms GROUP BY dim
+       |ORDER BY dim""".stripMargin
 }
