@@ -29,8 +29,19 @@ object TopKAgg {
   /** One candidate row: (id, value). */
   final case class Entry(id: Long, v: Double)
 
-  private def lt(a: Entry, b: Entry): Boolean =
-    a.v > b.v || (a.v == b.v && a.id < b.id)
+  /** Rank order: value descending with NaN ranked FIRST — matching both
+    * engines' NaN-largest sort semantics, so a NaN score (e.g. a
+    * zero-norm cosine upstream) cannot make buffer order partition-
+    * dependent (the naive `a.v > b.v` is false for every NaN compare).
+    * Equal values — including NaN==NaN and the SQL-equal -0.0/0.0 pair —
+    * tie ascending on id, exactly like the window oracle's
+    * `ORDER BY v DESC, id`. */
+  private def lt(a: Entry, b: Entry): Boolean = {
+    val an = a.v.isNaN; val bn = b.v.isNaN
+    if (an != bn) an
+    else if (!an && a.v != b.v) a.v > b.v
+    else a.id < b.id
+  }
 
   /** Merge two rank-sorted bounded lists into one, truncated at k. */
   private def mergeK(k: Int, a: List[Entry], b: List[Entry]): List[Entry] = {

@@ -180,16 +180,21 @@ object Dedup {
         graft.functions.GramPackSet.gram_pack_set(col("text"), 3).as("gset"))
       .withColumn("sz", size(col("gset")).cast("long"))
 
-  /** Exact trigram-Jaccard ≥ 0.7 pairs over an explicit bounded gram-set
-    * slice — the θ-join core shared by [[dedupNgramJaccard]] and the
-    * incremental twin's verification slice. The caller bounds the
-    * quadratic BY CONTRACT. */
-  private def jaccardPairs(g: DataFrame): DataFrame =
+  /** Intersection-counted pair frame (d1, d2, i, sz1, sz2) over an
+    * explicit bounded gram-set slice — the ONE θ-join core both
+    * similarity measures ([[dedupNgramJaccard]]'s resemblance,
+    * [[dedupContainment]]'s asymmetric containment) derive from. The
+    * caller bounds the quadratic BY CONTRACT. */
+  private def intersectionPairs(g: DataFrame): DataFrame =
     g.as("a").join(broadcast(g.as("b")), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         graft.functions.SortedIntersectCount
           .sorted_intersect_count(col("a.gset"), col("b.gset")).as("i"),
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+
+  /** Exact trigram-Jaccard ≥ 0.7 pairs over the core. */
+  private def jaccardPairs(g: DataFrame): DataFrame =
+    intersectionPairs(g)
       .withColumn("jaccard",
         col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
       .filter(col("jaccard") >= 0.7)
@@ -229,13 +234,8 @@ object Dedup {
     * the unbounded candidate path is MinHash banding); reports the
     * mutual containment, both direction ratios (each ONE exact-int IEEE
     * division), and which doc is the contained one. */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val g = gramSets(spark, dir, 200)
-    g.as("a").join(broadcast(g.as("b")), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        graft.functions.SortedIntersectCount
-          .sorted_intersect_count(col("a.gset"), col("b.gset")).as("i"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    intersectionPairs(gramSets(spark, dir, 200))
       .withColumn("containment",
         col("i").cast("double") / least(col("sz1"), col("sz2")))
       .filter(col("containment") >= ContainTau)
@@ -245,19 +245,9 @@ object Dedup {
         when(col("sz1") <= col("sz2"), col("d1")).otherwise(col("d2"))
           .as("contained_doc"))
       .orderBy(col("d1"), col("d2"))
-  }
 
-  val dedupContainmentSql: String =
-    s"""WITH g AS (
-       |  SELECT doc_id,
-       |    unnest(list_distinct(list_transform(range(1, length(text)-1),
-       |                                        i -> text[i:i+2]))) AS gram
-       |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+  lazy val dedupContainmentSql: String =
+    s"""$trigramPairsSqlPrefix
        |SELECT d1, d2,
        |  CAST(i AS DOUBLE)/LEAST(s1.sz, s2.sz) AS containment,
        |  CAST(i AS DOUBLE)/s1.sz AS c1,
@@ -269,7 +259,10 @@ object Dedup {
        |WHERE CAST(i AS DOUBLE)/LEAST(s1.sz, s2.sz) >= $ContainTau
        |ORDER BY d1, d2""".stripMargin
 
-  val dedupNgramJaccardSql: String =
+  /** The g/sizes/inter CTE chain both trigram-pair oracles share —
+    * one text, so the slice bound and intersection rule cannot
+    * desynchronize between the resemblance and containment twins. */
+  private lazy val trigramPairsSqlPrefix: String =
     """WITH g AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(range(1, length(text)-1),
@@ -279,7 +272,10 @@ object Dedup {
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""$trigramPairsSqlPrefix
       |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
       |FROM inter
       |JOIN sizes s1 ON s1.doc_id = d1
@@ -1122,10 +1118,10 @@ object Dedup {
     // carries one row per DOC instead of one per span-token and the
     // whole assembly is one exchange shorter (measured ~0.5 s at sf0.1).
     // Arrays are doc-bounded — the same contract as the per-span
-    // collect_list they replace.
-    val docArr = toks.groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("idx").as("i"),
-        col("tok").as("k")))), x => x.getField("k")).as("arr"))
+    // collect_list they replace. Materialized ONCE: the rebuild tail
+    // consumes the SAME frame, so the corpus-wide doc-keyed collect
+    // runs a single time.
+    val docArr = graft.SharedFrames.shared(docArrOf(toks))
     // materialized ONCE (span-sized rows): both the election and the
     // keep-first filter read it — uncached, the span-assembly
     // join would run twice (one per consumer)
@@ -1142,7 +1138,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("first.doc_id") ||
         col("span_start") =!= col("first.span_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    scrubRebuild(spark, dir, toks, excised)
+    scrubRebuild(spark, dir, docArr, excised)
   }
 
   /** Shared APPLY tail of both scrubs: drop every token inside an excised
@@ -1153,12 +1149,17 @@ object Dedup {
     * separate aggregates — per-doc work is array-bounded exactly like
     * the collect_list it already carried (the cleaned_text OUTPUT is
     * doc-sized by contract), and the tail is two exchanges shorter. */
-  private def scrubRebuild(spark: SparkSession, dir: String,
-      toks: DataFrame, excised: DataFrame,
-      spineFilter: Column = lit(true)): DataFrame = {
-    val docArr = toks.groupBy(col("doc_id"))
+  /** Per-doc ordered token array (idx is 0-based contiguous, so array
+    * position IS token index) — the frame the scrub tail and the span
+    * assembly share. */
+  private def docArrOf(toks: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("idx").as("i"),
         col("tok").as("k")))), x => x.getField("k")).as("arr"))
+
+  private def scrubRebuild(spark: SparkSession, dir: String,
+      docArr: DataFrame, excised: DataFrame,
+      spineFilter: Column = lit(true)): DataFrame = {
     val exs = excised.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("exs"),
@@ -1200,7 +1201,7 @@ object Dedup {
     val (toks, spans) = maximalSpanParts(spark, dir)
     val excised = spans.filter(col("src_doc") < col("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    scrubRebuild(spark, dir, toks, excised)
+    scrubRebuild(spark, dir, docArrOf(toks), excised)
   }
 
   /** SPAN-LEVEL decontamination — the surgical tier of the hygiene family.
@@ -1233,7 +1234,7 @@ object Dedup {
     val excised = spanIslands(hits, n = ContamSpanGram)
       .select(col("doc_id"), col("span_start"), col("span_end"))
     scrubRebuild(spark, dir,
-      toks.filter(col("doc_id") >= ContamEvalCap), excised,
+      docArrOf(toks.filter(col("doc_id") >= ContamEvalCap)), excised,
       spineFilter = col("doc_id") >= ContamEvalCap)
   }
 

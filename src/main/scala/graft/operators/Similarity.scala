@@ -619,7 +619,11 @@ object Similarity {
     * cosine bit-identically; ties break on lowest eval_id, matching the
     * oracle's `ORDER BY cos DESC, eval_id` row_number.) */
   def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir)
+    // zero-norm guard: a zero vector has no direction — its cosine is
+    // 0/0 = NaN, which the window oracle and the min-struct election
+    // would rank DIFFERENTLY (NaN-largest vs NaN-skipped). Out of scope
+    // on both sides, in both engines.
+    val e = withNorm(spark, dir).filter(col("nrm") > 0)
     val evalE = e.filter(col("vec_id") < SemContamEvalCap)
       .select(col("vec_id").as("eval_id"), col("ev").as("qv"),
         col("nrm").as("qn"))
@@ -641,7 +645,10 @@ object Similarity {
     val cos = s"""${foldSql("c.ev", "q.ev")}
        |      / (sqrt(${foldSql("c.ev", "c.ev")})
        |         * sqrt(${foldSql("q.ev", "q.ev")}))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    s"""WITH e AS (
+       |  SELECT vec_id, ev FROM (
+       |    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+       |  WHERE sqrt(${foldSql("ev", "ev")}) > 0),
        |s AS (
        |  SELECT c.vec_id, q.vec_id AS eval_id,
        |    $cos AS cos
@@ -1602,7 +1609,10 @@ object Similarity {
     * quadratic frame — candidate generation is the only thing that
     * changes, the ranking aggregate is already scale-shaped. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    // zero-norm guard — see decontaminateSemantic: NaN cosines order
+    // differently through the bounded aggregate than through a window
     val e = withNorm(spark, dir).filter(col("vec_id") < KnnCap)
+      .filter(col("nrm") > 0)
     val pairs = e.alias("a")
       .crossJoin(broadcast(e.select(col("vec_id").as("nid"),
         col("ev").as("nev"), col("nrm").as("nnrm"))))
@@ -1624,9 +1634,11 @@ object Similarity {
     * full (cos DESC, nbr) total order. */
   val knnGraphSql: String = OracleSql.materializeCtes(
     s"""WITH e AS (
-       |  SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm
-       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev
-       |        FROM embeddings WHERE vec_id < $KnnCap)),
+       |  SELECT vec_id, ev, nrm FROM (
+       |    SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm
+       |    FROM (SELECT vec_id, embedding::DOUBLE[] AS ev
+       |          FROM embeddings WHERE vec_id < $KnnCap))
+       |  WHERE nrm > 0),
        |p AS (
        |  SELECT a.vec_id AS src, b.vec_id AS nbr,
        |    ${foldSql("a.ev", "b.ev")} / (a.nrm * b.nrm) AS cosine

@@ -85,7 +85,16 @@ object JsonlExport {
     * oracle row (md5 + length per doc vs the parquet source) proves the
     * full encode→escape→parse cycle byte-lossless — the property to pin
     * BEFORE any 100 TB corpus leaves the columnar world. Shards bound
-    * parallel writers exactly like the JSONL export. */
+    * parallel writers exactly like the JSONL export.
+    *
+    * NULL vs "" is the subtle lossiness: Spark's CSV reader compares
+    * every parsed string against `nullValue` AFTER unquoting, and the
+    * default `nullValue` is "" — so a quoted empty field `""` silently
+    * regresses to SQL NULL on read-back. Both sides therefore pin
+    * `nullValue` to a NUL sentinel (U+0000, excluded from valid UTF-8
+    * corpus text by contract — the same exclusion Postgres TEXT makes),
+    * which lets quoted-empty survive as "" while genuine NULLs
+    * round-trip through the sentinel. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.SessionResources.scratchDir(spark, "csv", dir)
     t(spark, dir, "documents")
@@ -94,6 +103,7 @@ object JsonlExport {
       .write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
       .option("escape", "\"")
+      .option("nullValue", "\u0000")
       // the WRITER trims field whitespace by default — a silent corpus
       // mutation; disable both sides explicitly
       .option("ignoreLeadingWhiteSpace", "false")
@@ -102,6 +112,7 @@ object JsonlExport {
     spark.read.schema(docSchema)
       .option("header", "true").option("multiLine", "true")
       .option("escape", "\"")
+      .option("nullValue", "\u0000")
       .csv(out)
       .select(col("doc_id"), col("lang"),
         md5(col("text").cast("binary")).as("fp"),

@@ -65,12 +65,19 @@ class ColumnarExportSpec extends AnyFunSuite with SparkSpec {
       (5L, "en", "crlf\r\nline"),
       (6L, "en", "  leading and trailing  "),
       (7L, "en", "all, of: \"it\"\n, together\r\n \"end\""),
-      (8L, "en", ""))
+      (8L, "en", ""),
+      (9L, "en", " "),
+      (10L, "en", null.asInstanceOf[String]))
     val df = hostile.toDF("doc_id", "lang", "text")
     val out = graft.SessionResources.scratchDir(spark, "csvhostile", dir)
     df.repartition(2).write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true")
       .option("escape", "\"")
+      // NULL↔"" losslessness needs the NUL sentinel on BOTH sides —
+      // the reader's default nullValue is "" and is compared AFTER
+      // unquoting, so quoted-empty regresses to NULL without it
+      // (the JsonlExport.csvRoundtrip contract)
+      .option("nullValue", "\u0000")
       // writer-side trimming is ON by default — the exact silent
       // mutation this test exists to catch
       .option("ignoreLeadingWhiteSpace", "false")
@@ -80,12 +87,21 @@ class ColumnarExportSpec extends AnyFunSuite with SparkSpec {
       .schema("doc_id LONG, lang STRING, text STRING")
       .option("header", "true").option("multiLine", "true")
       .option("escape", "\"")
+      .option("nullValue", "\u0000")
       .csv(out)
-      .collect().map(r => r.getLong(0) -> Option(r.getString(2)).getOrElse(""))
+      .collect().map(r => r.getLong(0) -> r.getString(2))
       .toMap
     hostile.foreach { case (id, _, text) =>
-      assert(back(id) == text,
-        s"doc $id mutated through CSV: ${back(id).take(60)} vs ${text.take(60)}")
+      // null, "" and " " must stay THREE distinct verdicts: quoted-empty
+      // regressing to SQL NULL (or a lone space trimmed into either) is
+      // exactly the mutation class this pins
+      if (text == null)
+        assert(back(id) == null, s"doc $id: NULL text came back '${back(id)}'")
+      else {
+        assert(back(id) != null, s"doc $id came back NULL (text was ${text.take(30)})")
+        assert(back(id) == text,
+          s"doc $id mutated through CSV: ${back(id).take(60)} vs ${text.take(60)}")
+      }
     }
   }
 }
