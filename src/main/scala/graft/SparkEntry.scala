@@ -69,6 +69,9 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats _),
     "token_topk" -> (TextAnalysis.tokenTopk _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
+    // BM25 weighting family (rational idf — the tfidf reproducibility
+    // discipline); dl via doc-bounded window over the shared tf gen
+    "bm25_topk" -> (TextAnalysis.bm25Topk _),
     "pack_shards" -> (TextAnalysis.packShards _),
     "corpus_clean" -> (TextAnalysis.corpusClean _),
     "pipeline_e2e" -> (graft.operators.Pipeline.pipelineE2e _),
@@ -86,6 +89,9 @@ object SparkEntry {
     // exact-size per-language sample via the k-bounded partial
     // aggregator (no hot-key window); md5 ranking, engine-independent
     "sample_stratified" -> (graft.operators.CorpusOps.sampleStratifiedExact _),
+    // weighted sampling w/o replacement + unbiased subset-sum estimator
+    // (Duffield-Lund-Thorup priority sampling; global bounded top-k)
+    "priority_sample" -> (graft.operators.CorpusOps.prioritySample _),
     // temperature-sampled multilingual mixture (n_l^0.5 quotas in exact
     // integer arithmetic; per-lang selection via the bounded aggregator)
     "temperature_mix" -> (graft.operators.CorpusOps.temperatureMix _),
@@ -122,6 +128,9 @@ object SparkEntry {
     // content fingerprint, one full-outer join on the unique doc id
     "corpus_diff" -> (graft.operators.CorpusOps.corpusDiff _),
     "lm_bigram_score" -> (graft.operators.CorpusOps.lmBigramScore _),
+    // trigram stupid backoff on a held-out split: tiered-join cascade
+    // (model3 probe once; only misses re-shuffle to lower tiers)
+    "lm_trigram_backoff" -> (graft.operators.CorpusOps.lmTrigramBackoff _),
     // per-source upsampling to a common token budget (materialized plan)
     "epoch_mix" -> (graft.operators.CorpusOps.epochMix _),
     // deterministic global training-order shuffle: bucket-decomposed rank,
@@ -370,6 +379,7 @@ object SparkEntry {
     "knn_graph" -> Similarity.knnGraphSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
+    "bm25_topk" -> TextAnalysis.bm25TopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum
     // reproduces the sequential packing semantics exactly
@@ -386,6 +396,7 @@ object SparkEntry {
     "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,
     "sample_mix" -> graft.operators.CorpusOps.sampleMixSql,
     "sample_stratified" -> graft.operators.CorpusOps.sampleStratifiedExactSql,
+    "priority_sample" -> graft.operators.CorpusOps.prioritySampleSql,
     "temperature_mix" -> graft.operators.CorpusOps.temperatureMixSql,
     "corpus_report" -> graft.operators.CorpusOps.corpusReportSql,
     "span_corruption" -> graft.operators.CorpusOps.spanCorruptionSql,
@@ -401,6 +412,7 @@ object SparkEntry {
     "integrity_audit" -> graft.operators.CorpusOps.integrityAuditSql,
     "corpus_diff" -> graft.operators.CorpusOps.corpusDiffSql,
     "lm_bigram_score" -> graft.operators.CorpusOps.lmBigramScoreSql,
+    "lm_trigram_backoff" -> graft.operators.CorpusOps.lmTrigramBackoffSql,
     // integer lottery (lot·src_tokens < remainder·2^16) — bit-identical
     // replication counts, so equality proves the whole mixing plan
     "epoch_mix" -> graft.operators.CorpusOps.epochMixSql,

@@ -451,6 +451,183 @@ object CorpusOps {
        |  (n_rare = 0) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- trigram LM with stupid backoff (Brants et al. 2007) ----
+
+  /** Backoff discount α for [[lmTrigramBackoff]] (the 0.4 of Brants et
+    * al., "Large language models in machine translation", EMNLP 2007). */
+  final val BackoffAlpha = 0.4d
+
+  /** Train-slice selector: docs with doc_id ≡ 0 (mod this) form the LM
+    * TRAINING slice; everything is scored. Small-curated-LM-scores-big-
+    * corpus is the CCNet deployment shape (Wenzek et al. 2020), and the
+    * 4% slice keeps the tri/bi/uni tiers populated non-vacuously at
+    * every SF (25: tri 1.7k/bi 15k/uni 10k at sf0.001 — a majority
+    * train slice covers every held-out bigram and the backoff tiers go
+    * vacuous; the synthetic vocabulary is closed, so the unseen tier is
+    * exercised by the constructed-OOV spec instead). */
+  final val LmTrainMod = 25L
+
+  /** Trigram language model with STUPID BACKOFF (Brants et al. 2007) —
+    * the web-scale LM scoring recipe: no smoothing mass bookkeeping, just
+    * S(w₃|w₁w₂) = c₃/c₂ when the trigram is known, else α·c₂(w₂w₃)/c₁(w₂),
+    * else α²·c₁(w₃)/total, else 0. Trained on the mod-[[LmTrainMod]]
+    * slice, scored over every doc with ≥3 tokens; per-doc output reports
+    * the tier population (n_tri/n_bi/n_uni/n_unseen) and the exact
+    * dec-summed score mass ([[graft.Tables.dec]] discipline — a raw
+    * double sum is partition-order-dependent).
+    *
+    * 100 TB shape — the tiered-join cascade, not five corpus shuffles:
+    * the context denominators are folded into the MODEL tables first
+    * (model3 = c₃ ⋈ c₂-context, model2 = c₂ ⋈ c₁-context — vocab-scale
+    * joins, never corpus-scale), then the position stream probes model3
+    * ONCE; only the misses (the unseen-trigram minority) re-shuffle to
+    * probe model2, and only their misses probe c₁. Each tier's stream
+    * shrinks geometrically, every join is an equi-join with map-side
+    * partial-combinable count aggregation upstream, and no model table
+    * is ever broadcast (corpus-scale vocabularies exceed executor
+    * memory — the [[lmBigramScore]] contract). */
+  def lmTrigramBackoff(spark: SparkSession, dir: String): DataFrame =
+    lmTrigramBackoffFrom(t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws")))
+
+  /** Core of [[lmTrigramBackoff]] over an explicit `(doc_id, ws)` frame —
+    * factored so the spec can inject constructed OOV documents and
+    * exercise the unseen tier the closed synthetic vocabulary never
+    * reaches. */
+  private[operators] def lmTrigramBackoffFrom(docs: DataFrame): DataFrame = {
+    val a = lit(BackoffAlpha)
+    val train = docs.filter(col("doc_id") % LmTrainMod === 0)
+
+    def tris(src: DataFrame): DataFrame = src.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(3, size(ws)), i -> struct(" +
+          "element_at(ws, i-2) as w1, element_at(ws, i-1) as w2, " +
+          "element_at(ws, i) as w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+    def bis(src: DataFrame): DataFrame = src.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(ws)), i -> struct(" +
+          "element_at(ws, i-1) as w1, element_at(ws, i) as w2))")).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    // each model table feeds 2-4 consumers (context fold, hit join,
+    // anti-join, total) — materialize each once
+    val unis = graft.SharedFrames.shared(
+      train.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val bigs = graft.SharedFrames.shared(
+      bis(train).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2")))
+    val trigs = graft.SharedFrames.shared(
+      tris(train).groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")))
+    val total = unis.agg(sum(col("c1")).as("total"))
+
+    // context denominators folded into the model tables (vocab-scale)
+    val model3 = trigs.join(
+      bigs.select(col("w1"), col("w2"), col("c2").as("ctx2")),
+      Seq("w1", "w2"))
+    val model2 = bigs.join(
+      unis.select(col("w").as("w1"), col("c1").as("ctx1")), Seq("w1"))
+
+    // each tier stream feeds TWO consumers (its hit join and the next
+    // tier's anti-join) — materialized once or the explode/cascade
+    // upstream re-runs per consumer (the SharedFrames contract)
+    val stream = graft.SharedFrames.shared(tris(docs))
+    val hit3 = stream.join(model3, Seq("w1", "w2", "w3"))
+      .select(col("doc_id"), lit("tri").as("tier"),
+        (col("c3").cast("double") / col("ctx2").cast("double")).as("s"))
+    val miss3 = graft.SharedFrames.shared(
+      stream.join(trigs.select(col("w1"), col("w2"), col("w3")),
+        Seq("w1", "w2", "w3"), "left_anti"))
+    val hit2 = miss3.join(model2.select(col("w1").as("w2"),
+        col("w2").as("w3"), col("c2"), col("ctx1")), Seq("w2", "w3"))
+      .select(col("doc_id"), lit("bi").as("tier"),
+        (a * (col("c2").cast("double") / col("ctx1").cast("double"))).as("s"))
+    val miss2 = graft.SharedFrames.shared(miss3.join(
+      bigs.select(col("w1").as("w2"), col("w2").as("w3")),
+      Seq("w2", "w3"), "left_anti"))
+    val hit1 = miss2.join(unis.select(col("w").as("w3"), col("c1")),
+        Seq("w3")).crossJoin(broadcast(total))
+      .select(col("doc_id"), lit("uni").as("tier"),
+        (a * (a * (col("c1").cast("double") /
+          col("total").cast("double")))).as("s"))
+    val unseen = miss2.join(unis.select(col("w").as("w3")),
+        Seq("w3"), "left_anti")
+      .select(col("doc_id"), lit("unseen").as("tier"), lit(0.0d).as("s"))
+
+    hit3.unionByName(hit2).unionByName(hit1).unionByName(unseen)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("tier") === "tri", 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("tier") === "bi", 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("tier") === "uni", 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("tier") === "unseen", 1L).otherwise(0L)).as("n_unseen"),
+        asDouble(sum(dec(col("s")))).as("sum_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmTrigramBackoffSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |tr AS (SELECT doc_id, ws FROM d WHERE doc_id % $LmTrainMod = 0),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM
+       |    (SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+       |big AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM
+       |    (SELECT unnest(list_transform(range(2, len(ws)+1),
+       |       i -> struct_pack(w1 := ws[i-1], w2 := ws[i])), recursive := true)
+       |     FROM tr WHERE len(ws) >= 2) GROUP BY 1, 2),
+       |tri AS (
+       |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM
+       |    (SELECT unnest(list_transform(range(3, len(ws)+1),
+       |       i -> struct_pack(w1 := ws[i-2], w2 := ws[i-1], w3 := ws[i])),
+       |       recursive := true)
+       |     FROM tr WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS total FROM uni),
+       |pos AS (
+       |  SELECT doc_id, w1, w2, w3 FROM
+       |    (SELECT doc_id, unnest(list_transform(range(3, len(ws)+1),
+       |       i -> struct_pack(w1 := ws[i-2], w2 := ws[i-1], w3 := ws[i])),
+       |       recursive := true)
+       |     FROM d WHERE len(ws) >= 3)),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN t.c3 IS NOT NULL THEN 'tri'
+       |         WHEN b2.c2 IS NOT NULL THEN 'bi'
+       |         WHEN u3.c1 IS NOT NULL THEN 'uni'
+       |         ELSE 'unseen' END AS tier,
+       |    CASE WHEN t.c3 IS NOT NULL THEN
+       |           CAST(t.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+       |         WHEN b2.c2 IS NOT NULL THEN
+       |           CAST('$BackoffAlpha' AS DOUBLE) *
+       |             (CAST(b2.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+       |         WHEN u3.c1 IS NOT NULL THEN
+       |           CAST('$BackoffAlpha' AS DOUBLE) *
+       |             (CAST('$BackoffAlpha' AS DOUBLE) *
+       |              (CAST(u3.c1 AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+       |         ELSE CAST(0 AS DOUBLE) END AS s
+       |  FROM pos p
+       |  LEFT JOIN tri t ON t.w1 = p.w1 AND t.w2 = p.w2 AND t.w3 = p.w3
+       |  LEFT JOIN big bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+       |  LEFT JOIN big b2 ON b2.w1 = p.w2 AND b2.w2 = p.w3
+       |  LEFT JOIN uni u2 ON u2.w = p.w2
+       |  LEFT JOIN uni u3 ON u3.w = p.w3
+       |  CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN tier = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tri,
+       |  CAST(SUM(CASE WHEN tier = 'bi' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bi,
+       |  CAST(SUM(CASE WHEN tier = 'uni' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_uni,
+       |  CAST(SUM(CASE WHEN tier = 'unseen' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unseen,
+       |  CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+       |    AS sum_score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- PII scrubbing ----
 
   // patterns restricted to the java.util.regex ∩ RE2 common subset
@@ -1715,4 +1892,79 @@ object CorpusOps {
        |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) AS chi2
        |FROM terms GROUP BY dim
        |ORDER BY dim""".stripMargin
+
+  // ---- priority sampling (Duffield, Lund & Thorup, JACM 2007) ----
+
+  /** Global sample size for [[prioritySample]]. */
+  final val PrioritySampleK = 30
+
+  /** 2^52 — the hash-key range of the md5-52-bit ranking key (the
+    * [[sampleStratifiedExact]] construction), as an exactly-representable
+    * double. */
+  private final val HkRange = 4503599627370496.0d
+
+  /** WEIGHTED sampling without replacement with an UNBIASED subset-sum
+    * estimator — priority sampling (Duffield, Lund & Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6), 2007).
+    * Each doc draws a deterministic uniform u ∈ (0,1] from the md5-52-bit
+    * key (u = (hk+1)/2^52 — both the +1 and the power-of-two division are
+    * EXACT in IEEE doubles, so u is engine-independent with zero rounding),
+    * gets priority q = w/u (one correctly-rounded division), and the
+    * sample is the global top-[[PrioritySampleK]] by q. With threshold
+    * τ = the (k+1)-th priority, est_w = max(w, τ) is an unbiased
+    * estimator of each doc's weight conditioned on membership — so the
+    * sample alone answers any "how many chars/tokens does subset S hold?"
+    * question without rescanning the corpus. Weights here are n_chars
+    * (sample ∝ size — the token-budget estimation case).
+    *
+    * 100 TB shape: a GLOBAL top-k is the textbook bounded partial
+    * aggregate — every map partition reduces to ≤ k+1 candidates through
+    * [[graft.functions.TopKAgg]] before the single-reducer merge
+    * (k·partitions rows through one task, nothing corpus-scale ever
+    * sorts or shuffles). The window formulation the oracle replays would
+    * be a single-partition sort over the whole corpus — exactly the plan
+    * this aggregate exists to avoid. Priorities are distinct a.s. (52-bit
+    * keys), and the (q DESC, doc_id) total order makes the result
+    * partitioning-independent. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val k = PrioritySampleK
+    val topk = graft.functions.TopKAgg.top_k(k + 1)
+    val pri = t(spark, dir, "documents")
+      .filter(col("n_chars") > 0) // zero-weight docs can never be sampled
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)" +
+          "), 1, 13), 16, 10) as bigint)").as("hk"))
+      .select(col("doc_id"), col("w"),
+        (col("w").cast("double") /
+          ((col("hk").cast("double") + lit(1.0d)) / lit(HkRange))).as("q"))
+    val arr = pri.groupBy().agg(topk(col("doc_id"), col("q")).as("tk"))
+    arr.select(posexplode(col("tk")),
+        element_at(col("tk"), k + 1).getField("v").as("tau"))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.v").as("q"), col("tau"))
+      .filter(col("rnk") <= k)
+      .join(pri.select(col("doc_id"), col("w")), Seq("doc_id"))
+      .select(col("rnk"), col("doc_id"), col("w"), col("q"),
+        greatest(col("w").cast("double"), col("tau")).as("est_w"))
+      .orderBy(col("rnk"))
+  }
+
+  val prioritySampleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, n_chars AS w,
+       |    CAST(n_chars AS DOUBLE) /
+       |      ((CAST(CAST(concat('0x',
+       |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+       |        AS BIGINT) AS DOUBLE) + 1.0) / $HkRange) AS q
+       |  FROM documents WHERE n_chars > 0),
+       |r AS (
+       |  SELECT doc_id, w, q,
+       |    row_number() OVER (ORDER BY q DESC, doc_id) AS rnk
+       |  FROM p),
+       |tau AS (SELECT q AS tau FROM r WHERE rnk = ${PrioritySampleK + 1})
+       |SELECT rnk, doc_id, w, q,
+       |  GREATEST(CAST(w AS DOUBLE), tau) AS est_w
+       |FROM r, tau
+       |WHERE rnk <= $PrioritySampleK
+       |ORDER BY rnk""".stripMargin
 }

@@ -613,4 +613,87 @@ object TextAnalysis {
       |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token) AS INT) AS rn
       |  FROM tf JOIN df USING (token))
       |WHERE rn <= 3""".stripMargin
+
+  // ---- BM25 salient-term ranking (Robertson & Zaragoza 2009) ----
+
+  final val Bm25K1 = 1.2d
+  final val Bm25B = 0.75d
+
+  /** Per-document top-3 salient terms under the BM25 weighting family
+    * (Robertson & Zaragoza, "The probabilistic relevance framework: BM25
+    * and beyond", 2009): tf-saturation with document-length normalization
+    * (k1=1.2, b=0.75) times an idf factor. The idf is the RATIONAL form
+    * (N−df+0.5)/(df+0.5) rather than its log — the [[tfidfTopk]]
+    * reproducibility discipline: ln differs by libm ulps across engines
+    * while +,−,×,÷ are correctly rounded everywhere, and per term the
+    * rational form is a monotone transform of the log form. (Cross-term
+    * score MIXING therefore weights rare terms more steeply than log-idf
+    * BM25 — a documented engine contract, exactly reproducible, not a
+    * numerical accident.)
+    *
+    * Shape: ONE corpus explode materialized as the shared tf generation
+    * (the [[tfidfTopk]] AQE/ReuseExchange trap and its fix), dl as a
+    * doc-partitioned window sum over tf (doc-bounded partitions — no
+    * second corpus aggregate), df/scalars derived from tf's key set,
+    * vocabulary side explicitly broadcast (same caveat as tfidf: a
+    * vocabulary beyond executor memory drops the hint for a token-keyed
+    * shuffle join). Both windows share the doc_id partitioning — one
+    * exchange. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = graft.SharedFrames.shared(
+      tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scal = tf.agg(sum(col("tf")).as("total"),
+      countDistinct(col("doc_id")).as("nd"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val avgdl = col("total").cast("double") / col("nd").cast("double")
+    val idf = ((col("nd") - col("df")).cast("double") + lit(0.5d)) /
+      (col("df").cast("double") + lit(0.5d))
+    val norm = lit(Bm25K1) * ((lit(1.0d) - lit(Bm25B)) +
+      lit(Bm25B) * (col("dl").cast("double") / avgdl))
+    val sat = (col("tf").cast("double") * lit(Bm25K1 + 1)) /
+      (col("tf").cast("double") + norm)
+    tf.withColumn("dl", sum(col("tf")).over(wDoc))
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(scal))
+      .withColumn("score", idf * sat)
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("score").desc, col("token"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("score"), col("rn"))
+  }
+
+  val bm25TopkSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, token FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |     FROM documents)
+       |  WHERE length(token) > 0),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |sc AS (SELECT CAST(SUM(tf) AS BIGINT) AS total,
+       |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+       |s AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    ((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * ${Bm25K1 + 1}) /
+       |       (CAST(tf AS DOUBLE)
+       |        + ($Bm25K1 * ((1.0 - $Bm25B)
+       |           + $Bm25B * (CAST(dl AS DOUBLE)
+       |              / (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)))))))
+       |      AS score
+       |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), sc)
+       |SELECT doc_id, token, score, rn FROM (
+       |  SELECT doc_id, token, score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, token) AS INT) AS rn
+       |  FROM s)
+       |WHERE rn <= 3""".stripMargin
 }

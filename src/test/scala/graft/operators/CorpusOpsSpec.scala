@@ -579,4 +579,120 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
         s"stratum $l ranks not contiguous") }
   }
+
+  test("priority_sample: exact driver replay of priorities, threshold and estimator; subset-sum estimate lands near truth") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16)
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pri = docs.map { case (id, w) =>
+      (id, w, w.toDouble / ((hk(id).toDouble + 1.0) / 4503599627370496.0))
+    }
+    val k = CorpusOps.PrioritySampleK
+    val ranked = pri.sortBy { case (id, _, q) => (-q, id) }.take(k + 1)
+    val tau = ranked(k)._3
+    val got = CorpusOps.prioritySample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == k)
+    got.foreach { case (rnk, id, w, q, est) =>
+      val (eid, ew, eq) = ranked(rnk.toInt - 1)
+      assert(id == eid && w == ew && q == eq,
+        s"rank $rnk diverges from the driver replay: got ($id,$w,$q), " +
+          s"expected ($eid,$ew,$eq)")
+      assert(est == math.max(w.toDouble, tau),
+        s"rank $rnk estimator weight wrong: $est vs max($w, $tau)")
+    }
+    // the whole point of priority sampling: the k-row sample estimates
+    // the corpus weight total without rescanning (unbiased over the
+    // uniform draw; this fixed md5 draw is pinned within 50%)
+    val total = docs.map(_._2).sum.toDouble
+    val est = got.map(_._5).sum
+    assert(math.abs(est - total) / total < 0.5,
+      s"subset-sum estimate $est too far from true total $total")
+  }
+
+  test("lm_trigram_backoff: tiers populated non-vacuously; train docs score pure-trigram; tier counts conserve") {
+    val rows = CorpusOps.lmTrigramBackoff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nPos, nTri, nBi, nUni, nUnseen, sum) =>
+      assert(nPos == nTri + nBi + nUni + nUnseen,
+        s"doc $id tier counts do not conserve")
+      // every tier score is ≤ 1, so the dec-rounded mass is bounded
+      assert(sum >= 0.0 && sum <= nPos + 1e-6, s"doc $id score mass $sum")
+    }
+    // the training slice's own trigrams are all model hits by definition
+    rows.filter(_._1 % CorpusOps.LmTrainMod == 0).foreach {
+      case (id, nPos, nTri, _, _, _, _) =>
+        assert(nTri == nPos, s"train doc $id backed off on its own text")
+    }
+    // tri, bi AND uni fire on the real corpus (LmTrainMod is tuned for
+    // exactly this; unseen needs OOV — the constructed spec below)
+    assert(rows.map(_._3).sum > 0, "tri tier vacuous")
+    assert(rows.map(_._4).sum > 0, "bi tier vacuous")
+    assert(rows.map(_._5).sum > 0, "uni tier vacuous")
+  }
+
+  test("lm_trigram_backoff: constructed OOV docs hit all four tiers with hand-computed scores") {
+    import spark.implicits._
+    // train slice = doc 0 only: "a b c a b d"
+    //   unigrams a:2 b:2 c:1 d:1 (total 6); bigrams ab:2 bc:1 ca:1 bd:1;
+    //   trigrams abc, bca, cab, abd (1 each)
+    val docs = Seq(
+      0L -> Seq("a", "b", "c", "a", "b", "d"),
+      1L -> Seq("a", "b", "c"),   // tri hit:      1/c2(ab)=1/2
+      2L -> Seq("d", "a", "b"),   // bi backoff:   0.4·c2(ab)/c1(a)=0.4
+      3L -> Seq("b", "d", "c"),   // uni backoff:  0.4·0.4·c1(c)/6
+      4L -> Seq("a", "b", "zzz")  // OOV — unseen tier, score 0
+    ).toDF("doc_id", "ws")
+    val got = CorpusOps.lmTrigramBackoffFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got(0L) == ((4L, 4L, 0L, 0L, 0L, 3.0)))  // 0.5+1+1+0.5
+    assert(got(1L) == ((1L, 1L, 0L, 0L, 0L, 0.5)))
+    assert(got(2L) == ((1L, 0L, 1L, 0L, 0L, 0.4)))
+    // 0.4·(0.4·(1/6)) = 0.02666..., dec(18,6)-rounded to 0.026667
+    assert(got(3L) == ((1L, 0L, 0L, 1L, 0L, 0.026667)))
+    assert(got(4L) == ((1L, 0L, 0L, 0L, 1L, 0.0)))
+  }
+
+  test("bm25_topk: full driver replay of the weighting chain — every (doc, term, score, rank) exact") {
+    val texts = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = scala.collection.mutable.Map[(Long, String), Long]()
+    val dl = scala.collection.mutable.Map[Long, Long]()
+    texts.foreach { case (id, tx) =>
+      tx.split(" ").filter(_.nonEmpty).foreach { w =>
+        tf((id, w)) = tf.getOrElse((id, w), 0L) + 1
+        dl(id) = dl.getOrElse(id, 0L) + 1
+      }
+    }
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nd = dl.size.toLong
+    val total = dl.values.sum
+    val avgdl = total.toDouble / nd.toDouble
+    val (bK1, bB) = (TextAnalysis.Bm25K1, TextAnalysis.Bm25B)
+    val expected = tf.toSeq.map { case ((id, w), f) =>
+      val idf = ((nd - df(w)).toDouble + 0.5) / (df(w).toDouble + 0.5)
+      val norm = bK1 * ((1.0 - bB) + bB * (dl(id).toDouble / avgdl))
+      val score = idf * ((f.toDouble * (bK1 + 1)) / (f.toDouble + norm))
+      (id, w, score)
+    }.groupBy(_._1).flatMap { case (id, ts) =>
+      ts.sortBy { case (_, w, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((_, w, s), i) => (id, w, s, i + 1) }
+    }.toSet
+    val got = TextAnalysis.bm25Topk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == expected,
+      s"bm25 diverges from driver replay: ${(got -- expected).take(3)} vs " +
+        s"${(expected -- got).take(3)}")
+  }
 }

@@ -350,6 +350,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("priority_sample / lm_trigram_backoff: rankings and cascades aggregate — no windows anywhere in either plan") {
+    graft.SharedFrames.releaseAll()
+    // the global top-k must be the k-bounded partial aggregate: the
+    // window formulation (row_number over a partition-less ORDER BY)
+    // sorts the whole corpus in ONE task
+    val ps = graft.operators.CorpusOps.prioritySample(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!ps.contains("windowspecdefinition"),
+      s"priority_sample ranks via a window:\n$ps")
+    assert(ps.contains("ObjectHashAggregate"),
+      s"priority_sample TopKAgg buffer aggregate missing:\n$ps")
+    // the backoff cascade is joins + one doc-keyed hash aggregate; a
+    // window anywhere would mean a corpus-scale sorted partition
+    val lm = graft.operators.CorpusOps.lmTrigramBackoff(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!lm.contains("windowspecdefinition"),
+      s"lm_trigram_backoff uses a window:\n$lm")
+    graft.SharedFrames.releaseAll()
+  }
+
+  test("bm25_topk: ONE shared explode generation; the vocabulary side builds the broadcast") {
+    graft.SharedFrames.releaseAll()
+    val df = graft.operators.TextAnalysis.bm25Topk(spark, dir)
+    df.collect() // executedPlan: AQE's runtime build-side choice is the claim
+    val p = df.queryExecution.executedPlan.toString
+    // dl derivation, df derivation and the scored probe must all read
+    // the ONE materialized (doc, token, tf) generation — the tfidf_topk
+    // double-explode trap
+    assert(p.contains("InMemoryTableScan"),
+      s"bm25_topk branches do not read the shared tf generation:\n$p")
+    // build sides must be the vocabulary-scale df aggregate and the
+    // 1-row scalar frame, never the corpus-scale tf side
+    assert(p.contains("BuildRight") && !p.contains("BuildLeft"),
+      s"bm25_topk broadcasts the corpus-scale tf side:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("GLOBAL sweep: no CartesianProduct and no partition-less window in ANY registered plan") {
     // Two anti-patterns that are fatal at 100 TB whatever the query:
     //  - CartesianProduct: an unbounded all-pairs shuffle (a 1-row
