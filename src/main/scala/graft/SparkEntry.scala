@@ -197,6 +197,13 @@ object SparkEntry {
     // the bounded partial TopKAgg (no window sort), the aggregate the
     // LSH/IVF candidate streams feed at full scale
     "knn_graph" -> (Similarity.knnGraph _),
+    // single-pass distributed second moments (partial-combined to d²/2
+    // cells before the exchange); exact via the dec-staged sums
+    "pca_covariance" -> (Similarity.pcaCovariance _),
+    // driver eigen on the collected d×d + codegen'd strict-fold
+    // projection (basis inlined as literals); rows-only — covariance is
+    // the oracle-exact twin, SimilaritySpec pins the projection
+    "pca_project" -> (Similarity.pcaProject _),
     // mixture balancing after semantic clustering: per-cluster top-m
     // most-diverse kept vectors via the same bounded partial TopKAgg
     "cluster_balanced_sample" -> (Similarity.clusterBalancedSample _),
@@ -377,6 +384,7 @@ object SparkEntry {
     "corpus_drift" -> CorpusOps.corpusDriftSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
+    "pca_covariance" -> Similarity.pcaCovarianceSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
@@ -555,5 +563,10 @@ object SparkEntry {
     // with FULL driver replays (every merge, and for the encoder every
     // document's statistics) pinned in CorpusOpsSpec; bpe_vocab /
     // bpe_encode are the oracle-exact shallow twins of the same loops.
+    // pca_project: the Jacobi eigendecomposition (bounded driver work on
+    // the collected 64×64 matrix) has no SQL replay → rows-only;
+    // pca_covariance is its oracle-exact input twin, and SimilaritySpec
+    // pins variance capture, orthonormality, per-component variance =
+    // eigenvalue, and partitioning determinism.
   )
 }

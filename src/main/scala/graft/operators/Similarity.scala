@@ -1650,4 +1650,192 @@ object Similarity {
        |SELECT src, CAST(rnk AS BIGINT) AS rnk, nbr, cosine
        |FROM r WHERE rnk <= $KnnK
        |ORDER BY src, rnk""".stripMargin)
+
+  // ---- PCA: distributed covariance + driver eigen + projection ----
+
+  /** Embedding dimensionality of the corpus tables (asserted by
+    * [[pcaProject]] at collect time). */
+  final val EmbedDim = 64
+
+  /** Components kept by [[pcaProject]]. */
+  final val PcaDim = 8
+
+  /** POPULATION COVARIANCE of the embedding matrix — the single-pass
+    * distributed second-moment accumulation every PCA/whitening stage
+    * starts from (SemDeDup's pipelines run PCA before clustering;
+    * whitening is the standard pre-ANN transform). Upper triangle only
+    * (i ≤ j): d(d+1)/2 = 2 080 cells at d=64.
+    *
+    * 100 TB shape: the (i,j,xᵢ·xⱼ) explode is map-local and the hash
+    * aggregate partial-combines each task's n·d²/2 product rows down to
+    * 2 080 cells before the exchange — the shuffle carries
+    * cells·partitions rows no matter the corpus size (the count/sum
+    * scale recipe applied to linear algebra). Means come from the
+    * single-index explode the same way; the final join of 2 080 cells
+    * against 64 means broadcasts. Exactness: products are single
+    * correctly-rounded IEEE ops staged to DECIMAL(18,6)
+    * ([[graft.Tables.dec]]) so the cross-row sums are order-independent,
+    * and cov derives from those exact sums with one pinned-order double
+    * expression — bit-identical in any engine. */
+  def pcaCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables.{dec, asDouble}
+    val e = t(spark, dir, "embeddings")
+      .select(toDouble(col("embedding")).as("ev"))
+    val pairs = e.select(col("ev"), posexplode(col("ev")).as(Seq("i0", "x")))
+      .select(col("i0"), col("x"), posexplode(col("ev")).as(Seq("j0", "y")))
+      .filter(col("i0") <= col("j0"))
+      .select((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"),
+        dec(col("x") * col("y")).as("p"))
+    val sums = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sxy"))
+    val means = e.select(posexplode(col("ev")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("long").as("i"), dec(col("x")).as("x"))
+      .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+    val nD = col("n").cast("double")
+    sums
+      .join(broadcast(means), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sy"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        ((asDouble(col("sxy")) - ((asDouble(col("sx")) * asDouble(col("sy")))
+          / nD)) / nD).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val pcaCovarianceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+       |           FROM embeddings),
+       |px AS (
+       |  SELECT e.vec_id, t.range AS i, e.ev[t.range] AS x
+       |  FROM e, range(1, ${EmbedDim + 1}) t),
+       |s AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+       |    SUM(CAST(a.x * b.x AS DECIMAL(18,6))) AS sxy
+       |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT i, SUM(CAST(x AS DECIMAL(18,6))) AS sx
+       |  FROM px GROUP BY 1)
+       |SELECT s.i, s.j, s.n,
+       |  ((CAST(CAST(s.sxy AS VARCHAR) AS DOUBLE)
+       |    - ((CAST(CAST(mi.sx AS VARCHAR) AS DOUBLE)
+       |        * CAST(CAST(mj.sx AS VARCHAR) AS DOUBLE))
+       |       / CAST(s.n AS DOUBLE)))
+       |   / CAST(s.n AS DOUBLE)) AS cov
+       |FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+       |ORDER BY s.i, s.j""".stripMargin
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, fixed convergence threshold), so
+    * the projection basis is reproducible across runs and partitionings.
+    * Returns (eigenvalues, eigenvectors as rows), sorted by eigenvalue
+    * descending with the sign convention that each vector's
+    * largest-magnitude coordinate is positive. d=64: microseconds on the
+    * driver. */
+  private[operators] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tSign = if (theta >= 0) 1.0 else -1.0
+            val tt = tSign / (math.abs(theta) +
+              math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val s = tt * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      var r = 0
+      while (r < d - 1) {
+        var c2 = r + 1
+        while (c2 < d) { off = math.max(off, math.abs(a(r)(c2))); c2 += 1 }
+        r += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col0 = Array.tabulate(d)(r => v(r)(i))
+      val mx = col0.indices.maxBy(k => (math.abs(col0(k)), -k))
+      if (col0(mx) < 0) col0.map(x => -x) else col0
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** PCA PROJECTION — each embedding mapped onto the top-[[PcaDim]]
+    * principal components of [[pcaCovariance]]'s matrix (centered). The
+    * eigendecomposition is BOUNDED DRIVER WORK on the collected d×d
+    * matrix (2 080 cells — the k-means-centroid-fetch contract); the
+    * projection itself is a narrow per-row strict-fold expression with
+    * the basis inlined as literals (the LSH plane-constant pattern), so
+    * it is codegen'd, partition-parallel, and deterministic. Rows-only
+    * in the gate (the eigen step has no SQL replay); [[pcaCovariance]]
+    * is the oracle-exact twin and SimilaritySpec pins variance capture,
+    * orthonormality, determinism, and per-component variance =
+    * eigenvalue. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val covRows = pcaCovariance(spark, dir).collect()
+    val d = EmbedDim
+    val cov = Array.ofDim[Double](d, d)
+    val mean = Array.ofDim[Double](d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
+        r.getDouble(3))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    // means re-derived from the same dec-exact sums the covariance used
+    val mrows = t(spark, dir, "embeddings")
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("i0", "x")))
+      .groupBy(col("i0"))
+      .agg(graft.Tables.asDouble(sum(graft.Tables.dec(col("x")))).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    mrows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
+    val (_, vecs) = jacobiEigen(cov)
+    val projCols = (0 until PcaDim).map { c =>
+      val basis = vecs(c).map(_.toString).mkString(", ")
+      val offset = (0 until d).map(k => mean(k) * vecs(c)(k)).sum
+      expr(s"aggregate(zip_with(ev, array($basis), (a, b) -> a * b), " +
+        s"cast(0 as double), (acc, v) -> acc + v) - ($offset)")
+    }
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+      .select(col("vec_id"), posexplode(array(projCols: _*))
+        .as(Seq("c0", "value")))
+      .select(col("vec_id"), (col("c0") + 1).cast("long").as("component"),
+        col("value"))
+      .orderBy(col("vec_id"), col("component"))
+  }
 }
