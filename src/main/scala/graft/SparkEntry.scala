@@ -190,6 +190,9 @@ object SparkEntry {
     // two-sample chi-square drift between snapshot halves (lang mix +
     // length histogram) — rational arithmetic, no ln, oracle-exact
     "corpus_drift" -> (CorpusOps.corpusDrift _),
+    // batch face of the STREAMING drift monitor (same code as the
+    // stream; windowed chi-square vs the corpus reference distribution)
+    "drift_windows" -> (CorpusOps.driftWindows _),
     // cluster-keyed train/val/test hashing: near-dups never straddle a
     // split boundary (split is a function of the CC cluster label)
     "split_leakfree" -> (graft.operators.Pipeline.splitLeakfree _),
@@ -382,6 +385,7 @@ object SparkEntry {
     "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,
     "csv_roundtrip" -> graft.sources.JsonlExport.csvRoundtripSql,
     "corpus_drift" -> CorpusOps.corpusDriftSql,
+    "drift_windows" -> CorpusOps.driftWindowsSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
     "pca_covariance" -> Similarity.pcaCovarianceSql,

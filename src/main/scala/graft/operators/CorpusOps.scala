@@ -1822,14 +1822,96 @@ object CorpusOps {
     * long format, no second pass); bucket tables are dimension-bounded
     * (5 langs + 20 length buckets); everything downstream of the first
     * partial-combinable count aggregate is constant-sized. */
-  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
-    val rows = t(spark, dir, "documents")
-      .select((col("doc_id") % 2 === 0).as("v1"), col("lang"),
+  /** The (dim, bucket) monitored-dimension derivation [[corpusDrift]] and
+    * the streaming face ([[graft.streaming.EventStreams.driftStream]])
+    * share — one bucket rule, so the two monitors cannot diverge. Input
+    * needs `lang` + `text`; `carry` columns ride along (version flag,
+    * event time). */
+  private[graft] def driftBucketRows(df: DataFrame,
+      carry: Seq[String]): DataFrame =
+    df.withColumn("lb",
         least(lit(DriftLenCap), length(col("text")) / lit(DriftLenBucket))
-          .cast("long").as("lb"))
-      .select(col("v1"), expr(
+          .cast("long"))
+      .select(carry.map(col) :+ expr(
         "stack(2, 'lang', lang, 'length', CAST(lb AS STRING))")
-        .as(Seq("dim", "bucket")))
+        .as(Seq("dim", "bucket")): _*)
+
+  /** Per-dimension REFERENCE distribution of the monitored buckets — the
+    * accepted-corpus profile the streaming drift monitor tests windows
+    * against: (dim, bucket, p) with p = the bucket's exact-count share of
+    * its dimension (one exact-int IEEE division). */
+  def refDriftHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val b = driftBucketRows(t(spark, dir, "documents"), Nil)
+      .groupBy(col("dim"), col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = b.groupBy(col("dim")).agg(sum(col("n")).as("t"))
+    b.join(broadcast(tot), Seq("dim"))
+      .select(col("dim"), col("bucket"),
+        (col("n").cast("double") / col("t").cast("double")).as("p"))
+  }
+
+  /** Epoch base of [[driftWindows]]'s synthetic timeline (aligned to the
+    * 600 s window size, so window starts equal the constructed instants). */
+  final val DriftEpochBase = 1767261600L
+
+  /** Registered BATCH FACE of the streaming drift monitor
+    * ([[graft.streaming.EventStreams.driftMonitor]] — the exact code the
+    * stream runs): docs spread over a deterministic 4-window timeline
+    * (doc_id mod 4), each window χ²-tested against the whole-corpus
+    * reference distribution. The oracle replays the windowed identity
+    * χ² = S/N − N end-to-end, so the STREAMING monitor's arithmetic is
+    * oracle-pinned through its batch face (stream ≡ batch bit-exactly by
+    * the EventStreamsSpec parity pin; novel-bucket counting is exercised
+    * there — a same-corpus reference has no novel buckets by
+    * construction). */
+  def driftWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.driftMonitor(
+      t(spark, dir, "documents").withColumn("ts",
+        timestamp_seconds(lit(DriftEpochBase) + (col("doc_id") % 4) * 600)),
+      refDriftHistogram(spark, dir))
+      .select(unix_timestamp(col("w_start")).as("w_epoch"), col("dim"),
+        col("n_obs"), col("n_novel"), col("chi2"))
+      .orderBy(col("w_epoch"), col("dim"))
+
+  val driftWindowsSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, 'lang' AS dim, lang AS bucket FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'length',
+       |    CAST(LEAST($DriftLenCap, length(text) // $DriftLenBucket)
+       |         AS VARCHAR)
+       |  FROM documents),
+       |rb AS (SELECT dim, bucket, CAST(count(*) AS BIGINT) AS n
+       |       FROM b GROUP BY 1, 2),
+       |rt AS (SELECT dim, CAST(count(*) AS BIGINT) AS t
+       |       FROM b GROUP BY 1),
+       |ref AS (
+       |  SELECT dim, bucket, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+       |  FROM rb JOIN rt USING (dim)),
+       |wc AS (
+       |  SELECT $DriftEpochBase + (doc_id % 4) * 600 AS w_epoch, dim,
+       |    bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM b GROUP BY 1, 2, 3),
+       |ag AS (
+       |  SELECT w_epoch, dim,
+       |    CAST(SUM(CASE WHEN p IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_obs,
+       |    CAST(SUM(CASE WHEN p IS NULL THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_novel,
+       |    SUM(CASE WHEN p IS NOT NULL
+       |        THEN CAST(CAST(n * n AS DOUBLE) / p AS DECIMAL(38,6))
+       |        ELSE CAST(0 AS DECIMAL(38,6)) END) AS s
+       |  FROM wc LEFT JOIN ref USING (dim, bucket) GROUP BY 1, 2)
+       |SELECT w_epoch, dim, n_obs, n_novel,
+       |  CASE WHEN n_obs > 0
+       |    THEN (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+       |          / CAST(n_obs AS DOUBLE)) - CAST(n_obs AS DOUBLE)
+       |    ELSE CAST(0 AS DOUBLE) END AS chi2
+       |FROM ag ORDER BY w_epoch, dim""".stripMargin
+
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val rows = driftBucketRows(
+      t(spark, dir, "documents").withColumn("v1", col("doc_id") % 2 === 0),
+      Seq("v1"))
     val buckets = rows.groupBy(col("dim"), col("bucket")).agg(
       sum(when(col("v1"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("v1"), 0L).otherwise(1L)).as("n2"))

@@ -561,4 +561,60 @@ object EventStreams {
        |             list_filter(r.win, w -> e.ts_us - w.t < $windowUs) AS kept
        |      FROM r JOIN ev e ON e.user_id = r.user_id AND e.seq = r.seq + 1) q))
        |SELECT user_id, event_id, admitted, window_sum FROM r""".stripMargin
+
+  // ---- streaming distribution-drift monitor ----
+
+  /** Windowed goodness-of-fit core shared by the streaming monitor and
+    * its batch face (same code, [[graft.streaming.EventStreams
+    * .corpusCleanStream]] discipline): per (event-time window, dim),
+    * Pearson χ² of the window's bucket counts against the REFERENCE
+    * distribution `(dim, bucket, p)` from
+    * [[graft.operators.CorpusOps.refDriftHistogram]], via the identity
+    *   χ² = Σ_b (n_b − p_b·N)²/(p_b·N) = S/N − N,  S = Σ_b n_b²/p_b
+    * which needs only two partial-combinable sums — reference buckets
+    * UNOBSERVED in the window contribute exactly their p_b·N through the
+    * identity, so nothing iterates the reference support. Buckets absent
+    * from the reference (p unknown) cannot enter a χ² at all; they are
+    * counted out separately as `n_novel` — at scale a novel language in
+    * the crawl is THE alarm, not a term.
+    *
+    * Numeric staging: S is summed as DECIMAL(38,6) — order-independent
+    * (so stream ≡ batch bit-exactly regardless of micro-batching), and
+    * wide enough for n²/p up to 10³² (dec(18,6) would overflow once
+    * window totals pass ~10⁶). 100 TB shape: two chained windowed hash
+    * aggregates (bucket level, then dim level), both partial-combinable;
+    * the reference is a broadcast dimension table. */
+  def driftMonitor(docs: DataFrame, reference: DataFrame,
+      windowSize: String = "10 minutes"): DataFrame = {
+    val dec38 = (c: org.apache.spark.sql.Column) =>
+      c.cast(DecimalType(38, 6))
+    val wcounts = graft.operators.CorpusOps
+      .driftBucketRows(docs, Seq("ts"))
+      .groupBy(window(col("ts"), windowSize), col("dim"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    wcounts
+      .join(broadcast(reference), Seq("dim", "bucket"), "left_outer")
+      .groupBy(window(col("window"), windowSize), col("dim"))
+      .agg(
+        sum(when(col("p").isNotNull, col("n")).otherwise(0L)).as("n_obs"),
+        sum(when(col("p").isNull, col("n")).otherwise(0L)).as("n_novel"),
+        sum(when(col("p").isNotNull,
+          dec38((col("n") * col("n")).cast("double") / col("p")))
+          .otherwise(dec38(lit(0.0d)))).as("s"))
+      .select(col("window.start").as("w_start"), col("dim"),
+        col("n_obs"), col("n_novel"),
+        when(col("n_obs") > 0,
+          (col("s").cast("double") / col("n_obs").cast("double"))
+            - col("n_obs").cast("double")).otherwise(lit(0.0d)).as("chi2"))
+  }
+
+  /** Streaming face: watermarked event time, append-mode chained window
+    * aggregations (bucket counts → per-dim χ²) — each window's verdict
+    * emits once the watermark passes it. EventStreamsSpec pins EXACT
+    * batch parity across micro-batch splits. */
+  def driftStream(docs: DataFrame, reference: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowSize: String = "10 minutes"): DataFrame =
+    driftMonitor(docs.withWatermark("ts", watermarkDelay), reference,
+      windowSize)
 }

@@ -640,4 +640,53 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(h2.exists(e => got(e.event_id) != cold(e.event_id)),
       "second-half verdicts indistinguishable from a cold start — state loss undetectable")
   }
+
+  test("driftStream: windowed chi-square equals the batch face bit-exactly across micro-batch splits; novel buckets counted out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = graft.operators.CorpusOps.refDriftHistogram(spark, dir)
+    val base = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(400)
+      .as[(Long, String, String)].collect()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // window 1 = an unremarkable slice; window 2 = skewed (en only) plus
+    // one NOVEL language the reference has never seen
+    val w1 = base.take(200).map { case (id, l, t) => (id, ts(0), l, t) }
+    val w2 = base.drop(200).filter(_._2 == "en")
+      .map { case (id, l, t) => (id, ts(20), l, t) } :+
+      (9999L, ts(21), "xx", "novel language document")
+    val flush = Seq((99998L, ts(55), "en", "sentinel"),
+      (99999L, ts(56), "en", "sentinel"))
+    val all = (w1 ++ w2 ++ flush).toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = EventStreams.driftStream(
+        mem.toDF().toDF("doc_id", "ts", "lang", "text"), ref)
+      .writeStream.format("memory").queryName("drift").outputMode("append")
+      .start()
+    try {
+      // uneven micro-batches split WITHIN windows — bucket counts must
+      // still converge to the batch face exactly (dec-staged sums)
+      all.grouped(150).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val got = spark.table("drift")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(x => (x._1.getTime, x._2))
+      val expected = EventStreams.driftMonitor(
+          all.toDF("doc_id", "ts", "lang", "text"), ref)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .filter(_._1.before(ts(50))) // the flush window never closes
+        .sortBy(x => (x._1.getTime, x._2))
+      assert(got.toSeq == expected.toSeq,
+        s"stream ${got.length} rows vs batch ${expected.length}:\n" +
+          s"${got.toSeq.diff(expected.toSeq).take(3)}")
+      // the monitor actually monitors: the skewed window's language χ²
+      // exceeds the unremarkable window's, and the novel doc is counted
+      val lang = got.filter(_._2 == "lang")
+      assert(lang.length == 2)
+      assert(lang(1)._5 > lang(0)._5,
+        s"skewed window χ² ${lang(1)._5} not above baseline ${lang(0)._5}")
+      assert(lang(1)._4 == 1L && lang(0)._4 == 0L, "novel-bucket count wrong")
+    } finally q.stop()
+  }
 }
