@@ -243,6 +243,9 @@ object SparkEntry {
     // batch-cadence substring dedup: delta-vs-corpus gram probe; the
     // oracle IS the full rebuild restricted to the delta
     "dup_spans_incremental" -> (Dedup.dupSpansIncremental _),
+    // suffix-automaton intra-doc maximal repeats (per-row bounded, zero
+    // shuffle); rows-only — IntradocRepeatsSpec replays the definition
+    "intradoc_repeats" -> (Dedup.intradocRepeats _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -572,5 +575,9 @@ object SparkEntry {
     // pca_covariance is its oracle-exact input twin, and SimilaritySpec
     // pins variance capture, orthonormality, per-component variance =
     // eigenvalue, and partitioning determinism.
+    // intradoc_repeats: suffix-automaton structure is past SQL replay →
+    // rows-only; IntradocRepeatsSpec brute-forces the maximal-repeat
+    // DEFINITION (occurrence counting, O(n³)) over constructed docs and
+    // a corpus slice and matches the automaton doc-for-doc.
   )
 }

@@ -4,6 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
+/** One intra-document maximal repeat (see [[Dedup.intradocRepeats]]):
+  * token-positional span of the repeat's FIRST occurrence plus its
+  * occurrence count and exact text. */
+final case class IntraRepeat(doc_id: Long, span_start: Long, span_len: Long,
+    n_occ: Long, span_text: String)
+
 /** Deduplication operators for the training-data pipeline: exact, character
   * n-gram Jaccard, MinHash+LSH, SimHash. All are pure DataFrame pipelines
   * (codegen'd built-ins, deterministic hashes) designed for the 100 TB
@@ -2068,5 +2074,122 @@ object Dedup {
        |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.doc_id)
        |SELECT doc_id, MIN(label) AS cluster FROM walk
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- intra-document maximal repeats (suffix automaton) ----
+
+  /** Minimum token length of a reported intra-doc repeat. */
+  final val IntraRepMinLen = 3
+
+  /** INTRA-DOCUMENT MAXIMAL REPEATS — the suffix-level completion of the
+    * span family (r8 brief stretch): for every document, every maximal
+    * repeated token substring (occurs ≥ 2 times; every one-token left or
+    * right extension occurs strictly fewer times) of length ≥
+    * [[IntraRepMinLen]]. The cross-doc passes ([[dupSpans]] /
+    * [[dupSpansMaximal]]) find text shared BETWEEN documents; this finds
+    * the boilerplate repeated WITHIN one — the template/navigation stutter
+    * Gopher's dup-ngram fractions score in aggregate, here with exact
+    * spans.
+    *
+    * Engine shape: a suffix automaton per document (Blumer et al. 1985's
+    * construction as given by Crochemore; O(n) states/transitions),
+    * endpos counts and first-occurrence positions accumulated up the
+    * suffix-link tree. Maximal repeats drop out of the automaton's
+    * equivalence classes: the LONGEST string of a class is always
+    * left-maximal (a left extension with the same endpos SET would make
+    * it non-longest), and it is right-maximal iff no single outgoing
+    * transition preserves the full occurrence count. This is per-row
+    * bounded imperative logic — the documented case (d) of the builder
+    * preference order: no Spark operator composition expresses suffix
+    * structure, and the pass is embarrassingly parallel with ZERO
+    * shuffle (doc in, spans out, state O(doc length) — constant-bounded
+    * at any corpus size by the document-length contract).
+    *
+    * Rows-only in the gate (suffix structure is past SQL replay);
+    * IntradocRepeatsSpec pins a full brute-force driver replay
+    * (occurrence counting by definition) over a doc slice plus
+    * constructed repeats. */
+  def intradocRepeats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, ws) =>
+        val arr = ws.toArray
+        maximalRepeats(arr).map { case (st, ln, occ) =>
+          IntraRepeat(id, st, ln, occ,
+            arr.slice(st.toInt, st.toInt + ln.toInt).mkString(" "))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  /** All maximal repeats of a token array as (first_start, len, n_occ),
+    * via suffix automaton. Deterministic; O(n·α) with α the hash-map
+    * transition cost. */
+  private[operators] def maximalRepeats(
+      ws: Array[String]): Seq[(Long, Long, Long)] = {
+    val n = ws.length
+    if (n < 2) return Nil
+    val dict = scala.collection.mutable.HashMap[String, Int]()
+    val a = ws.map(w => dict.getOrElseUpdate(w, dict.size))
+    val maxStates = 2 * n + 4
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val trans =
+      Array.fill(maxStates)(scala.collection.mutable.HashMap[Int, Int]())
+    val cnt = new Array[Long](maxStates)
+    val minEnd = Array.fill(maxStates)(Int.MaxValue)
+    var size = 1
+    var last = 0
+    link(0) = -1
+    var i = 0
+    while (i < n) {
+      val c = a(i)
+      val cur = size; size += 1
+      len(cur) = len(last) + 1; cnt(cur) = 1; minEnd(cur) = i
+      var p = last
+      while (p != -1 && !trans(p).contains(c)) {
+        trans(p)(c) = cur; p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = trans(p)(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          trans(clone) ++= trans(q)
+          while (p != -1 && trans(p).get(c).contains(q)) {
+            trans(p)(c) = clone; p = link(p)
+          }
+          link(q) = clone; link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // endpos count + first end-position flow up the suffix-link tree
+    val order = (1 until size).sortBy(s => -len(s))
+    order.foreach { s =>
+      val l = link(s)
+      if (l >= 0) {
+        cnt(l) += cnt(s)
+        if (minEnd(s) < minEnd(l)) minEnd(l) = minEnd(s)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var s = 1
+    while (s < size) {
+      if (cnt(s) >= 2 && len(s) >= IntraRepMinLen &&
+        trans(s).valuesIterator.forall(t2 => cnt(t2) < cnt(s))) {
+        val st = minEnd(s) - len(s) + 1
+        out += ((st.toLong, len(s).toLong, cnt(s)))
+      }
+      s += 1
+    }
+    out.sortBy(x => (x._1, x._2)).toSeq
   }
 }
