@@ -27,6 +27,8 @@ object SparkEntry {
     "distinct_agg" -> (Relational.distinctAgg _),
     "rollup_agg" -> (Relational.rollupAgg _),
     "cube_agg" -> (Relational.cubeAgg _),
+    "grouping_sets_agg" -> (Relational.groupingSetsAgg _),
+    "window_nav" -> (Relational.windowNav _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "session_window_agg" -> (Relational.sessionWindowAgg _),
     // sweep-line max concurrent sessions: bucketed two-phase running sum
@@ -346,6 +348,8 @@ object SparkEntry {
     "distinct_agg" -> Relational.distinctAggSql,
     "rollup_agg" -> Relational.rollupAggSql,
     "cube_agg" -> Relational.cubeAggSql,
+    "grouping_sets_agg" -> Relational.groupingSetsAggSql,
+    "window_nav" -> Relational.windowNavSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "session_window_agg" -> Relational.sessionWindowAggSql,
     "peak_concurrency" -> Relational.peakConcurrencySql,

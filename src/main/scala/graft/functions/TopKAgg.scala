@@ -78,4 +78,50 @@ object TopKAgg {
     val f = udaf(of(k), Encoders.product[Entry])
     (id: Column, v: Column) => f.apply(id, v)
   }
+
+  /** [[Entry]] plus an inert payload the ranking ignores — lets a bounded
+    * top-k carry a measure column through the aggregate instead of
+    * joining it back afterwards (a streaming aggregation cannot join back
+    * to its own input at all, and batch saves the join). */
+  final case class EntryW(id: Long, v: Double, w: Long)
+
+  private def ltW(a: EntryW, b: EntryW): Boolean =
+    lt(Entry(a.id, a.v), Entry(b.id, b.v))
+
+  private def mergeKW(k: Int, a: List[EntryW], b: List[EntryW]): List[EntryW] = {
+    @annotation.tailrec
+    def go(x: List[EntryW], y: List[EntryW], acc: List[EntryW],
+        n: Int): List[EntryW] =
+      if (n == 0) acc.reverse
+      else (x, y) match {
+        case (Nil, Nil) => acc.reverse
+        case (h :: t, Nil) => go(t, Nil, h :: acc, n - 1)
+        case (Nil, h :: t) => go(Nil, t, h :: acc, n - 1)
+        case (hx :: tx, hy :: ty) =>
+          if (ltW(hx, hy)) go(tx, y, hx :: acc, n - 1)
+          else go(x, ty, hy :: acc, n - 1)
+      }
+    go(a, b, Nil, k)
+  }
+
+  def ofW(k: Int): Aggregator[EntryW, List[EntryW], Seq[EntryW]] =
+    new Aggregator[EntryW, List[EntryW], Seq[EntryW]] {
+      def zero: List[EntryW] = Nil
+      def reduce(buf: List[EntryW], e: EntryW): List[EntryW] =
+        mergeKW(k, buf, e :: Nil)
+      def merge(a: List[EntryW], b: List[EntryW]): List[EntryW] =
+        mergeKW(k, a, b)
+      def finish(buf: List[EntryW]): Seq[EntryW] = buf
+      def bufferEncoder: Encoder[List[EntryW]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: Encoder[Seq[EntryW]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
+  /** `top_k_w(3)(col_id, col_value, col_payload)` →
+    * array<struct<id,v,w>> in (v desc, id asc) rank order. */
+  def top_k_w(k: Int): (Column, Column, Column) => Column = {
+    val f = udaf(ofW(k), Encoders.product[EntryW])
+    (id: Column, v: Column, w: Column) => f.apply(id, v, w)
+  }
 }

@@ -2008,10 +2008,13 @@ object CorpusOps {
     * this aggregate exists to avoid. Priorities are distinct a.s. (52-bit
     * keys), and the (q DESC, doc_id) total order makes the result
     * partitioning-independent. */
-  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
-    val k = PrioritySampleK
-    val topk = graft.functions.TopKAgg.top_k(k + 1)
-    val pri = t(spark, dir, "documents")
+  def prioritySample(spark: SparkSession, dir: String): DataFrame =
+    prioritySampleOf(priorityCols(t(spark, dir, "documents")))
+
+  /** (doc_id, w, q) priority projection — the derivation the batch
+    * sampler and the streaming face share. Input needs doc_id + n_chars. */
+  private[graft] def priorityCols(docs: DataFrame): DataFrame =
+    docs
       .filter(col("n_chars") > 0) // zero-weight docs can never be sampled
       .select(col("doc_id"), col("n_chars").as("w"),
         expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)" +
@@ -2019,13 +2022,24 @@ object CorpusOps {
       .select(col("doc_id"), col("w"),
         (col("w").cast("double") /
           ((col("hk").cast("double") + lit(1.0d)) / lit(HkRange))).as("q"))
-    val arr = pri.groupBy().agg(topk(col("doc_id"), col("q")).as("tk"))
+
+  /** Sample tail over a (doc_id, w, q) frame. The weight rides THROUGH
+    * the bounded aggregate as an inert payload
+    * ([[graft.functions.TopKAgg.top_k_w]]) — no join back to the input,
+    * which is what makes the same code a legal STREAMING global
+    * aggregation (a stream cannot re-join its own aggregate) and saves
+    * the batch plan a corpus-side probe. */
+  private[graft] def prioritySampleOf(pri: DataFrame): DataFrame = {
+    val k = PrioritySampleK
+    val topk = graft.functions.TopKAgg.top_k_w(k + 1)
+    val arr = pri.groupBy()
+      .agg(topk(col("doc_id"), col("q"), col("w")).as("tk"))
     arr.select(posexplode(col("tk")),
         element_at(col("tk"), k + 1).getField("v").as("tau"))
       .select((col("pos") + 1).cast("long").as("rnk"),
-        col("col.id").as("doc_id"), col("col.v").as("q"), col("tau"))
+        col("col.id").as("doc_id"), col("col.w").as("w"),
+        col("col.v").as("q"), col("tau"))
       .filter(col("rnk") <= k)
-      .join(pri.select(col("doc_id"), col("w")), Seq("doc_id"))
       .select(col("rnk"), col("doc_id"), col("w"), col("q"),
         greatest(col("w").cast("double"), col("tau")).as("est_w"))
       .orderBy(col("rnk"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.{t, dec, asDouble}
@@ -211,6 +211,73 @@ object Relational {
       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY CUBE (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS — the non-hierarchical lattice subset that
+    * neither rollup nor cube expresses: (status, priority), (priority)
+    * and the grand total, deliberately SKIPPING the (status) marginal.
+    * Same physical shape as cube: one Expand fans each row to its 3 sets
+    * map-side, then one partial-combinable hash aggregation — no extra
+    * shuffle vs a plain groupBy. The grouping() indicator columns
+    * disambiguate "NULL because aggregated over" from NULL data. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val groupingSetsAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())
+      |ORDER BY g_status, g_priority, o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Navigation windows — lag / lead / ntile / first_value over the
+    * per-customer order sequence (SURVEY §2.7 "window functions";
+    * complements the running-sum frame of [[windowRunning]] with the
+    * offset-navigation family). All five functions share ONE
+    * customer-keyed sort, and customer partitions are bounded (a
+    * customer's own orders), so no single-task global sort exists at any
+    * scale; ntile is deterministic because (o_orderdate, o_orderkey) is a
+    * total order within the partition. */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("gap_days"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+  }
+
+  val windowNavSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(DATE_DIFF('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
   /** Exact (holistic) percentile aggregation — the ref's reduce_func is the
     * only holistic aggregate it has (SURVEY §2.7); this is the built-in

@@ -617,4 +617,17 @@ object EventStreams {
       windowSize: String = "10 minutes"): DataFrame =
     driftMonitor(docs.withWatermark("ts", watermarkDelay), reference,
       windowSize)
+
+  /** Streaming face of the PRIORITY SAMPLER
+    * ([[graft.operators.CorpusOps.prioritySample]]): priority sampling is
+    * a MERGEABLE sketch — the (k+1)-bounded buffer merges associatively —
+    * so the identical aggregate run as a complete-mode streaming global
+    * aggregation yields, after ANY prefix of micro-batches, exactly the
+    * batch sample of that prefix (EventStreamsSpec pins the equality).
+    * This is the always-fresh weighted sample + subset-sum estimator over
+    * an unbounded ingest, at O(k) state. Input needs doc_id + n_chars. */
+  def prioritySampleStream(docs: DataFrame): DataFrame = {
+    import graft.operators.CorpusOps
+    CorpusOps.prioritySampleOf(CorpusOps.priorityCols(docs))
+  }
 }

@@ -689,4 +689,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(lang(1)._4 == 1L && lang(0)._4 == 0L, "novel-bucket count wrong")
     } finally q.stop()
   }
+
+  test("prioritySampleStream: after EVERY micro-batch the stream equals the batch sampler on the same prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id")).as[(Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.prioritySampleStream(
+        mem.toDF().toDF("doc_id", "n_chars"))
+      .writeStream.format("memory").queryName("psample")
+      .outputMode("complete").start()
+    try {
+      var fed = Vector.empty[(Long, Long)]
+      docs.grouped(170).foreach { chunk =>
+        fed ++= chunk
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+        val got = spark.table("psample").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+        // mergeability is the claim: the stream's sample after this
+        // prefix IS the batch sample of the prefix, bit for bit
+        val expected = graft.operators.CorpusOps.prioritySampleOf(
+            graft.operators.CorpusOps.priorityCols(
+              fed.toDF("doc_id", "n_chars"))).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+        assert(got.toSeq == expected.toSeq,
+          s"prefix of ${fed.size} docs diverges")
+      }
+    } finally q.stop()
+  }
 }
