@@ -29,6 +29,8 @@ object SparkEntry {
     "cube_agg" -> (Relational.cubeAgg _),
     "grouping_sets_agg" -> (Relational.groupingSetsAgg _),
     "window_nav" -> (Relational.windowNav _),
+    // exact EWMA: bounded-frame weighted window, one IEEE op at the end
+    "ewma_decay" -> (Relational.ewmaDecay _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "session_window_agg" -> (Relational.sessionWindowAgg _),
     // sweep-line max concurrent sessions: bucketed two-phase running sum
@@ -272,6 +274,8 @@ object SparkEntry {
     "dedup_minhash_incremental" -> (Dedup.dedupMinhashIncremental _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "pagerank_sim" -> (graft.operators.GraphRank.pagerankSim _),
+    // multi-source BFS / nearest-landmark: per-round equi-join + min
+    "graph_bfs" -> (graft.operators.GraphRank.graphBfs _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
@@ -350,6 +354,7 @@ object SparkEntry {
     "cube_agg" -> Relational.cubeAggSql,
     "grouping_sets_agg" -> Relational.groupingSetsAggSql,
     "window_nav" -> Relational.windowNavSql,
+    "ewma_decay" -> Relational.ewmaDecaySql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "session_window_agg" -> Relational.sessionWindowAggSql,
     "peak_concurrency" -> Relational.peakConcurrencySql,
@@ -464,6 +469,7 @@ object SparkEntry {
     // min-label-propagation loop computes exactly the transitive closure
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "pagerank_sim" -> graft.operators.GraphRank.pagerankSimSql,
+    "graph_bfs" -> graft.operators.GraphRank.graphBfsSql,
     // the O(log n) star-contraction engine against the SAME oracle:
     // equality proves the alternating contraction computes exactly the
     // transitive closure the propagation loop does

@@ -92,6 +92,91 @@ object GraphRank {
       .orderBy(col("doc_id"))
   }
 
+  /** BFS relaxation rounds (unrolled in the oracle). */
+  final val BfsIters = 4
+  /** Seed selector: doc_ids ≡ 0 (mod this) are BFS sources. */
+  final val BfsSeedMod = 97L
+  /** (dist, root) lexicographic packing base — roots are doc_ids < 2^32. */
+  final val BfsEncBase = 1L << 32
+
+  /** Multi-source BFS / nearest-landmark labeling over the τ-similarity
+    * graph: every slice doc's hop distance to its NEAREST seed (doc_ids ≡
+    * 0 mod [[BfsSeedMod]]) and which seed won, ties to the smallest seed
+    * id. The graph-traversal member of the graph family (reachability =
+    * connected components in [[Dedup]], ranking = [[pagerankSim]]).
+    *
+    * The (dist, root) pair travels as ONE BIGINT `dist·2^32 + root` —
+    * lexicographic by construction since roots < 2^32 — so each
+    * relaxation round is an equi-join of the frontier on src plus a
+    * partial-combinable `min` by vertex: `reach ∪ (edges ⋈ reach + 2^32)
+    * → min per v`. No windows, no driver iteration state beyond the loop
+    * counter; at 100 TB each round is one co-keyed shuffle whose map side
+    * folds every vertex's candidates to one row. [[BfsIters]] rounds
+    * bound the labeled radius exactly as the oracle's unrolled recursion
+    * does; unreached docs report dist = root = −1 (both verdict classes
+    * populated — GraphRankSpec pins non-vacuity at every SF). */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
+    val edges = graft.SharedFrames.shared(simEdges(spark, dir))
+    // dist 0, root = self: enc = 0·2^32 + v
+    var reach = nodes.filter(col("v") % BfsSeedMod === 0L)
+      .select(col("v"), col("v").as("enc"))
+    (1 to BfsIters).foreach { _ =>
+      val cand = edges
+        .join(reach.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v"), (col("enc") + BfsEncBase).as("enc"))
+      reach = reach.union(cand).groupBy(col("v")).agg(min(col("enc")).as("enc"))
+    }
+    nodes.join(reach, Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"),
+        coalesce(expr(s"enc div $BfsEncBase"), lit(-1L)).as("dist"),
+        coalesce(col("enc") % BfsEncBase, lit(-1L)).as("root"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same τ-graph CTEs as [[pagerankSimSql]], then the
+    * [[BfsIters]] min-relaxation rounds unrolled with the identical
+    * BIGINT (dist, root) packing. CTEs MATERIALIZED (shared edge list). */
+  val graphBfsSql: String = {
+    val rounds = (1 to BfsIters).map { i =>
+      s"""r$i AS (
+         |  SELECT v, MIN(enc) AS enc FROM (
+         |    SELECT v, enc FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, r.enc + $BfsEncBase AS enc
+         |    FROM edges e JOIN r${i - 1} r ON r.v = e.src) u
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    val raw =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+         |                                        i -> text[i:i+2]))) AS gram
+         |  FROM documents WHERE doc_id < $PrCap),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+         |r0 AS (SELECT v, v AS enc FROM nodes WHERE v % $BfsSeedMod = 0),
+         |$rounds
+         |SELECT n.v AS doc_id,
+         |  COALESCE(CAST(r.enc // $BfsEncBase AS BIGINT), -1) AS dist,
+         |  COALESCE(CAST(r.enc % $BfsEncBase AS BIGINT), -1) AS root
+         |FROM nodes n LEFT JOIN r$BfsIters r ON r.v = n.v
+         |ORDER BY doc_id""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
+
   /** Oracle: the τ-graph from the exploded-gram Jaccard formulation (the
     * [[Dedup.dedupNgramJaccardSql]] equivalence, already gate-proven
     * against the packed θ-join) and all [[PrIters]] rounds unrolled with

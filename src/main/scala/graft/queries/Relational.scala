@@ -279,6 +279,63 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey
       |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** EWMA frame width: weights 2^61 (current) down to 2^0 — 62 rows spans
+    * the full ratio range a double can distinguish anyway (2^-62 relative
+    * weight is far below 1 ulp of the running average). */
+  final val EwmaWindow = 62
+
+  /** Time-decayed moving average (EWMA, α = 1/2) of `value` per event
+    * type — the classic monitoring/feature-engineering signal, computed
+    * EXACTLY. The recursive definition `e_n = (e_{n-1} + x_n)/2` is a
+    * sequential dependency; here it is re-expressed as the closed-form
+    * weighted window `Σ x_{n-d}·2^(61-d) / Σ 2^(61-d)` over the last
+    * [[EwmaWindow]] rows (the dropped tail is below double resolution —
+    * see [[EwmaWindow]]). Numerator terms are DECIMAL(18,6)·2^k — exact,
+    * order-independent — folded in DECIMAL(38,6); the denominator is the
+    * closed form 2^62 − 2^(62−n) in BIGINT; the ONLY floating step is the
+    * final one-op IEEE division, so the estimate itself replays
+    * bit-identically in the oracle. Window partitions are per-event-type
+    * event sequences ordered by (ts, event_id); the frame is 62 rows BY
+    * CONSTRUCTION, so the collect_list carries ≤62 elements regardless of
+    * corpus size and the whole thing is one bounded-frame window pass —
+    * no self-join, no driver recursion. */
+  def ewmaDecay(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(EwmaWindow - 1), 0)
+    t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        collect_list(dec(col("value"))).over(w).as("vs"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        size(col("vs")).as("n_win"),
+        expr("""aggregate(
+            transform(vs, (x, i) -> x * shiftleft(cast(1 as bigint), 62 - size(vs) + i)),
+            cast(0 as decimal(38,6)), (acc, x) -> acc + x)""").as("num"),
+        expr("shiftleft(cast(1 as bigint), 62)" +
+          " - shiftleft(cast(1 as bigint), 62 - size(vs))").as("den"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        col("n_win").cast("int").as("n_win"),
+        (col("num").cast("string").cast("double") /
+          asDouble(col("den"))).as("ewma"))
+  }
+
+  val ewmaDecaySql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    list(CAST(value AS DECIMAL(18,6))) OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 61 PRECEDING AND CURRENT ROW) AS vs
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, event_id, ts, value,
+      |  CAST(len(vs) AS INT) AS n_win,
+      |  CAST(CAST(list_reduce(list_transform(vs, (x, i) ->
+      |         x * (CAST(1 AS BIGINT) << (61 - len(vs) + i))),
+      |         (a, b) -> a + b) AS VARCHAR) AS DOUBLE)
+      |  / CAST((CAST(1 AS BIGINT) << 62)
+      |         - (CAST(1 AS BIGINT) << (62 - len(vs))) AS DOUBLE) AS ewma
+      |FROM e""".stripMargin
+
   /** Exact (holistic) percentile aggregation — the ref's reduce_func is the
     * only holistic aggregate it has (SURVEY §2.7); this is the built-in
     * columnar form. Spark `percentile` and DuckDB `quantile_cont` both use

@@ -52,4 +52,43 @@ class GraphRankSpec extends AnyFunSuite with SparkSpec {
     // beats the uniform start
     assert(out.values.exists(_._1 > GraphRank.PrScale / n))
   }
+
+  test("graph_bfs: exact driver BFS replay; nearest-seed ties to smallest id; all verdict classes populated") {
+    import spark.implicits._
+    val out = GraphRank.graphBfs(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.SharedFrames.releaseAll()
+    val edges = GraphRank.simEdges(spark, dir).as[(Long, Long)].collect()
+    graft.SharedFrames.releaseAll()
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    // independent multi-source BFS: frontier expansion with (dist, root)
+    // lexicographic min — the reference semantics of the packed relaxation
+    val seeds = out.keySet.filter(_ % GraphRank.BfsSeedMod == 0L)
+    assert(seeds.nonEmpty)
+    var best = seeds.map(s => s -> ((0L, s))).toMap
+    (1 to GraphRank.BfsIters).foreach { _ =>
+      val cand = best.toSeq.flatMap { case (v, (d, r)) =>
+        adj.getOrElse(v, Array.empty[Long]).toSeq.map(_ -> ((d + 1, r)))
+      }
+      (cand ++ best.toSeq).groupBy(_._1).foreach { case (v, xs) =>
+        best += v -> xs.map(_._2).min // (dist, root) lexicographic
+      }
+    }
+    out.foreach { case (v, (d, r)) =>
+      best.get(v) match {
+        case Some((bd, br)) =>
+          assert(d == bd && r == br, s"node $v: ($d,$r) != replay ($bd,$br)")
+        case None =>
+          assert(d == -1L && r == -1L, s"node $v: ($d,$r) but unreachable")
+      }
+    }
+    // non-vacuity: seeds at 0, some multi-hop node, some unreached node,
+    // and at least one node whose nearest seed is NOT the smallest seed
+    // overall (the min is per-node, not global)
+    assert(out.values.exists(_._1 >= 2), "no multi-hop distance — radius vacuous")
+    assert(out.values.exists(_._1 == -1L), "every node reached — unreachable class vacuous")
+    assert(out.filter(_._2._1 > 0).values.map(_._2).toSet.size > 1,
+      "all non-seed nodes claimed by one root — attribution vacuous")
+  }
 }
