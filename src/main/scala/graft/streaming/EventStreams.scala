@@ -52,6 +52,13 @@ final case class TimedEvent(event_id: Long, ts_us: Long, user_id: Long,
   * and past that the encoder fails loudly instead of wrapping. */
 final case class AnomalyState(n: Long, s: BigInt, qq: BigInt)
 
+/** [[EventStreams.ewmaStream]] state: the type's last ≤62 values as
+  * DECIMAL(18,6)·10^6 longs — exact, bounded, mergeless. */
+final case class EwmaState(scaled: Array[Long])
+
+final case class EwmaPoint(event_type: String, event_id: Long, ts_us: Long,
+    value: Double, n_win: Int, ewma: Double)
+
 final case class AnomalyVerdict(event_type: String, event_id: Long,
     n_so_far: Long, flagged: Boolean)
 
@@ -629,5 +636,49 @@ object EventStreams {
   def prioritySampleStream(docs: DataFrame): DataFrame = {
     import graft.operators.CorpusOps
     CorpusOps.prioritySampleOf(CorpusOps.priorityCols(docs))
+  }
+
+  /** STREAMING EWMA — the live face of
+    * [[graft.queries.Relational.ewmaDecay]]: every event is emitted with
+    * the α = 1/2 time-decayed average of its type's last
+    * [[graft.queries.Relational.EwmaWindow]] values, state is ONE bounded
+    * array of ≤62 scaled longs per event type forever. The arithmetic
+    * replays the batch operator's exact contract — values quantized to
+    * DECIMAL(18,6) (stored as ·10^6 longs, exact), the weighted numerator
+    * folded in BigInt (= the batch DECIMAL(38,6) fold, both exact), the
+    * closed-form BIGINT denominator, and ONE IEEE division through the
+    * identical decimal-text→double path — so stream output is BIT-EQUAL
+    * to the batch rows for the same prefix (EventStreamsSpec pins it).
+    * In-order per-type delivery across micro-batches assumed (the
+    * [[funnelStream]] contract). */
+  def ewmaStream(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    val w = graft.queries.Relational.EwmaWindow
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype, batch, state) =>
+          var buf = state.getOption.map(_.scaled.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            // Spark's double→DECIMAL(18,6) cast: exact binary expansion,
+            // then HALF_UP to 6 digits; ·10^6 fits a long exactly
+            val scaled = BigDecimal(e.value)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .underlying.unscaledValue.longValueExact
+            buf = (buf :+ scaled).takeRight(w)
+            val len = buf.length
+            var num = BigInt(0)
+            buf.zipWithIndex.foreach { case (s, i) =>
+              num += BigInt(s) << (62 - len + i)
+            }
+            val den = (1L << 62) - (1L << (62 - len))
+            val ewma = new java.math.BigDecimal(num.bigInteger, 6)
+              .toPlainString.toDouble / den.toDouble
+            EwmaPoint(etype, e.event_id, e.ts_us, e.value, len, ewma)
+          }
+          state.update(EwmaState(buf.toArray))
+          out.iterator
+      }
   }
 }

@@ -690,6 +690,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream: bit-equal to the batch EWMA operator across ts-ordered micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth, keyed for comparison (ts → micros)
+    val batch = graft.queries.Relational.ewmaDecay(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getInt(4), r.getDouble(5)))).toMap
+    assert(batch.nonEmpty)
+
+    val ordered = eventRows().sortBy(e => (e.ts_us, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma").outputMode("append")
+      .start()
+    try {
+      var fed = 0
+      ordered.grouped(230).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+        fed += chunk.size
+        assert(spark.table("ewma").count() == fed)
+      }
+      val got = spark.table("ewma").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getInt(4), r.getDouble(5))))
+      assert(got.length == batch.size)
+      got.foreach { case (k, (nWin, ewma)) =>
+        val (bn, be) = batch(k)
+        assert(nWin == bn, s"$k: n_win $nWin != batch $bn")
+        assert(ewma == be, s"$k: ewma $ewma != batch $be (bitwise)")
+      }
+      // the window actually slides across batch boundaries somewhere
+      assert(got.exists(_._2._1 == graft.queries.Relational.EwmaWindow))
+    } finally q.stop()
+  }
+
   test("prioritySampleStream: after EVERY micro-batch the stream equals the batch sampler on the same prefix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
