@@ -31,6 +31,10 @@ object SparkEntry {
     "window_nav" -> (Relational.windowNav _),
     // exact EWMA: bounded-frame weighted window, one IEEE op at the end
     "ewma_decay" -> (Relational.ewmaDecay _),
+    // incremental view maintenance: delta net-effect folded into the MV
+    "ivm_agg" -> (Relational.ivmAgg _),
+    // median/MAD robust outlier stats + winsorized mean
+    "robust_stats" -> (Relational.robustStats _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "session_window_agg" -> (Relational.sessionWindowAgg _),
     // sweep-line max concurrent sessions: bucketed two-phase running sum
@@ -355,6 +359,8 @@ object SparkEntry {
     "grouping_sets_agg" -> Relational.groupingSetsAggSql,
     "window_nav" -> Relational.windowNavSql,
     "ewma_decay" -> Relational.ewmaDecaySql,
+    "ivm_agg" -> Relational.ivmAggSql,
+    "robust_stats" -> Relational.robustStatsSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "session_window_agg" -> Relational.sessionWindowAggSql,
     "peak_concurrency" -> Relational.peakConcurrencySql,

@@ -356,6 +356,73 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** ROBUST per-group statistics — the median/MAD family every
+    * training-data cleaning pass prefers over mean/σ (a single wild value
+    * moves the mean arbitrarily but neither the median nor the MAD):
+    * per event type, median, MAD (median absolute deviation), the count
+    * of |x − med| > 3·MAD outliers, and the WINSORIZED mean (values
+    * clamped to med ± 3·MAD before averaging — outlier clipping, the
+    * gentler alternative to dropping). Complements [[eventsAnomaly]]'s
+    * moment-based 3σ verdict with its robust twin.
+    *
+    * Exactness: both medians are the holistic `percentile` (the
+    * [[percentiles]] cross-engine parity), every derived bound is a fixed
+    * short IEEE sequence on them, the clamp is pure comparison, and the
+    * winsorized sum quantizes through DECIMAL(18,6) (the `dec`
+    * discipline, parity proven by `ewma_decay`) so only the final
+    * mean division floats. Scale shape: two group-bounded holistic
+    * aggregations (per-type sorts — groups are event types, each
+    * partition-parallel) plus ONE map-side pass against the broadcast
+    * 5-row stats table; no corpus-keyed window, no self-join. */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    e.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("med"), col("mad"), col("value"),
+        (col("med") + lit(3.0d) * col("mad")).as("hi"),
+        (col("med") - lit(3.0d) * col("mad")).as("lo"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > col("hi") || col("value") < col("lo"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        sum(dec(greatest(least(col("value"), col("hi")), col("lo"))))
+          .as("wsum"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        (col("wsum").cast("string").cast("double") /
+          asDouble(col("n"))).as("wins_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val robustStatsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM e GROUP BY event_type),
+      |mad AS (
+      |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |  FROM e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_type, COUNT(*) AS n, m.med, d.mad,
+      |  CAST(SUM(CASE WHEN e.value > m.med + 3.0 * d.mad
+      |                  OR e.value < m.med - 3.0 * d.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(CAST(SUM(CAST(
+      |      greatest(least(e.value, m.med + 3.0 * d.mad),
+      |               m.med - 3.0 * d.mad) AS DECIMAL(18,6)))
+      |    AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wins_mean
+      |FROM e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY e.event_type, m.med, d.mad
+      |ORDER BY e.event_type""".stripMargin
+
   /** Correlated EXISTS with aggregation (TPC-H Q4 shape): orders having at
     * least one line shipped after the order date, counted by priority. */
   def q4Exists(spark: SparkSession, dir: String): DataFrame = {
@@ -916,6 +983,88 @@ object Relational {
     """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Months the synthetic IVM delta shifts inserts by (200 years — new
+    * group keys, disjoint from history by construction). */
+  final val IvmShiftMonths = 2400
+
+  /** INCREMENTAL VIEW MAINTENANCE — [[mergeUpsert]]'s aggregate sibling
+    * and the pattern behind every always-fresh 100 TB rollup: a
+    * materialized monthly-revenue view is brought current by folding in a
+    * change batch's PER-GROUP NET EFFECT (inserts +, deletes −), never
+    * rescanning history. Work is O(|delta| + |touched groups|): the delta
+    * aggregates partial-combinably, the fold is one co-keyed full-outer
+    * join on the month key (view side group-sized, broadcastable), and
+    * DECIMAL partials make the maintained totals BIT-IDENTICAL to a full
+    * recompute — which is exactly what the oracle does (recompute over
+    * (base ∖ deletes) ∪ inserts, verdicts re-derived from set
+    * membership), so the green row IS the IVM correctness theorem for
+    * this delta, group disappearance included.
+    *
+    * The in-engine delta deliberately populates every maintenance class:
+    * inserts shifted [[IvmShiftMonths]] ahead (`new` groups), partial
+    * deletes of March orders (`updated`), untouched months (`unchanged`),
+    * and FULL deletion of the earliest month — its count nets to zero and
+    * the group vanishes from the maintained view (the n2 > 0 filter). */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("m"),
+      dec(col("o_totalprice")).as("p"))
+    val base = o.filter(col("k") % 5 =!= 0)
+    val mv = base.groupBy(col("m"))
+      .agg(sum(col("p")).as("total"), count(lit(1)).as("n"))
+    val m0 = base.agg(min(col("m")).as("m0"))
+    // one disjunctive pass over base — a full-month delete that is ALSO a
+    // March %7 row must retract exactly once
+    val dels = base.crossJoin(broadcast(m0))
+      .filter(col("m") === col("m0") ||
+        (col("k") % 7 === 0 && month(col("m")) === 3))
+      .select(col("m"), col("p"), lit(-1L).as("sgn"))
+    val ins = o.filter(col("k") % 5 === 0)
+      .select(add_months(col("m"), IvmShiftMonths).as("m"), col("p"),
+        lit(1L).as("sgn"))
+    val dAgg = dels.union(ins).groupBy(col("m"))
+      .agg(sum(col("p") * col("sgn")).as("dt"), sum(col("sgn")).as("dn"))
+    mv.join(dAgg, Seq("m"), "full_outer")
+      .select(col("m"),
+        (coalesce(col("total"), dec(lit(0))) +
+          coalesce(col("dt"), dec(lit(0)))).as("total2"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n2"),
+        when(col("total").isNull, "new")
+          .when(col("dt").isNull, "unchanged")
+          .otherwise("updated").as("verdict"))
+      .filter(col("n2") > 0)
+      .select(col("m").as("month"), asDouble(col("total2")).as("revenue"),
+        col("n2").as("n_orders"), col("verdict"))
+      .orderBy(col("month"))
+  }
+
+  val ivmAggSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, date_trunc('month', o_orderdate) AS m,
+       |    CAST(o_totalprice AS DECIMAL(18,6)) AS p
+       |  FROM orders),
+       |base AS (SELECT * FROM o WHERE k % 5 <> 0),
+       |m0 AS (SELECT MIN(m) AS m0 FROM base),
+       |dels AS (SELECT b.k, b.m, b.p FROM base b, m0
+       |         WHERE b.m = m0.m0 OR (b.k % 7 = 0 AND month(b.m) = 3)),
+       |ins AS (SELECT k, CAST(m + INTERVAL $IvmShiftMonths MONTH AS DATE) AS m, p
+       |        FROM o WHERE k % 5 = 0),
+       |modified AS (
+       |  SELECT m, p FROM base WHERE k NOT IN (SELECT k FROM dels)
+       |  UNION ALL SELECT m, p FROM ins),
+       |agg AS (
+       |  SELECT m AS month,
+       |    CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS revenue,
+       |    COUNT(*) AS n_orders
+       |  FROM modified GROUP BY m)
+       |SELECT month, revenue, n_orders,
+       |  CASE WHEN month NOT IN (SELECT DISTINCT m FROM base) THEN 'new'
+       |       WHEN month IN (SELECT m FROM dels UNION SELECT m FROM ins)
+       |         THEN 'updated'
+       |       ELSE 'unchanged' END AS verdict
+       |FROM agg ORDER BY month""".stripMargin
 
   /** Scalar-function battery: string/math built-ins with cross-engine
     * parity (upper/substring/length/concat_ws/round/abs). */
