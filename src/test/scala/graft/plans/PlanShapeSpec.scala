@@ -387,6 +387,49 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("table_stats: single Sort in the whole plan (the 5-row result order) — the stats legs never sort") {
+    // the pre-fix shape (multi-distinct + string min/max in ONE agg)
+    // lowered to a SortAggregate chain with two full sorts of the Expand
+    // output — measured 2.6× slower at sf0.1. The split form's only Sort
+    // is the final orderBy of the 5-row result.
+    val p = plan(Relational.tableStats(spark, dir))
+    val sorts = """\(\d+\) Sort\b""".r.findAllIn(p).size
+    assert(sorts == 1, s"expected exactly 1 Sort node, found $sorts:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"distinct-count leg is not a hash aggregation:\n$p")
+  }
+
+  test("ewma_decay: one exchange, one bounded-frame window, zero joins") {
+    val p = plan(Relational.ewmaDecay(spark, dir))
+    assert(!p.contains("Join"), s"EWMA must not self-join:\n$p")
+    assert("""Window \[""".r.findAllIn(p).size == 1,
+      s"expected exactly one Window node:\n$p")
+    assert("""Exchange hashpartitioning""".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle (the event_type partitioning):\n$p")
+  }
+
+  test("robust_stats: percentile stages are ObjectHashAggregate with map-side partials; stats tables broadcast") {
+    val p = plan(Relational.robustStats(spark, dir))
+    assert(!p.contains("SortAggregate") && !p.contains("SortMergeJoin"),
+      s"robust_stats must not sort — holistic percentiles go through " +
+        s"ObjectHashAggregate and the 5-row stats tables broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_percentile"),
+      s"no partial percentile aggregation:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"stats-table joins are not all broadcast:\n$p")
+  }
+
+  test("graph_bfs: edges mined once (cached scans per round); relaxation is a partial-combinable min") {
+    val p = plan(graft.operators.GraphRank.graphBfs(spark, dir))
+    graft.SharedFrames.releaseAll()
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"the edge list is not read from cache:\n$p")
+    assert("partial_min".r.findAllIn(p).size >=
+      graft.operators.GraphRank.BfsIters,
+      s"each relaxation round's frontier election must be a " +
+        s"partial-combinable min:\n$p")
+  }
+
   test("GLOBAL sweep: no CartesianProduct and no partition-less window in ANY registered plan") {
     // Two anti-patterns that are fatal at 100 TB whatever the query:
     //  - CartesianProduct: an unbounded all-pairs shuffle (a 1-row
