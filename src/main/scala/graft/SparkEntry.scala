@@ -35,6 +35,8 @@ object SparkEntry {
     "ivm_agg" -> (Relational.ivmAgg _),
     // median/MAD robust outlier stats + winsorized mean
     "robust_stats" -> (Relational.robustStats _),
+    // dense calendar spine + carry-forward over sparse daily facts
+    "resample_ffill" -> (Relational.resampleFfill _),
     "events_sessionize" -> (Relational.eventsSessionize _),
     "session_window_agg" -> (Relational.sessionWindowAgg _),
     // sweep-line max concurrent sessions: bucketed two-phase running sum
@@ -361,6 +363,7 @@ object SparkEntry {
     "ewma_decay" -> Relational.ewmaDecaySql,
     "ivm_agg" -> Relational.ivmAggSql,
     "robust_stats" -> Relational.robustStatsSql,
+    "resample_ffill" -> Relational.resampleFfillSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
     "session_window_agg" -> Relational.sessionWindowAggSql,
     "peak_concurrency" -> Relational.peakConcurrencySql,

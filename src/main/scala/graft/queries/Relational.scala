@@ -984,6 +984,72 @@ object Relational {
       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** Sparse-series threshold for [[resampleFfill]] — only high-value
+    * events enter the daily rollup, so the spine provably has gaps to
+    * fill at every SF. */
+  final val ResampleMinValue = 250.0d
+
+  /** TIME-SERIES RESAMPLING + FORWARD FILL — the gap-filling primitive
+    * behind every monitoring dashboard and feature pipeline that needs a
+    * DENSE regular series from sparse facts: per event type, a daily
+    * rollup of high-value events (≥ [[ResampleMinValue]] — deliberately
+    * sparse) is left-joined onto the complete calendar spine of the
+    * corpus and each empty day carries the last known total forward
+    * (`last(…, ignoreNulls)`), with n = 0 marking the filled rows and
+    * leading NULLs preserved before a series' first observation.
+    *
+    * Scale shape: the spine is TIME-RANGE × type bounded — a corpus 100×
+    * bigger spans the same calendar, so the spine join's build side stays
+    * constant-sized (the [[ConcBucketUs]] argument) — the rollup is one
+    * partial-combinable aggregation of only the filtered facts, and the
+    * fill window partitions by type ordered by day: partition size = the
+    * calendar, never the corpus. DECIMAL day totals render to double via
+    * the text path, so the carried values replay exactly. */
+  def resampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val daily = e.filter(col("value") >= ResampleMinValue)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"))
+    val bounds = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("total").cast("string").cast("double").as("total"),
+        last(col("total"), ignoreNulls = true).over(w)
+          .cast("string").cast("double").as("ffill_total"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val resampleFfillSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+       |daily AS (
+       |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(value AS DECIMAL(18,6))) AS total
+       |  FROM e WHERE value >= $ResampleMinValue GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+       |days AS (
+       |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+       |    AS day FROM bounds),
+       |spine AS (
+       |  SELECT t.event_type, d.day
+       |  FROM (SELECT DISTINCT event_type FROM e) t, days d)
+       |SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n,
+       |  CAST(CAST(d.total AS VARCHAR) AS DOUBLE) AS total,
+       |  CAST(CAST(last_value(d.total IGNORE NULLS) OVER (
+       |      PARTITION BY s.event_type ORDER BY s.day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS VARCHAR) AS DOUBLE) AS ffill_total
+       |FROM spine s LEFT JOIN daily d USING (event_type, day)
+       |ORDER BY event_type, day""".stripMargin
+
   /** Months the synthetic IVM delta shifts inserts by (200 years — new
     * group keys, disjoint from history by construction). */
   final val IvmShiftMonths = 2400
