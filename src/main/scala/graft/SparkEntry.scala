@@ -79,6 +79,8 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats _),
     "token_topk" -> (TextAnalysis.tokenTopk _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
+    // TextRank keywords: fixed-point PageRank over word co-occurrence
+    "textrank_keywords" -> (TextAnalysis.textrankKeywords _),
     // BM25 weighting family (rational idf — the tfidf reproducibility
     // discipline); dl via doc-bounded window over the shared tf gen
     "bm25_topk" -> (TextAnalysis.bm25Topk _),
@@ -412,6 +414,7 @@ object SparkEntry {
     "pca_covariance" -> Similarity.pcaCovarianceSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
+    "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

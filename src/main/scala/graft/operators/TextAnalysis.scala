@@ -696,4 +696,125 @@ object TextAnalysis {
        |      ORDER BY score DESC, token) AS INT) AS rn
        |  FROM s)
        |WHERE rn <= 3""".stripMargin
+
+  /** TextRank co-occurrence span (over the filtered token sequence). */
+  final val TrWindow = 2
+  /** Minimum token length admitted to the graph. */
+  final val TrMinLen = 3
+  /** Fixed-point rank mass / iteration count / report size. */
+  final val TrScale = 1L << 20
+  final val TrIters = 5
+  final val TrTopK = 30
+
+  /** TEXTRANK KEYWORD EXTRACTION — unsupervised corpus keywords as
+    * PageRank over the word co-occurrence graph (Mihalcea & Tarau '04):
+    * tokens ≥ [[TrMinLen]] chars and not stopwords, an undirected edge
+    * between tokens within [[TrWindow]] positions of each other in the
+    * FILTERED sequence, then [[TrIters]] fixed-point rank rounds in the
+    * exact integer arithmetic of [[GraphRank.pagerankSim]] (BIGINT mass,
+    * 17/20 damping as multiply-then-truncate, per-edge pr div deg) — so
+    * the whole pipeline, graph mining included, replays bit-identically
+    * in SQL. Top [[TrTopK]] tokens by (rank DESC, token).
+    *
+    * Scale shape: co-occurrence mining is ONE doc-partitioned window
+    * pass (both lags share the sort) + a distinct over edge pairs (hash,
+    * partial-combinable); the graph is VOCABULARY-sized, not
+    * corpus-sized, and each rank round is the textbook equi-join +
+    * partial sum. Edges and degrees are mined once and shared across
+    * rounds. */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "ord", "tok")
+      .filter(length(col("tok")) >= TrMinLen &&
+        !col("tok").isInCollection(Stopwords))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+    val lagged = toks.select(col("tok"),
+      lag(col("tok"), 1).over(byDoc).as("p1"),
+      lag(col("tok"), 2).over(byDoc).as("p2"))
+    val raw = lagged.select(col("tok").as("a"), col("p1").as("b"))
+      .union(lagged.select(col("tok").as("a"), col("p2").as("b")))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+    val edges = graft.SharedFrames.shared(
+      raw.select(col("a").as("src"), col("b").as("dst"))
+        .union(raw.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
+    val deg = graft.SharedFrames.shared(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nodes = toks.select(col("tok").as("v")).distinct()
+    val n = nodes.count()
+    val base = (3L * TrScale) / (20L * n)
+    var ranks = nodes.withColumn("pr", lit(TrScale / n))
+    (1 to TrIters).foreach { _ =>
+      val incoming = edges
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "v"), Seq("v"), "left_outer")
+        .select(col("v"),
+          (lit(base) + expr("(17 * coalesce(inc, 0L)) div 20")).as("pr"))
+    }
+    ranks
+      .join(deg.withColumnRenamed("src", "v"), Seq("v"), "left_outer")
+      .select(col("v").as("token"), col("pr"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+      .orderBy(col("pr").desc, col("token"))
+      .limit(TrTopK)
+  }
+
+  /** Oracle: graph mining via zipped parallel unnest (token, ordinal),
+    * the same two-lag window, and all [[TrIters]] rounds unrolled with
+    * identical integer arithmetic. CTEs MATERIALIZED — the edge list
+    * feeds every round. */
+  val textrankKeywordsSql: String = {
+    val iters = (1 to TrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.v,
+         |    CAST((SELECT (3 * $TrScale) // (20 * n) FROM nn)
+         |      + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.pr // d.deg) AS s
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN r${i - 1} r ON r.v = e.src
+         |    GROUP BY e.dst) inc ON inc.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    val raw =
+      s"""WITH toks AS (
+         |  SELECT doc_id, tok, ord FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(text, ' ')) AS tok,
+         |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+         |    FROM documents) u
+         |  WHERE length(tok) >= $TrMinLen
+         |    AND tok NOT IN (${sqlSet(Stopwords)})),
+         |lagged AS (
+         |  SELECT tok,
+         |    lag(tok, 1) OVER w AS p1,
+         |    lag(tok, 2) OVER w AS p2
+         |  FROM toks
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         |rawp AS (
+         |  SELECT tok AS a, p1 AS b FROM lagged
+         |  WHERE p1 IS NOT NULL AND tok <> p1
+         |  UNION ALL
+         |  SELECT tok AS a, p2 AS b FROM lagged
+         |  WHERE p2 IS NOT NULL AND tok <> p2),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT a AS src, b AS dst FROM rawp
+         |    UNION ALL SELECT b AS src, a AS dst FROM rawp) s),
+         |nodes AS (SELECT DISTINCT tok AS v FROM toks),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT v, (SELECT $TrScale // n FROM nn) AS pr FROM nodes),
+         |$iters
+         |SELECT r.v AS token, r.pr, COALESCE(d.deg, 0) AS deg
+         |FROM r$TrIters r LEFT JOIN deg d ON d.src = r.v
+         |ORDER BY r.pr DESC, token LIMIT $TrTopK""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
 }
