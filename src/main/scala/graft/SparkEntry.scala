@@ -81,6 +81,8 @@ object SparkEntry {
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
     // TextRank keywords: fixed-point PageRank over word co-occurrence
     "textrank_keywords" -> (TextAnalysis.textrankKeywords _),
+    // unigram-LM tokenizer: integer Viterbi hard-EM, fully SQL-replayable
+    "unigram_lm_vocab" -> (graft.operators.UnigramLm.unigramLmVocab _),
     // BM25 weighting family (rational idf — the tfidf reproducibility
     // discipline); dl via doc-bounded window over the shared tf gen
     "bm25_topk" -> (TextAnalysis.bm25Topk _),
@@ -415,6 +417,7 @@ object SparkEntry {
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
+    "unigram_lm_vocab" -> graft.operators.UnigramLm.unigramLmVocabSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** UNIGRAM-LM TOKENIZER (the SentencePiece family's other member, beside
+  * the [[CorpusOps]] BPE suite): a piece vocabulary trained by hard-EM
+  * Viterbi over candidate substrings, entirely in EXACT integer
+  * arithmetic so training — substring mining, likelihood scores, the
+  * per-word Viterbi DP, usage re-estimation, the final election — replays
+  * bit-identically in SQL.
+  *
+  * Algorithm (one hard-EM round, the standard simplification):
+  *  1. Candidate pieces = all substrings of length 1..[[MaxPieceLen]] of
+  *     the distinct corpus words, counted with positional multiplicity ×
+  *     word frequency. Single chars are always kept (segmentability);
+  *     multi-char pieces need count ≥ [[MinCandCnt]] and a
+  *     (count DESC, piece) election caps them at [[CandCap]].
+  *  2. Piece cost = L(T) − L(count), L = [[withIlog2]]'s Q8 fixed-point
+  *     log2 — i.e. −log2 relative frequency in 1/256 bits, non-negative
+  *     integers, so min-plus DP needs no floating point and no negative
+  *     division (where Spark `div` truncates but DuckDB `//` floors).
+  *  3. Viterbi: each distinct word's min-cost segmentation. The DP is a
+  *     shortest path on the position DAG, run as [[MaxWordLen]] min-plus
+  *     RELAXATION rounds — the [[GraphRank.graphBfs]] shape: the
+  *     (cost, parent) pair packs into ONE BIGINT `cost·32 + j` (parent
+  *     positions < [[TieBase]]), so every round is an equi-join plus a
+  *     partial-combinable `min`, and ties break toward the smallest
+  *     parent deterministically.
+  *  4. Backtrack [[MaxWordLen]] parent-pointer hops emit each word's
+  *     piece sequence; usage counts re-estimate piece frequencies.
+  *  5. Final vocabulary: top-[[VocabK]] pieces by (usage DESC, piece),
+  *     plus all single chars (never prunable).
+  *
+  * Scale shape: EVERYTHING after the one word-count aggregation is
+  * VOCABULARY-sized (distinct words × ≤[[MaxWordLen]] positions), never
+  * corpus-sized — the corpus is touched once, by the word count. Words
+  * longer than [[MaxWordLen]] are excluded by contract (none exist in
+  * the test corpus; at production scale they'd be pre-split). All counts
+  * must stay < 2^62 (the log2 mantissa path is branch-guarded for both
+  * small and large magnitudes).
+  */
+object UnigramLm {
+
+  final val MaxWordLen = 8
+  final val MaxPieceLen = 4
+  final val MinCandCnt = 2L
+  final val CandCap = 512
+  final val VocabK = 48
+  /** Parent-position packing base — must exceed [[MaxWordLen]]. */
+  final val TieBase = 32L
+
+  private final val MantScale = 1L << 20 // mantissa in [2^20, 2^21)
+
+  /** Q8 fixed-point log2: appends `out` = floor(256·log2(x)) to a frame,
+    * via 6 binary-search msb steps + 8 mantissa-squaring fraction bits —
+    * every step a BIGINT comparison/multiply/truncating-divide, int64-safe
+    * for x < 2^62 (the mantissa is right-shifted for msb > 20 instead of
+    * left-shifting x). The SQL twin is [[ilog2SqlCtes]]. */
+  private[operators] def withIlog2(df: DataFrame, x: String, out: String): DataFrame = {
+    var d = df.withColumn("_v", col(x).cast("long"))
+      .withColumn("_s", lit(0L)).withColumn("_p", lit(1L))
+    Seq(32, 16, 8, 4, 2, 1).foreach { k =>
+      val tw = 1L << k
+      val c = col("_v") >= lit(tw)
+      d = d
+        .withColumn("_s2", when(c, col("_s") + k).otherwise(col("_s")))
+        .withColumn("_p2", when(c, col("_p") * tw).otherwise(col("_p")))
+        .withColumn("_v2", when(c, expr(s"_v div $tw")).otherwise(col("_v")))
+        .drop("_s", "_p", "_v")
+        .withColumnRenamed("_s2", "_s").withColumnRenamed("_p2", "_p")
+        .withColumnRenamed("_v2", "_v")
+    }
+    d = d.withColumn("_m",
+        when(col("_p") > lit(MantScale),
+          expr(s"cast($x as bigint) div (_p div $MantScale)"))
+          .otherwise(expr(s"(cast($x as bigint) * $MantScale) div _p")))
+      .withColumn("_f", lit(0L))
+    (1 to 8).foreach { _ =>
+      d = d.withColumn("_m2", expr(s"(_m * _m) div $MantScale"))
+        .withColumn("_b", (col("_m2") >= lit(2L * MantScale)).cast("long"))
+        .withColumn("_f2", col("_f") * 2 + col("_b"))
+        .withColumn("_m3", when(col("_b") === 1L, expr("_m2 div 2"))
+          .otherwise(col("_m2")))
+        .drop("_m", "_f", "_m2", "_b")
+        .withColumnRenamed("_f2", "_f").withColumnRenamed("_m3", "_m")
+    }
+    d.withColumn(out, col("_s") * 256L + col("_f"))
+      .drop("_v", "_s", "_p", "_m", "_f")
+  }
+
+  /** Distinct corpus words with frequencies — the ONE corpus-sized pass. */
+  private[operators] def wordsOf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, MaxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+
+  /** Every substring occurrence (w, wcnt, j, l, i, piece), vocabulary ×
+    * ≤[[MaxWordLen]]·[[MaxPieceLen]] rows. */
+  private def occsOf(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("wcnt"),
+        explode(sequence(lit(0), lit(MaxWordLen - 1))).as("j"))
+      .filter(col("j") < length(col("w")))
+      .select(col("w"), col("wcnt"), col("j"),
+        explode(sequence(lit(1), lit(MaxPieceLen))).as("l"))
+      .filter(col("j") + col("l") <= length(col("w")))
+      .select(col("w"), col("wcnt"), col("j"), (col("j") + col("l")).as("i"),
+        expr("substring(w, j + 1, l)").as("piece"))
+
+  def unigramLmVocab(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.SharedFrames.shared(wordsOf(spark, dir))
+    val occ = graft.SharedFrames.shared(occsOf(words))
+    val cand = occ.groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+    val v0 = graft.SharedFrames.shared(
+      cand.filter(length(col("piece")) === 1)
+        .union(cand.filter(length(col("piece")) > 1 &&
+            col("cnt") >= MinCandCnt)
+          .orderBy(col("cnt").desc, col("piece")).limit(CandCap)))
+    val tLog = withIlog2(v0.agg(sum(col("cnt")).as("tcnt")), "tcnt", "lt")
+    val scored = graft.SharedFrames.shared(
+      withIlog2(v0, "cnt", "lp")
+        .crossJoin(broadcast(tLog.select(col("lt"))))
+        .select(col("piece"), col("cnt"), (col("lt") - col("lp")).as("cost")))
+    val edges = graft.SharedFrames.shared(
+      occ.join(scored.select(col("piece"), col("cost")), Seq("piece"))
+        .select(col("w"), col("j"), col("i"), col("cost")))
+
+    // min-plus relaxation: enc = dp·TieBase + parent, min is (cost, tie).
+    // Each round references dp TWICE (carry ∪ relax), so rounds are
+    // [[Dedup.materialize]]d — without cutting lineage the plan re-derives
+    // all prior rounds per reference (exponential growth, measured OOM).
+    var (dp, dp0Rdd) = Dedup.materialize(
+      words.select(col("w"), lit(0).as("pos"), lit(0L).as("enc")))
+    graft.SharedFrames.sharedRdd(dp0Rdd)
+    (1 to MaxWordLen).foreach { _ =>
+      val step = edges.join(dp.withColumnRenamed("pos", "j"), Seq("w", "j"))
+        .select(col("w"), col("i").as("pos"),
+          ((expr(s"enc div $TieBase") + col("cost")) * TieBase + col("j"))
+            .as("enc"))
+      val (next, nextRdd) = Dedup.materialize(dp.union(step)
+        .groupBy(col("w"), col("pos")).agg(min(col("enc")).as("enc")))
+      graft.SharedFrames.sharedRdd(nextRdd)
+      dp = next
+    }
+    val parents = dp
+
+    // backtrack parent pointers, emitting each word's piece multiset;
+    // hops are consumed twice (piece leg + next position), same treatment
+    var cur = words.select(col("w"), length(col("w")).cast("int").as("pos"))
+    val rounds = (1 to MaxWordLen).map { _ =>
+      val (hop, hopRdd) = Dedup.materialize(cur.filter(col("pos") > 0)
+        .join(parents, Seq("w", "pos"))
+        .select(col("w"), col("pos"),
+          (col("enc") % TieBase).cast("int").as("jprev")))
+      graft.SharedFrames.sharedRdd(hopRdd)
+      cur = hop.select(col("w"), col("jprev").as("pos"))
+      hop.select(col("w"),
+        expr("substring(w, jprev + 1, pos - jprev)").as("piece"))
+    }
+    val used = rounds.reduce(_ union _)
+      .join(words, Seq("w"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("used_cnt"))
+
+    val fin = scored.join(used, Seq("piece"), "left_outer")
+      .select(col("piece"), col("cnt"), col("cost"),
+        coalesce(col("used_cnt"), lit(0L)).as("used_cnt"))
+    fin.orderBy(col("used_cnt").desc, col("piece")).limit(VocabK)
+      .union(fin.filter(length(col("piece")) === 1))
+      .distinct()
+      .orderBy(col("used_cnt").desc, col("piece"))
+  }
+
+  /** Emits the CTE chain computing [[withIlog2]] in DuckDB over `src`
+    * (carrying `keep`), final CTE named `dst` with column `out`. */
+  private def ilog2SqlCtes(src: String, xCol: String, keep: Seq[String],
+      dst: String, out: String): String = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = src
+    var idx = 0
+    def cte(name: String, body: String): Unit = {
+      steps += s"$name AS ($body)"; prev = name
+    }
+    def next(body: String): Unit = { idx += 1; cte(s"${dst}_$idx", body) }
+    val kc = if (keep.isEmpty) "" else keep.mkString(", ") + ", "
+    next(s"SELECT $kc CAST($xCol AS BIGINT) AS x, CAST($xCol AS BIGINT) AS v, " +
+      s"CAST(0 AS BIGINT) AS s, CAST(1 AS BIGINT) AS p FROM $src")
+    Seq(32, 16, 8, 4, 2, 1).foreach { k =>
+      val tw = 1L << k
+      next(s"SELECT $kc x, " +
+        s"CASE WHEN v >= $tw THEN v // $tw ELSE v END AS v, " +
+        s"CASE WHEN v >= $tw THEN s + $k ELSE s END AS s, " +
+        s"CASE WHEN v >= $tw THEN p * $tw ELSE p END AS p FROM $prev")
+    }
+    next(s"SELECT $kc x, s, " +
+      s"CASE WHEN p > $MantScale THEN x // (p // $MantScale) " +
+      s"ELSE (x * $MantScale) // p END AS m, CAST(0 AS BIGINT) AS f FROM $prev")
+    (1 to 8).foreach { _ =>
+      next(s"SELECT $kc x, s, " +
+        s"CASE WHEN (m*m) // $MantScale >= ${2L * MantScale} " +
+        s"THEN ((m*m) // $MantScale) // 2 ELSE (m*m) // $MantScale END AS m, " +
+        s"f*2 + CASE WHEN (m*m) // $MantScale >= ${2L * MantScale} " +
+        s"THEN 1 ELSE 0 END AS f FROM $prev")
+    }
+    cte(dst, s"SELECT $kc s * 256 + f AS $out FROM $prev")
+    steps.mkString(",\n")
+  }
+
+  /** Oracle: the full training replay — mining, both log chains, edges,
+    * [[MaxWordLen]] relaxation rounds, [[MaxWordLen]] backtrack hops,
+    * re-estimation, election. CTEs MATERIALIZED (deep reuse). */
+  val unigramLmVocabSql: String = {
+    val relax = (1 to MaxWordLen).map { k =>
+      s"""r$k AS (
+         |  SELECT w, pos, MIN(enc) AS enc FROM (
+         |    SELECT w, pos, enc FROM r${k - 1}
+         |    UNION ALL
+         |    SELECT e.w, e.i AS pos, ((r.enc // $TieBase) + e.cost) * $TieBase + e.j AS enc
+         |    FROM r${k - 1} r JOIN edges e ON e.w = r.w AND e.j = r.pos) u
+         |  GROUP BY w, pos)""".stripMargin
+    }.mkString(",\n")
+    val back = (1 to MaxWordLen).map { k =>
+      s"""s$k AS (
+         |  SELECT b.w, b.pos, CAST(p.enc % $TieBase AS INT) AS jprev
+         |  FROM b${k - 1} b JOIN r$MaxWordLen p
+         |    ON p.w = b.w AND p.pos = b.pos
+         |  WHERE b.pos > 0),
+         |b$k AS (SELECT w, jprev AS pos FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val pieceLegs = (1 to MaxWordLen).map { k =>
+      s"SELECT w, substring(w, jprev + 1, pos - jprev) AS piece FROM s$k"
+    }.mkString("\n  UNION ALL\n  ")
+    val raw =
+      s"""WITH wtab AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE length(w) BETWEEN 1 AND $MaxWordLen GROUP BY w),
+         |occ AS (
+         |  SELECT w.w, w.wcnt, j.j, j.j + l.l AS i,
+         |    substring(w.w, CAST(j.j + 1 AS INT), CAST(l.l AS INT)) AS piece
+         |  FROM wtab w, range(0, $MaxWordLen) j(j), range(1, ${MaxPieceLen + 1}) l(l)
+         |  WHERE j.j < length(w.w) AND j.j + l.l <= length(w.w)),
+         |cand AS (
+         |  SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM occ GROUP BY piece),
+         |v0 AS (
+         |  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM cand
+         |    WHERE length(piece) > 1 AND cnt >= $MinCandCnt
+         |    ORDER BY cnt DESC, piece LIMIT $CandCap) tq),
+         |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tcnt FROM v0),
+         |${ilog2SqlCtes("tt", "tcnt", Seq.empty, "ttl", "lt")},
+         |${ilog2SqlCtes("v0", "cnt", Seq("piece", "cnt"), "v0l", "lp")},
+         |scored AS (
+         |  SELECT piece, cnt, (SELECT lt FROM ttl) - lp AS cost FROM v0l),
+         |edges AS (
+         |  SELECT o.w, o.j, o.i, s.cost FROM occ o JOIN scored s USING (piece)),
+         |r0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS enc
+         |       FROM wtab),
+         |$relax,
+         |b0 AS (SELECT w, CAST(length(w) AS BIGINT) AS pos FROM wtab),
+         |$back,
+         |pieces AS (
+         |  $pieceLegs),
+         |used AS (
+         |  SELECT p.piece, CAST(SUM(w.wcnt) AS BIGINT) AS used_cnt
+         |  FROM pieces p JOIN wtab w USING (w) GROUP BY p.piece),
+         |fin AS (
+         |  SELECT s.piece, s.cnt, s.cost, COALESCE(u.used_cnt, 0) AS used_cnt
+         |  FROM scored s LEFT JOIN used u USING (piece))
+         |SELECT piece, cnt, cost, used_cnt FROM (
+         |  SELECT * FROM (
+         |    SELECT * FROM fin ORDER BY used_cnt DESC, piece LIMIT $VocabK) a
+         |  UNION
+         |  SELECT * FROM fin WHERE length(piece) = 1) sel
+         |ORDER BY used_cnt DESC, piece""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
+}
