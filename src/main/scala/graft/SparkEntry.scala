@@ -83,6 +83,8 @@ object SparkEntry {
     "textrank_keywords" -> (TextAnalysis.textrankKeywords _),
     // unigram-LM tokenizer: integer Viterbi hard-EM, fully SQL-replayable
     "unigram_lm_vocab" -> (graft.operators.UnigramLm.unigramLmVocab _),
+    // train → apply at the pruned vocab: the per-doc token budget
+    "unigram_encode" -> (graft.operators.UnigramLm.unigramEncode _),
     // BM25 weighting family (rational idf — the tfidf reproducibility
     // discipline); dl via doc-bounded window over the shared tf gen
     "bm25_topk" -> (TextAnalysis.bm25Topk _),
@@ -418,6 +420,7 @@ object SparkEntry {
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
     "unigram_lm_vocab" -> graft.operators.UnigramLm.unigramLmVocabSql,
+    "unigram_encode" -> graft.operators.UnigramLm.unigramEncodeSql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

@@ -9,7 +9,9 @@ import graft.Tables.t
   * Viterbi over candidate substrings, entirely in EXACT integer
   * arithmetic so training — substring mining, likelihood scores, the
   * per-word Viterbi DP, usage re-estimation, the final election — replays
-  * bit-identically in SQL.
+  * bit-identically in SQL; and the train→apply loop
+  * ([[unigramEncode]]) that re-segments the corpus with the PRUNED
+  * vocabulary, the production path every token budget depends on.
   *
   * Algorithm (one hard-EM round, the standard simplification):
   *  1. Candidate pieces = all substrings of length 1..[[MaxPieceLen]] of
@@ -33,13 +35,13 @@ import graft.Tables.t
   *  5. Final vocabulary: top-[[VocabK]] pieces by (usage DESC, piece),
   *     plus all single chars (never prunable).
   *
-  * Scale shape: EVERYTHING after the one word-count aggregation is
-  * VOCABULARY-sized (distinct words × ≤[[MaxWordLen]] positions), never
-  * corpus-sized — the corpus is touched once, by the word count. Words
-  * longer than [[MaxWordLen]] are excluded by contract (none exist in
-  * the test corpus; at production scale they'd be pre-split). All counts
-  * must stay < 2^62 (the log2 mantissa path is branch-guarded for both
-  * small and large magnitudes).
+  * Scale shape: EVERYTHING between the one word-count aggregation and
+  * the final per-doc rollup is VOCABULARY-sized (distinct words ×
+  * ≤[[MaxWordLen]] positions), never corpus-sized. Words longer than
+  * [[MaxWordLen]] are excluded by contract (none exist in the test
+  * corpus; at production scale they'd be pre-split). All counts must
+  * stay < 2^62 (the log2 mantissa path is branch-guarded for both small
+  * and large magnitudes).
   */
 object UnigramLm {
 
@@ -47,7 +49,10 @@ object UnigramLm {
   final val MaxPieceLen = 4
   final val MinCandCnt = 2L
   final val CandCap = 512
-  final val VocabK = 48
+  /** Deliberately below the used-piece count at every SF, so pruning
+    * BITES: the apply pass re-segments some words differently than
+    * training did (UnigramLmSpec pins this non-vacuity). */
+  final val VocabK = 32
   /** Parent-position packing base — must exceed [[MaxWordLen]]. */
   final val TieBase = 32L
 
@@ -97,7 +102,7 @@ object UnigramLm {
       .filter(length(col("w")).between(1, MaxWordLen))
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
 
-  /** Every substring occurrence (w, wcnt, j, l, i, piece), vocabulary ×
+  /** Every substring occurrence (w, wcnt, j, i, piece), vocabulary ×
     * ≤[[MaxWordLen]]·[[MaxPieceLen]] rows. */
   private def occsOf(words: DataFrame): DataFrame =
     words
@@ -110,9 +115,9 @@ object UnigramLm {
       .select(col("w"), col("wcnt"), col("j"), (col("j") + col("l")).as("i"),
         expr("substring(w, j + 1, l)").as("piece"))
 
-  def unigramLmVocab(spark: SparkSession, dir: String): DataFrame = {
-    val words = graft.SharedFrames.shared(wordsOf(spark, dir))
-    val occ = graft.SharedFrames.shared(occsOf(words))
+  /** Candidate vocabulary with integer costs: singles ∪ capped multis,
+    * cost = L(T) − L(cnt). Shared (consumed by edges AND the election). */
+  private def scoredOf(occ: DataFrame): DataFrame = {
     val cand = occ.groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
     val v0 = graft.SharedFrames.shared(
       cand.filter(length(col("piece")) === 1)
@@ -120,18 +125,23 @@ object UnigramLm {
             col("cnt") >= MinCandCnt)
           .orderBy(col("cnt").desc, col("piece")).limit(CandCap)))
     val tLog = withIlog2(v0.agg(sum(col("cnt")).as("tcnt")), "tcnt", "lt")
-    val scored = graft.SharedFrames.shared(
+    graft.SharedFrames.shared(
       withIlog2(v0, "cnt", "lp")
         .crossJoin(broadcast(tLog.select(col("lt"))))
         .select(col("piece"), col("cnt"), (col("lt") - col("lp")).as("cost")))
-    val edges = graft.SharedFrames.shared(
-      occ.join(scored.select(col("piece"), col("cost")), Seq("piece"))
-        .select(col("w"), col("j"), col("i"), col("cost")))
+  }
 
-    // min-plus relaxation: enc = dp·TieBase + parent, min is (cost, tie).
-    // Each round references dp TWICE (carry ∪ relax), so rounds are
-    // [[Dedup.materialize]]d — without cutting lineage the plan re-derives
-    // all prior rounds per reference (exponential growth, measured OOM).
+  /** Min-plus Viterbi of every word against a (piece, cost) table:
+    * the (w, piece) MULTISET of each word's optimal segmentation.
+    * Each relaxation/backtrack round references its predecessor twice
+    * (carry ∪ relax; piece leg + next position), so rounds are
+    * [[Dedup.materialize]]d — the unbroken plan re-derives all prior
+    * rounds per reference (exponential growth, measured OOM). */
+  private def viterbiPieces(words: DataFrame, occ: DataFrame,
+      costs: DataFrame): DataFrame = {
+    val edges = graft.SharedFrames.shared(
+      occ.join(costs.select(col("piece"), col("cost")), Seq("piece"))
+        .select(col("w"), col("j"), col("i"), col("cost")))
     var (dp, dp0Rdd) = Dedup.materialize(
       words.select(col("w"), lit(0).as("pos"), lit(0L).as("enc")))
     graft.SharedFrames.sharedRdd(dp0Rdd)
@@ -146,9 +156,6 @@ object UnigramLm {
       dp = next
     }
     val parents = dp
-
-    // backtrack parent pointers, emitting each word's piece multiset;
-    // hops are consumed twice (piece leg + next position), same treatment
     var cur = words.select(col("w"), length(col("w")).cast("int").as("pos"))
     val rounds = (1 to MaxWordLen).map { _ =>
       val (hop, hopRdd) = Dedup.materialize(cur.filter(col("pos") > 0)
@@ -160,18 +167,68 @@ object UnigramLm {
       hop.select(col("w"),
         expr("substring(w, jprev + 1, pos - jprev)").as("piece"))
     }
-    val used = rounds.reduce(_ union _)
+    rounds.reduce(_ union _)
+  }
+
+  /** Usage-elected final vocabulary (with candidate stats): top
+    * [[VocabK]] by (usage DESC, piece) ∪ all single chars. */
+  private def electedOf(words: DataFrame, occ: DataFrame,
+      scored: DataFrame): DataFrame = {
+    val used = viterbiPieces(words, occ, scored)
       .join(words, Seq("w"))
       .groupBy(col("piece")).agg(sum(col("wcnt")).as("used_cnt"))
-
     val fin = scored.join(used, Seq("piece"), "left_outer")
       .select(col("piece"), col("cnt"), col("cost"),
         coalesce(col("used_cnt"), lit(0L)).as("used_cnt"))
     fin.orderBy(col("used_cnt").desc, col("piece")).limit(VocabK)
       .union(fin.filter(length(col("piece")) === 1))
       .distinct()
+  }
+
+  /** The trained vocabulary, ordered (usage DESC, piece). */
+  def unigramLmVocab(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.SharedFrames.shared(wordsOf(spark, dir))
+    val occ = graft.SharedFrames.shared(occsOf(words))
+    electedOf(words, occ, scoredOf(occ))
       .orderBy(col("used_cnt").desc, col("piece"))
   }
+
+  /** TRAIN → APPLY: re-segment the corpus with the PRUNED vocabulary
+    * (same costs, elected pieces only — singles keep every word
+    * segmentable) and roll per-word piece counts up to each document:
+    * (doc_id, n_words, n_pieces, n_chars, chars-per-piece ratio), the
+    * token-budget question a tokenizer exists to answer. The second
+    * Viterbi is vocabulary-sized like the first; the ONLY corpus-sized
+    * stage is the final rollup — explode, one broadcast join against the
+    * ≤(VocabK + singles)-row per-word stats, one partial-combinable
+    * aggregation. Docs whose every word is out of contract (len >
+    * [[MaxWordLen]]) drop out, mirrored by the oracle's inner join. */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val words = graft.SharedFrames.shared(wordsOf(spark, dir))
+    val occ = graft.SharedFrames.shared(occsOf(words))
+    val scored = scoredOf(occ)
+    val elected = graft.SharedFrames.shared(
+      electedOf(words, occ, scored).select(col("piece"), col("cost")))
+    val perWord = graft.SharedFrames.shared(
+      viterbiPieces(words, occ, elected)
+        .groupBy(col("w")).agg(count(lit(1)).as("n_pieces")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, MaxWordLen))
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // oracle SQL
+  // ------------------------------------------------------------------
 
   /** Emits the CTE chain computing [[withIlog2]] in DuckDB over `src`
     * (carrying `keep`), final CTE named `dst` with column `out`. */
@@ -208,75 +265,120 @@ object UnigramLm {
     steps.mkString(",\n")
   }
 
+  /** [[MaxWordLen]] relaxation-round CTEs `${pre}1..${pre}N` over
+    * `${pre}0` and `edgesCte`. */
+  private def relaxSqlCtes(pre: String, edgesCte: String): String =
+    (1 to MaxWordLen).map { k =>
+      s"""$pre$k AS (
+         |  SELECT w, pos, MIN(enc) AS enc FROM (
+         |    SELECT w, pos, enc FROM $pre${k - 1}
+         |    UNION ALL
+         |    SELECT e.w, e.i AS pos, ((r.enc // $TieBase) + e.cost) * $TieBase + e.j AS enc
+         |    FROM $pre${k - 1} r JOIN $edgesCte e ON e.w = r.w AND e.j = r.pos) u
+         |  GROUP BY w, pos)""".stripMargin
+    }.mkString(",\n")
+
+  /** Backtrack CTEs: hops `${hp}1..` / positions `${bp}1..` over
+    * `${bp}0` and the converged `relaxLast`; returns (ctes, piece legs). */
+  private def backSqlCtes(hp: String, bp: String, relaxLast: String)
+      : (String, String) = {
+    val ctes = (1 to MaxWordLen).map { k =>
+      s"""$hp$k AS (
+         |  SELECT b.w, b.pos, CAST(p.enc % $TieBase AS INT) AS jprev
+         |  FROM $bp${k - 1} b JOIN $relaxLast p
+         |    ON p.w = b.w AND p.pos = b.pos
+         |  WHERE b.pos > 0),
+         |$bp$k AS (SELECT w, jprev AS pos FROM $hp$k)""".stripMargin
+    }.mkString(",\n")
+    val legs = (1 to MaxWordLen).map { k =>
+      s"SELECT w, substring(w, jprev + 1, pos - jprev) AS piece FROM $hp$k"
+    }.mkString("\n  UNION ALL\n  ")
+    (ctes, legs)
+  }
+
+  /** Shared training chain: wtab → … → `sel` (the elected vocabulary). */
+  private def trainSqlCtes: String = {
+    val (backCtes, pieceLegs) = backSqlCtes("s", "b", s"r$MaxWordLen")
+    s"""wtab AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE length(w) BETWEEN 1 AND $MaxWordLen GROUP BY w),
+       |occ AS (
+       |  SELECT w.w, w.wcnt, j.j, j.j + l.l AS i,
+       |    substring(w.w, CAST(j.j + 1 AS INT), CAST(l.l AS INT)) AS piece
+       |  FROM wtab w, range(0, $MaxWordLen) j(j), range(1, ${MaxPieceLen + 1}) l(l)
+       |  WHERE j.j < length(w.w) AND j.j + l.l <= length(w.w)),
+       |cand AS (
+       |  SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM occ GROUP BY piece),
+       |v0 AS (
+       |  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM cand
+       |    WHERE length(piece) > 1 AND cnt >= $MinCandCnt
+       |    ORDER BY cnt DESC, piece LIMIT $CandCap) tq),
+       |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tcnt FROM v0),
+       |${ilog2SqlCtes("tt", "tcnt", Seq.empty, "ttl", "lt")},
+       |${ilog2SqlCtes("v0", "cnt", Seq("piece", "cnt"), "v0l", "lp")},
+       |scored AS (
+       |  SELECT piece, cnt, (SELECT lt FROM ttl) - lp AS cost FROM v0l),
+       |edges AS (
+       |  SELECT o.w, o.j, o.i, s.cost FROM occ o JOIN scored s USING (piece)),
+       |r0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS enc
+       |       FROM wtab),
+       |${relaxSqlCtes("r", "edges")},
+       |b0 AS (SELECT w, CAST(length(w) AS BIGINT) AS pos FROM wtab),
+       |$backCtes,
+       |pieces AS (
+       |  $pieceLegs),
+       |used AS (
+       |  SELECT p.piece, CAST(SUM(w.wcnt) AS BIGINT) AS used_cnt
+       |  FROM pieces p JOIN wtab w USING (w) GROUP BY p.piece),
+       |fin AS (
+       |  SELECT s.piece, s.cnt, s.cost, COALESCE(u.used_cnt, 0) AS used_cnt
+       |  FROM scored s LEFT JOIN used u USING (piece)),
+       |sel AS (
+       |  SELECT * FROM (
+       |    SELECT * FROM fin ORDER BY used_cnt DESC, piece LIMIT $VocabK) a
+       |  UNION
+       |  SELECT * FROM fin WHERE length(piece) = 1)""".stripMargin
+  }
+
   /** Oracle: the full training replay — mining, both log chains, edges,
     * [[MaxWordLen]] relaxation rounds, [[MaxWordLen]] backtrack hops,
     * re-estimation, election. CTEs MATERIALIZED (deep reuse). */
-  val unigramLmVocabSql: String = {
-    val relax = (1 to MaxWordLen).map { k =>
-      s"""r$k AS (
-         |  SELECT w, pos, MIN(enc) AS enc FROM (
-         |    SELECT w, pos, enc FROM r${k - 1}
-         |    UNION ALL
-         |    SELECT e.w, e.i AS pos, ((r.enc // $TieBase) + e.cost) * $TieBase + e.j AS enc
-         |    FROM r${k - 1} r JOIN edges e ON e.w = r.w AND e.j = r.pos) u
-         |  GROUP BY w, pos)""".stripMargin
-    }.mkString(",\n")
-    val back = (1 to MaxWordLen).map { k =>
-      s"""s$k AS (
-         |  SELECT b.w, b.pos, CAST(p.enc % $TieBase AS INT) AS jprev
-         |  FROM b${k - 1} b JOIN r$MaxWordLen p
-         |    ON p.w = b.w AND p.pos = b.pos
-         |  WHERE b.pos > 0),
-         |b$k AS (SELECT w, jprev AS pos FROM s$k)""".stripMargin
-    }.mkString(",\n")
-    val pieceLegs = (1 to MaxWordLen).map { k =>
-      s"SELECT w, substring(w, jprev + 1, pos - jprev) AS piece FROM s$k"
-    }.mkString("\n  UNION ALL\n  ")
-    val raw =
-      s"""WITH wtab AS (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-         |  WHERE length(w) BETWEEN 1 AND $MaxWordLen GROUP BY w),
-         |occ AS (
-         |  SELECT w.w, w.wcnt, j.j, j.j + l.l AS i,
-         |    substring(w.w, CAST(j.j + 1 AS INT), CAST(l.l AS INT)) AS piece
-         |  FROM wtab w, range(0, $MaxWordLen) j(j), range(1, ${MaxPieceLen + 1}) l(l)
-         |  WHERE j.j < length(w.w) AND j.j + l.l <= length(w.w)),
-         |cand AS (
-         |  SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM occ GROUP BY piece),
-         |v0 AS (
-         |  SELECT piece, cnt FROM cand WHERE length(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cnt FROM (
-         |    SELECT piece, cnt FROM cand
-         |    WHERE length(piece) > 1 AND cnt >= $MinCandCnt
-         |    ORDER BY cnt DESC, piece LIMIT $CandCap) tq),
-         |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tcnt FROM v0),
-         |${ilog2SqlCtes("tt", "tcnt", Seq.empty, "ttl", "lt")},
-         |${ilog2SqlCtes("v0", "cnt", Seq("piece", "cnt"), "v0l", "lp")},
-         |scored AS (
-         |  SELECT piece, cnt, (SELECT lt FROM ttl) - lp AS cost FROM v0l),
-         |edges AS (
-         |  SELECT o.w, o.j, o.i, s.cost FROM occ o JOIN scored s USING (piece)),
-         |r0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS enc
+  val unigramLmVocabSql: String = OracleSql.materializeCtes(
+    s"""WITH $trainSqlCtes
+       |SELECT piece, cnt, cost, used_cnt FROM sel
+       |ORDER BY used_cnt DESC, piece""".stripMargin)
+
+  /** Oracle: training replay + the SECOND Viterbi against the elected
+    * vocabulary + the per-doc rollup. */
+  val unigramEncodeSql: String = {
+    val (backCtes2, pieceLegs2) = backSqlCtes("c", "d", s"q$MaxWordLen")
+    OracleSql.materializeCtes(
+      s"""WITH $trainSqlCtes,
+         |edges2 AS (
+         |  SELECT o.w, o.j, o.i, s.cost FROM occ o JOIN sel s USING (piece)),
+         |q0 AS (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS enc
          |       FROM wtab),
-         |$relax,
-         |b0 AS (SELECT w, CAST(length(w) AS BIGINT) AS pos FROM wtab),
-         |$back,
-         |pieces AS (
-         |  $pieceLegs),
-         |used AS (
-         |  SELECT p.piece, CAST(SUM(w.wcnt) AS BIGINT) AS used_cnt
-         |  FROM pieces p JOIN wtab w USING (w) GROUP BY p.piece),
-         |fin AS (
-         |  SELECT s.piece, s.cnt, s.cost, COALESCE(u.used_cnt, 0) AS used_cnt
-         |  FROM scored s LEFT JOIN used u USING (piece))
-         |SELECT piece, cnt, cost, used_cnt FROM (
-         |  SELECT * FROM (
-         |    SELECT * FROM fin ORDER BY used_cnt DESC, piece LIMIT $VocabK) a
-         |  UNION
-         |  SELECT * FROM fin WHERE length(piece) = 1) sel
-         |ORDER BY used_cnt DESC, piece""".stripMargin
-    OracleSql.materializeCtes(raw)
+         |${relaxSqlCtes("q", "edges2")},
+         |d0 AS (SELECT w, CAST(length(w) AS BIGINT) AS pos FROM wtab),
+         |$backCtes2,
+         |pieces2 AS (
+         |  $pieceLegs2),
+         |perword AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_pieces
+         |  FROM pieces2 GROUP BY w),
+         |docw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT d.doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(p.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(length(d.w)) AS DOUBLE) / CAST(SUM(p.n_pieces) AS DOUBLE)
+         |    AS ratio
+         |FROM docw d JOIN perword p USING (w)
+         |WHERE length(d.w) BETWEEN 1 AND $MaxWordLen
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
   }
 }

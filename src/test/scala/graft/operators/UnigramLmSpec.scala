@@ -114,5 +114,53 @@ class UnigramLmSpec extends AnyFunSuite with SparkSpec {
     assert(expected.exists(e => e._1.length > 1 && e._4 > 0))
     assert(expected.exists(_._4 == 0L))
     assert(words.keys.exists(w => segment(w).length > 1))
+
+    // ---- the train→apply pass (unigram_encode) ----
+    val enc = UnigramLm.unigramEncode(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.SharedFrames.releaseAll()
+
+    // second Viterbi restricted to the ELECTED vocabulary
+    val electedCost = expected.map(e => e._1 -> e._3).toMap
+    def segment2(w: String): Seq[String] = {
+      val n = w.length
+      val dp = Array.fill(n + 1)(Long.MaxValue / 2)
+      val par = Array.fill(n + 1)(-1)
+      dp(0) = 0
+      for (i <- 1 to n;
+           j <- math.max(0, i - UnigramLm.MaxPieceLen) until i) {
+        electedCost.get(w.substring(j, i)).foreach { c =>
+          val v = dp(j) + c
+          if (v < dp(i) || (v == dp(i) && j < par(i))) { dp(i) = v; par(i) = j }
+        }
+      }
+      var pieces = List.empty[String]
+      var pos = n
+      while (pos > 0) { pieces = w.substring(par(pos), pos) :: pieces; pos = par(pos) }
+      pieces
+    }
+    val perWord = words.keys.map(w => w -> segment2(w).length).toMap
+
+    // PRUNING BITES: some word re-segments into MORE pieces than training
+    assert(words.keys.exists(w => segment2(w).length > segment(w).length),
+      "no word affected by vocabulary pruning — the apply pass is vacuous")
+
+    // per-doc rollup replay, exact
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+        .filter(w => w.nonEmpty && w.length <= UnigramLm.MaxWordLen)
+      if (ws.isEmpty) assert(!enc.contains(id))
+      else {
+        val (nw, np, nc, ratio) = enc(id)
+        assert(nw == ws.length && nc == ws.map(_.length).sum)
+        val expNp = ws.map(perWord(_).toLong).sum
+        assert(np == expNp, s"doc $id: n_pieces $np != replay $expNp")
+        assert(ratio == nc.toDouble / np.toDouble)
+      }
+    }
   }
 }
