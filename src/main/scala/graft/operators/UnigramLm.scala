@@ -132,42 +132,57 @@ object UnigramLm {
   }
 
   /** Min-plus Viterbi of every word against a (piece, cost) table:
-    * the (w, piece) MULTISET of each word's optimal segmentation.
-    * Each relaxation/backtrack round references its predecessor twice
-    * (carry ∪ relax; piece leg + next position), so rounds are
-    * [[Dedup.materialize]]d — the unbroken plan re-derives all prior
-    * rounds per reference (exponential growth, measured OOM). */
+    * the (w, piece) MULTISET of each word's optimal segmentation, ties
+    * to the smallest parent position.
+    *
+    * Physical form: a BOUNDED-GROUP kernel — each word's ≤
+    * [[MaxWordLen]]·[[MaxPieceLen]] candidate edges flow through ONE
+    * shuffle into `flatMapGroups`, where the ≤(MaxWordLen+1)-cell DP
+    * runs in plain integer Scala. The declarative alternative (min-plus
+    * relaxation rounds, the [[GraphRank.graphBfs]] shape — and exactly
+    * what the ORACLE unrolls, so the semantics stay SQL-proven) needs
+    * [[MaxWordLen]] driver-scheduled join+agg rounds whose fixed
+    * per-round cost dominated the query at every SF (measured 6–12 s/
+    * pass); group state here is contract-bounded, so the kernel is the
+    * honest physical choice, not an Expression stand-in. The DP is
+    * edge-order-independent (ties resolve by parent position, not
+    * arrival), so partial shuffles cannot perturb it. */
   private def viterbiPieces(words: DataFrame, occ: DataFrame,
       costs: DataFrame): DataFrame = {
-    val edges = graft.SharedFrames.shared(
-      occ.join(costs.select(col("piece"), col("cost")), Seq("piece"))
-        .select(col("w"), col("j"), col("i"), col("cost")))
-    var (dp, dp0Rdd) = Dedup.materialize(
-      words.select(col("w"), lit(0).as("pos"), lit(0L).as("enc")))
-    graft.SharedFrames.sharedRdd(dp0Rdd)
-    (1 to MaxWordLen).foreach { _ =>
-      val step = edges.join(dp.withColumnRenamed("pos", "j"), Seq("w", "j"))
-        .select(col("w"), col("i").as("pos"),
-          ((expr(s"enc div $TieBase") + col("cost")) * TieBase + col("j"))
-            .as("enc"))
-      val (next, nextRdd) = Dedup.materialize(dp.union(step)
-        .groupBy(col("w"), col("pos")).agg(min(col("enc")).as("enc")))
-      graft.SharedFrames.sharedRdd(nextRdd)
-      dp = next
-    }
-    val parents = dp
-    var cur = words.select(col("w"), length(col("w")).cast("int").as("pos"))
-    val rounds = (1 to MaxWordLen).map { _ =>
-      val (hop, hopRdd) = Dedup.materialize(cur.filter(col("pos") > 0)
-        .join(parents, Seq("w", "pos"))
-        .select(col("w"), col("pos"),
-          (col("enc") % TieBase).cast("int").as("jprev")))
-      graft.SharedFrames.sharedRdd(hopRdd)
-      cur = hop.select(col("w"), col("jprev").as("pos"))
-      hop.select(col("w"),
-        expr("substring(w, jprev + 1, pos - jprev)").as("piece"))
-    }
-    rounds.reduce(_ union _)
+    val ss = occ.sparkSession
+    import ss.implicits._
+    occ.join(broadcast(costs.select(col("piece"), col("cost"))), Seq("piece"))
+      .select(col("w"), col("j").cast("int"), col("i").cast("int"),
+        col("cost"))
+      .as[(String, Int, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (w, it) =>
+        val edges = it.toArray
+        val n = w.length
+        val dp = Array.fill(n + 1)(Long.MaxValue / 2)
+        val par = Array.fill(n + 1)(-1)
+        dp(0) = 0L
+        var i = 1
+        while (i <= n) {
+          edges.foreach { e =>
+            if (e._3 == i) {
+              val v = dp(e._2) + e._4
+              if (v < dp(i) || (v == dp(i) && e._2 < par(i))) {
+                dp(i) = v; par(i) = e._2
+              }
+            }
+          }
+          i += 1
+        }
+        var pieces = List.empty[(String, String)]
+        var pos = n
+        while (pos > 0) {
+          pieces = (w, w.substring(par(pos), pos)) :: pieces
+          pos = par(pos)
+        }
+        pieces.iterator
+      }
+      .toDF("w", "piece")
   }
 
   /** Usage-elected final vocabulary (with candidate stats): top
@@ -207,11 +222,11 @@ object UnigramLm {
     val words = graft.SharedFrames.shared(wordsOf(spark, dir))
     val occ = graft.SharedFrames.shared(occsOf(words))
     val scored = scoredOf(occ)
-    val elected = graft.SharedFrames.shared(
-      electedOf(words, occ, scored).select(col("piece"), col("cost")))
-    val perWord = graft.SharedFrames.shared(
-      viterbiPieces(words, occ, elected)
-        .groupBy(col("w")).agg(count(lit(1)).as("n_pieces")))
+    // elected and perWord each have ONE consumer — no materialization
+    val elected = electedOf(words, occ, scored)
+      .select(col("piece"), col("cost"))
+    val perWord = viterbiPieces(words, occ, elected)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_pieces"))
     t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")).between(1, MaxWordLen))
