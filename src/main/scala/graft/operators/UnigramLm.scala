@@ -23,13 +23,13 @@ import graft.Tables.t
   *     log2 — i.e. −log2 relative frequency in 1/256 bits, non-negative
   *     integers, so min-plus DP needs no floating point and no negative
   *     division (where Spark `div` truncates but DuckDB `//` floors).
-  *  3. Viterbi: each distinct word's min-cost segmentation. The DP is a
-  *     shortest path on the position DAG, run as [[MaxWordLen]] min-plus
-  *     RELAXATION rounds — the [[GraphRank.graphBfs]] shape: the
-  *     (cost, parent) pair packs into ONE BIGINT `cost·32 + j` (parent
-  *     positions < [[TieBase]]), so every round is an equi-join plus a
-  *     partial-combinable `min`, and ties break toward the smallest
-  *     parent deterministically.
+  *  3. Viterbi: each distinct word's min-cost segmentation — a shortest
+  *     path on the position DAG, ties to the smallest parent position.
+  *     Physically a bounded-group kernel (see [[viterbiPieces]]); the
+  *     ORACLE proves the semantics declaratively by unrolling
+  *     [[MaxWordLen]] min-plus relaxation rounds in the
+  *     [[GraphRank.graphBfs]] shape, the (cost, parent) pair packed into
+  *     ONE BIGINT `cost·[[TieBase]] + j`.
   *  4. Backtrack [[MaxWordLen]] parent-pointer hops emit each word's
   *     piece sequence; usage counts re-estimate piece frequencies.
   *  5. Final vocabulary: top-[[VocabK]] pieces by (usage DESC, piece),
