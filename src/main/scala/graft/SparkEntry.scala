@@ -85,6 +85,8 @@ object SparkEntry {
     "unigram_lm_vocab" -> (graft.operators.UnigramLm.unigramLmVocab _),
     // train → apply at the pruned vocab: the per-doc token budget
     "unigram_encode" -> (graft.operators.UnigramLm.unigramEncode _),
+    // F2 / self-join size from the CMS matrix, one-sided + exact beside
+    "sketch_f2" -> (graft.operators.Sketches.sketchF2 _),
     // BM25 weighting family (rational idf — the tfidf reproducibility
     // discipline); dl via doc-bounded window over the shared tf gen
     "bm25_topk" -> (TextAnalysis.bm25Topk _),
@@ -421,6 +423,7 @@ object SparkEntry {
     "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
     "unigram_lm_vocab" -> graft.operators.UnigramLm.unigramLmVocabSql,
     "unigram_encode" -> graft.operators.UnigramLm.unigramEncodeSql,
+    "sketch_f2" -> graft.operators.Sketches.sketchF2Sql,
     "bm25_topk" -> TextAnalysis.bm25TopkSql,
     // oracle is the SEQUENTIAL prefix sum; Spark runs the two-phase
     // bucket decomposition — equality proves the distributed cumsum

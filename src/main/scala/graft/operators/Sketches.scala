@@ -132,6 +132,73 @@ object Sketches {
        |ORDER BY cnt DESC, token""".stripMargin
   }
 
+  /** SECOND FREQUENCY MOMENT (F2, self-join size) from the count–min
+    * matrix — the AMS-family statistic (Alon–Matias–Szegedy '96) behind
+    * join-size and repetition-mass estimation in every cost-based
+    * planner: F2 = Σ_k cnt(k)² over the token stream, estimated as
+    * `min_r Σ_b cms[r][b]²` from the SAME bounded D×W matrix
+    * [[sketchCms]] maintains (nothing token-keyed shuffles; the sketch
+    * is the state). Bucketing only MERGES keys, and every term is
+    * non-negative, so each row's estimate is ≥ F2 — the one-sided
+    * guarantee SketchesSpec pins, together with the measured relative
+    * error of the min (additive N²/W noise ≪ F2 on a repetitive
+    * corpus). Squares run in DECIMAL(38,0) — counts at 100 TB square
+    * past int64 — and the only floating step is the final
+    * over-estimation ratio. The exact F2 beside it is one
+    * partial-combinable aggregation; the oracle replays matrix, squares
+    * and ratio bit-identically. */
+  def sketchF2(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.SharedFrames.shared(
+      t(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(rolling_hash(col("token")).as("h")))
+    val sq = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+        c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val estRows = cmsMatrixOf(toks)
+      .groupBy(col("row")).agg(sum(sq(col("c"))).as("est_row"))
+    val exact = toks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(sq(col("cnt"))).as("exact"))
+    val estMin = estRows.agg(min(col("est_row")).as("est_min"))
+    estRows
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(estMin))
+      .select(col("row"), col("est_row"), col("exact"), col("est_min"),
+        (col("est_min").cast("string").cast("double") /
+          col("exact").cast("string").cast("double")).as("over_ratio"))
+      .orderBy(col("row"))
+  }
+
+  val sketchF2Sql: String = OracleSql.materializeCtes {
+    val rowVals = CmsRows.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH th AS (
+       |  SELECT ${rollFoldSql("token")} AS h
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  WHERE length(token) > 0),
+       |rws(i, a, b) AS (VALUES $rowVals),
+       |cms AS (
+       |  SELECT i AS row, ((a*h + b) % $HashP) % $CmsW AS bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM th CROSS JOIN rws GROUP BY 1, 2),
+       |est AS (
+       |  SELECT row,
+       |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS est_row
+       |  FROM cms GROUP BY row),
+       |ex AS (
+       |  SELECT CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS exact
+       |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM th GROUP BY h) k),
+       |mn AS (SELECT MIN(est_row) AS est_min FROM est)
+       |SELECT e.row, e.est_row, ex.exact, mn.est_min,
+       |  CAST(CAST(mn.est_min AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(ex.exact AS VARCHAR) AS DOUBLE) AS over_ratio
+       |FROM est e, ex, mn ORDER BY e.row""".stripMargin
+  }
+
   /** HLL precision: 2^10 = 1024 registers per group. */
   final val HllM = 1024L
   /** Rho domain: 20 bits of the second hash; registers range 1..21. */

@@ -145,4 +145,35 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       s"CMS probe rows are not broadcast:\n$p")
     graft.SharedFrames.releaseAll()
   }
+
+  test("sketch_f2: every row over-estimates F2 (one-sided), the min lands within the N^2/W noise, exact F2 replays") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.sketchF2(spark, dir).collect()
+      .map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4)))
+    graft.SharedFrames.releaseAll()
+    assert(rows.length == Sketches.CmsRows.length)
+
+    // independent exact F2 from the raw token stream
+    val counts = graft.Tables.t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).count().collect().map(_.getLong(1))
+    val f2 = counts.map(c => BigInt(c) * BigInt(c)).sum
+    val n = BigInt(counts.sum)
+
+    rows.foreach { case (_, estRow, exact, estMin, ratio) =>
+      assert(exact == f2, s"exact F2 $exact != replay $f2")
+      assert(estRow >= f2, s"row estimate $estRow undercuts F2 $f2")
+      assert(estMin == rows.map(_._2).min)
+      // additive error of the min is bounded by the expected n²/W
+      // collision mass (generous 2× headroom — W=1024 on ≤dozens of
+      // distinct hot tokens leaves most rows collision-free)
+      assert(BigDecimal(estMin - f2) <=
+        BigDecimal(2) * BigDecimal(n * n) / BigDecimal(Sketches.CmsW),
+        s"min estimate $estMin too far above F2 $f2")
+      assert(ratio >= 1.0)
+    }
+  }
 }
