@@ -55,4 +55,43 @@ class TopKAggSpec extends AnyFunSuite with SparkSpec {
       TopKAgg.Entry(2, 7.0)), s"merge wrong: $m")
     // tie at 7.0: id 2 beats id 5 (ascending id tie-break)
   }
+
+  test("top_k_w merge laws: payload inert, associative, commutative, k-bounded under randomized merge trees") {
+    // the payload-carrying variant must be EXACTLY top_k on (id, v) with
+    // w along for the ride — randomized property sweep over merge shapes
+    val agg = TopKAgg.ofW(4)
+    val rnd = new scala.util.Random(20260814)
+    (1 to 200).foreach { trial =>
+      val n = 1 + rnd.nextInt(24)
+      // duplicate values force the (v desc, id asc) tie order to matter
+      val entries = (1 to n).map { _ =>
+        TopKAgg.EntryW(rnd.nextInt(50), rnd.nextInt(6).toDouble,
+          rnd.nextLong(1000))
+      }.toList
+      val expected = entries.sortBy(e => (-e.v, e.id)).take(4)
+        .map(e => (e.id, e.v))
+      // random binary merge tree over random slices
+      def fold(es: List[TopKAgg.EntryW]): List[TopKAgg.EntryW] =
+        if (es.length <= 1) es.foldLeft(agg.zero)((b, e) => agg.reduce(b, e))
+        else {
+          val cut = 1 + rnd.nextInt(es.length - 1)
+          agg.merge(fold(es.take(cut)), fold(es.drop(cut)))
+        }
+      val got = fold(entries)
+      assert(got.length <= 4, s"trial $trial: buffer exceeded k")
+      assert(got.map(e => (e.id, e.v)) == expected,
+        s"trial $trial: ranking diverged\n got=$got\n exp=$expected")
+      // payload inertness: each surviving (id, v) carries ITS OWN w —
+      // compare against the first matching input entry in rank order
+      got.foreach { e =>
+        assert(entries.exists(x => x.id == e.id && x.v == e.v && x.w == e.w),
+          s"trial $trial: payload corrupted for $e")
+      }
+      // commutativity of merge on disjoint halves
+      val (l, r) = entries.splitAt(entries.length / 2)
+      assert(agg.merge(fold(l), fold(r)).map(e => (e.id, e.v)) ==
+        agg.merge(fold(r), fold(l)).map(e => (e.id, e.v)),
+        s"trial $trial: merge not commutative on ranks")
+    }
+  }
 }
