@@ -81,6 +81,8 @@ object SparkEntry {
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
     // TextRank keywords: fixed-point PageRank over word co-occurrence
     "textrank_keywords" -> (TextAnalysis.textrankKeywords _),
+    // PMI/lift collocations: exact integer ranking, one IEEE division
+    "collocations_pmi" -> (TextAnalysis.collocationsPmi _),
     // unigram-LM tokenizer: integer Viterbi hard-EM, fully SQL-replayable
     "unigram_lm_vocab" -> (graft.operators.UnigramLm.unigramLmVocab _),
     // train → apply at the pruned vocab: the per-doc token budget
@@ -290,6 +292,8 @@ object SparkEntry {
     "pagerank_sim" -> (graft.operators.GraphRank.pagerankSim _),
     // multi-source BFS / nearest-landmark: per-round equi-join + min
     "graph_bfs" -> (graft.operators.GraphRank.graphBfs _),
+    // triangle counting: id-oriented wedge join + closure join
+    "graph_triangles" -> (graft.operators.GraphRank.graphTriangles _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
@@ -421,6 +425,7 @@ object SparkEntry {
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
+    "collocations_pmi" -> TextAnalysis.collocationsPmiSql,
     "unigram_lm_vocab" -> graft.operators.UnigramLm.unigramLmVocabSql,
     "unigram_encode" -> graft.operators.UnigramLm.unigramEncodeSql,
     "sketch_f2" -> graft.operators.Sketches.sketchF2Sql,
@@ -491,6 +496,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql,
     "pagerank_sim" -> graft.operators.GraphRank.pagerankSimSql,
     "graph_bfs" -> graft.operators.GraphRank.graphBfsSql,
+    "graph_triangles" -> graft.operators.GraphRank.graphTrianglesSql,
     // the O(log n) star-contraction engine against the SAME oracle:
     // equality proves the alternating contraction computes exactly the
     // transitive closure the propagation loop does

@@ -177,6 +177,83 @@ object GraphRank {
     OracleSql.materializeCtes(raw)
   }
 
+  /** TRIANGLE COUNTING over the τ-similarity graph — the third graph
+    * analytic beside reachability ([[Dedup]] CC), ranking
+    * ([[pagerankSim]]) and traversal ([[graphBfs]]): per-doc triangle
+    * participation plus the global total, the local-clustering signal
+    * community detection and near-dup "clique vs chain" triage read.
+    *
+    * The id-ORIENTED node-iterator shape: canonical a<b edges, wedges by
+    * ONE equi-join on the middle vertex (a<b<c by construction, so every
+    * triangle is enumerated exactly once), closure by a second equi-join
+    * against the canonical edge list. Both joins are co-keyed shuffles
+    * with partial-combinable counts — no windows, no driver state; wedge
+    * volume is the textbook Σ deg² bound (a production variant orients
+    * by degree to tighten it to Σ min-deg; the id orientation keeps the
+    * oracle replay one CTE shorter and is documented as such). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
+    val e = graft.SharedFrames.shared(
+      simEdges(spark, dir).filter(col("src") < col("dst")))
+    val wedges = e.as("ab")
+      .join(e.as("bc"), col("ab.dst") === col("bc.src"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"),
+        col("bc.dst").as("c"))
+    val tris = graft.SharedFrames.shared(
+      wedges.join(e.as("ac"),
+          col("a") === col("ac.src") && col("c") === col("ac.dst"))
+        .select(col("a"), col("b"), col("c")))
+    val perV = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    val total = tris.agg(count(lit(1)).as("total_triangles"))
+    nodes.join(perV, Seq("v"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("v").as("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("total_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same graph CTEs; `pairs` is already the canonical a<b
+    * edge list, so the triangle enumeration is two joins verbatim. */
+  val graphTrianglesSql: String = {
+    val raw =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+         |                                        i -> text[i:i+2]))) AS gram
+         |  FROM documents WHERE doc_id < $PrCap),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
+         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+         |tris AS (
+         |  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON bc.d1 = ab.d2
+         |  JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+         |perv AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS v FROM tris
+         |    UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris) u GROUP BY v),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tris)
+         |SELECT n.v AS doc_id, COALESCE(p.n_tri, 0) AS n_tri,
+         |  (SELECT total_triangles FROM tot) AS total_triangles
+         |FROM nodes n LEFT JOIN perv p ON p.v = n.v
+         |ORDER BY doc_id""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
+
   /** Oracle: the τ-graph from the exploded-gram Jaccard formulation (the
     * [[Dedup.dedupNgramJaccardSql]] equivalence, already gate-proven
     * against the packed θ-join) and all [[PrIters]] rounds unrolled with

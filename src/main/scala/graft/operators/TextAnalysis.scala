@@ -697,6 +697,83 @@ object TextAnalysis {
        |  FROM s)
        |WHERE rn <= 3""".stripMargin
 
+  /** Collocation report size / minimum pair support. */
+  final val PmiTopK = 20
+  final val PmiMinCnt = 5L
+
+  /** COLLOCATION MINING — the top-[[PmiTopK]] adjacent-token bigrams by
+    * PMI-style LIFT `cnt(ab)·N / (cnt(a)·cnt(b))` (how much more often
+    * the pair co-occurs than independence predicts — the multiword-
+    * expression detector phrase-aware tokenizers and n-gram feature
+    * pipelines are seeded with). PMI itself is `log lift`; log is
+    * monotone, so ranking by lift IS ranking by PMI while keeping the
+    * arithmetic exact: all three counts and their products are BIGINT,
+    * and the ONE floating step is the final reported division (two
+    * correctly-rounded int→double conversions + one IEEE divide —
+    * engine-identical). Pairs below [[PmiMinCnt]] support are dropped
+    * (the standard guard: a hapax pair has huge lift and no evidence).
+    *
+    * Scale shape: bigram mining is ONE doc-partitioned window pass
+    * (lead over the in-document sequence); both count tables are
+    * partial-combinable aggregations; the unigram table is
+    * vocabulary-sized and joins back BROADCAST; top-k is TakeOrdered on
+    * (lift DESC, w1, w2) — a total order, so the report is
+    * deterministic. */
+  def collocationsPmi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "ord", "tok")
+      .filter(length(col("tok")) > 0)
+    val uni = graft.SharedFrames.shared(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    val n = uni.agg(sum(col("cnt")).as("n"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("ord"))
+    val bi = toks
+      .select(col("tok").as("w1"), lead(col("tok"), 1).over(byDoc).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= PmiMinCnt)
+    bi
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("cnt", "cnt_a")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("cnt", "cnt_b")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cnt_ab"), col("cnt_a"),
+        col("cnt_b"),
+        ((col("cnt_ab") * col("n")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val collocationsPmiSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, ord FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(text, ' ')) AS tok,
+       |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+       |    FROM documents) u
+       |  WHERE length(tok) > 0),
+       |uni AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+       |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+       |bi AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_ab FROM (
+       |    SELECT tok AS w1, lead(tok, 1) OVER (
+       |      PARTITION BY doc_id ORDER BY ord) AS w2
+       |    FROM toks) p
+       |  WHERE w2 IS NOT NULL GROUP BY w1, w2
+       |  HAVING COUNT(*) >= $PmiMinCnt)
+       |SELECT b.w1, b.w2, b.cnt_ab, a.cnt AS cnt_a, c.cnt AS cnt_b,
+       |  CAST(b.cnt_ab * nn.n AS DOUBLE)
+       |    / CAST(a.cnt * c.cnt AS DOUBLE) AS lift
+       |FROM bi b
+       |JOIN uni a ON a.tok = b.w1
+       |JOIN uni c ON c.tok = b.w2, nn
+       |ORDER BY lift DESC, b.w1, b.w2 LIMIT $PmiTopK""".stripMargin
+
   /** TextRank co-occurrence span (over the filtered token sequence). */
   final val TrWindow = 2
   /** Minimum token length admitted to the graph. */
