@@ -294,6 +294,9 @@ object SparkEntry {
     "graph_bfs" -> (graft.operators.GraphRank.graphBfs _),
     // triangle counting: id-oriented wedge join + closure join
     "graph_triangles" -> (graft.operators.GraphRank.graphTriangles _),
+    // local clustering coefficient + k-core membership
+    "graph_clustering" -> (graft.operators.GraphRank.graphClustering _),
+    "graph_kcore" -> (graft.operators.GraphRank.graphKcore _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
@@ -497,6 +500,8 @@ object SparkEntry {
     "pagerank_sim" -> graft.operators.GraphRank.pagerankSimSql,
     "graph_bfs" -> graft.operators.GraphRank.graphBfsSql,
     "graph_triangles" -> graft.operators.GraphRank.graphTrianglesSql,
+    "graph_clustering" -> graft.operators.GraphRank.graphClusteringSql,
+    "graph_kcore" -> graft.operators.GraphRank.graphKcoreSql,
     // the O(log n) star-contraction engine against the SAME oracle:
     // equality proves the alternating contraction computes exactly the
     // transitive closure the propagation loop does

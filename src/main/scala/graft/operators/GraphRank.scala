@@ -216,6 +216,175 @@ object GraphRank {
       .orderBy(col("doc_id"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT — triangles normalized by wedge
+    * capacity: `lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`, the standard
+    * "how clique-like is this node's neighborhood" statistic (near-dup
+    * cluster triage: lcc ≈ 1 → a true duplicate clique, low lcc → a
+    * chain of borderline matches). Reuses the [[graphTriangles]]
+    * enumeration; degrees come from the symmetric edge list in one
+    * partial-combinable count. Everything is exact integers until the
+    * ONE reported IEEE division; deg < 2 reports 0.0 (no wedge exists). */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
+    val sym = graft.SharedFrames.shared(simEdges(spark, dir))
+    val e = graft.SharedFrames.shared(sym.filter(col("src") < col("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val tris = e.as("ab")
+      .join(e.as("bc"), col("ab.dst") === col("bc.src"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"),
+        col("bc.dst").as("c"))
+      .join(e.as("ac"),
+        col("a") === col("ac.src") && col("c") === col("ac.dst"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    nodes
+      .join(deg.withColumnRenamed("src", "v"), Seq("v"), "left_outer")
+      .join(tris, Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) < 2L, lit(0.0d))
+          .otherwise((lit(2L) * coalesce(col("n_tri"), lit(0L)))
+            .cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double")).as("lcc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val graphClusteringSql: String = {
+    val raw =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+         |                                        i -> text[i:i+2]))) AS gram
+         |  FROM documents WHERE doc_id < $PrCap),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |tris AS (
+         |  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
+         |  FROM pairs ab
+         |  JOIN pairs bc ON bc.d1 = ab.d2
+         |  JOIN pairs ac ON ac.d1 = ab.d1 AND ac.d2 = bc.d2),
+         |perv AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS v FROM tris
+         |    UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris) u GROUP BY v)
+         |SELECT n.v AS doc_id,
+         |  COALESCE(d.deg, 0) AS deg,
+         |  COALESCE(p.n_tri, 0) AS n_tri,
+         |  CASE WHEN COALESCE(d.deg, 0) < 2 THEN 0.0
+         |       ELSE CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE)
+         |            / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS lcc
+         |FROM nodes n
+         |LEFT JOIN deg d ON d.src = n.v
+         |LEFT JOIN perv p ON p.v = n.v
+         |ORDER BY doc_id""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
+
+  /** Peeling threshold and fixed round count for [[graphKcore]]. */
+  final val KCoreK = 3
+  final val KCoreIters = 8
+
+  /** K-CORE DECOMPOSITION (membership in the [[KCoreK]]-core) — the
+    * density filter community mining runs before anything expensive:
+    * repeatedly peel vertices of degree < K until stable; what survives
+    * is the maximal subgraph where EVERY vertex keeps ≥ K neighbors
+    * inside it. Deterministic fixed-round semantics ([[KCoreIters]]
+    * simultaneous-peel rounds, unrolled identically in the oracle;
+    * GraphRankSpec pins that the peel has CONVERGED by then at every
+    * SF, so the fixed-round answer IS the fixpoint). Each round: filter
+    * live edges by survivor membership on both endpoints (two co-keyed
+    * joins), one partial-combinable degree count, one filter — the CC
+    * loop's shape, rounds lineage-cut via [[Dedup.materialize]] since
+    * the survivor set is referenced twice per round. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
+    val sym = graft.SharedFrames.shared(simEdges(spark, dir))
+    var (surv, rdd0) = Dedup.materialize(
+      sym.select(col("src").as("v")).distinct())
+    graft.SharedFrames.sharedRdd(rdd0)
+    (1 to KCoreIters).foreach { _ =>
+      val alive = sym
+        .join(surv.withColumnRenamed("v", "src"), Seq("src"))
+        .join(surv.withColumnRenamed("v", "dst"), Seq("dst"))
+      val (next, rdd) = Dedup.materialize(
+        alive.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCoreK).select(col("src").as("v")))
+      graft.SharedFrames.sharedRdd(rdd)
+      surv = next
+    }
+    val coreDeg = sym
+      .join(surv.withColumnRenamed("v", "src"), Seq("src"))
+      .join(surv.withColumnRenamed("v", "dst"), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    nodes
+      .join(coreDeg.withColumnRenamed("src", "v"), Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"),
+        col("core_deg").isNotNull.as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the graph CTEs + [[KCoreIters]] unrolled peel rounds. */
+  val graphKcoreSql: String = {
+    val rounds = (1 to KCoreIters).map { k =>
+      s"""s$k AS (
+         |  SELECT e.src AS v FROM edges e
+         |  JOIN s${k - 1} a ON a.v = e.src
+         |  JOIN s${k - 1} b ON b.v = e.dst
+         |  GROUP BY e.src HAVING COUNT(*) >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+    val raw =
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+         |                                        i -> text[i:i+2]))) AS gram
+         |  FROM documents WHERE doc_id < $PrCap),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN sizes s1 ON s1.doc_id = d1
+         |  JOIN sizes s2 ON s2.doc_id = d2
+         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+         |          UNION ALL SELECT d2, d1 FROM pairs),
+         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+         |s0 AS (SELECT DISTINCT src AS v FROM edges),
+         |$rounds,
+         |coredeg AS (
+         |  SELECT e.src, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |  FROM edges e
+         |  JOIN s$KCoreIters a ON a.v = e.src
+         |  JOIN s$KCoreIters b ON b.v = e.dst
+         |  GROUP BY e.src)
+         |SELECT n.v AS doc_id,
+         |  (c.core_deg IS NOT NULL) AS in_core,
+         |  COALESCE(c.core_deg, 0) AS core_deg
+         |FROM nodes n LEFT JOIN coredeg c ON c.src = n.v
+         |ORDER BY doc_id""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
+
   /** Oracle: the same graph CTEs; `pairs` is already the canonical a<b
     * edge list, so the triangle enumeration is two joins verbatim. */
   val graphTrianglesSql: String = {

@@ -91,4 +91,40 @@ class GraphRankSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter(_._2._1 > 0).values.map(_._2).toSet.size > 1,
       "all non-seed nodes claimed by one root — attribution vacuous")
   }
+
+  test("graph_kcore: independent peel replay; the fixed-round peel has CONVERGED (one more round changes nothing)") {
+    import spark.implicits._
+    val out = GraphRank.graphKcore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    graft.SharedFrames.releaseAll()
+    val edges = GraphRank.simEdges(spark, dir).as[(Long, Long)].collect()
+    graft.SharedFrames.releaseAll()
+
+    // simultaneous-peel replay in plain Scala, run PAST the operator's
+    // round budget — the fixed-round answer must already be the fixpoint
+    var surv = edges.map(_._1).toSet
+    val history = scala.collection.mutable.ArrayBuffer(surv)
+    (1 to GraphRank.KCoreIters + 4).foreach { _ =>
+      val deg = edges.filter(e => surv(e._1) && surv(e._2))
+        .groupBy(_._1).view.mapValues(_.length).toMap
+      surv = surv.filter(v => deg.getOrElse(v, 0) >= GraphRank.KCoreK)
+      history += surv
+    }
+    assert(history(GraphRank.KCoreIters) == history.last,
+      s"peel not converged after ${GraphRank.KCoreIters} rounds — " +
+        "the fixed-round semantics would diverge from the fixpoint")
+    val coreDeg = edges.filter(e => surv(e._1) && surv(e._2))
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (v, (inCore, d)) =>
+      assert(inCore == surv(v), s"node $v: in_core $inCore != replay")
+      assert(d == coreDeg.getOrElse(v, 0L), s"node $v: core_deg $d wrong")
+    }
+    // every survivor keeps >= K neighbors IN the core (the definition),
+    // and the peel actually removed someone with original degree >= K
+    surv.foreach(v => assert(coreDeg(v) >= GraphRank.KCoreK))
+    val origDeg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(out.exists { case (v, (in, _)) =>
+      !in && origDeg.getOrElse(v, 0) >= GraphRank.KCoreK
+    }, "no cascading peel — every non-core node was trivially low-degree")
+  }
 }
