@@ -79,14 +79,19 @@ object TopKAgg {
     (id: Column, v: Column) => f.apply(id, v)
   }
 
-  /** [[Entry]] plus an inert payload the ranking ignores — lets a bounded
-    * top-k carry a measure column through the aggregate instead of
-    * joining it back afterwards (a streaming aggregation cannot join back
-    * to its own input at all, and batch saves the join). */
+  /** [[Entry]] plus a payload — lets a bounded top-k carry a measure
+    * column through the aggregate instead of joining it back afterwards
+    * (a streaming aggregation cannot join back to its own input at all,
+    * and batch saves the join). The payload does not influence the RANK
+    * but is the FINAL tie-break: without it, two inputs with identical
+    * (id, v) but different w would keep whichever arrived second in the
+    * merge tree — a partitioning-dependent result. */
   final case class EntryW(id: Long, v: Double, w: Long)
 
   private def ltW(a: EntryW, b: EntryW): Boolean =
-    lt(Entry(a.id, a.v), Entry(b.id, b.v))
+    if (java.lang.Double.compare(a.v, b.v) != 0 || a.id != b.id)
+      lt(Entry(a.id, a.v), Entry(b.id, b.v))
+    else a.w < b.w
 
   private def mergeKW(k: Int, a: List[EntryW], b: List[EntryW]): List[EntryW] = {
     @annotation.tailrec

@@ -60,6 +60,76 @@ object GraphRank {
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
   }
 
+  /** The damped fixed-point rank iteration BOTH rank operators run
+    * (this file's [[pagerankSim]] and [[TextAnalysis.textrankKeywords]]):
+    * per round, edges ⋈ ranks on src, per-dst partial-combinable sum,
+    * teleport base + 17/20 damping as integer multiply-then-truncate.
+    * `nodes(v)`, `edges(src,dst)`, `deg(src,deg)`; rank lineage is
+    * LINEAR across rounds (ranks referenced once per round), so no
+    * per-round materialization is needed. One copy of the arithmetic —
+    * a divergent duplicate would silently desynchronize the two
+    * operators' oracles. */
+  private[operators] def rankRounds(nodes: DataFrame, edges: DataFrame,
+      deg: DataFrame, scale: Long, n: Long, iters: Int): DataFrame = {
+    val base = (3L * scale) / (20L * n)
+    var ranks = nodes.withColumn("pr", lit(scale / n))
+    (1 to iters).foreach { _ =>
+      val incoming = edges
+        .join(deg, Seq("src"))
+        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "v"), Seq("v"), "left_outer")
+        .select(col("v"),
+          (lit(base) + expr("(17 * coalesce(inc, 0L)) div 20")).as("pr"))
+    }
+    ranks
+  }
+
+  /** SQL twin of [[rankRounds]]: the unrolled r1..rN round CTEs over
+    * `nodes`/`edges`/`deg`/`nn`/r0. */
+  private[operators] def rankRoundsSql(scale: Long, iters: Int): String =
+    (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.v,
+         |    CAST((SELECT (3 * $scale) // (20 * n) FROM nn)
+         |      + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS v, SUM(r.pr // d.deg) AS s
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN r${i - 1} r ON r.v = e.src
+         |    GROUP BY e.dst) inc ON inc.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+
+  /** ONE copy of the τ-similarity-graph oracle prelude (g → sizes →
+    * inter → pairs); every graph oracle in this file builds on it, so a
+    * change to the similarity definition cannot desynchronize one. */
+  private val simGraphCtes: String =
+    s"""g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, length(text)-1),
+       |                                        i -> text[i:i+2]))) AS gram
+       |  FROM documents WHERE doc_id < $PrCap),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau)""".stripMargin
+
+  /** [[simGraphCtes]] + the symmetric edge list and the node set. */
+  private val simGraphEdgesNodesCtes: String =
+    s"""$simGraphCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap)""".stripMargin
+
   /** Fixed-point PageRank over the similarity graph: one row per slice
     * doc with its final rank and degree. Per iteration: edges ⋈ ranks on
     * src (the corpus-sized shuffle at real scale), per-dst sum
@@ -72,20 +142,7 @@ object GraphRank {
     val edges = graft.SharedFrames.shared(simEdges(spark, dir))
     val deg = graft.SharedFrames.shared(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val base = (3L * PrScale) / (20L * n)
-    var ranks = nodes.withColumn("pr", lit(PrScale / n))
-    (1 to PrIters).foreach { _ =>
-      val incoming = edges
-        .join(deg, Seq("src"))
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      ranks = nodes
-        .join(incoming.withColumnRenamed("dst", "v"), Seq("v"), "left_outer")
-        .select(col("v"),
-          (lit(base) + expr("(17 * coalesce(inc, 0L)) div 20")).as("pr"))
-    }
-    ranks
+    rankRounds(nodes, edges, deg, PrScale, n, PrIters)
       .join(deg.withColumnRenamed("src", "v"), Seq("v"), "left_outer")
       .select(col("v").as("doc_id"), col("pr"),
         coalesce(col("deg"), lit(0L)).as("deg"))
@@ -119,14 +176,22 @@ object GraphRank {
     val nodes = t(spark, dir, "documents")
       .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
     val edges = graft.SharedFrames.shared(simEdges(spark, dir))
-    // dist 0, root = self: enc = 0·2^32 + v
-    var reach = nodes.filter(col("v") % BfsSeedMod === 0L)
-      .select(col("v"), col("v").as("enc"))
+    // dist 0, root = self: enc = 0·2^32 + v. Each round references
+    // `reach` twice (carry ∪ relax) — rounds are lineage-cut via
+    // [[Dedup.materialize]] (the [[graphKcore]] discipline): the
+    // unbroken plan embeds the previous round twice, doubling per round.
+    var (reach, r0Rdd) = Dedup.materialize(
+      nodes.filter(col("v") % BfsSeedMod === 0L)
+        .select(col("v"), col("v").as("enc")))
+    graft.SharedFrames.sharedRdd(r0Rdd)
     (1 to BfsIters).foreach { _ =>
       val cand = edges
         .join(reach.withColumnRenamed("v", "src"), Seq("src"))
         .select(col("dst").as("v"), (col("enc") + BfsEncBase).as("enc"))
-      reach = reach.union(cand).groupBy(col("v")).agg(min(col("enc")).as("enc"))
+      val (next, rdd) = Dedup.materialize(
+        reach.union(cand).groupBy(col("v")).agg(min(col("enc")).as("enc")))
+      graft.SharedFrames.sharedRdd(rdd)
+      reach = next
     }
     nodes.join(reach, Seq("v"), "left_outer")
       .select(col("v").as("doc_id"),
@@ -149,24 +214,7 @@ object GraphRank {
          |  GROUP BY v)""".stripMargin
     }.mkString(",\n")
     val raw =
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
-         |                                        i -> text[i:i+2]))) AS gram
-         |  FROM documents WHERE doc_id < $PrCap),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = d1
-         |  JOIN sizes s2 ON s2.doc_id = d2
-         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+      s"""WITH $simGraphEdgesNodesCtes,
          |r0 AS (SELECT v, v AS enc FROM nodes WHERE v % $BfsSeedMod = 0),
          |$rounds
          |SELECT n.v AS doc_id,
@@ -253,24 +301,7 @@ object GraphRank {
 
   val graphClusteringSql: String = {
     val raw =
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
-         |                                        i -> text[i:i+2]))) AS gram
-         |  FROM documents WHERE doc_id < $PrCap),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = d1
-         |  JOIN sizes s2 ON s2.doc_id = d2
-         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+      s"""WITH $simGraphEdgesNodesCtes,
          |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
          |        FROM edges GROUP BY src),
          |tris AS (
@@ -351,24 +382,7 @@ object GraphRank {
          |  GROUP BY e.src HAVING COUNT(*) >= $KCoreK)""".stripMargin
     }.mkString(",\n")
     val raw =
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
-         |                                        i -> text[i:i+2]))) AS gram
-         |  FROM documents WHERE doc_id < $PrCap),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = d1
-         |  JOIN sizes s2 ON s2.doc_id = d2
-         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
+      s"""WITH $simGraphEdgesNodesCtes,
          |s0 AS (SELECT DISTINCT src AS v FROM edges),
          |$rounds,
          |coredeg AS (
@@ -389,21 +403,7 @@ object GraphRank {
     * edge list, so the triangle enumeration is two joins verbatim. */
   val graphTrianglesSql: String = {
     val raw =
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
-         |                                        i -> text[i:i+2]))) AS gram
-         |  FROM documents WHERE doc_id < $PrCap),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = d1
-         |  JOIN sizes s2 ON s2.doc_id = d2
-         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
+      s"""WITH $simGraphCtes,
          |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
          |tris AS (
          |  SELECT ab.d1 AS a, ab.d2 AS b, bc.d2 AS c
@@ -429,45 +429,13 @@ object GraphRank {
     * the identical integer arithmetic. CTEs MATERIALIZED — the edge list
     * feeds every round, and DuckDB's default inlining would re-mine the
     * gram join per round. */
-  val pagerankSimSql: String = {
-    val iters = (1 to PrIters).map { i =>
-      s"""r$i AS (
-         |  SELECT nodes.v,
-         |    CAST((SELECT (3 * $PrScale) // (20 * n) FROM nn)
-         |      + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS pr
-         |  FROM nodes LEFT JOIN (
-         |    SELECT e.dst AS v, SUM(r.pr // d.deg) AS s
-         |    FROM edges e
-         |    JOIN deg d ON d.src = e.src
-         |    JOIN r${i - 1} r ON r.v = e.src
-         |    GROUP BY e.dst) inc ON inc.v = nodes.v)""".stripMargin
-    }.mkString(",\n")
-    val raw =
-      s"""WITH g AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(list_transform(range(1, length(text)-1),
-         |                                        i -> text[i:i+2]))) AS gram
-         |  FROM documents WHERE doc_id < $PrCap),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT d1, d2 FROM inter
-         |  JOIN sizes s1 ON s1.doc_id = d1
-         |  JOIN sizes s2 ON s2.doc_id = d2
-         |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= $PrTau),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-         |          UNION ALL SELECT d2, d1 FROM pairs),
-         |nodes AS (SELECT doc_id AS v FROM documents WHERE doc_id < $PrCap),
-         |nn AS (SELECT COUNT(*) AS n FROM nodes),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-         |r0 AS (SELECT v, (SELECT $PrScale // n FROM nn) AS pr FROM nodes),
-         |$iters
-         |SELECT r.v AS doc_id, r.pr, COALESCE(d.deg, 0) AS deg
-         |FROM r$PrIters r LEFT JOIN deg d ON d.src = r.v
-         |ORDER BY doc_id""".stripMargin
-    OracleSql.materializeCtes(raw)
-  }
+  val pagerankSimSql: String = OracleSql.materializeCtes(
+    s"""WITH $simGraphEdgesNodesCtes,
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT v, (SELECT $PrScale // n FROM nn) AS pr FROM nodes),
+       |${rankRoundsSql(PrScale, PrIters)}
+       |SELECT r.v AS doc_id, r.pr, COALESCE(d.deg, 0) AS deg
+       |FROM r$PrIters r LEFT JOIN deg d ON d.src = r.v
+       |ORDER BY doc_id""".stripMargin)
 }

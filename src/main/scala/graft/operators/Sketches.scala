@@ -156,8 +156,10 @@ object Sketches {
     val sq = (c: Column) =>
       c.cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
         c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
-    val estRows = cmsMatrixOf(toks)
-      .groupBy(col("row")).agg(sum(sq(col("c"))).as("est_row"))
+    // consumed by BOTH the min aggregate and the output projection —
+    // shared, or the corpus-sized CMS explode+aggregation runs twice
+    val estRows = graft.SharedFrames.shared(cmsMatrixOf(toks)
+      .groupBy(col("row")).agg(sum(sq(col("c"))).as("est_row")))
     val exact = toks.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .agg(sum(sq(col("cnt"))).as("exact"))
     val estMin = estRows.agg(min(col("est_row")).as("est_min"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables.t
 import graft.functions.RollingHash.rolling_hash
 
@@ -742,13 +743,20 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("cnt_ab"), col("cnt_a"),
         col("cnt_b"),
-        ((col("cnt_ab") * col("n")).cast("double") /
-          (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+        // products in DECIMAL(38,0): cnt_ab·N overflows int64 at 100 TB
+        // token counts (the Sketches/UnigramLm bound discipline); the
+        // text→double conversions are correctly rounded in both engines
+        ((col("cnt_ab").cast(DecimalType(19, 0)) *
+            col("n").cast(DecimalType(19, 0)))
+          .cast("string").cast("double") /
+          (col("cnt_a").cast(DecimalType(19, 0)) *
+            col("cnt_b").cast(DecimalType(19, 0)))
+            .cast("string").cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(PmiTopK)
   }
 
-  val collocationsPmiSql: String =
+  val collocationsPmiSql: String = OracleSql.materializeCtes(
     s"""WITH toks AS (
        |  SELECT doc_id, tok, ord FROM (
        |    SELECT doc_id,
@@ -767,12 +775,14 @@ object TextAnalysis {
        |  WHERE w2 IS NOT NULL GROUP BY w1, w2
        |  HAVING COUNT(*) >= $PmiMinCnt)
        |SELECT b.w1, b.w2, b.cnt_ab, a.cnt AS cnt_a, c.cnt AS cnt_b,
-       |  CAST(b.cnt_ab * nn.n AS DOUBLE)
-       |    / CAST(a.cnt * c.cnt AS DOUBLE) AS lift
+       |  CAST(CAST(CAST(b.cnt_ab AS DECIMAL(19,0)) * CAST(nn.n AS DECIMAL(19,0))
+       |        AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(a.cnt AS DECIMAL(19,0)) * CAST(c.cnt AS DECIMAL(19,0))
+       |        AS VARCHAR) AS DOUBLE) AS lift
        |FROM bi b
        |JOIN uni a ON a.tok = b.w1
        |JOIN uni c ON c.tok = b.w2, nn
-       |ORDER BY lift DESC, b.w1, b.w2 LIMIT $PmiTopK""".stripMargin
+       |ORDER BY lift DESC, b.w1, b.w2 LIMIT $PmiTopK""".stripMargin)
 
   /** TextRank co-occurrence span (over the filtered token sequence). */
   final val TrWindow = 2
@@ -821,20 +831,11 @@ object TextAnalysis {
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nodes = toks.select(col("tok").as("v")).distinct()
     val n = nodes.count()
-    val base = (3L * TrScale) / (20L * n)
-    var ranks = nodes.withColumn("pr", lit(TrScale / n))
-    (1 to TrIters).foreach { _ =>
-      val incoming = edges
-        .join(deg, Seq("src"))
-        .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst"), expr("pr div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      ranks = nodes
-        .join(incoming.withColumnRenamed("dst", "v"), Seq("v"), "left_outer")
-        .select(col("v"),
-          (lit(base) + expr("(17 * coalesce(inc, 0L)) div 20")).as("pr"))
-    }
-    ranks
+    // degenerate corpus (every token filtered): empty report, matching
+    // the oracle's empty result — not a division by zero in the base term
+    if (n == 0) return nodes.select(col("v").as("token"),
+      lit(0L).as("pr"), lit(0L).as("deg"))
+    GraphRank.rankRounds(nodes, edges, deg, TrScale, n, TrIters)
       .join(deg.withColumnRenamed("src", "v"), Seq("v"), "left_outer")
       .select(col("v").as("token"), col("pr"),
         coalesce(col("deg"), lit(0L)).as("deg"))
@@ -847,18 +848,7 @@ object TextAnalysis {
     * identical integer arithmetic. CTEs MATERIALIZED — the edge list
     * feeds every round. */
   val textrankKeywordsSql: String = {
-    val iters = (1 to TrIters).map { i =>
-      s"""r$i AS (
-         |  SELECT nodes.v,
-         |    CAST((SELECT (3 * $TrScale) // (20 * n) FROM nn)
-         |      + (17 * COALESCE(inc.s, 0)) // 20 AS BIGINT) AS pr
-         |  FROM nodes LEFT JOIN (
-         |    SELECT e.dst AS v, SUM(r.pr // d.deg) AS s
-         |    FROM edges e
-         |    JOIN deg d ON d.src = e.src
-         |    JOIN r${i - 1} r ON r.v = e.src
-         |    GROUP BY e.dst) inc ON inc.v = nodes.v)""".stripMargin
-    }.mkString(",\n")
+    val iters = GraphRank.rankRoundsSql(TrScale, TrIters)
     val raw =
       s"""WITH toks AS (
          |  SELECT doc_id, tok, ord FROM (

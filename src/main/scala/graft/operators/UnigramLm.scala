@@ -192,9 +192,12 @@ object UnigramLm {
     val used = viterbiPieces(words, occ, scored)
       .join(words, Seq("w"))
       .groupBy(col("piece")).agg(sum(col("wcnt")).as("used_cnt"))
-    val fin = scored.join(used, Seq("piece"), "left_outer")
-      .select(col("piece"), col("cnt"), col("cost"),
-        coalesce(col("used_cnt"), lit(0L)).as("used_cnt"))
+    // fin embeds the whole Viterbi kernel (via `used`) and is consumed
+    // by BOTH election legs — shared, or the kernel runs twice
+    val fin = graft.SharedFrames.shared(
+      scored.join(used, Seq("piece"), "left_outer")
+        .select(col("piece"), col("cnt"), col("cost"),
+          coalesce(col("used_cnt"), lit(0L)).as("used_cnt")))
     fin.orderBy(col("used_cnt").desc, col("piece")).limit(VocabK)
       .union(fin.filter(length(col("piece")) === 1))
       .distinct()

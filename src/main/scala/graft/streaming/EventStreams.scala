@@ -650,7 +650,11 @@ object EventStreams {
     * identical decimal-text→double path — so stream output is BIT-EQUAL
     * to the batch rows for the same prefix (EventStreamsSpec pins it).
     * In-order per-type delivery across micro-batches assumed (the
-    * [[funnelStream]] contract). */
+    * [[funnelStream]] contract). NULL-valued events must be filtered
+    * BEFORE the typed boundary (the batch operator's `value IS NOT
+    * NULL`): [[Event]] encodes value as a primitive, so a null reaching
+    * `as[Event]` fails the query rather than being skipped — the
+    * Event-typed contract every stateful twin in this file shares. */
   def ewmaStream(events: Dataset[Event]): Dataset[EwmaPoint] = {
     import events.sparkSession.implicits._
     val w = graft.queries.Relational.EwmaWindow

@@ -419,15 +419,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"stats-table joins are not all broadcast:\n$p")
   }
 
-  test("graph_bfs: edges mined once (cached scans per round); relaxation is a partial-combinable min") {
+  test("graph_bfs: relaxation rounds are lineage-cut — the final plan reads the materialized frontier, not 2^k re-derivations") {
+    // each round references the frontier twice (carry ∪ relax); without
+    // the per-round materialize the final plan embeds the seed subtree
+    // 2^BfsIters times (the documented exponential carry-union-step
+    // anti-pattern, measured OOM at 8 rounds). The fixed shape: the
+    // frontier enters the final plan as ONE materialized-RDD scan, and
+    // the only parquet scan left is the node table.
     val p = plan(graft.operators.GraphRank.graphBfs(spark, dir))
     graft.SharedFrames.releaseAll()
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      s"the edge list is not read from cache:\n$p")
-    assert("partial_min".r.findAllIn(p).size >=
-      graft.operators.GraphRank.BfsIters,
-      s"each relaxation round's frontier election must be a " +
-        s"partial-combinable min:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"final frontier is not a materialized-RDD scan (lineage not cut):\n$p")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"relaxation lineage re-derived into the final plan:\n$p")
   }
 
   test("GLOBAL sweep: no CartesianProduct and no partition-less window in ANY registered plan") {
