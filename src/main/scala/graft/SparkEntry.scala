@@ -38,6 +38,9 @@ object SparkEntry {
     // dense calendar spine + carry-forward over sparse daily facts
     "resample_ffill" -> (Relational.resampleFfill _),
     "events_sessionize" -> (Relational.eventsSessionize _),
+    // MATCH_RECOGNIZE analog: regex over each session's ordered
+    // event-initial string (order + exclusion, beyond funnel counting)
+    "session_pattern" -> (Relational.sessionPattern _),
     "session_window_agg" -> (Relational.sessionWindowAgg _),
     // sweep-line max concurrent sessions: bucketed two-phase running sum
     "peak_concurrency" -> (Relational.peakConcurrency _),
@@ -172,6 +175,12 @@ object SparkEntry {
     // per-group top-k via a bounded partial Aggregator (no window sort;
     // map side reduces each group to <=k entries before the exchange)
     "topk_per_group" -> (Relational.topkPerGroup _),
+    // Pareto frontier via the staircase decomposition (per-size max +
+    // domain-sized running max); oracle = the quadratic dominance SQL
+    "skyline_pareto" -> (Relational.skylinePareto _),
+    // per-group closed-form OLS over exact moment sums (partial-
+    // combinable; integer/decimal until the two reported doubles)
+    "grouped_regression" -> (Relational.groupedRegression _),
     // 3-step funnel via chained as-of windows (one shuffle, no range
     // self-joins); retention cohorts as pure partial-combinable rollups
     "funnel_conversion" -> (Relational.funnelConversion _),
@@ -283,6 +292,9 @@ object SparkEntry {
     // fuzzy (edit-distance <= 1) matching via the SymSpell deletion-
     // neighborhood equi-join; oracle = the naive all-pairs query
     "dedup_edit_distance" -> (Dedup.dedupEditDistance _),
+    // edit-distance <= 2 via PassJoin segment blocking (pigeonhole-
+    // complete equi-join); oracle = the naive quadratic levenshtein join
+    "fuzzy_join_passjoin" -> (Dedup.fuzzyJoinPassjoin _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_verified" -> (Dedup.dedupMinhashVerified _),
     // batch-cadence near-dup: delta buckets probe the stored corpus
@@ -297,6 +309,9 @@ object SparkEntry {
     // local clustering coefficient + k-core membership
     "graph_clustering" -> (graft.operators.GraphRank.graphClustering _),
     "graph_kcore" -> (graft.operators.GraphRank.graphKcore _),
+    // deterministic synchronous label-propagation communities: per round
+    // one equi-join + partial-combinable (count, min-label) vote packing
+    "graph_labelprop" -> (graft.operators.GraphRank.graphLabelprop _),
     "dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     "dedup_clusters_star_dist" -> (Dedup.dedupClustersStarDistributed _),
     "decontaminate" -> (Dedup.decontaminate _),
@@ -306,6 +321,10 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_verified" -> (Dedup.dedupSimhashVerified _),
     "ann_cosine_topk" -> (Similarity.annBruteForce _),
+    // hybrid retrieval: reciprocal-rank fusion of the lexical overlap
+    // list and the exact-cosine list (distributed top-k per arm, fusion
+    // = a full-outer join of two k-row frames)
+    "rrf_fusion" -> (Similarity.rrfFusion _),
     "embed_quantize" -> (Similarity.embedQuantize _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -380,6 +399,7 @@ object SparkEntry {
     "robust_stats" -> Relational.robustStatsSql,
     "resample_ffill" -> Relational.resampleFfillSql,
     "events_sessionize" -> Relational.eventsSessionizeSql,
+    "session_pattern" -> Relational.sessionPatternSql,
     "session_window_agg" -> Relational.sessionWindowAggSql,
     "peak_concurrency" -> Relational.peakConcurrencySql,
     "monthly_revenue" -> Relational.monthlyRevenueSql,
@@ -481,6 +501,8 @@ object SparkEntry {
     // oracle = the row_number window query: equality proves the
     // k-bounded partial-merge ranking is exact
     "topk_per_group" -> Relational.topkPerGroupSql,
+    "skyline_pareto" -> Relational.skylineParetoSql,
+    "grouped_regression" -> Relational.groupedRegressionSql,
     "funnel_conversion" -> Relational.funnelConversionSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
@@ -502,6 +524,7 @@ object SparkEntry {
     "graph_triangles" -> graft.operators.GraphRank.graphTrianglesSql,
     "graph_clustering" -> graft.operators.GraphRank.graphClusteringSql,
     "graph_kcore" -> graft.operators.GraphRank.graphKcoreSql,
+    "graph_labelprop" -> graft.operators.GraphRank.graphLabelpropSql,
     // the O(log n) star-contraction engine against the SAME oracle:
     // equality proves the alternating contraction computes exactly the
     // transitive closure the propagation loop does
@@ -535,6 +558,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_edit_distance" -> Dedup.dedupEditDistanceSql,
+    "fuzzy_join_passjoin" -> Dedup.fuzzyJoinPassjoinSql,
     // the verified LSH twins' oracle IS the exact-Jaccard SQL: equality
     // holds iff the candidate generators caught every true >=0.7 pair on
     // the bounded slice — an end-to-end recall check the driver can see
@@ -569,6 +593,7 @@ object SparkEntry {
     // round trip — equality proves format + committer are lossless
     "wal_sink_roundtrip" -> graft.sources.WalSink.walSinkRoundtripSql,
     "ann_cosine_topk" -> Similarity.annBruteForceSql,
+    "rrf_fusion" -> Similarity.rrfFusionSql,
     "embed_quantize" -> Similarity.embedQuantizeSql,
     // the IVF twins' oracle IS the exact brute-force SQL: equality holds
     // iff the approximate pipeline (centroids, assignment, probe

@@ -1691,6 +1691,110 @@ object Dedup {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id1, id2""".stripMargin
 
+  /** Edit-distance threshold for [[fuzzyJoinPassjoin]] (τ+1 = segments). */
+  final val FuzzyTau = 2
+
+  /** FUZZY SELF-JOIN at edit distance ≤ [[FuzzyTau]] via PassJoin
+    * segment blocking (Li, Deng & Feng, ICDE 2011) over the DISTINCT
+    * part-name vocabulary — the τ=2 complement of [[dedupEditDistance]]'s
+    * SymSpell: the deletion neighborhood grows O(L^τ) variants per string
+    * (L² at τ=2), while PassJoin indexes only τ+1 = 3 segments per string
+    * and probes O(L·τ²) bounded substrings — the join stays an equi-join
+    * at any τ.
+    *
+    * Completeness (pigeonhole): partition the indexed string into τ+1
+    * disjoint segments; τ edits can destroy at most τ of them, so any
+    * string within distance τ contains ≥ 1 segment VERBATIM, shifted by
+    * at most τ positions — so probing every substring of matching length
+    * within ±τ of the segment's home position generates every true pair.
+    * The oracle below is the naive quadratic levenshtein join: equality
+    * proves the blocking lost nothing, end to end.
+    *
+    * Scale shape: names dedupe FIRST (groupBy p_name — multiplicities
+    * rejoin arithmetically at the end, so the expensive path runs per
+    * distinct string, not per row); segments and probe substrings
+    * shuffle as 8-byte xxhash64 keys, never strings (collisions only ADD
+    * candidates — the exact levenshtein verify kills them, false
+    * negatives impossible since equal strings hash equal); the candidate
+    * join is (hash, segment-index, indexed-length) equi-keyed. */
+  def fuzzyJoinPassjoin(spark: SparkSession, dir: String): DataFrame = {
+    val k = FuzzyTau + 1
+    val names = graft.SharedFrames.shared(
+      t(spark, dir, "part").groupBy(col("p_name"))
+        .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("nid"))
+        .filter(length(col("p_name")) >= k)
+        .select(col("nid"), col("p_name").as("s"), col("cnt")))
+    // index side: the tau+1 even segments (first k-rem of length base,
+    // the rest base+1; home position = 1 + base*i + overflow before i)
+    val segs = names.select(col("nid"), length(col("s")).as("sl"),
+        explode(expr(
+          s"""transform(sequence(0, ${k - 1}), i -> struct(
+             |  i AS si,
+             |  1 + (length(s) div $k) * i
+             |    + greatest(0, i - ($k - length(s) % $k)) AS sp,
+             |  (length(s) div $k)
+             |    + (CASE WHEN i >= $k - length(s) % $k THEN 1 ELSE 0 END) AS li
+             |))""".stripMargin)).as("g"), col("s"))
+      .select(col("nid"), col("sl"), col("g.si").as("si"),
+        xxhash64(expr("substring(s, g.sp, g.li)")).as("h"))
+    // probe side: for every candidate indexed length L within +-tau and
+    // every segment slot, all substrings of the segment's length within
+    // +-tau of its home position
+    val probes = names.select(col("nid"), col("s"),
+        explode(expr(
+          s"""flatten(transform(
+             |  sequence(greatest($k, length(s) - $FuzzyTau),
+             |           length(s) + $FuzzyTau), L ->
+             |  flatten(transform(sequence(0, ${k - 1}), i ->
+             |    filter(transform(
+             |      sequence(1 + (L div $k) * i
+             |                 + greatest(0, i - ($k - L % $k)) - $FuzzyTau,
+             |               1 + (L div $k) * i
+             |                 + greatest(0, i - ($k - L % $k)) + $FuzzyTau),
+             |      p -> struct(L AS sl, i AS si, p AS sp,
+             |        (L div $k) + (CASE WHEN i >= $k - L % $k
+             |                      THEN 1 ELSE 0 END) AS li)),
+             |      x -> x.sp >= 1
+             |        AND x.sp + x.li - 1 <= length(s))))))""".stripMargin))
+          .as("g"))
+      .select(col("nid"), col("g.sl").as("sl"), col("g.si").as("si"),
+        xxhash64(expr("substring(s, g.sp, g.li)")).as("h"))
+    val cand = probes.as("a")
+      .join(segs.as("b"),
+        col("a.h") === col("b.h") && col("a.si") === col("b.si") &&
+          col("a.sl") === col("b.sl") && col("a.nid") =!= col("b.nid"))
+      .select(least(col("a.nid"), col("b.nid")).as("id1"),
+        greatest(col("a.nid"), col("b.nid")).as("id2"))
+      .distinct()
+    cand
+      .join(names.select(col("nid").as("id1"), col("s").as("name1"),
+        col("cnt").as("cnt1")), Seq("id1"))
+      .join(names.select(col("nid").as("id2"), col("s").as("name2"),
+        col("cnt").as("cnt2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= FuzzyTau)
+      .select(col("name1"), col("name2"), col("dist"),
+        (col("cnt1") * col("cnt2")).as("n_pairs"))
+      .orderBy(col("name1"), col("name2"))
+  }
+
+  /** Oracle: the naive all-pairs levenshtein join over the distinct
+    * vocabulary — equality proves the segment blocking is complete. */
+  val fuzzyJoinPassjoinSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name AS s, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    MIN(p_partkey) AS nid
+       |  FROM part GROUP BY p_name
+       |  HAVING length(p_name) >= ${FuzzyTau + 1})
+       |SELECT
+       |  CASE WHEN a.nid < b.nid THEN a.s ELSE b.s END AS name1,
+       |  CASE WHEN a.nid < b.nid THEN b.s ELSE a.s END AS name2,
+       |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+       |  a.cnt * b.cnt AS n_pairs
+       |FROM names a JOIN names b ON a.nid < b.nid
+       |WHERE levenshtein(a.s, b.s) <= $FuzzyTau
+       |ORDER BY name1, name2""".stripMargin
+
   /** The EVAL-side contamination audit — the report a benchmark owner
     * reads before trusting scores: for every eval document, how much of
     * it leaked into the training corpus (distinct leaked grams, leak

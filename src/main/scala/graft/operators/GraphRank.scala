@@ -423,6 +423,84 @@ object GraphRank {
     OracleSql.materializeCtes(raw)
   }
 
+  /** Synchronous-round count and vote-packing base for [[graphLabelprop]]. */
+  final val LpIters = 4
+  final val LpEncBase = 1L << 32
+
+  /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al. 2007, the
+    * synchronous deterministic variant) over the τ-similarity graph — the
+    * community-structure member of the graph family (reachability = CC in
+    * [[Dedup]], ranking = [[pagerankSim]], traversal = [[graphBfs]],
+    * density = [[graphKcore]]): each node adopts the label its neighbors
+    * hold most often, so near-dup neighborhoods collapse to shared labels
+    * WITHOUT requiring full transitive connectivity the way CC does.
+    *
+    * Determinism (classic LPA is run-order-dependent; this variant is
+    * not): all nodes update SIMULTANEOUSLY each round from the previous
+    * round's labels, and the vote is decided by (max count, then MIN
+    * label). The election is the house min-struct discipline packed into
+    * ONE BIGINT — `([[PrCap]] − cnt)·2^32 + label` (cnt ≤ deg < PrCap,
+    * label < PrCap < 2^32, so the packing is lexicographic by
+    * construction) — making each round: one equi-join of edges against
+    * labels on src, one partial-combinable (dst, label) count, one
+    * partial-combinable `min` per dst. No windows, no skewed-key stage:
+    * a label shared by millions of neighbors at 100× folds map-side into
+    * per-partition partials before the exchange. Label lineage is LINEAR
+    * (labels referenced once per round — isolated nodes re-derive their
+    * own id rather than carrying the previous frame), so no per-round
+    * materialization is needed, the [[rankRounds]] shape. [[LpIters]]
+    * synchronous rounds, unrolled identically in the oracle. */
+  def graphLabelprop(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = t(spark, dir, "documents")
+      .filter(col("doc_id") < PrCap).select(col("doc_id").as("v"))
+    val edges = graft.SharedFrames.shared(simEdges(spark, dir))
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+    (1 to LpIters).foreach { _ =>
+      val votes = edges
+        .join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min((lit(PrCap) - col("cnt")) * LpEncBase + col("lab"))
+          .as("enc"))
+        .select(col("dst").as("v"), (col("enc") % LpEncBase).as("elab"))
+      labels = nodes.join(votes, Seq("v"), "left_outer")
+        .select(col("v"), coalesce(col("elab"), col("v")).as("lab"))
+    }
+    val fin = graft.SharedFrames.shared(labels)
+    val sizes = fin.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    fin.join(sizes, Seq("lab"))
+      .select(col("v").as("doc_id"), col("lab").as("community"),
+        col("csize"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the graph CTEs + [[LpIters]] unrolled synchronous vote
+    * rounds with the identical BIGINT (count, label) packing. */
+  val graphLabelpropSql: String = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""l$i AS (
+         |  SELECT n.v, COALESCE(e.lab, n.v) AS lab
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst,
+         |      CAST(MIN(($PrCap - cnt) * $LpEncBase + lab) % $LpEncBase
+         |           AS BIGINT) AS lab
+         |    FROM (SELECT e.dst, l.lab, CAST(COUNT(*) AS BIGINT) AS cnt
+         |          FROM edges e JOIN l${i - 1} l ON l.v = e.src
+         |          GROUP BY e.dst, l.lab) c
+         |    GROUP BY dst) e ON e.dst = n.v)""".stripMargin
+    }.mkString(",\n")
+    val raw =
+      s"""WITH $simGraphEdgesNodesCtes,
+         |l0 AS (SELECT v, v AS lab FROM nodes),
+         |$rounds,
+         |sz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS csize
+         |       FROM l$LpIters GROUP BY lab)
+         |SELECT l.v AS doc_id, l.lab AS community, s.csize
+         |FROM l$LpIters l JOIN sz s ON s.lab = l.lab
+         |ORDER BY doc_id""".stripMargin
+    OracleSql.materializeCtes(raw)
+  }
+
   /** Oracle: the τ-graph from the exploded-gram Jaccard formulation (the
     * [[Dedup.dedupNgramJaccardSql]] equivalence, already gate-proven
     * against the packed θ-join) and all [[PrIters]] rounds unrolled with

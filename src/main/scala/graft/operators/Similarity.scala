@@ -65,6 +65,123 @@ object Similarity {
       |FROM e, q WHERE vec_id <> qid
       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Candidates kept per retriever in [[rrfFusion]]. */
+  final val RrfN = 20
+  /** The RRF smoothing constant (Cormack et al. 2009's k = 60). */
+  final val RrfC = 60L
+
+  /** RECIPROCAL-RANK FUSION — the hybrid-retrieval merge (Cormack,
+    * Clarke & Buettcher 2009) every RAG stack runs: a LEXICAL ranking
+    * (distinct-token overlap with the query document's token set — integer
+    * scores, engine-independent ties) and a SEMANTIC ranking (exact
+    * strict-fold cosine against the query embedding; ids align 1:1 with
+    * doc_ids) each keep their top-[[RrfN]], and a document's fused score
+    * is Σ 1/([[RrfC]] + rank) over the lists it appears in — rank
+    * positions, not raw scores, so the two incomparable score scales
+    * never mix.
+    *
+    * Scale shape: each retriever ends in a distributed top-k
+    * (TakeOrderedAndProject — no global sort), and the only windows run
+    * over the already-reduced ≤[[RrfN]]-row lists. The fusion itself is a
+    * full-outer join of two k-row frames. At 100 TB the semantic arm
+    * would feed from [[annIvfIndexedQuery]]'s pruned probe instead of the
+    * exact scan; the exact arm here keeps the DuckDB gate end-to-end
+    * (1/(k+r) terms are single correctly-rounded divisions added in one
+    * fixed order — bit-reproducible). */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+    val q = emb
+      .join(broadcast(emb.agg(min(col("vec_id")).as("qid"))),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("ev").as("qv"))
+    val sem = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        dot(col("ev"), col("qv")) /
+          (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(RrfN)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+        .cast("long"))
+      .select(col("vec_id").as("id"), col("sem_rank"))
+    val docs = t(spark, dir, "documents")
+    val qTokens = docs
+      .join(broadcast(q.select(col("qid"))), col("doc_id") === col("qid"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+    val lex = docs
+      .join(broadcast(q.select(col("qid"))), col("doc_id") =!= col("qid"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+      .join(broadcast(qTokens), Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("doc_id")).limit(RrfN)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("overlap").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    sem.join(lex, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"),
+        (coalesce(lit(1.0d) / (lit(RrfC) + col("lex_rank")).cast("double"),
+          lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(RrfC) + col("sem_rank")).cast("double"),
+            lit(0.0d))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  /** Oracle: both rankings and the fused sum replayed verbatim (the
+    * cosine is the [[annBruteForceSql]] strict fold; ranks are integer
+    * windows over the top-[[RrfN]] lists). */
+  val rrfFusionSql: String = {
+    val cos = s"""${foldSql("ev", "qv")}
+                 |  / (sqrt(${foldSql("ev", "ev")})
+                 |     * sqrt(${foldSql("qv", "qv")}))""".stripMargin
+    OracleSql.materializeCtes(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |q AS (SELECT vec_id AS qid, ev AS qv FROM e
+         |      WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |sem0 AS (
+         |  SELECT vec_id, $cos AS cosine
+         |  FROM e, q WHERE vec_id <> qid),
+         |sem AS (
+         |  SELECT id, sem_rank FROM (
+         |    SELECT vec_id AS id,
+         |      CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+         |           AS BIGINT) AS sem_rank
+         |    FROM sem0) WHERE sem_rank <= $RrfN),
+         |qt AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |  WHERE doc_id = (SELECT min(vec_id) FROM e)),
+         |dt AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents
+         |  WHERE doc_id <> (SELECT min(vec_id) FROM e)),
+         |ov AS (
+         |  SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+         |  FROM dt JOIN qt ON qt.token = dt.token AND qt.token <> ''
+         |  WHERE dt.token <> ''
+         |  GROUP BY dt.doc_id),
+         |lex AS (
+         |  SELECT id, lex_rank FROM (
+         |    SELECT doc_id AS id,
+         |      CAST(row_number() OVER (ORDER BY overlap DESC, doc_id)
+         |           AS BIGINT) AS lex_rank
+         |    FROM ov) WHERE lex_rank <= $RrfN)
+         |SELECT COALESCE(s.id, l.id) AS doc_id,
+         |  COALESCE(l.lex_rank, -1) AS lex_rank,
+         |  COALESCE(s.sem_rank, -1) AS sem_rank,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / CAST($RrfC + l.lex_rank AS DOUBLE),
+         |           CAST(0.0 AS DOUBLE))
+         |  + COALESCE(CAST(1.0 AS DOUBLE) / CAST($RrfC + s.sem_rank AS DOUBLE),
+         |             CAST(0.0 AS DOUBLE)) AS rrf_score
+         |FROM sem s FULL OUTER JOIN lex l ON l.id = s.id
+         |ORDER BY rrf_score DESC, doc_id""".stripMargin)
+  }
+
   final val Tables = 4 // OR-amplification: candidate if any table agrees
   final val PlanesPerTable = 6 // 64 buckets per table
   final val Dims = 64

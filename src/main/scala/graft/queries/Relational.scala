@@ -496,7 +496,12 @@ object Relational {
   /** Sessionization via lag(): gap > 30 min starts a new session. Shows
     * event-stream windowing on the batch table (streaming twin lives in
     * graft.streaming). */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Events with their 30-minute-gap session ids — ONE copy of the
+    * sessionization rule, shared by [[eventsSessionize]] and
+    * [[sessionPattern]] (a divergent duplicate would silently
+    * desynchronize their oracles). User-partitioned windows only —
+    * partition size is one user's history, never the corpus. */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t(spark, dir, "events")
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -506,12 +511,74 @@ object Relational {
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
       .orderBy(col("user_id"), col("session_id"))
-  }
+
+  /** The event-sequence regex for [[sessionPattern]]: a view followed by
+    * a purchase with no intervening error — in session-initial alphabet
+    * (c)lick (s)ignup (e)rror (v)iew (p)urchase. Greedy-quantifier
+    * leftmost semantics agree between Java regex and DuckDB's RE2 for
+    * this pattern class. */
+  final val SessionPatternRe = "v[^e]*p"
+
+  /** COMPLEX-EVENT-PROCESSING pattern match over sessions — the
+    * MATCH_RECOGNIZE analog (SQL:2016 row-pattern matching, re-expressed
+    * as a regex over the session's event-initial string): per
+    * [[sessionized]] session, the time-ordered sequence of event-type
+    * initials is assembled and scanned for [[SessionPatternRe]]
+    * ("view … purchase with no error between") — the conversion-path
+    * detector funnel counting can't express (funnels count stage
+    * reachability; this matches ORDER with exclusion).
+    *
+    * Scale shape: sessionization is the shared user-partitioned window;
+    * sequence assembly is ONE per-session aggregation whose state is
+    * session-bounded by the 30-minute-gap contract (a human session is
+    * minutes long, never corpus-sized — the same bound every session
+    * operator here rides); the regex runs once per session row. No
+    * data-sized window, no self-join. */
+  def sessionPattern(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .select(col("user_id"), col("session_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+          x => x.getField("c")), "").as("seq"))
+      .withColumn("matched", col("seq").rlike(SessionPatternRe))
+      .withColumn("hit", regexp_extract(col("seq"), SessionPatternRe, 0))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Oracle: the same session CTEs, sequence assembly via ordered
+    * string_agg, and the regex replayed in RE2. */
+  val sessionPatternSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged
+       |), seqs AS (
+       |  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+       |  FROM sess GROUP BY user_id, session_id)
+       |SELECT user_id, session_id, n_events, seq,
+       |  regexp_matches(seq, '$SessionPatternRe') AS matched,
+       |  regexp_extract(seq, '$SessionPatternRe') AS hit
+       |FROM seqs ORDER BY user_id, session_id""".stripMargin
 
   /** Sweep-point time bucket for [[peakConcurrency]] — one day. The
     * bucket table is TIME-RANGE-bounded, not corpus-bounded: a corpus
@@ -945,6 +1012,142 @@ object Relational {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
       |  FROM orders)
       |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  /** SKYLINE (Pareto frontier) over parts maximizing (p_size,
+    * p_retailprice) — the multi-criteria "no strictly better row exists"
+    * operator (Börzsönyi et al. 2001): a part is on the skyline iff no
+    * other part is ≥ in both dimensions and > in at least one.
+    *
+    * The naive formulation is a quadratic NOT-EXISTS self-join (the
+    * oracle below — equality proves this decomposition computes exactly
+    * the dominance definition). The engine instead runs the STAIRCASE
+    * decomposition, which never compares rows pairwise: dominance by a
+    * larger size collapses to ONE number per size (the max price at that
+    * size), so a part survives iff (a) it carries the max price of its
+    * own size class and (b) that price strictly exceeds the best price
+    * among all LARGER sizes. Shape: one partial-combinable `max` by
+    * p_size (the domain of p_size, not the row count), a running max
+    * over the size classes ordered descending — a window over ≤|size
+    * domain| rows, broadcastable, never data-sized — and one broadcast
+    * join back. At 100 TB the only full-data passes are the map-side
+    * max and the final filter; no self-join, no data-sized window.
+    * Price comparisons are raw doubles (no arithmetic) — deterministic
+    * across engines. */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val bySize = p.groupBy(col("p_size"))
+      .agg(max(col("p_retailprice")).as("mp"))
+    // strict_above = best price among strictly larger sizes: running max
+    // over the size classes (domain-sized frame), excluding self
+    val stairs = bySize
+      .withColumn("strict_above",
+        max(col("mp")).over(Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    p.join(broadcast(stairs), Seq("p_size"))
+      .filter(col("p_retailprice") === col("mp") &&
+        col("p_retailprice") > coalesce(col("strict_above"), lit(-1.0d)))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Reference epoch-day for [[groupedRegression]]'s centered time axis
+    * (2023-12; the events calendar starts 2024-01). Centering keeps
+    * every per-row product CALENDAR-bounded — |cx| grows with the time
+    * span, never the corpus — so cx·yq stays far inside int64 at any
+    * data size. */
+  final val OlsRefDay = 19700L
+
+  /** GROUPED LINEAR REGRESSION — closed-form per-group OLS (value vs
+    * time) in EXACT arithmetic: per event type, the least-squares slope
+    * and intercept of the daily trend, the `regr_slope`/`regr_intercept`
+    * analytics-SQL surface. The moment sums (n, Σx, Σy, Σxy, Σx²) are
+    * partial-combinable — ONE map-side-combined aggregation over the
+    * corpus, the textbook distributed-regression shape — and everything
+    * until the two reported doubles is integer-exact: x = epoch day
+    * centered on [[OlsRefDay]], y quantized to micro-units
+    * (DECIMAL(18,6)·10⁶ — exact, the [[graft.Tables.dec]] discipline),
+    * sums carried in DECIMAL(38,0), the normal-equation combinations
+    * (n·Σxy − ΣxΣy etc.) in DECIMAL(38,0) where BOTH engines cap
+    * multiplication at width 38 (fits: the operands are ≤ 10²⁶ even at
+    * 10¹² rows/group with a decade-long calendar; past that you shard
+    * the group and merge the moment sums — they're associative). The
+    * final slope/intercept are text-path double casts and two divisions,
+    * correctly rounded in both engines; the exact DECIMAL numerators/
+    * denominator are ALSO reported, so the gate pins the integer math
+    * directly. Intercept is the fitted value AT [[OlsRefDay]] (cx=0). */
+  def groupedRegression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val e = t(spark, dir, "events").select(col("event_type"),
+      (expr("unix_micros(ts) div 86400000000") - OlsRefDay).as("cx"),
+      (dec(col("value")).cast(DecimalType(28, 6)) * lit(1000000))
+        .cast("long").as("yq"))
+    val s = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cx").cast(d38)).as("scx"),
+      sum(col("yq").cast(d38)).as("syq"),
+      sum((col("cx") * col("yq")).cast(d38)).as("sxy"),
+      sum((col("cx") * col("cx")).cast(d38)).as("sxx"))
+    s.select(col("event_type"), col("n"),
+        (col("n").cast(d38) * col("sxy") - col("scx") * col("syq"))
+          .cast(d38).as("slope_num"),
+        (col("n").cast(d38) * col("sxx") - col("scx") * col("scx"))
+          .cast(d38).as("slope_den"),
+        (col("syq") * col("sxx") - col("scx") * col("sxy"))
+          .cast(d38).as("icept_num"))
+      .select(col("event_type"), col("n"), col("slope_num"), col("slope_den"),
+        (col("slope_num").cast("string").cast("double") /
+          col("slope_den").cast("string").cast("double") /
+          lit(1000000.0d)).as("slope"),
+        (col("icept_num").cast("string").cast("double") /
+          col("slope_den").cast("string").cast("double") /
+          lit(1000000.0d)).as("icept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the identical moment sums and normal-equation combination
+    * (DuckDB also caps decimal multiplication at width 38), doubles via
+    * the text path. */
+  val groupedRegressionSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) // 86400000000 - $OlsRefDay AS cx,
+       |    CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,6))
+       |         * 1000000 AS BIGINT) AS yq
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(cx AS DECIMAL(38,0))) AS scx,
+       |    SUM(CAST(yq AS DECIMAL(38,0))) AS syq,
+       |    SUM(CAST(cx * yq AS DECIMAL(38,0))) AS sxy,
+       |    SUM(CAST(cx * cx AS DECIMAL(38,0))) AS sxx
+       |  FROM e GROUP BY event_type),
+       |c AS (
+       |  SELECT event_type, n,
+       |    CAST(CAST(n AS DECIMAL(38,0)) * sxy - scx * syq
+       |         AS DECIMAL(38,0)) AS slope_num,
+       |    CAST(CAST(n AS DECIMAL(38,0)) * sxx - scx * scx
+       |         AS DECIMAL(38,0)) AS slope_den,
+       |    CAST(syq * sxx - scx * sxy AS DECIMAL(38,0)) AS icept_num
+       |  FROM s)
+       |SELECT event_type, n, slope_num, slope_den,
+       |  CAST(CAST(slope_num AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(slope_den AS VARCHAR) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS slope,
+       |  CAST(CAST(icept_num AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(slope_den AS VARCHAR) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS icept
+       |FROM c ORDER BY event_type""".stripMargin
+
+  /** Oracle: the dominance DEFINITION as a NOT-EXISTS self-join — an
+    * independent formulation, so equality proves the staircase. */
+  val skylineParetoSql: String =
+    """SELECT p_partkey, p_size, p_retailprice FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part o
+      |  WHERE o.p_size >= a.p_size AND o.p_retailprice >= a.p_retailprice
+      |    AND (o.p_size > a.p_size OR o.p_retailprice > a.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
 
   /** Calendar aggregation: monthly revenue via date_trunc (SURVEY §2.7 —
     * the ref has no date functions at all; native here). */

@@ -127,4 +127,41 @@ class GraphRankSpec extends AnyFunSuite with SparkSpec {
       !in && origDeg.getOrElse(v, 0) >= GraphRank.KCoreK
     }, "no cascading peel — every non-core node was trivially low-degree")
   }
+
+  test("graph_labelprop: exact synchronous-vote replay; communities non-trivial; sizes consistent") {
+    import spark.implicits._
+    val out = GraphRank.graphLabelprop(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.SharedFrames.releaseAll()
+    val edges = GraphRank.simEdges(spark, dir).as[(Long, Long)].collect()
+    graft.SharedFrames.releaseAll()
+    val nodes = out.keySet.toSeq.sorted
+
+    // simultaneous-vote replay in plain Scala: per round every node takes
+    // the (max count, min label) vote of its neighbors' PREVIOUS labels
+    var lab = nodes.map(v => v -> v).toMap
+    (1 to GraphRank.LpIters).foreach { _ =>
+      val byDst = edges.groupBy(_._2)
+      lab = nodes.map { v =>
+        val votes = byDst.getOrElse(v, Array.empty[(Long, Long)])
+          .map { case (src, _) => lab(src) }
+        if (votes.isEmpty) v -> v
+        else {
+          val counts = votes.groupBy(identity).view.mapValues(_.length).toMap
+          v -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }.toMap
+    }
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.foreach { v =>
+      assert(out(v)._1 == lab(v), s"node $v: label ${out(v)._1} != replay ${lab(v)}")
+      assert(out(v)._2 == sizes(lab(v)), s"node $v: csize ${out(v)._2} wrong")
+    }
+    // non-trivial structure: at least one multi-node community formed and
+    // not everything collapsed into a single label
+    val distinct = out.values.map(_._1).toSet
+    assert(out.values.exists(_._2 > 1), "no community with more than one member")
+    assert(distinct.size > 1, "all nodes collapsed into one community")
+    assert(distinct.size < nodes.size, "no label ever propagated")
+  }
 }
