@@ -206,6 +206,9 @@ object SparkEntry {
     // error vs exact pinned in SketchesSpec
     "sketch_cms" -> (graft.operators.Sketches.sketchCms _),
     "hll_distinct" -> (graft.operators.Sketches.hllDistinct _),
+    // stored-sketch + delta-batch register merge; oracle = the full-table
+    // single-pass SQL, so the gate proves merge == rebuild exactly
+    "hll_merge_incremental" -> (graft.operators.Sketches.hllMergeIncremental _),
     // DSIR-style domain selection: hashed-bigram likelihood-ratio
     // weights (linear-domain, decimal-quantized — ln differs by libm
     // ulps across engines), top-K most target-like candidate docs
@@ -437,6 +440,7 @@ object SparkEntry {
     "heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
+    "hll_merge_incremental" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,
     "csv_roundtrip" -> graft.sources.JsonlExport.csvRoundtripSql,

@@ -258,12 +258,11 @@ object Sketches {
       .agg(max(col("rho")).as("m"))
   }
 
-  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
-    val regs = hllRegistersOf(li.select(
-      col("l_returnflag").as("grp"),
-      col("l_orderkey").cast("string").as("key")))
-      .withColumnRenamed("grp", "l_returnflag")
+  /** Register table → the reported (regsum, zeros, estimate) summary —
+    * ONE copy of the estimator arithmetic, shared by [[hllDistinct]] and
+    * [[hllMergeIncremental]] (a drifted duplicate would desynchronize
+    * their common oracle). */
+  private def hllSummary(li: DataFrame, regs: DataFrame): DataFrame = {
     val full = lit(1L << (HllWBits + 1)) // empty register term 2^21
     val regAgg = regs.groupBy(col("l_returnflag"))
       .agg(
@@ -283,6 +282,41 @@ object Sketches {
         col("hll_regsum"), col("hll_zeros"),
         (alphaM2Full / col("hll_regsum").cast("double")).as("hll_est"))
       .orderBy(col("l_returnflag"))
+  }
+
+  private def hllKeyed(df: DataFrame): DataFrame = df.select(
+    col("l_returnflag").as("grp"),
+    col("l_orderkey").cast("string").as("key"))
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    hllSummary(li, hllRegistersOf(hllKeyed(li))
+      .withColumnRenamed("grp", "l_returnflag"))
+  }
+
+  /** INCREMENTAL SKETCH MAINTENANCE — the property that makes a sketch
+    * worth storing at 100 TB: the corpus's register table persists, a new
+    * batch builds its OWN registers from only its rows, and the union
+    * folds through `max` per (group, bucket) — the textbook HLL merge,
+    * associative and commutative by construction, so sketches of shards
+    * combine without ever rescanning the corpus.
+    *
+    * Here the lineitem table splits into a "stored corpus" (orderkey
+    * % 10 ≠ 0) and a "new batch" (% 10 = 0), each builds registers
+    * independently via the shared [[hllRegistersOf]], and the merged
+    * summary must equal the single-pass sketch of the full table —
+    * the oracle IS [[hllDistinctSql]] (the full-table SQL), so the
+    * driver gate proves merge ≡ rebuild exactly, register for register
+    * (the [[graft.operators.Dedup.dupSpansHashed]] verified-twin
+    * discipline). */
+  def hllMergeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val stored = hllRegistersOf(hllKeyed(li.filter(col("l_orderkey") % 10 =!= 0)))
+    val delta = hllRegistersOf(hllKeyed(li.filter(col("l_orderkey") % 10 === 0)))
+    val merged = stored.union(delta)
+      .groupBy(col("grp"), col("bucket")).agg(max(col("m")).as("m"))
+      .withColumnRenamed("grp", "l_returnflag")
+    hllSummary(li, merged)
   }
 
   /** Histogram bins per group and the quantiles reported. */

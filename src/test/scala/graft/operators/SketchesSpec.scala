@@ -176,4 +176,19 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       assert(ratio >= 1.0)
     }
   }
+
+  test("hll_merge_incremental: merged shard sketches equal the single-pass sketch; split non-vacuous") {
+    val full = Sketches.hllDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val merged = Sketches.hllMergeIncremental(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(merged == full,
+      "merge of shard registers diverged from the single-pass sketch")
+    // the split genuinely divides the data — both shards contribute rows
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    assert(li.filter(col("l_orderkey") % 10 === 0).limit(1).count() == 1)
+    assert(li.filter(col("l_orderkey") % 10 =!= 0).limit(1).count() == 1)
+  }
 }
