@@ -284,6 +284,10 @@ object Relational {
     * weight is far below 1 ulp of the running average). */
   final val EwmaWindow = 62
 
+  /** Rows per EWMA bucket partition (must exceed [[EwmaWindow]] so a
+    * frame never spans more than one bucket boundary). */
+  final val EwmaBucket = 4096L
+
   /** Time-decayed moving average (EWMA, α = 1/2) of `value` per event
     * type — the classic monitoring/feature-engineering signal, computed
     * EXACTLY. The recursive definition `e_n = (e_{n-1} + x_n)/2` is a
@@ -294,19 +298,64 @@ object Relational {
     * order-independent — folded in DECIMAL(38,6); the denominator is the
     * closed form 2^62 − 2^(62−n) in BIGINT; the ONLY floating step is the
     * final one-op IEEE division, so the estimate itself replays
-    * bit-identically in the oracle. Window partitions are per-event-type
-    * event sequences ordered by (ts, event_id); the frame is 62 rows BY
-    * CONSTRUCTION, so the collect_list carries ≤62 elements regardless of
-    * corpus size and the whole thing is one bounded-frame window pass —
-    * no self-join, no driver recursion. */
+    * bit-identically in the oracle.
+    *
+    * Physical form: a `Window.partitionBy(event_type)` would put every
+    * row of a type into ONE task (5 types ⇒ parallelism 5, a
+    * single-task sort per type at any corpus size — the skewed-window
+    * class this suite bans). Instead the per-type sequence position is
+    * derived by the [[peakConcurrency]]/[[TextAnalysis.globalShuffle]]
+    * two-phase rank decomposition — a DAY-partitioned `row_number`
+    * (calendar-bounded partitions) plus per-type day offsets from a
+    * bounded θ-join — then rows bucket by `seq div` [[EwmaBucket]], the
+    * last [[EwmaWindow]]−1 rows of each bucket are ALSO tagged into the
+    * next bucket (a 1.5% carry duplication), and the 62-row frame runs
+    * inside (type, bucket) partitions: positions are dense, so every
+    * own-row's frame is complete by construction and carry rows are
+    * dropped after the window. Parallelism = types × buckets instead of
+    * types; results are row-identical to the monolithic window (the
+    * oracle below IS the monolithic formulation). */
   def ewmaDecay(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-(EwmaWindow - 1), 0)
-    t(spark, dir, "events")
+    val carry = EwmaWindow - 1 // 61 preceding rows feed a frame
+    val ev = t(spark, dir, "events")
       .filter(col("value").isNotNull)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    // per-(type, day) row counts need no ordering — a plain aggregate
+    val dayCounts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val offs = dayCounts.as("a")
+      .join(dayCounts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") < col("a.day"), "left_outer")
+      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    // boundary rows are tagged into BOTH their own and the next bucket by
+    // one conditional explode — no union, no second pass over the frame
+    val seqd = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .join(broadcast(offs), Seq("event_type", "day"))
+      .withColumn("seq", col("off") + col("rn"))
       .select(col("event_type"), col("event_id"), col("ts"), col("value"),
-        collect_list(dec(col("value"))).over(w).as("vs"))
+        col("seq"),
+        explode(expr(
+          s"""CASE WHEN (seq - 1) % $EwmaBucket >= ${EwmaBucket - carry}
+             | THEN array(
+             |   struct((seq - 1) div $EwmaBucket AS bkt, true AS is_own),
+             |   struct((seq - 1) div $EwmaBucket + 1 AS bkt,
+             |          false AS is_own))
+             | ELSE array(
+             |   struct((seq - 1) div $EwmaBucket AS bkt, true AS is_own))
+             | END""".stripMargin)).as("tag"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        col("seq"), col("tag.bkt").as("bkt"), col("tag.is_own").as("is_own"))
+    val w = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("seq")).rowsBetween(-carry, 0)
+    seqd
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        col("is_own"), collect_list(dec(col("value"))).over(w).as("vs"))
+      .filter(col("is_own"))
       .select(col("event_type"), col("event_id"), col("ts"), col("value"),
         size(col("vs")).as("n_win"),
         expr("""aggregate(

@@ -95,6 +95,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ewma_decay: the 62-row frame runs in (type, bucket) partitions — no per-type monolithic window") {
+    // partitioning by event_type alone = one task per type at any corpus
+    // size; the bucket decomposition must put `bkt` into EVERY frame
+    // window's partition spec (the day-ranked row_number partitions by
+    // (event_type, day) — also fine). The check: every
+    // windowspecdefinition lists >= 2 partition columns before its first
+    // sort column, i.e. no spec starts sorting after a single column.
+    val df = graft.queries.Relational.ewmaDecay(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val monoTypeWindow =
+      """windowspecdefinition\(event_type#\d+, [a-z_]+#\d+L? (ASC|DESC)""".r
+    assert(monoTypeWindow.findFirstIn(p).isEmpty,
+      s"ewma window partitioned by event_type alone (one task per type):\n$p")
+    assert(p.contains("windowspecdefinition(event_type#"),
+      s"expected composite (event_type, ...) window partitioning:\n$p")
+  }
+
   test("dup_spans: the tokenize+gram stage is computed once and shared; windows are doc-partitioned") {
     graft.SharedFrames.releaseAll()
     val df = graft.operators.Dedup.dupSpans(spark, dir)
@@ -399,13 +416,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"distinct-count leg is not a hash aggregation:\n$p")
   }
 
-  test("ewma_decay: one exchange, one bounded-frame window, zero joins") {
+  test("ewma_decay: no corpus-sized join; frame window + day-rank window only; offsets broadcast") {
+    // the bucket decomposition allows exactly: the day-ranked row_number
+    // window, the bounded θ-join on the calendar-sized (type, day) count
+    // table, ONE broadcast join attaching the tiny offset table to the
+    // corpus, and the (type, bucket) frame window — never a corpus-sized
+    // shuffle join or a sort-merge anywhere
     val p = plan(Relational.ewmaDecay(spark, dir))
-    assert(!p.contains("Join"), s"EWMA must not self-join:\n$p")
-    assert("""Window \[""".r.findAllIn(p).size == 1,
-      s"expected exactly one Window node:\n$p")
-    assert("""Exchange hashpartitioning""".r.findAllIn(p).size == 1,
-      s"expected exactly one shuffle (the event_type partitioning):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"EWMA must not sort-merge-join the corpus:\n$p")
+    assert("""Window \[""".r.findAllIn(p).size == 2,
+      s"expected exactly two Window nodes (day rank + bucketed frame):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table must broadcast onto the corpus:\n$p")
   }
 
   test("robust_stats: percentile stages are ObjectHashAggregate with map-side partials; stats tables broadcast") {
