@@ -289,6 +289,10 @@ object SparkEntry {
     // token spans (island-merged), keep the rest of the document
     "decontaminate_scrub" -> (Dedup.decontaminateScrub _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    // UNCAPPED all-pairs Jaccard >= 0.7 via prefix filtering (rarest-
+    // first shingle index; no doc-cap contract, no banding loss); oracle
+    // = the naive full self-join, so the gate proves completeness
+    "dedup_prefix_filter" -> (Dedup.dedupPrefixFilter _),
     // asymmetric-Jaccard (containment) pairs: the dedup mode symmetric
     // resemblance misses (short doc quoted whole inside a long one)
     "dedup_containment" -> (Dedup.dedupContainment _),
@@ -560,6 +564,7 @@ object SparkEntry {
     // bloom pre-filter is transparent (superset probe + exact resolve)
     "dedup_incremental_bloom" -> Dedup.dedupIncrementalSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_prefix_filter" -> Dedup.dedupPrefixFilterSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_edit_distance" -> Dedup.dedupEditDistanceSql,
     "fuzzy_join_passjoin" -> Dedup.fuzzyJoinPassjoinSql,

@@ -223,6 +223,116 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(gramSets(spark, dir, 200))
 
+  /** [[dedupPrefixFilter]] threshold as an exact rational (7/10). */
+  final val PfTauNum = 7L
+  final val PfTauDen = 10L
+  /** Word-shingle width for [[dedupPrefixFilter]]. */
+  final val PfShingle = 3
+
+  /** ALL-PAIRS set-similarity self-join at Jaccard ≥ 0.7 via PREFIX
+    * FILTERING (Chaudhuri et al. 2006 / Bayardo et al.'s All-Pairs /
+    * the PPJoin family) — the UNCAPPED exact path beside the two bounded
+    * contracts this suite already carries: [[dedupNgramJaccard]] bounds
+    * its θ-join by a doc-cap CONTRACT, and [[dedupMinhashLsh]] trades
+    * exactness for banding recall. Prefix filtering needs neither: order
+    * every document's distinct [[PfShingle]]-word shingles by ascending
+    * global document frequency (rarest first, ties by hash), index only
+    * the first |S| − ⌈τ|S|⌉ + 1 of them, and join on those — any pair
+    * with J ≥ τ MUST collide there (pigeonhole: two sets sharing no
+    * prefix element can overlap only in their suffixes, which are too
+    * small: |A∩B| ≤ min(|A|,|B|) − p < τ·max ≤ J-required overlap), so
+    * the oracle below — the naive full self-join — proves completeness
+    * end to end. A ±τ length ratio filter (7·sz ≤ 10·sz' both ways)
+    * prunes further; candidate volume is Σ df² over PREFIX tokens only,
+    * and df-ascending ordering puts the RAREST shingles in the prefix —
+    * the frequent-boilerplate shingles that blow up a naive gram join
+    * never enter the index.
+    *
+    * Scale shape: shingling and the prefix election are doc-partitioned
+    * windows (doc-bounded); df and size joins are co-keyed; the
+    * candidate equi-join carries 8-byte hashes; exact verification
+    * re-joins shingle STRINGS restricted to candidate pairs (hash
+    * collisions die there, false negatives impossible — equal strings
+    * hash equal), so the reported Jaccard is string-true. */
+  def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = graft.SharedFrames.shared(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok")
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), concat(col("tok"), lit(" "),
+          lead(col("tok"), 1).over(byDoc), lit(" "),
+          lead(col("tok"), PfShingle - 1).over(byDoc)).as("s"))
+        .filter(col("s").isNotNull)
+        .distinct()
+        .withColumn("sh", xxhash64(col("s"))))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(df, Seq("sh")).join(sizes, Seq("doc_id"))
+      // the canonical order must be TOTAL on shingle STRINGS (the
+      // completeness theorem orders the string universe; `s` breaks any
+      // hash-collision tie so the order is globally consistent — df is
+      // only the efficiency heuristic, any consistent order is complete)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("sh"), col("s"))))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($PfTauNum * sz + ${PfTauDen - 1}) div $PfTauDen")
+          + 1L)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(PfTauNum) * col("a.sz") <= lit(PfTauDen) * col("b.sz") &&
+          lit(PfTauNum) * col("b.sz") <= lit(PfTauDen) * col("a.sz"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
+      .filter(col("jaccard") >=
+        lit(PfTauNum.toDouble) / lit(PfTauDen.toDouble))
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle: the naive full shingle self-join — an independent
+    * formulation with no prefix anywhere, so equality proves the filter
+    * lost no pair. */
+  val dedupPrefixFilterSql: String = OracleSql.materializeCtes(
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok, ord FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+       |    FROM documents) u
+       |  WHERE length(tok) > 0),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w
+       |      || ' ' || lead(tok, ${PfShingle - 1}) OVER w AS s
+       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)) q
+       |  WHERE s IS NOT NULL),
+       |sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON s1.doc_id = d1
+       |JOIN sizes s2 ON s2.doc_id = d2
+       |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i)
+       |      >= CAST($PfTauNum AS DOUBLE) / CAST($PfTauDen AS DOUBLE)
+       |ORDER BY d1, d2""".stripMargin)
+
   /** Containment threshold for [[dedupContainment]] (i / min(|A|, |B|)):
     * 0.9 keeps 174–272 of the slice's ~19.9k pairs at test SFs —
     * selective AND non-vacuous everywhere. */
