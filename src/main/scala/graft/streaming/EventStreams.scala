@@ -15,6 +15,10 @@ final case class SessionUpdate(user_id: Long, session_start_us: Long,
 final case class QuotaVerdict(user_id: Long, event_id: Long, admitted: Boolean,
     window_sum: Double)
 
+/** A closed session's CEP verdict ([[EventStreams.sessionPatternStream]]). */
+final case class PatternVerdict(user_id: Long, session_start_us: Long,
+    n_events: Long, seq: String, matched: Boolean, hit: String)
+
 final case class ClickEnriched(user_id: Long, event_id: Long, ts_us: Long,
     prior_view_id: Option[Long], prior_view_value: Option[Double])
 
@@ -138,6 +142,40 @@ object EventStreams {
   private def toUpdate(userId: Long, s: List[Event]): SessionUpdate =
     SessionUpdate(userId, s.head.ts_us, s.last.ts_us, s.length,
       s.map(_.value).sum)
+
+  /** STREAMING CEP — the MATCH_RECOGNIZE twin of
+    * [[graft.queries.Relational.sessionPattern]]: each CLOSED session's
+    * ordered event-initial string is scanned for the SHARED pattern
+    * constant ([[graft.queries.Relational.SessionPatternRe]] — one copy,
+    * so the faces cannot drift) and the verdict emits exactly once, at
+    * session close. Same state contract as [[sessionize]]: per-user open
+    * session only, session-bounded by the 30-minute-gap rule; the regex
+    * runs on the driver-free executor path over a session-length string.
+    * EventStreamsSpec pins closed-session parity with the BATCH
+    * registered query across micro-batch splits. */
+  def sessionPatternStream(events: Dataset[Event]): Dataset[PatternVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], PatternVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId, batch, state) =>
+          val evs = (state.getOption.getOrElse(Nil) ++ batch.toList)
+            .sortBy(e => (e.ts_us, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val (closed, open) = splitSessions(evs)
+            state.update(open)
+            closed.iterator.map(s => toVerdict(userId, s))
+          }
+      }
+  }
+
+  private def toVerdict(userId: Long, s: List[Event]): PatternVerdict = {
+    val seq = s.map(_.event_type.substring(0, 1)).mkString
+    val hit = graft.queries.Relational.SessionPatternRe.r.findFirstIn(seq)
+    PatternVerdict(userId, s.head.ts_us, s.length, seq,
+      hit.isDefined, hit.getOrElse(""))
+  }
 
   /** Sessionization with a REAL event-time timeout: a user's open session
     * is also emitted once the watermark passes last-event + 30 min, so

@@ -120,6 +120,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionPatternStream: closed-session verdicts EXACTLY equal the registered batch query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionPatternStream(mem.toDS())
+      .writeStream.format("memory").queryName("cep").outputMode("append")
+      .start()
+    try {
+      val (b1, b2) = rows.sortBy(_.ts_us).splitAt(rows.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("cep").as[PatternVerdict].collect()
+      // number each user's closed sessions in start order -> (user,
+      // ordinal) keys comparable with the BATCH registered query; the
+      // stream only emits CLOSED sessions, so the batch's final session
+      // per user is excluded from the comparison
+      val streamedKeyed = streamed.groupBy(_.user_id).toSeq.flatMap {
+        case (u, vs) => vs.sortBy(_.session_start_us).zipWithIndex.toSeq.map {
+          case (v, i) =>
+            (u, (i + 1).toLong) -> ((v.n_events, v.seq, v.matched, v.hit))
+        }
+      }.toMap
+      val batch = graft.queries.Relational.sessionPattern(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getString(3), r.getBoolean(4), r.getString(5))))
+        .toMap
+      val lastPerUser = batch.keySet.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      streamedKeyed.foreach { case (k, v) =>
+        assert(batch(k) == v, s"session $k: stream $v != batch ${batch(k)}")
+      }
+      // every batch session except each user's open tail was emitted
+      val expectedClosed = batch.keySet.filter { case (u, s) =>
+        s < lastPerUser(u)
+      }
+      assert(streamedKeyed.keySet == expectedClosed)
+      assert(streamedKeyed.values.exists(_._3) &&
+        streamedKeyed.values.exists(!_._3),
+        "both verdict classes must appear in the streamed sessions")
+    } finally q.stop()
+  }
+
   test("asofEnrich: stream output EXACTLY equals the batch as-of join across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
