@@ -186,6 +186,9 @@ object SparkEntry {
     "funnel_conversion" -> (Relational.funnelConversion _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
+    // CUSUM mean-shift detection via the closed form P - min(0, runmin P)
+    // — both running stats bucket-decomposed, exact DECIMAL(38,0) stats
+    "changepoint_cusum" -> (Relational.changepointCusum _),
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     "unpivot_long" -> (Relational.unpivotLong _),
@@ -514,6 +517,7 @@ object SparkEntry {
     "funnel_conversion" -> Relational.funnelConversionSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
+    "changepoint_cusum" -> Relational.changepointCusumSql,
     "json_extract_agg" -> Relational.jsonExtractAggSql,
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     "unpivot_long" -> Relational.unpivotLongSql,

@@ -81,46 +81,54 @@ object Similarity {
     * never mix.
     *
     * Scale shape: each retriever ends in a distributed top-k
-    * (TakeOrderedAndProject — no global sort), and the only windows run
-    * over the already-reduced ≤[[RrfN]]-row lists. The fusion itself is a
-    * full-outer join of two k-row frames. At 100 TB the semantic arm
-    * would feed from [[annIvfIndexedQuery]]'s pruned probe instead of the
-    * exact scan; the exact arm here keeps the DuckDB gate end-to-end
-    * (1/(k+r) terms are single correctly-rounded divisions added in one
-    * fixed order — bit-reproducible). */
+    * (TakeOrderedAndProject — no global sort), and rank positions come
+    * from a bounded θ-join over the already-reduced ≤[[RrfN]]-row lists
+    * (rank = 1 + better-rows count; k² ≤ 400 pairs — no partition-less
+    * window anywhere in the suite). The fusion itself is a full-outer
+    * join of two k-row frames. At 100 TB the semantic arm would feed
+    * from [[annIvfIndexedQuery]]'s pruned probe instead of the exact
+    * scan; the exact arm here keeps the DuckDB gate end-to-end (1/(k+r)
+    * terms are single correctly-rounded divisions added in one fixed
+    * order — bit-reproducible). */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
     val q = emb
       .join(broadcast(emb.agg(min(col("vec_id")).as("qid"))),
         col("vec_id") === col("qid"))
       .select(col("qid"), col("ev").as("qv"))
-    val sem = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val semTop = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosine",
         dot(col("ev"), col("qv")) /
           (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
       .orderBy(col("cosine").desc, col("vec_id")).limit(RrfN)
-      .withColumn("sem_rank", row_number()
-        .over(Window.orderBy(col("cosine").desc, col("vec_id")))
-        .cast("long"))
-      .select(col("vec_id").as("id"), col("sem_rank"))
+      .select(col("vec_id"), col("cosine"))
+    val sem = semTop.as("a")
+      .join(semTop.as("b"),
+        col("b.cosine") > col("a.cosine") ||
+          (col("b.cosine") === col("a.cosine") &&
+            col("b.vec_id") < col("a.vec_id")), "left_outer")
+      .groupBy(col("a.vec_id").as("id"))
+      .agg((count(col("b.vec_id")) + 1L).as("sem_rank"))
     val docs = t(spark, dir, "documents")
     val qTokens = docs
       .join(broadcast(q.select(col("qid"))), col("doc_id") === col("qid"))
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0).distinct()
-    val lex = docs
+    val lexTop = docs
       .join(broadcast(q.select(col("qid"))), col("doc_id") =!= col("qid"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0).distinct()
       .join(broadcast(qTokens), Seq("token"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
       .orderBy(col("overlap").desc, col("doc_id")).limit(RrfN)
-      .withColumn("lex_rank", row_number()
-        .over(Window.orderBy(col("overlap").desc, col("doc_id")))
-        .cast("long"))
-      .select(col("doc_id").as("id"), col("lex_rank"))
+    val lex = lexTop.as("a")
+      .join(lexTop.as("b"),
+        col("b.overlap") > col("a.overlap") ||
+          (col("b.overlap") === col("a.overlap") &&
+            col("b.doc_id") < col("a.doc_id")), "left_outer")
+      .groupBy(col("a.doc_id").as("id"))
+      .agg((count(col("b.doc_id")) + 1L).as("lex_rank"))
     sem.join(lex, Seq("id"), "full_outer")
       .select(col("id").as("doc_id"),
         coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),

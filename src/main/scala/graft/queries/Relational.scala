@@ -315,8 +315,14 @@ object Relational {
     * dropped after the window. Parallelism = types × buckets instead of
     * types; results are row-identical to the monolithic window (the
     * oracle below IS the monolithic formulation). */
-  def ewmaDecay(spark: SparkSession, dir: String): DataFrame = {
-    val carry = EwmaWindow - 1 // 61 preceding rows feed a frame
+  /** Events (value non-null) with their DENSE per-type sequence position
+    * `seq` — the two-phase rank decomposition shared by [[ewmaDecay]] and
+    * [[changepointCusum]] (one copy; a drifted duplicate would give the
+    * sequential operators different orderings): a DAY-partitioned
+    * row_number (calendar-bounded partitions) plus per-type day offsets
+    * from a bounded θ-join, never a per-type monolithic window. Carries
+    * (event_type, event_id, ts, value, day, seq). */
+  private def eventSeq(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .filter(col("value").isNotNull)
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
@@ -329,14 +335,21 @@ object Relational {
           col("b.day") < col("a.day"), "left_outer")
       .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
       .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    // boundary rows are tagged into BOTH their own and the next bucket by
-    // one conditional explode — no union, no second pass over the frame
-    val seqd = ev
+    ev
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type"), col("day"))
           .orderBy(col("ts"), col("event_id"))).cast("long"))
       .join(broadcast(offs), Seq("event_type", "day"))
       .withColumn("seq", col("off") + col("rn"))
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        col("day"), col("seq"))
+  }
+
+  def ewmaDecay(spark: SparkSession, dir: String): DataFrame = {
+    val carry = EwmaWindow - 1 // 61 preceding rows feed a frame
+    // boundary rows are tagged into BOTH their own and the next bucket by
+    // one conditional explode — no union, no second pass over the frame
+    val seqd = eventSeq(spark, dir)
       .select(col("event_type"), col("event_id"), col("ts"), col("value"),
         col("seq"),
         explode(expr(
@@ -384,6 +397,122 @@ object Relational {
       |  / CAST((CAST(1 AS BIGINT) << 62)
       |         - (CAST(1 AS BIGINT) << (62 - len(vs))) AS DOUBLE) AS ewma
       |FROM e""".stripMargin
+
+  /** CUSUM alarm threshold, in raw value units (the statistic is scaled
+    * by n_type·10⁶ — see [[changepointCusum]]): S/(n·10⁶) > λ alarms.
+    * 500 sits below every type's measured maximal excursion at every SF
+    * (553–949 units at sf0.001, 1400–3100 at sf0.01) while the statistic
+    * starts at 0, so BOTH verdict classes populate everywhere. */
+  final val CusumLambda = 500L
+
+  /** CHANGEPOINT DETECTION — one-sided CUSUM (Page 1954) per event type,
+    * the mean-shift member of the monitoring family ([[eventsAnomaly]] =
+    * point outliers, [[graft.operators.CorpusOps.driftWindows]] =
+    * distribution drift): the classic recursion S_n = max(0, S_{n−1} +
+    * (x_n − μ)) flags a sustained upward shift when S_n exceeds λ.
+    *
+    * The recursion LOOKS sequential, but has the closed form
+    * S_n = P_n − min(0, min_{j≤n} P_j) over prefix sums P of the
+    * deviations — a cumulative sum and a running minimum, BOTH
+    * decomposable by the bucketed two-phase machinery ([[peakConcurrency]]
+    * / [[graft.operators.TextAnalysis.packShards]]): within-day cumsum
+    * and running min (day-bounded windows over the shared [[eventSeq]]
+    * positions), day-level sum/min totals combined through a bounded
+    * θ-join (offP = Σ earlier-day sums; minBefore = min over earlier
+    * days of offP′ + dayMin′), then one broadcast join back. No
+    * per-type monolithic window at any corpus size.
+    *
+    * Arithmetic is EXACT end to end: deviations are n_t·xq_i − Σxq
+    * (micro-quantized values, the [[groupedRegression]] discipline,
+    * scaled by n_t to avoid the rational mean), all sums carried in
+    * DECIMAL(38,0), the verdict an integer comparison against
+    * λ·n_t·10⁶ — so the oracle (the monolithic two-window formulation)
+    * replays every statistic bit-for-bit and equality proves the
+    * decomposition ≡ the sequential definition. */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val base = eventSeq(spark, dir)
+      .withColumn("xq",
+        (dec(col("value")).cast(DecimalType(28, 6)) * lit(1000000))
+          .cast("long"))
+    val totals = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("xq").cast(d38)).as("sq"))
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("seq")).rowsBetween(Window.unboundedPreceding, 0)
+    val local = base.join(broadcast(totals), Seq("event_type"))
+      .withColumn("d",
+        (col("n").cast(d38) * col("xq").cast(d38) - col("sq")).cast(d38))
+      .withColumn("ld", sum(col("d")).over(wDay))
+      .withColumn("lm", min(col("ld")).over(wDay))
+    val dayAgg = local.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("d")).as("day_sum"), min(col("ld")).as("day_min"))
+    val offP = dayAgg.as("a")
+      .join(dayAgg.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") < col("a.day"), "left_outer")
+      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.day_sum")), lit(0L).cast(d38)).as("off_p"))
+    val withOff = dayAgg.join(offP, Seq("event_type", "day"))
+    val minBefore = withOff.as("a")
+      .join(withOff.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") < col("a.day"), "left_outer")
+      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
+      .agg(min(col("b.off_p") + col("b.day_min")).as("min_before"))
+    val dayTable = offP.join(minBefore, Seq("event_type", "day"))
+    local.join(broadcast(dayTable), Seq("event_type", "day"))
+      .withColumn("pn", (col("off_p") + col("ld")).cast(d38))
+      .withColumn("rm",
+        when(col("min_before").isNull, col("off_p") + col("lm"))
+          .otherwise(least(col("min_before"), col("off_p") + col("lm")))
+          .cast(d38))
+      .withColumn("s_stat",
+        (col("pn") - least(lit(0L).cast(d38), col("rm"))).cast(d38))
+      .select(col("event_type"), col("event_id"), col("ts"), col("seq"),
+        col("s_stat"),
+        (col("s_stat") >
+          (col("n").cast(d38) * lit(CusumLambda * 1000000L).cast(d38))
+            .cast(d38)).as("alarm"))
+      .orderBy(col("event_type"), col("seq"))
+  }
+
+  /** Oracle: the monolithic two-window formulation of the same closed
+    * form — prefix sum, running min, S = P − min(0, runmin) — with the
+    * identical DECIMAL(38,0) arithmetic. */
+  val changepointCusumSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, ts,
+       |    CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,6))
+       |         * 1000000 AS BIGINT) AS xq
+       |  FROM events WHERE value IS NOT NULL),
+       |t AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(xq AS DECIMAL(38,0))) AS sq
+       |  FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT e.*, t.n,
+       |    CAST(CAST(t.n AS DECIMAL(38,0)) * CAST(e.xq AS DECIMAL(38,0))
+       |         - t.sq AS DECIMAL(38,0)) AS dd
+       |  FROM e JOIN t USING (event_type)),
+       |p1 AS (
+       |  SELECT *, SUM(dd) OVER w AS pn,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id) AS BIGINT) AS seq
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |p2 AS (
+       |  SELECT *, MIN(pn) OVER w AS rm
+       |  FROM p1
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, event_id, ts, seq,
+       |  CAST(pn - LEAST(CAST(0 AS DECIMAL(38,0)), rm) AS DECIMAL(38,0))
+       |    AS s_stat,
+       |  (pn - LEAST(CAST(0 AS DECIMAL(38,0)), rm))
+       |    > CAST(n AS DECIMAL(38,0)) * ${CusumLambda * 1000000L} AS alarm
+       |FROM p2 ORDER BY event_type, seq""".stripMargin
 
   /** Exact (holistic) percentile aggregation — the ref's reduce_func is the
     * only holistic aggregate it has (SURVEY §2.7); this is the built-in
@@ -1075,23 +1204,24 @@ object Relational {
     * size), so a part survives iff (a) it carries the max price of its
     * own size class and (b) that price strictly exceeds the best price
     * among all LARGER sizes. Shape: one partial-combinable `max` by
-    * p_size (the domain of p_size, not the row count), a running max
-    * over the size classes ordered descending — a window over ≤|size
-    * domain| rows, broadcastable, never data-sized — and one broadcast
-    * join back. At 100 TB the only full-data passes are the map-side
-    * max and the final filter; no self-join, no data-sized window.
-    * Price comparisons are raw doubles (no arithmetic) — deterministic
-    * across engines. */
+    * p_size (the domain of p_size, not the row count), a bounded θ-join
+    * over the size classes — ≤|size domain|² pairs, never data-sized —
+    * and one broadcast join back. At 100 TB the only full-data passes
+    * are the map-side max and the final filter; no row-level self-join,
+    * no window anywhere. Price comparisons are raw doubles (no
+    * arithmetic) — deterministic across engines. */
   def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
     val bySize = p.groupBy(col("p_size"))
       .agg(max(col("p_retailprice")).as("mp"))
-    // strict_above = best price among strictly larger sizes: running max
-    // over the size classes (domain-sized frame), excluding self
-    val stairs = bySize
-      .withColumn("strict_above",
-        max(col("mp")).over(Window.orderBy(col("p_size").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    // strict_above = best price among strictly larger sizes: a bounded
+    // θ-join over the size classes (|domain|² pairs, never data-sized —
+    // the same terminal the exclusive-prefix machinery uses; no
+    // partition-less window anywhere in the suite)
+    val stairs = bySize.as("a")
+      .join(bySize.as("b"), col("b.p_size") > col("a.p_size"), "left_outer")
+      .groupBy(col("a.p_size").as("p_size"), col("a.mp").as("mp"))
+      .agg(max(col("b.mp")).as("strict_above"))
     p.join(broadcast(stairs), Seq("p_size"))
       .filter(col("p_retailprice") === col("mp") &&
         col("p_retailprice") > coalesce(col("strict_above"), lit(-1.0d)))

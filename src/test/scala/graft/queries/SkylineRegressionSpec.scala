@@ -26,12 +26,14 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty && got.size < parts.length,
       "skyline vacuous (empty or everything)")
-    // the staircase never compares rows pairwise: no nested-loop or
-    // cartesian join anywhere in the physical plan
+    // the staircase never compares DATA rows pairwise: the only θ-join
+    // runs over the aggregated size classes (|domain|² pairs) and the
+    // join back to part rows is a broadcast HASH join on p_size; no
+    // cartesian anywhere
     val plan = aqeFinalPlan(df)
     assert(!plan.contains("CartesianProduct"), "cartesian in skyline plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "nested-loop in skyline plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "part rows must rejoin the staircase by broadcast hash join")
   }
 
   test("grouped_regression: exact BigInt replay of the normal equations") {
@@ -70,6 +72,42 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
       assert(r.getDouble(5) ==
         inum.toString.toDouble / den.toString.toDouble / 1000000.0d)
     }
+  }
+
+  test("changepoint_cusum: the classic max(0, S+d) RECURSION replays every statistic; both verdicts populated") {
+    import spark.implicits._
+    val rows = graft.Tables.t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), expr("unix_micros(ts)"),
+        col("value"))
+      .as[(String, Long, Long, Double)].collect()
+    // the operator computes the CLOSED FORM P - min(0, runmin P); this
+    // replay runs the textbook sequential recursion — equality proves
+    // the two formulations coincide, which the oracle alone cannot
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (et, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val qs = sorted.map(e => BigInt(BigDecimal(e._4).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).underlying
+        .movePointRight(6).toBigIntegerExact))
+      val n = BigInt(qs.length)
+      val sq = qs.sum
+      var s = BigInt(0)
+      (sorted zip qs).zipWithIndex.toSeq.map { case (((_, id, _, _), q), i) =>
+        s = (s + (n * q - sq)).max(BigInt(0))
+        (et, id) -> ((i + 1).toLong, s,
+          s > BigInt(Relational.CusumLambda) * n * BigInt(1000000))
+      }
+    }.toMap
+    val got = Relational.changepointCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), BigInt(r.getDecimal(4).toBigInteger), r.getBoolean(5))))
+      .toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"event $k: ${got(k)} != recursion $v")
+    }
+    assert(got.values.exists(_._3), "no alarm fired — threshold vacuous")
+    assert(got.values.exists(!_._3), "every row alarms — threshold vacuous")
   }
 
   test("session_pattern: full driver replay of sessionization + regex; both verdicts populated") {
