@@ -189,6 +189,8 @@ object SparkEntry {
     // CUSUM mean-shift detection via the closed form P - min(0, runmin P)
     // — both running stats bucket-decomposed, exact DECIMAL(38,0) stats
     "changepoint_cusum" -> (Relational.changepointCusum _),
+    // serial-dependence profile: exact-integer ACF at lags 1..5 per type
+    "acf_lags" -> (Relational.acfLags _),
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     "unpivot_long" -> (Relational.unpivotLong _),
@@ -209,6 +211,8 @@ object SparkEntry {
     // error vs exact pinned in SketchesSpec
     "sketch_cms" -> (graft.operators.Sketches.sketchCms _),
     "hll_distinct" -> (graft.operators.Sketches.hllDistinct _),
+    // bloom membership with exact confusion matrix + bit-population gate
+    "bloom_membership" -> (graft.operators.Sketches.bloomMembership _),
     // stored-sketch + delta-batch register merge; oracle = the full-table
     // single-pass SQL, so the gate proves merge == rebuild exactly
     "hll_merge_incremental" -> (graft.operators.Sketches.hllMergeIncremental _),
@@ -447,6 +451,7 @@ object SparkEntry {
     "heavy_hitters" -> TextAnalysis.heavyHittersSql,
     "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
+    "bloom_membership" -> graft.operators.Sketches.bloomMembershipSql,
     "hll_merge_incremental" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,
@@ -518,6 +523,7 @@ object SparkEntry {
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
     "changepoint_cusum" -> Relational.changepointCusumSql,
+    "acf_lags" -> Relational.acfLagsSql,
     "json_extract_agg" -> Relational.jsonExtractAggSql,
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     "unpivot_long" -> Relational.unpivotLongSql,

@@ -319,6 +319,106 @@ object Sketches {
     hllSummary(li, merged)
   }
 
+  /** Bloom hash-function count. */
+  final val BloomK = 4
+  /** Bloom (a, b) universal-hash pairs, one per hash function. */
+  final val BloomHashes: Seq[(Long, Long)] =
+    Seq((69621L, 29L), (48271L, 101L), (40014L, 53L), (40692L, 211L))
+
+  /** BLOOM-FILTER MEMBERSHIP (Bloom 1970) with exact error accounting —
+    * the third mergeable sketch beside CMS (frequency) and HLL
+    * (cardinality): an m-bit k-hash membership summary of the stored
+    * corpus keys, probed by every document and scored against exact
+    * truth. The output is the (claimed, actual) confusion matrix plus the
+    * filter's set-bit count and derived width — so the driver gate proves
+    * the FILTER CONTENT (bit population), the no-false-negative theorem
+    * (the claimed=false ∧ actual=true row can never exist — stored keys
+    * set their own bits), and the exact false-positive yield, not an
+    * error band.
+    *
+    * Width is DERIVED from the stored count by integer bit-length —
+    * m = 2^len(bin(4n−1)), i.e. the smallest power of two ≥ 4n (the
+    * SemDeDup derived-K discipline; no floating log2, whose libm ulps at
+    * near-power-of-two boundaries would let the engines derive different
+    * widths) — load factor ≈ e^(−k·n/m) keeps every confusion class
+    * populated at every SF. Keys run the [[hllRegistersOf]] pipeline
+    * (code-point fold → one quadratic round) before the k linear maps:
+    * per-hash positions must be jointly unstructured or FP yield is
+    * biased, the measured HLL lesson.
+    *
+    * Relational shape: the filter is `explode(k positions) → DISTINCT`
+    * over stored keys — ≤ m rows of bounded state, mergeable by union
+    * like the other sketches — and probing is a position equi-join +
+    * per-doc hit count (claimed ⇔ all k present; duplicate positions hit
+    * consistently, so the non-distinct count is exact). Broadcast here
+    * (m ≤ 2^16 at test SFs); at 100 TB the bit table is a sharded bitmap
+    * artifact and the probe stays the same equi-join, shuffled instead of
+    * broadcast — nothing in the plan is data-ordered. Membership truth is
+    * key-level (hash equality): a fold collision would count as a member
+    * in BOTH engines, so the gate stays exact; the probability is the
+    * documented ~n²/2P birthday bound. */
+  def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
+    val h = rolling_hash(col("text"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        ((h * h + lit(HllA2) * h + lit(11L)) % lit(HashP)).as("g"))
+    val stored = docs.filter(col("doc_id") % 10 =!= 0)
+    val width = broadcast(stored.agg(count(lit(1)).as("n"))
+      .withColumn("m", expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        "length(bin(4 * n - 1)))"))
+      .select(col("m")))
+    val posArr = array(BloomHashes.map { case (a, b) =>
+      ((lit(a) * col("g") + lit(b)) % lit(HashP)) % col("m") }: _*)
+    val bits = graft.SharedFrames.shared(
+      stored.crossJoin(width)
+        .select(explode(posArr).as("pos")).distinct())
+    val hits = docs.crossJoin(width)
+      .select(col("doc_id"), explode(posArr).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val bitsSet = broadcast(bits.agg(count(lit(1)).as("bits_set")))
+    docs
+      .join(stored.select(col("g")).distinct().withColumnRenamed("g", "sg"),
+        col("g") === col("sg"), "left_outer")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(
+        (coalesce(col("n_hit"), lit(0L)) === BloomK).as("claimed"),
+        col("sg").isNotNull.as("actual"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(bitsSet).crossJoin(width)
+      .orderBy(col("claimed"), col("actual"))
+  }
+
+  val bloomMembershipSql: String = OracleSql.materializeCtes {
+    val hashVals = BloomHashes.map { case (a, b) => s"($a, $b)" }
+      .mkString(", ")
+    s"""WITH dk AS (
+       |  SELECT doc_id, ${rollFoldSql("text")} AS h FROM documents),
+       |g AS (
+       |  SELECT doc_id, (h*h + $HllA2*h + 11) % $HashP AS g FROM dk),
+       |st AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+       |w AS (
+       |  SELECT CAST(1 AS BIGINT) << length(bin(4 * COUNT(*) - 1)) AS m
+       |  FROM st),
+       |hh(a, b) AS (VALUES $hashVals),
+       |bits AS (
+       |  SELECT DISTINCT ((a*g + b) % $HashP) % m AS pos
+       |  FROM st CROSS JOIN w CROSS JOIN hh),
+       |bs AS (SELECT COUNT(*) AS bits_set FROM bits),
+       |hits AS (
+       |  SELECT p.doc_id, COUNT(b.pos) AS n_hit
+       |  FROM (SELECT doc_id, ((a*g + b) % $HashP) % m AS pos
+       |        FROM g CROSS JOIN w CROSS JOIN hh) p
+       |  LEFT JOIN bits b USING (pos)
+       |  GROUP BY 1)
+       |SELECT (COALESCE(n_hit, 0) = $BloomK) AS claimed,
+       |  (g.g IN (SELECT g FROM st)) AS actual,
+       |  COUNT(*) AS n_docs, bs.bits_set, w.m
+       |FROM g LEFT JOIN hits USING (doc_id) CROSS JOIN bs CROSS JOIN w
+       |GROUP BY 1, 2, bs.bits_set, w.m
+       |ORDER BY claimed, actual""".stripMargin
+  }
+
   /** Histogram bins per group and the quantiles reported. */
   final val HistBins = 256
   final val HistQs: Seq[Double] = Seq(0.5, 0.95)

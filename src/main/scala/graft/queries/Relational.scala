@@ -514,6 +514,94 @@ object Relational {
        |    > CAST(n AS DECIMAL(38,0)) * ${CusumLambda * 1000000L} AS alarm
        |FROM p2 ORDER BY event_type, seq""".stripMargin
 
+  /** Largest lag reported by [[acfLags]]. */
+  final val AcfMaxLag = 5
+
+  /** AUTOCORRELATION FUNCTION — per-event-type ACF at lags 1..[[AcfMaxLag]],
+    * the serial-dependence member of the monitoring family
+    * ([[eventsAnomaly]] = point outliers, [[changepointCusum]] = mean
+    * shifts): r_k = Σᵢ dᵢ·dᵢ₊ₖ / Σᵢ dᵢ² over mean deviations d, the
+    * statistic that tells a pipeline whether a metric's noise is white
+    * (sampling per event is sound) or trending (windows must stratify).
+    *
+    * Exactness: deviations are scaled by n_t — d = n·q − Σq over the
+    * [[AnomalyScale]]-quantized values (the [[eventsAnomaly]] discipline),
+    * so numerator and denominator are EXACT integers carried in
+    * DECIMAL(38,0)/HUGEINT; the n² scale factor cancels in the ratio, and
+    * `acf` itself is one correctly-rounded division of two
+    * correctly-rounded decimal→double casts — bit-reproducible.
+    *
+    * Scale shape: ordering positions come from the shared [[eventSeq]]
+    * two-phase decomposition (no per-type monolithic window); the lag
+    * pairing is ONE partition-local equi-join of the deviation frame
+    * against itself on (event_type, seq + k) with the ≤[[AcfMaxLag]]-way
+    * lag fan-out exploded map-side — both sides share the
+    * (event_type, seq)-hashed exchange, the per-(type, lag) sums are
+    * partial-combinable, and the ~|types| stats/denominator tables
+    * broadcast. The deviation frame feeds three consumers (denominator +
+    * both join sides), so it is materialized once via SharedFrames. */
+  def acfLags(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = eventSeq(spark, dir)
+      .withColumn("q", round(col("value") * AnomalyScale).cast("long"))
+      .select(col("event_type"), col("seq"), col("q"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("q").cast(d38)).as("s"))
+    val dev = graft.SharedFrames.shared(
+      base.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dd", (col("n").cast(d38) * col("q") - col("s")).cast(d38))
+        .select(col("event_type"), col("seq"), col("dd")))
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(col("dd") * col("dd")).cast(d38).as("den"))
+    val left = dev
+      .withColumn("lag", explode(lit((1 to AcfMaxLag).toArray)))
+      .withColumn("bseq", col("seq") + col("lag"))
+    left.join(dev.as("b"),
+        left("event_type") === col("b.event_type") &&
+          col("bseq") === col("b.seq"))
+      .groupBy(left("event_type").as("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(left("dd") * col("b.dd")).cast(d38).as("num"))
+      .join(broadcast(den), Seq("event_type"))
+      .withColumn("acf",
+        col("num").cast("string").cast("double") /
+          col("den").cast("string").cast("double"))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        col("n_pairs"), col("num"), col("den"), col("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Oracle: the same exact-integer statistic with HUGEINT partials and
+    * the identical varchar-routed decimal→double casts. */
+  val acfLagsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ts, event_id) AS BIGINT) AS seq,
+       |    CAST(round(value * $AnomalyScale) AS BIGINT) AS q
+       |  FROM events WHERE value IS NOT NULL),
+       |t AS (
+       |  SELECT event_type, COUNT(*) AS n, CAST(SUM(q) AS HUGEINT) AS s
+       |  FROM e GROUP BY 1),
+       |d AS (
+       |  SELECT e.event_type, e.seq, CAST(n AS HUGEINT)*q - s AS dd
+       |  FROM e JOIN t USING (event_type)),
+       |den AS (
+       |  SELECT event_type, SUM(dd*dd) AS den FROM d GROUP BY 1),
+       |lags AS (SELECT CAST(UNNEST(range(1, ${AcfMaxLag + 1})) AS INT) AS lag),
+       |num AS (
+       |  SELECT a.event_type, l.lag, COUNT(*) AS n_pairs,
+       |    SUM(a.dd * b.dd) AS num
+       |  FROM d a CROSS JOIN lags l
+       |  JOIN d b ON b.event_type = a.event_type AND b.seq = a.seq + l.lag
+       |  GROUP BY 1, 2)
+       |SELECT event_type, lag, n_pairs,
+       |  CAST(num AS DECIMAL(38,0)) AS num, CAST(den AS DECIMAL(38,0)) AS den,
+       |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+       |FROM num JOIN den USING (event_type)
+       |ORDER BY event_type, lag""".stripMargin
+
   /** Exact (holistic) percentile aggregation — the ref's reduce_func is the
     * only holistic aggregate it has (SURVEY §2.7); this is the built-in
     * columnar form. Spark `percentile` and DuckDB `quantile_cont` both use

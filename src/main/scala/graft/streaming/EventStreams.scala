@@ -66,6 +66,15 @@ final case class EwmaPoint(event_type: String, event_id: Long, ts_us: Long,
 final case class AnomalyVerdict(event_type: String, event_id: Long,
     n_so_far: Long, flagged: Boolean)
 
+/** [[EventStreams.cusumStream]] state: Page's prefix statistic S for one
+  * event type plus the events-seen count — exact BigInt (the
+  * [[AnomalyState]] overflow argument: S accumulates n_ref-scaled
+  * deviations and a Long would wrap silently on an unbounded run). */
+final case class CusumState(n: Long, s: BigInt)
+
+final case class CusumVerdict(event_type: String, event_id: Long,
+    n_seen: Long, s_stat: BigInt, alarm: Boolean)
+
 /** Structured Streaming twins of the batch event operators (SURVEY §2.4/§2.5
   * note the quota sliding window as the reference's only time construct; the
   * builder brief asks for watermarked windows + custom state):
@@ -452,6 +461,62 @@ object EventStreams {
             st = AnomalyState(st.n + 1, st.s + q, st.qq + BigInt(q) * q)
             AnomalyVerdict(etype, e.event_id, st.n,
               st.n >= minN && anomalyFlag(st.n, st.s, st.qq, q))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** The CUSUM transition BOTH the stream and any replay share (the
+    * [[admitOne]] single-implementation discipline): with trained
+    * reference moments (n_ref, s_ref = Σxq) and the micro-quantized
+    * incoming value q, the deviation is n_ref·q − s_ref and
+    * S' = max(0, S + d) — the
+    * [[graft.queries.Relational.changepointCusum]] integers verbatim;
+    * alarm iff S' > the pre-scaled λ·n_ref·10⁶ threshold. */
+  private[streaming] def cusumStep(nRef: Long, sRef: BigInt,
+      lambdaScaled: BigInt, s: BigInt, q: BigInt): (BigInt, Boolean) = {
+    val s2 = (s + BigInt(nRef) * q - sRef).max(BigInt(0))
+    (s2, s2 > lambdaScaled)
+  }
+
+  /** The exact quantization [[graft.queries.Relational.changepointCusum]]
+    * applies in-plan — double → DECIMAL(18,6) (half-up) → ×10⁶ integer —
+    * replayed on the driver/executor side for the streaming face. */
+  private[streaming] def microQuantize(v: Double): BigInt =
+    BigInt(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.movePointRight(6).toBigIntegerExact)
+
+  /** STREAMING CHANGEPOINT DETECTION — the deployable face of
+    * [[graft.queries.Relational.changepointCusum]]: Page's recursion run
+    * live per event type against a TRAINED in-control reference (the
+    * stored (n, Σxq) moments of the monitored corpus — Page's CUSUM
+    * assumes a KNOWN in-control mean, and the batch operator's full-corpus
+    * moments are exactly that stored artifact). State per type is ONE
+    * (count, BigInt S) pair forever — no window buffer, no event
+    * retention. Fed the training corpus itself in ts-order, the emitted
+    * statistics and alarms are BIT-IDENTICAL to the batch operator's rows
+    * (same quantization, same integers, same threshold) — the strongest
+    * stream ≡ batch gate available, pinned in EventStreamsSpec across
+    * micro-batch splits. In-order per-type delivery across micro-batches
+    * assumed (the [[funnelStream]] contract). */
+  def cusumStream(events: Dataset[Event],
+      references: Map[String, (Long, BigInt)],
+      lambda: Long = graft.queries.Relational.CusumLambda)
+      : Dataset[CusumVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype, batch, state) =>
+          val (nRef, sRef) = references(etype)
+          val lam = BigInt(lambda) * BigInt(nRef) * BigInt(1000000L)
+          var st = state.getOption.getOrElse(CusumState(0L, BigInt(0)))
+          val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val (s2, alarm) =
+              cusumStep(nRef, sRef, lam, st.s, microQuantize(e.value))
+            st = CusumState(st.n + 1, s2)
+            CusumVerdict(etype, e.event_id, st.n, s2, alarm)
           }
           state.update(st)
           out.iterator

@@ -44,6 +44,29 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bloom_membership: no false negatives ever; FPs exist; width is the smallest power of two >= 4n") {
+    val rows = Sketches.bloomMembership(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the Bloom theorem: a stored key can never probe absent — the
+    // (claimed=false, actual=true) class must not exist as a row
+    assert(!rows.contains((false, true)), "false negative in a Bloom filter")
+    assert(rows.contains((true, true)), "no true positives — probe vacuous")
+    assert(rows.contains((true, false)), "no false positives — width vacuously large")
+    assert(rows.contains((false, false)), "no rejections — filter saturated")
+    val (_, bitsSet, m) = rows((true, true))
+    val n = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(m >= 4 * n && m < 8 * n, s"m=$m not the least power of two >= 4n=$n")
+    assert((m & (m - 1)) == 0, s"m=$m not a power of two")
+    // k*n position insertions can set at most k*n bits, at least... > 0
+    assert(bitsSet > 0 && bitsSet <= math.min(m, Sketches.BloomK * n))
+    // FP yield sanity: rejections + FPs = the novel slice exactly
+    val novel = graft.Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(rows((false, false))._1 + rows((true, false))._1 == novel)
+  }
+
   test("hll registers are scale-bounded: the register table never exceeds groups*m rows") {
     // the sketch state that shuffles is the register table itself — at
     // any corpus size it is <= 3 flags * 1024 buckets

@@ -110,6 +110,25 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.exists(!_._3), "every row alarms — threshold vacuous")
   }
 
+  test("acf_lags: Cauchy-Schwarz bound, exact pair counts, and a populated correlation signal") {
+    val rows = Relational.acfLags(spark, dir).collect()
+    val nByType = graft.Tables.t(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length == nByType.size * Relational.AcfMaxLag)
+    rows.foreach { r =>
+      val (et, lag, nPairs, acf) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(5))
+      // lag-k pairing covers exactly the n-k adjacent pairs
+      assert(nPairs == nByType(et) - lag, s"$et lag $lag pairs $nPairs")
+      // |r_k| <= 1 by Cauchy-Schwarz on the deviation vectors
+      assert(math.abs(acf) <= 1.0, s"$et lag $lag acf $acf out of range")
+    }
+    // the statistic must carry signal, not collapse to zero everywhere
+    assert(rows.exists(r => math.abs(r.getDouble(5)) > 1e-6))
+  }
+
   test("session_pattern: full driver replay of sessionization + regex; both verdicts populated") {
     import spark.implicits._
     val ev = graft.Tables.t(spark, dir, "events")

@@ -254,6 +254,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: fed the training corpus in order, statistics and alarms are BIT-IDENTICAL to the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    // the stored in-control artifact: exact per-type (n, sum of xq) moments
+    val refs = rows.groupBy(_.event_type).map { case (et, es) =>
+      et -> ((es.size.toLong,
+        es.map(e => EventStreams.microQuantize(e.value)).sum))
+    }
+    val mem = MemoryStream[Event]
+    val q = EventStreams.cusumStream(mem.toDS(), refs)
+      .writeStream.format("memory").queryName("cusum").outputMode("append")
+      .start()
+    try {
+      val sorted = rows.sortBy(e => (e.ts_us, e.event_id))
+      sorted.grouped(math.max(1, sorted.length / 3)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("cusum").as[CusumVerdict].collect()
+        .map(v => (v.event_type, v.event_id) ->
+          ((v.n_seen, v.s_stat, v.alarm))).toMap
+      // batch truth: the SAME corpus through the closed-form operator —
+      // reference moments are its own full-corpus stats, so every prefix
+      // statistic must coincide exactly
+      val batch = graft.queries.Relational.changepointCusum(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
+            r.getBoolean(5)))).toMap
+      assert(streamed.size == batch.size)
+      batch.foreach { case (k, v) =>
+        assert(streamed(k) == v, s"event $k: stream ${streamed(k)} != batch $v")
+      }
+      assert(streamed.values.exists(_._3) && streamed.values.exists(!_._3),
+        "alarm classes not both populated")
+    } finally q.stop()
+  }
+
   test("viewClickStreamJoin: stream-stream join equals the batch range join across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
