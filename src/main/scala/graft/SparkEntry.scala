@@ -84,6 +84,8 @@ object SparkEntry {
     "tfidf_topk" -> (TextAnalysis.tfidfTopk _),
     // TextRank keywords: fixed-point PageRank over word co-occurrence
     "textrank_keywords" -> (TextAnalysis.textrankKeywords _),
+    // chi-squared language-discriminative token selection, exact cells
+    "chi2_tokens" -> (TextAnalysis.chi2Tokens _),
     // PMI/lift collocations: exact integer ranking, one IEEE division
     "collocations_pmi" -> (TextAnalysis.collocationsPmi _),
     // unigram-LM tokenizer: integer Viterbi hard-EM, fully SQL-replayable
@@ -464,6 +466,7 @@ object SparkEntry {
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
+    "chi2_tokens" -> TextAnalysis.chi2TokensSql,
     "collocations_pmi" -> TextAnalysis.collocationsPmiSql,
     "unigram_lm_vocab" -> graft.operators.UnigramLm.unigramLmVocabSql,
     "unigram_encode" -> graft.operators.UnigramLm.unigramEncodeSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.t
@@ -884,4 +884,122 @@ object TextAnalysis {
          |ORDER BY r.pr DESC, token LIMIT $TrTopK""".stripMargin
     OracleSql.materializeCtes(raw)
   }
+
+  /** Winners reported per language by [[chi2Tokens]]. */
+  final val Chi2TopK = 10
+  /** Tokens seen in fewer documents are not scored (noise floor). */
+  final val Chi2MinDf = 5L
+
+  /** χ² FEATURE SELECTION — the top-[[Chi2TopK]] most language-
+    * discriminative tokens per language by the chi-squared statistic over
+    * the document-level contingency table (the classic text-classification
+    * feature selector; the supervised cousin of [[collocationsPmi]]'s
+    * association mining — PMI scores token-token affinity, χ² scores
+    * token-LABEL affinity): with a = docs of lang L containing t,
+    * b = other docs containing t, c = docs of L without t, d = the rest,
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Exactness: all five contingency cells are exact BIGINT document
+    * counts; (ad−bc) is staged through DECIMAL(19,0)×BIGINT →
+    * DECIMAL(38,0) (never a silent int64 wrap — at 10¹² docs the raw
+    * product overflows, the [[collocationsPmi]] lesson), and χ² itself is
+    * one fixed left-associated chain of exact int→double conversions,
+    * multiplies, and divides — bit-identical across engines. Guards:
+    * df ≥ [[Chi2MinDf]] (noise floor) and df < N (a token present in
+    * EVERY document has (c+d) = 0 — undefined, and useless as a feature).
+    *
+    * Scale shape: one distinct-(doc, lang, token) explode, token-keyed
+    * count + co-keyed df join (one exchange feeds both — the tf/df
+    * [[tfidfTopk]] shape), lang totals broadcast, and the per-lang top-k
+    * through the k-bounded partial aggregator ([[graft.functions.TopKAgg]])
+    * — a 5-partition lang-keyed WINDOW over the vocabulary would put each
+    * language's whole vocabulary into one task's sort (the banned
+    * skewed-key window class); the bounded aggregate shuffles ≤ k rows
+    * per (partition, lang) instead. Rank identity is a 52-bit md5-prefix
+    * key (the [[CorpusOps.prioritySample]] device) so the DuckDB oracle
+    * replays the tie order without engine-specific string collation. */
+  def chi2Tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dt = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+    val totals = broadcast(docs.agg(count(lit(1)).as("n_all")))
+    val langTot = broadcast(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("nl")))
+    val byLang = dt.groupBy(col("token"), col("lang"))
+      .agg(count(lit(1)).as("a"))
+    val byTok = byLang.groupBy(col("token")).agg(sum(col("a")).as("df"))
+    val d19 = "decimal(19,0)"
+    val dbl = (c: Column) => c.cast("double")
+    val scored = graft.SharedFrames.shared(
+      byLang.join(byTok, Seq("token"))
+        .join(langTot, Seq("lang"))
+        .crossJoin(totals)
+        .filter(col("df") >= Chi2MinDf && col("df") < col("n_all"))
+        .withColumn("b", col("df") - col("a"))
+        .withColumn("c", col("nl") - col("a"))
+        .withColumn("d", col("n_all") - col("df") - col("nl") + col("a"))
+        .withColumn("dd",
+          (col("a").cast(d19) * col("d") - col("b").cast(d19) * col("c"))
+            .cast("decimal(38,0)"))
+        .withColumn("chi2",
+          dbl(col("n_all")) * col("dd").cast("string").cast("double")
+            * col("dd").cast("string").cast("double")
+            / dbl(col("df")) / dbl(col("n_all") - col("df"))
+            / dbl(col("nl")) / dbl(col("n_all") - col("nl")))
+        .withColumn("hid", expr(
+          "cast(conv(substring(md5(cast(token as binary)), 1, 13), 16, 10)" +
+            " as bigint)"))
+        .select(col("lang"), col("token"), col("a"), col("b"), col("c"),
+          col("d"), col("chi2"), col("hid")))
+    val topk = graft.functions.TopKAgg.top_k(Chi2TopK)
+    val winners = scored.groupBy(col("lang"))
+      .agg(topk(col("hid"), col("chi2")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("hid"))
+    scored.join(broadcast(winners), Seq("lang", "hid"))
+      .select(col("lang"), col("rnk"), col("token"), col("a"), col("b"),
+        col("c"), col("d"), col("chi2"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Oracle: the identical contingency arithmetic; the rank is a window
+    * here (oracles may sort — only the ENGINE side must stay bounded). */
+  val chi2TokensSql: String = OracleSql.materializeCtes(
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, lang, token FROM (
+       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) u
+       |  WHERE length(token) > 0),
+       |nn AS (SELECT COUNT(*) AS n_all FROM documents),
+       |lt AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+       |tl AS (
+       |  SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS a
+       |  FROM dt GROUP BY 1, 2),
+       |tf AS (SELECT token, CAST(SUM(a) AS BIGINT) AS df FROM tl GROUP BY 1),
+       |sc AS (
+       |  SELECT tl.lang, tl.token, a, df - a AS b, nl - a AS c,
+       |    n_all - df - nl + a AS d, df, nl, n_all,
+       |    CAST(CAST(a AS DECIMAL(19,0)) * (n_all - df - nl + a)
+       |       - CAST(df - a AS DECIMAL(19,0)) * (nl - a)
+       |       AS DECIMAL(38,0)) AS dd
+       |  FROM tl JOIN tf USING (token) JOIN lt USING (lang) CROSS JOIN nn
+       |  WHERE df >= $Chi2MinDf AND df < n_all),
+       |sc2 AS (
+       |  SELECT lang, token, a, b, c, d,
+       |    CAST(n_all AS DOUBLE) * CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+       |      * CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+       |      / CAST(df AS DOUBLE) / CAST(n_all - df AS DOUBLE)
+       |      / CAST(nl AS DOUBLE) / CAST(n_all - nl AS DOUBLE) AS chi2,
+       |    CAST(CAST(concat('0x', substring(md5(token), 1, 13)) AS BIGINT)
+       |      AS BIGINT) AS hid
+       |  FROM sc),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY chi2 DESC, hid) AS BIGINT) AS rnk
+       |  FROM sc2)
+       |SELECT lang, rnk, token, a, b, c, d, chi2
+       |FROM r WHERE rnk <= $Chi2TopK
+       |ORDER BY lang, rnk""".stripMargin)
 }
