@@ -373,6 +373,8 @@ object SparkEntry {
     // text->image retrieval through the written cluster-partitioned IVF
     // index (caption queries probe only their nearest inverted lists)
     "crossmodal_retrieval" -> (Similarity.crossModalRetrieval _),
+    // IR scorecard: recall@k + reciprocal rank of the pruned IVF vs exact
+    "retrieval_eval" -> (Similarity.retrievalEval _),
     // embedding-space decontamination: paraphrase-robust eval-leak
     // flagging (broadcast eval set, strict-fold max cosine, tau verdict)
     "decontaminate_semantic" -> (Similarity.decontaminateSemantic _),
@@ -604,6 +606,7 @@ object SparkEntry {
     "crossmodal_negatives" -> Multimodal.crossModalNegativesSql,
     // brute-force cross-modal SQL — the end-to-end IVF recall gate
     "crossmodal_retrieval" -> Similarity.crossModalRetrievalSql,
+    "retrieval_eval" -> Similarity.retrievalEvalSql,
     "decontaminate_semantic" -> Similarity.decontaminateSemanticSql,
     "image_phash" -> Multimodal.imagePhashSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL

@@ -718,6 +718,127 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin
   }
 
+  /** RETRIEVAL-QUALITY EVALUATION — recall@[[XModalK]] and reciprocal
+    * rank of the genuinely-pruned cross-modal IVF retriever
+    * ([[crossModalRetrieval]], [[XModalProbes]] of [[IvfClusters]] lists)
+    * scored per query against EXACT brute-force search over the image
+    * side — the IR scorecard a retrieval pipeline publishes next to its
+    * index build, as a first-class gated query rather than a spec
+    * assertion: hits = |IVF top-k ∩ exact top-k|, recall = hits/k, and
+    * rr = 1/rank of the TRUE nearest neighbor inside the IVF list (0 if
+    * the pruning lost it — both outcomes populated on this corpus's
+    * near-random embeddings, the measured LSH physics).
+    *
+    * Exactness: both arms rank by the same strict-fold cosines, so their
+    * top-k sets are bit-identical decisions in both engines; hits and
+    * ranks are exact integers, and recall/rr are single correctly-rounded
+    * divisions. The oracle replays the ENTIRE pipeline — fixed-point
+    * centroid training, assignment, probe selection, both rankings, the
+    * intersection, the metrics ([[crossModalRetrievalSql]]'s discipline
+    * extended through the evaluation arithmetic).
+    *
+    * Scale shape: the IVF arm is [[crossModalRetrieval]] verbatim
+    * (pruned scan, bounded top-k aggregator); the exact arm is the
+    * [[annBruteForce]] shape per bounded query batch (one map-side scored
+    * pass, k-bounded partial top-k, no window over the candidate
+    * stream); the metric joins run over ≤ queries·k rows. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ivf = graft.SharedFrames.shared(crossModalRetrieval(spark, dir)
+      .select(col("qid"), col("rnk"), col("img_vec")))
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+    val qs = emb.filter(col("vec_id") % 2 === 1)
+      .orderBy(col("vec_id")).limit(XModalQueries)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("ev", "qv")
+    val topk = graft.functions.TopKAgg.top_k(XModalK)
+    val brute = graft.SharedFrames.shared(
+      emb.filter(col("vec_id") % 2 === 0)
+        .crossJoin(broadcast(qs))
+        .withColumn("cosine",
+          dot(col("ev"), col("qv")) /
+            (sqrt(dot(col("ev"), col("ev"))) * sqrt(dot(col("qv"), col("qv")))))
+        .groupBy(col("qid"))
+        .agg(topk(col("vec_id"), col("cosine")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("img_vec")))
+    val hits = ivf.join(brute, Seq("qid", "img_vec"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    val nnRank = brute.filter(col("rnk") === 1L)
+      .select(col("qid"), col("img_vec"))
+      .join(ivf, Seq("qid", "img_vec"), "left_outer")
+      .select(col("qid"), coalesce(col("rnk"), lit(0L)).as("nn_rank"))
+    qs.select(col("qid"))
+      .join(hits, Seq("qid"), "left_outer")
+      .join(nnRank, Seq("qid"))
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        (coalesce(col("h"), lit(0L)).cast("double") / lit(XModalK.toDouble))
+          .as("recall"),
+        col("nn_rank"),
+        when(col("nn_rank") > 0L,
+          lit(1.0d) / col("nn_rank").cast("double")).otherwise(lit(0.0d))
+          .as("rr"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle: the full cross-modal replay plus the exact arm and the
+    * metric arithmetic. */
+  val retrievalEvalSql: String = OracleSql.materializeCtes {
+    val cos = s"""${foldSql("i.ev", "q.qv")}
+       |    / (sqrt(${foldSql("i.ev", "i.ev")})
+       |       * sqrt(${foldSql("q.qv", "q.qv")}))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |ie AS (SELECT vec_id, ev FROM e WHERE vec_id % 2 = 0),
+       |$xmodalTrainSql,
+       |q AS (SELECT vec_id AS qid, ev AS qv FROM e
+       |      WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT $XModalQueries),
+       |qprobe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid, row_number() OVER (
+       |        PARTITION BY q.qid
+       |        ORDER BY ${l2FoldSql("q.qv", "c.cv")}, c.cid) AS rn
+       |    FROM q CROSS JOIN xc$SemDedupIters c) WHERE rn <= $XModalProbes),
+       |s AS (
+       |  SELECT q.qid, i.vec_id,
+       |    $cos AS cosine
+       |  FROM xassign a
+       |  JOIN ie i USING (vec_id)
+       |  JOIN qprobe p ON p.cid = a.cluster
+       |  JOIN q ON q.qid = p.qid),
+       |ivf AS (
+       |  SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY cosine DESC, vec_id) AS rnk
+       |    FROM s) WHERE rnk <= $XModalK),
+       |bs AS (
+       |  SELECT q.qid, i.vec_id,
+       |    $cos AS cosine
+       |  FROM ie i CROSS JOIN q),
+       |bt AS (
+       |  SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY cosine DESC, vec_id) AS rnk
+       |    FROM bs) WHERE rnk <= $XModalK),
+       |hits AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS h
+       |  FROM ivf JOIN bt USING (qid, vec_id) GROUP BY 1),
+       |nr AS (
+       |  SELECT n.qid, COALESCE(ivf.rnk, 0) AS nn_rank
+       |  FROM (SELECT qid, vec_id FROM bt WHERE rnk = 1) n
+       |  LEFT JOIN ivf ON ivf.qid = n.qid AND ivf.vec_id = n.vec_id)
+       |SELECT q.qid, COALESCE(h, 0) AS hits,
+       |  CAST(COALESCE(h, 0) AS DOUBLE) / ${XModalK.toDouble} AS recall,
+       |  nn_rank,
+       |  CASE WHEN nn_rank > 0 THEN 1.0 / CAST(nn_rank AS DOUBLE)
+       |       ELSE 0.0 END AS rr
+       |FROM q LEFT JOIN hits USING (qid) JOIN nr USING (qid)
+       |ORDER BY q.qid""".stripMargin
+  }
+
   /** Eval slice (vec_id < cap) and cosine threshold for
     * [[decontaminateSemantic]]. τ = 0.25 sits inside the corpus's
     * measured cross-vector cosine range ([−0.31, 0.36] — the
