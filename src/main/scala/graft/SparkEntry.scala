@@ -86,6 +86,8 @@ object SparkEntry {
     "textrank_keywords" -> (TextAnalysis.textrankKeywords _),
     // chi-squared language-discriminative token selection, exact cells
     "chi2_tokens" -> (TextAnalysis.chi2Tokens _),
+    // positional inverted index (bucket-partitioned) + exact phrase query
+    "phrase_search" -> (TextAnalysis.phraseSearch _),
     // PMI/lift collocations: exact integer ranking, one IEEE division
     "collocations_pmi" -> (TextAnalysis.collocationsPmi _),
     // unigram-LM tokenizer: integer Viterbi hard-EM, fully SQL-replayable
@@ -469,6 +471,7 @@ object SparkEntry {
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
     "textrank_keywords" -> TextAnalysis.textrankKeywordsSql,
     "chi2_tokens" -> TextAnalysis.chi2TokensSql,
+    "phrase_search" -> TextAnalysis.phraseSearchSql,
     "collocations_pmi" -> TextAnalysis.collocationsPmiSql,
     "unigram_lm_vocab" -> graft.operators.UnigramLm.unigramLmVocabSql,
     "unigram_encode" -> graft.operators.UnigramLm.unigramEncodeSql,

@@ -1002,4 +1002,98 @@ object TextAnalysis {
        |SELECT lang, rnk, token, a, b, c, d, chi2
        |FROM r WHERE rnk <= $Chi2TopK
        |ORDER BY lang, rnk""".stripMargin)
+
+  /** Token-hash buckets the positional index is partitioned into. */
+  final val IdxBuckets = 64L
+
+  /** Positional postings (doc_id, token, pos) over the raw whitespace
+    * token stream — positions are 1-based RAW split ordinals (empty
+    * tokens excluded from postings but their ordinals preserved), so
+    * "adjacent" means adjacent in the original text in BOTH engines. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
+
+  /** INVERTED-INDEX PHRASE SEARCH — the search-serving primitive over a
+    * WRITTEN positional index: postings (doc, token, position) are
+    * materialized partitioned by token-hash bucket
+    * (pmod(xxhash64(token), [[IdxBuckets]]) — the [[Similarity]] IVF
+    * write-time discipline applied to text), and an exact two-word
+    * PHRASE query (the corpus's most frequent adjacent bigram, elected
+    * in-engine so the query is self-contained and non-vacuous at every
+    * SF) is served by reading ONLY the two buckets the query terms hash
+    * to — partition pruning, plan-asserted in spec — then intersecting
+    * the two posting lists on (doc_id, pos+1 = pos). Phrase match is
+    * something n-gram frequency tables cannot answer (they aggregate
+    * counts; this returns the DOCUMENTS and their occurrence counts).
+    *
+    * Scale shape: the index build is one posexplode + partitioned write,
+    * amortized across every query (the SAV-compaction cadence); bigram
+    * election is ONE co-keyed self-join on (doc, pos+1) + a
+    * partial-combinable min-struct election (never a global sort); the
+    * query-side join is (doc_id, pos)-equi-keyed over two pruned posting
+    * lists. Counts are exact integers; no floating arithmetic at all. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val postings = graft.SharedFrames.shared(
+      postingsOf(t(spark, dir, "documents")))
+    val indexPath = graft.SessionResources.scratchDir(spark, "inv_index", dir)
+    postings
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(IdxBuckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexPath)
+    // elect the most frequent adjacent bigram: (max count, then (w1, w2)
+    // lexicographic) as one partial-combinable min-struct — no sort
+    val pairs = postings.as("a")
+      .join(postings.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.token").as("w1"), col("b.token").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    // the elected bigram IS the query — a 1-row contract-bounded collect
+    // (the IVF probe-selection discipline), so the bucket filters below
+    // are STATIC literals and probe-time partition pruning is plan-level
+    val e = pairs
+      .agg(min(struct((-col("cnt")).as("neg"), col("w1"), col("w2"))).as("e"))
+      .select(col("e.w1"), col("e.w2")).collect()(0)
+    val (w1, w2) = (e.getString(0), e.getString(1))
+    val bk = (w: String) => spark.range(1)
+      .select(pmod(xxhash64(lit(w)), lit(IdxBuckets))).head.getLong(0)
+    val idx = spark.read.parquet(indexPath)
+    val b1 = idx.filter(col("bucket") === bk(w1) && col("token") === w1)
+      .select(col("doc_id"), col("pos"))
+    val b2 = idx.filter(col("bucket") === bk(w2) && col("token") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    b1.join(b2, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), lit(w1).as("w1"), lit(w2).as("w2"),
+        col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: postings, the bigram election, and the phrase intersection
+    * replayed relationally (ordinals via the zipped-unnest device). */
+  val phraseSearchSql: String = OracleSql.materializeCtes(
+    s"""WITH tk AS (
+       |  SELECT doc_id, token, CAST(ord AS BIGINT) AS pos FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(text, ' ')) AS token,
+       |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+       |    FROM documents) u
+       |  WHERE length(token) > 0),
+       |bg AS (
+       |  SELECT a.token AS w1, b.token AS w2, COUNT(*) AS cnt
+       |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |best AS (SELECT w1, w2 FROM bg ORDER BY cnt DESC, w1, w2 LIMIT 1),
+       |m AS (
+       |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM tk a
+       |  JOIN best ON a.token = best.w1
+       |  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |    AND b.token = best.w2
+       |  GROUP BY 1)
+       |SELECT m.doc_id, best.w1, best.w2, m.n_hits
+       |FROM m CROSS JOIN best
+       |ORDER BY m.doc_id""".stripMargin)
 }

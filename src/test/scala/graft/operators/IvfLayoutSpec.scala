@@ -65,6 +65,39 @@ class IvfLayoutSpec extends AnyFunSuite with SparkSpec {
       s"indexed=$indexed inline=$inline")
   }
 
+  test("phrase_search: the inverted-index probe reads only the two query-term buckets") {
+    val res = TextAnalysis.phraseSearch(spark, dir)
+    val rows = res.collect()
+    assert(rows.nonEmpty, "phrase query matched nothing — election vacuous")
+    assert(rows.forall(_.getLong(3) >= 1))
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(findScans)
+    }
+    val idxPath = graft.SessionResources.scratchDir(spark, "inv_index", dir)
+    val scans = findScans(res.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("inv_index")))
+    assert(scans.size == 2, s"expected the two posting-list scans, got ${scans.size}")
+    val bucketDirs = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(idxPath)))(
+      _.iterator().asScala.count(_.getFileName.toString.startsWith("bucket=")))
+    assert(bucketDirs > 2,
+      s"need more buckets than query terms for pruning to mean anything: $bucketDirs")
+    val filesPerBucket = scala.util.Using.resource(
+      Files.walk(java.nio.file.Paths.get(idxPath)))(
+      _.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    ) / bucketDirs + 1
+    scans.foreach { s =>
+      assert(s.metrics("numFiles").value <= filesPerBucket,
+        s"posting scan read ${s.metrics("numFiles").value} files across " +
+          s"$bucketDirs bucket dirs — static bucket pruning not effective")
+    }
+  }
+
   test("cross-modal retrieval: probe scan is partition-pruned; recall floor vs brute force measured") {
     import spark.implicits._
     val res = Similarity.crossModalRetrieval(spark, dir)
