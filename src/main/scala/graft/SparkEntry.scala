@@ -220,6 +220,8 @@ object SparkEntry {
     // stored-sketch + delta-batch register merge; oracle = the full-table
     // single-pass SQL, so the gate proves merge == rebuild exactly
     "hll_merge_incremental" -> (graft.operators.Sketches.hllMergeIncremental _),
+    // KMV/theta set sketch: intersection cardinality HLL can't answer
+    "kmv_overlap" -> (graft.operators.Sketches.kmvOverlap _),
     // DSIR-style domain selection: hashed-bigram likelihood-ratio
     // weights (linear-domain, decimal-quantized — ln differs by libm
     // ulps across engines), top-K most target-like candidate docs
@@ -458,6 +460,7 @@ object SparkEntry {
     "sketch_cms" -> graft.operators.Sketches.sketchCmsSql,
     "hll_distinct" -> graft.operators.Sketches.hllDistinctSql,
     "bloom_membership" -> graft.operators.Sketches.bloomMembershipSql,
+    "kmv_overlap" -> graft.operators.Sketches.kmvOverlapSql,
     "hll_merge_incremental" -> graft.operators.Sketches.hllDistinctSql,
     "dsir_select" -> graft.operators.DsirSelect.dsirSelectSql,
     "hist_quantiles" -> graft.operators.Sketches.histQuantilesSql,

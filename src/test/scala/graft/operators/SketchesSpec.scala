@@ -67,6 +67,36 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(rows((false, false))._1 + rows((true, false))._1 == novel)
   }
 
+  test("kmv_overlap: estimates inside 15%, order-statistic structure, and the KMV merge theorem") {
+    val r = Sketches.kmvOverlap(spark, dir).collect()(0)
+    val (exactA, exactB, exactI) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val (hkA, hkB, hkU) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    val (estA, estB, estI) = (r.getDouble(8), r.getDouble(9), r.getDouble(10))
+    def err(est: Double, exact: Long) = math.abs(est / exact - 1.0)
+    assert(err(estA, exactA) < 0.15, s"est_a $estA vs $exactA")
+    assert(err(estB, exactB) < 0.15, s"est_b $estB vs $exactB")
+    assert(err(estI, exactI) < 0.15, s"est_inter $estI vs $exactI")
+    // union ⊇ each set ⇒ the union's k-th smallest can never exceed a set's
+    assert(hkU <= hkA && hkU <= hkB, s"order statistics inverted: $hkU $hkA $hkB")
+    // KMV merge theorem: k smallest of (A ∪ B) == k smallest of
+    // (KMV_A ∪ KMV_B) — sketches of shards merge without rescanning
+    import graft.functions.RollingHash.rolling_hash
+    val h0 = rolling_hash(col("o_custkey").cast("string"))
+    val g1 = (h0 * h0 + lit(Sketches.HllA2) * h0 + lit(11L)) % Sketches.HashP
+    val g = (g1 * g1 + lit(Sketches.KmvA) * g1 + lit(Sketches.KmvB)) %
+      Sketches.HashP
+    val orders = graft.Tables.t(spark, dir, "orders")
+    def hashesOf(st: String): Array[Long] = orders
+      .filter(col("o_orderstatus") === st).select(g.as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val (a, b) = (hashesOf("F"), hashesOf("O"))
+    val direct = (a.toSet ++ b.toSet).toArray.sorted.take(Sketches.KmvK)
+    val merged = (a.take(Sketches.KmvK).toSet ++ b.take(Sketches.KmvK).toSet)
+      .toArray.sorted.take(Sketches.KmvK)
+    assert(direct.sameElements(merged), "KMV merge != sketch of union")
+    assert(direct.last == hkU, "operator's union k-th order statistic drifted")
+  }
+
   test("hll registers are scale-bounded: the register table never exceeds groups*m rows") {
     // the sketch state that shuffles is the register table itself — at
     // any corpus size it is <= 3 flags * 1024 buckets
