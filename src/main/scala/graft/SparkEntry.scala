@@ -195,6 +195,8 @@ object SparkEntry {
     "changepoint_cusum" -> (Relational.changepointCusum _),
     // serial-dependence profile: exact-integer ACF at lags 1..5 per type
     "acf_lags" -> (Relational.acfLags _),
+    // Deequ-style expectation suite: PK/FK/domain/range/completeness
+    "dq_report" -> (Relational.dqReport _),
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     "unpivot_long" -> (Relational.unpivotLong _),
@@ -535,6 +537,7 @@ object SparkEntry {
     "events_anomaly" -> Relational.eventsAnomalySql,
     "changepoint_cusum" -> Relational.changepointCusumSql,
     "acf_lags" -> Relational.acfLagsSql,
+    "dq_report" -> Relational.dqReportSql,
     "json_extract_agg" -> Relational.jsonExtractAggSql,
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     "unpivot_long" -> Relational.unpivotLongSql,

@@ -440,11 +440,14 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("xq").cast(d38)).as("sq"))
     val wDay = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("seq")).rowsBetween(Window.unboundedPreceding, 0)
-    val local = base.join(broadcast(totals), Seq("event_type"))
-      .withColumn("d",
-        (col("n").cast(d38) * col("xq").cast(d38) - col("sq")).cast(d38))
-      .withColumn("ld", sum(col("d")).over(wDay))
-      .withColumn("lm", min(col("ld")).over(wDay))
+    // consumed by BOTH the day-level rollup and the final statistic join —
+    // shared, or the windowed deviation frame computes twice
+    val local = graft.SharedFrames.shared(
+      base.join(broadcast(totals), Seq("event_type"))
+        .withColumn("d",
+          (col("n").cast(d38) * col("xq").cast(d38) - col("sq")).cast(d38))
+        .withColumn("ld", sum(col("d")).over(wDay))
+        .withColumn("lm", min(col("ld")).over(wDay)))
     val dayAgg = local.groupBy(col("event_type"), col("day"))
       .agg(sum(col("d")).as("day_sum"), min(col("ld")).as("day_min"))
     val offP = dayAgg.as("a")
@@ -2096,4 +2099,106 @@ object Relational {
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** Allowed event-type domain for [[dqReport]]'s enum constraint. */
+  final val DqEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** DATA-QUALITY EXPECTATION SUITE (the Deequ/Great-Expectations
+    * surface) — a constraint battery over the raw tables as ONE gated
+    * query (column `check_name` — `constraint` is reserved in DuckDB):
+    * primary-key uniqueness, two referential-integrity checks,
+    * an enum-domain check, completeness, a positivity range, and a
+    * non-negativity range that GENUINELY FAILS on this data (TPC-H
+    * customers carry negative account balances at every SF — the suite
+    * would be vacuous if every verdict passed). One row per constraint:
+    * (constraint, n_checked, n_violations, passed) — all exact integers
+    * and booleans, the publishable scorecard an ingest job gates a
+    * promotion on.
+    *
+    * Scale shape: each constraint is one scan-shaped aggregation with
+    * map-side partials (uniqueness = count − exact distinct — the one
+    * key-shuffling check, the price of an exact PK audit; the FK checks
+    * are anti-join counts on the join keys, co-keyed equi-joins at any
+    * scale; domain/range/completeness checks are pure map-side
+    * conditional counts). The legs union to a 7-row frame — at 100 TB
+    * each leg is an independent job over its own table scan, nothing
+    * cross-contaminates. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val li = t(spark, dir, "lineitem")
+    val ev = t(spark, dir, "events")
+    val docs = t(spark, dir, "documents")
+    def leg(name: String, checked: Column, viol: Column,
+        src: DataFrame): DataFrame =
+      src.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    val legs = Seq(
+      leg("customer_acctbal_nonneg", count(lit(1)),
+        count(when(col("c_acctbal") < 0, 1)), cust),
+      leg("documents_text_complete", count(lit(1)),
+        count(when(col("text").isNull || length(col("text")) === 0, 1)),
+        docs),
+      leg("events_type_domain", count(lit(1)),
+        count(when(!col("event_type").isin(DqEventTypes: _*), 1)), ev),
+      // FK checks: left-join the (distinct — correct even if the parent
+      // PK itself were broken) key set, count the unmatched rows
+      leg("lineitem_orders_fk", count(lit(1)),
+        count(when(col("o_orderkey").isNull, 1)),
+        li.join(orders.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left_outer")),
+      leg("lineitem_qty_positive", count(lit(1)),
+        count(when(col("l_quantity") <= 0, 1)), li),
+      leg("orders_customer_fk", count(lit(1)),
+        count(when(col("c_custkey").isNull, 1)),
+        orders.join(broadcast(cust.select(col("c_custkey")).distinct()),
+          col("o_custkey") === col("c_custkey"), "left_outer")),
+      leg("orders_pk_unique", count(lit(1)),
+        count(lit(1)) - countDistinct(col("o_orderkey")), orders))
+    legs.reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  val dqReportSql: String = {
+    val enum = DqEventTypes.map(s => s"'$s'").mkString(", ")
+    s"""WITH legs AS (
+       |  SELECT 'customer_acctbal_nonneg' AS check_name,
+       |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+       |    CAST(COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT)
+       |      AS n_violations
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT 'documents_text_complete', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+       |      AS BIGINT)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'events_type_domain', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(CASE WHEN event_type NOT IN ($enum) THEN 1 END)
+       |      AS BIGINT)
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'lineitem_orders_fk', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+       |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+       |    ON l.l_orderkey = o.o_orderkey
+       |  UNION ALL
+       |  SELECT 'lineitem_qty_positive', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orders_customer_fk', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+       |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+       |    ON o.o_custkey = c.c_custkey
+       |  UNION ALL
+       |  SELECT 'orders_pk_unique', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+       |  FROM orders)
+       |SELECT check_name, n_checked, n_violations,
+       |  (n_violations = 0) AS passed
+       |FROM legs ORDER BY check_name""".stripMargin
+  }
 }
