@@ -79,6 +79,52 @@ object TopKAgg {
     (id: Column, v: Column) => f.apply(id, v)
   }
 
+  /** [[mergeK]] with SET semantics: equal (id, v) pairs collapse to one
+    * slot. This is what makes the buffer a k-MINIMUM-VALUES sketch (a
+    * duplicate hash must not consume an order-statistic slot) and lets
+    * the aggregate run over RAW duplicate-bearing streams with no
+    * upstream `distinct` — the dedup state IS the k-bounded buffer. */
+  private def mergeKDistinct(k: Int, a: List[Entry],
+      b: List[Entry]): List[Entry] = {
+    @annotation.tailrec
+    def go(x: List[Entry], y: List[Entry], acc: List[Entry],
+        n: Int): List[Entry] =
+      if (n == 0) acc.reverse
+      else (x, y) match {
+        case (Nil, Nil) => acc.reverse
+        case (h :: t, Nil) => go(t, Nil, h :: acc, n - 1)
+        case (Nil, h :: t) => go(Nil, t, h :: acc, n - 1)
+        case (hx :: tx, hy :: ty) =>
+          if (hx.id == hy.id &&
+              java.lang.Double.compare(hx.v, hy.v) == 0)
+            go(tx, y, acc, n) // duplicate: consume one side, no slot
+          else if (lt(hx, hy)) go(tx, y, hx :: acc, n - 1)
+          else go(x, ty, hy :: acc, n - 1)
+      }
+    go(a, b, Nil, k)
+  }
+
+  def ofDistinct(k: Int): Aggregator[Entry, List[Entry], Seq[Entry]] =
+    new Aggregator[Entry, List[Entry], Seq[Entry]] {
+      def zero: List[Entry] = Nil
+      def reduce(buf: List[Entry], e: Entry): List[Entry] =
+        mergeKDistinct(k, buf, e :: Nil)
+      def merge(a: List[Entry], b: List[Entry]): List[Entry] =
+        mergeKDistinct(k, a, b)
+      def finish(buf: List[Entry]): Seq[Entry] = buf
+      def bufferEncoder: Encoder[List[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: Encoder[Seq[Entry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
+  /** Set-semantics bounded top-k: `top_k_distinct(3)(col_id, col_value)`
+    * → array<struct<id,v>>, duplicates never consuming a slot. */
+  def top_k_distinct(k: Int): (Column, Column) => Column = {
+    val f = udaf(ofDistinct(k), Encoders.product[Entry])
+    (id: Column, v: Column) => f.apply(id, v)
+  }
+
   /** [[Entry]] plus a payload — lets a bounded top-k carry a measure
     * column through the aggregate instead of joining it back afterwards
     * (a streaming aggregation cannot join back to its own input at all,

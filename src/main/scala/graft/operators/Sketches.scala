@@ -460,10 +460,30 @@ object Sketches {
     * k-bounded partial aggregator ([[graft.functions.TopKAgg]] — ≤ k
     * rows per partition shuffle, merge = the KMV merge); the membership
     * probe joins the ≤ k union members against the distinct frame. */
-  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val h0 = rolling_hash(col("o_custkey").cast("string"))
+  /** The KMV hash pipeline over a key-string column (fold + TWO
+    * quadratic rounds — see [[kmvOverlap]] for why two). */
+  def kmvHash(key: Column): Column = {
+    val h0 = rolling_hash(key)
     val g1 = (h0 * h0 + lit(HllA2) * h0 + lit(11L)) % lit(HashP)
-    val g = (g1 * g1 + lit(KmvA) * g1 + lit(KmvB)) % lit(HashP)
+    (g1 * g1 + lit(KmvA) * g1 + lit(KmvB)) % lit(HashP)
+  }
+
+  /** Per-set KMV sketch maintenance over a RAW (s, g) frame — the shared
+    * aggregation of both faces: [[graft.functions.TopKAgg.top_k_distinct]]
+    * keeps the k smallest DISTINCT hashes per set (duplicates collapse
+    * inside the bounded merge — no upstream global `distinct`, so the
+    * operator's only state is ≤ k entries per set), and on a STREAMING
+    * frame the very same plan maintains each sketch as bounded state
+    * under an unbounded stream (complete mode) — after any micro-batch
+    * prefix the sketch equals the batch sketch of that prefix exactly
+    * (pinned in SketchesSpec, the [[cmsMatrixOf]] discipline). */
+  def kmvSketchOf(keyed: DataFrame): DataFrame =
+    keyed.groupBy(col("s"))
+      .agg(graft.functions.TopKAgg.top_k_distinct(KmvK)(
+        col("g"), -col("g").cast("double")).as("tk"))
+
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val g = kmvHash(col("o_custkey").cast("string"))
     val dg = graft.SharedFrames.shared(
       t(spark, dir, "orders")
         .filter(col("o_orderstatus").isin("F", "O"))
@@ -477,10 +497,10 @@ object Sketches {
       when(cnt < KmvK, cnt.cast("double"))
         .otherwise(lit((KmvK - 1).toDouble) * lit(HashP.toDouble) /
           hk.cast("double"))
-    // per-set sketches folded to ONE row by conditional min (2 rows in)
-    val per = dg.groupBy(col("s"))
-      .agg(topk(col("g"), -col("g").cast("double")).as("tk"),
-        count(lit(1)).as("cnt"))
+    // per-set sketches through the SHARED face, folded to ONE row by
+    // conditional min (2 rows in)
+    val per = kmvSketchOf(dg)
+      .join(dg.groupBy(col("s")).agg(count(lit(1)).as("cnt")), Seq("s"))
       .select(col("s"), col("cnt"), kth(col("tk"), col("cnt")).as("hk"))
       .groupBy()
       .agg(min(when(col("s") === "a", col("cnt"))).as("exact_a"),

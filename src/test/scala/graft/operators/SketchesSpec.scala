@@ -164,6 +164,41 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvSketchOf: streaming sketch over RAW duplicate-bearing rows equals batch after every prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // RAW per-order rows — duplicates included: the distinct-top-k
+    // aggregate must collapse them inside its bounded buffer
+    val rows = graft.Tables.t(spark, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(when(col("o_orderstatus") === "F", lit("a")).otherwise(lit("b"))
+        .as("s"), Sketches.kmvHash(col("o_custkey").cast("string")).as("g"))
+      .as[(String, Long)].collect()
+    val mem = MemoryStream[(String, Long)]
+    val q = Sketches.kmvSketchOf(mem.toDF().toDF("s", "g"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      def sketchMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toList)
+        .toMap
+      var fed = Vector.empty[(String, Long)]
+      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+        fed ++= b
+        val got = sketchMap(spark.table("kmv_stream"))
+        val batch = sketchMap(Sketches.kmvSketchOf(fed.toDF("s", "g")))
+        assert(got == batch, s"streaming KMV diverged after ${fed.size} rows")
+        // state bound: k distinct smallest per set, duplicates collapsed
+        got.values.foreach { l =>
+          assert(l.size <= Sketches.KmvK && l.distinct.size == l.size)
+        }
+      }
+    } finally q.stop()
+  }
+
   test("hllRegistersOf: streaming register table equals batch exactly and stays bounded") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
