@@ -197,6 +197,8 @@ object SparkEntry {
     "acf_lags" -> (Relational.acfLags _),
     // Deequ-style expectation suite: PK/FK/domain/range/completeness
     "dq_report" -> (Relational.dqReport _),
+    // exact STL-lite: OLS trend + dow seasonality + remainder, all gated
+    "seasonal_trend" -> (Relational.seasonalTrend _),
     "json_extract_agg" -> (Relational.jsonExtractAgg _),
     "pivot_lang_counts" -> (Relational.pivotLangCounts _),
     "unpivot_long" -> (Relational.unpivotLong _),
@@ -538,6 +540,7 @@ object SparkEntry {
     "changepoint_cusum" -> Relational.changepointCusumSql,
     "acf_lags" -> Relational.acfLagsSql,
     "dq_report" -> Relational.dqReportSql,
+    "seasonal_trend" -> Relational.seasonalTrendSql,
     "json_extract_agg" -> Relational.jsonExtractAggSql,
     "pivot_lang_counts" -> Relational.pivotLangCountsSql,
     "unpivot_long" -> Relational.unpivotLongSql,

@@ -1409,6 +1409,121 @@ object Relational {
        |    / CAST(1000000 AS DOUBLE) AS icept
        |FROM c ORDER BY event_type""".stripMargin
 
+  /** SEASONAL-TREND DECOMPOSITION (STL-lite, exact) — each event type's
+    * DAILY total decomposed into linear trend + day-of-week seasonality
+    * + irregular remainder, the additive model seasonal monitoring runs
+    * before alerting on a residual ([[changepointCusum]] finds mean
+    * shifts; THIS separates "it's just Saturday" from a real shift):
+    *
+    *   1. trend: closed-form OLS over (centered day, daily total) — the
+    *      [[groupedRegression]] normal equations on the daily layer;
+    *      fitted·D = icept_num + slope_num·cx, all exact DECIMAL(38,0);
+    *   2. seasonal: day-of-week means of the D-scaled detrended series
+    *      R_d = D·y_d − icept_num − slope_num·cx_d (exact integers —
+    *      detrending BEFORE the dow average, the decomposition order
+    *      that makes the two components orthogonal over whole weeks);
+    *   3. remainder: F_d = n_dow·R_d − ΣR_dow, exact integers again.
+    *
+    * The reported doubles (trend_fit, seasonal, resid in raw value
+    * units) are single fixed division chains over varchar-routed exact
+    * numerators, and the D-scaled integers ride beside them, so the
+    * gate pins the whole decomposition bit-for-bit. Scale shape: one
+    * partial-combinable daily rollup (calendar-bounded rows out), a
+    * ~|types|-row moment table and a ~7·|types|-row seasonal table both
+    * broadcast back, zero windows, zero self-joins. */
+  def seasonalTrend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val daily = graft.SharedFrames.shared(
+      t(spark, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (dec(col("value")).cast(DecimalType(28, 6)) * lit(1000000))
+            .cast("long").as("yq"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("yq").cast(d38)).as("y"))
+        .withColumn("cx", col("day") - OlsRefDay)
+        .withColumn("dow", pmod(col("day") + 4, lit(7))))
+    val mo = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cx").cast(d38)).as("scx"),
+      sum(col("y")).as("syq"),
+      sum(col("cx") * col("y")).cast(d38).as("sxy"),
+      sum((col("cx") * col("cx")).cast(d38)).as("sxx"))
+    val co = mo.select(col("event_type"),
+      (col("n").cast(d38) * col("sxy") - col("scx") * col("syq"))
+        .cast(d38).as("slope_num"),
+      (col("n").cast(d38) * col("sxx") - col("scx") * col("scx"))
+        .cast(d38).as("dd"),
+      (col("syq") * col("sxx") - col("scx") * col("sxy"))
+        .cast(d38).as("icept_num"))
+    val detr = daily.join(broadcast(co), Seq("event_type"))
+      .withColumn("r_scaled",
+        (col("dd") * col("y") - col("icept_num")
+          - col("slope_num") * col("cx")).cast(d38))
+    val sea = detr.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nw"), sum(col("r_scaled")).cast(d38).as("sr"))
+    val dbl = (c: Column) => c.cast("string").cast("double")
+    detr.join(broadcast(sea), Seq("event_type", "dow"))
+      .withColumn("f_scaled",
+        (col("nw").cast(d38) * col("r_scaled") - col("sr")).cast(d38))
+      .select(col("event_type"), col("day"), col("dow"), col("y"),
+        col("r_scaled"), col("f_scaled"),
+        (dbl(col("icept_num") + col("slope_num") * col("cx")) /
+          dbl(col("dd")) / lit(1000000.0d)).as("trend_fit"),
+        (dbl(col("sr")) / dbl(col("nw").cast(d38) * col("dd")) /
+          lit(1000000.0d)).as("seasonal"),
+        (dbl(col("f_scaled")) / dbl(col("nw").cast(d38) * col("dd")) /
+          lit(1000000.0d)).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Oracle: the identical decomposition with HUGEINT exact stages. */
+  val seasonalTrendSql: String =
+    s"""WITH rows0 AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,6))
+       |         * 1000000 AS BIGINT) AS yq
+       |  FROM events WHERE value IS NOT NULL),
+       |daily AS (
+       |  SELECT event_type, day, CAST(SUM(yq) AS HUGEINT) AS y,
+       |    day - $OlsRefDay AS cx, (day + 4) % 7 AS dow
+       |  FROM rows0 GROUP BY event_type, day),
+       |mo AS (
+       |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(cx) AS HUGEINT) AS scx, SUM(y) AS syq,
+       |    SUM(CAST(cx AS HUGEINT) * y) AS sxy,
+       |    CAST(SUM(cx * cx) AS HUGEINT) AS sxx
+       |  FROM daily GROUP BY event_type),
+       |co AS (
+       |  SELECT event_type, n * sxy - scx * syq AS slope_num,
+       |    n * sxx - scx * scx AS dd,
+       |    syq * sxx - scx * sxy AS icept_num
+       |  FROM mo),
+       |detr AS (
+       |  SELECT d.*, c.slope_num, c.dd, c.icept_num,
+       |    c.dd * d.y - c.icept_num - c.slope_num * d.cx AS r_scaled
+       |  FROM daily d JOIN co c USING (event_type)),
+       |sea AS (
+       |  SELECT event_type, dow, CAST(COUNT(*) AS HUGEINT) AS nw,
+       |    SUM(r_scaled) AS sr
+       |  FROM detr GROUP BY event_type, dow)
+       |SELECT d.event_type, d.day, d.dow,
+       |  CAST(d.y AS DECIMAL(38,0)) AS y,
+       |  CAST(d.r_scaled AS DECIMAL(38,0)) AS r_scaled,
+       |  CAST(s.nw * d.r_scaled - s.sr AS DECIMAL(38,0)) AS f_scaled,
+       |  CAST(CAST(d.icept_num + d.slope_num * d.cx AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(d.dd AS VARCHAR) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS trend_fit,
+       |  CAST(CAST(s.sr AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(s.nw * d.dd AS VARCHAR) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS seasonal,
+       |  CAST(CAST(s.nw * d.r_scaled - s.sr AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(s.nw * d.dd AS VARCHAR) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS resid
+       |FROM detr d JOIN sea s USING (event_type, dow)
+       |ORDER BY d.event_type, d.day""".stripMargin
+
   /** Oracle: the dominance DEFINITION as a NOT-EXISTS self-join — an
     * independent formulation, so equality proves the staircase. */
   val skylineParetoSql: String =

@@ -129,6 +129,23 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(r => math.abs(r.getDouble(5)) > 1e-6))
   }
 
+  test("seasonal_trend: additive identity holds and both components carry signal") {
+    val rows = Relational.seasonalTrend(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y = BigDecimal(r.getDecimal(3)).toDouble / 1e6
+      val (tr, se, re) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      // y = trend + seasonal + resid exactly as rationals; as doubles the
+      // three divisions round independently — allow ulp-scale slack only
+      assert(math.abs(tr + se + re - y) <= 1e-6 * math.max(1.0, math.abs(y)),
+        s"additive identity broken: $tr + $se + $re != $y")
+    }
+    // decomposition must be non-vacuous: seasonality and remainder both
+    // carry mass somewhere (a flat series would zero them out)
+    assert(rows.exists(r => math.abs(r.getDouble(7)) > 1e-3), "seasonal flat")
+    assert(rows.exists(r => math.abs(r.getDouble(8)) > 1e-3), "resid flat")
+  }
+
   test("session_pattern: full driver replay of sessionization + regex; both verdicts populated") {
     import spark.implicits._
     val ev = graft.Tables.t(spark, dir, "events")
