@@ -262,9 +262,12 @@ object Dedup {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .toDF("doc_id", "pos", "tok")
         .filter(length(col("tok")) > 0)
-        .select(col("doc_id"), concat(col("tok"), lit(" "),
-          lead(col("tok"), 1).over(byDoc), lit(" "),
-          lead(col("tok"), PfShingle - 1).over(byDoc)).as("s"))
+        .select(col("doc_id"), concat(
+          // built from the constant: tok, then " " + lead(i) for EVERY
+          // i < PfShingle (a hand-written 3-term concat silently skips
+          // middle tokens the moment the constant moves)
+          col("tok") +: (1 until PfShingle).flatMap(i =>
+            Seq(lit(" "), lead(col("tok"), i).over(byDoc))): _*).as("s"))
         .filter(col("s").isNotNull)
         .distinct()
         .withColumn("sh", xxhash64(col("s"))))
@@ -315,8 +318,8 @@ object Dedup {
        |  WHERE length(tok) > 0),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM (
-       |    SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w
-       |      || ' ' || lead(tok, ${PfShingle - 1}) OVER w AS s
+       |    SELECT doc_id, tok${(1 until PfShingle).map(i =>
+              s" || ' ' || lead(tok, $i) OVER w").mkString} AS s
        |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)) q
        |  WHERE s IS NOT NULL),
        |sizes AS (

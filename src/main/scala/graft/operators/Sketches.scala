@@ -245,9 +245,22 @@ object Sketches {
     * holds ≤ groups·m register rows as state under an unbounded key
     * stream (update mode). SketchesSpec pins batch parity across
     * micro-batch splits. */
+  /** fold → ONE quadratic round — the shared key-mixing stage of the HLL
+    * registers, the Bloom positions, and (as its first round) [[kmvHash]].
+    * One copy on each engine side: a drifted duplicate would silently
+    * desynchronize an operator from its oracle. */
+  def quadHash(key: Column): Column = {
+    val h = rolling_hash(key)
+    (h * h + lit(HllA2) * h + lit(11L)) % lit(HashP)
+  }
+
+  /** The DuckDB face of [[quadHash]]'s quadratic round over a bound
+    * fold column `h`. */
+  private def quadSql(h: String): String =
+    s"($h*$h + $HllA2*$h + 11) % $HashP"
+
   def hllRegistersOf(keyed: DataFrame): DataFrame = {
-    val h = rolling_hash(col("key"))
-    val g = (h * h + lit(HllA2) * h + lit(11L)) % lit(HashP)
+    val g = quadHash(col("key"))
     val bucket = ((lit(HllA1) * g + lit(HllB1)) % lit(HashP)) % lit(HllM)
     val v = ((lit(HllA2) * g + lit(HllB2)) % lit(HashP)) % lit(1L << HllWBits)
     val rho = when(v === 0, lit(HllWBits + 1))
@@ -358,10 +371,8 @@ object Sketches {
     * in BOTH engines, so the gate stays exact; the probability is the
     * documented ~n²/2P birthday bound. */
   def bloomMembership(spark: SparkSession, dir: String): DataFrame = {
-    val h = rolling_hash(col("text"))
     val docs = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        ((h * h + lit(HllA2) * h + lit(11L)) % lit(HashP)).as("g"))
+      .select(col("doc_id"), quadHash(col("text")).as("g"))
     val stored = docs.filter(col("doc_id") % 10 =!= 0)
     val width = broadcast(stored.agg(count(lit(1)).as("n"))
       .withColumn("m", expr(s"shiftleft(CAST(1 AS BIGINT), " +
@@ -395,7 +406,7 @@ object Sketches {
     s"""WITH dk AS (
        |  SELECT doc_id, ${rollFoldSql("text")} AS h FROM documents),
        |g AS (
-       |  SELECT doc_id, (h*h + $HllA2*h + 11) % $HashP AS g FROM dk),
+       |  SELECT doc_id, ${quadSql("h")} AS g FROM dk),
        |st AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
        |w AS (
        |  SELECT CAST(1 AS BIGINT) << length(bin(4 * COUNT(*) - 1)) AS m
@@ -463,8 +474,7 @@ object Sketches {
   /** The KMV hash pipeline over a key-string column (fold + TWO
     * quadratic rounds — see [[kmvOverlap]] for why two). */
   def kmvHash(key: Column): Column = {
-    val h0 = rolling_hash(key)
-    val g1 = (h0 * h0 + lit(HllA2) * h0 + lit(11L)) % lit(HashP)
+    val g1 = quadHash(key)
     (g1 * g1 + lit(KmvA) * g1 + lit(KmvB)) % lit(HashP)
   }
 
@@ -540,7 +550,7 @@ object Sketches {
        |    CASE WHEN o_orderstatus = 'F' THEN 'a' ELSE 'b' END AS s,
        |    (g1*g1 + $KmvA*g1 + $KmvB) % $HashP AS g
        |  FROM (SELECT o_orderstatus,
-       |          (h*h + $HllA2*h + 11) % $HashP AS g1
+       |          ${quadSql("h")} AS g1
        |        FROM (SELECT o_orderstatus, $fold AS h
        |              FROM orders WHERE o_orderstatus IN ('F', 'O')) q0) q),
        |ranked AS (

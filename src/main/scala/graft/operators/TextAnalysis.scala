@@ -1052,17 +1052,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
     // the elected bigram IS the query — a 1-row contract-bounded collect
     // (the IVF probe-selection discipline), so the bucket filters below
-    // are STATIC literals and probe-time partition pruning is plan-level
+    // are STATIC literals and probe-time partition pruning is plan-level;
+    // both bucket ids ride the election row (no extra job per word)
     val e = pairs
       .agg(min(struct((-col("cnt")).as("neg"), col("w1"), col("w2"))).as("e"))
-      .select(col("e.w1"), col("e.w2")).collect()(0)
+      .select(col("e.w1"), col("e.w2"),
+        pmod(xxhash64(col("e.w1")), lit(IdxBuckets)).as("bk1"),
+        pmod(xxhash64(col("e.w2")), lit(IdxBuckets)).as("bk2"))
+      .collect()(0)
     val (w1, w2) = (e.getString(0), e.getString(1))
-    val bk = (w: String) => spark.range(1)
-      .select(pmod(xxhash64(lit(w)), lit(IdxBuckets))).head.getLong(0)
+    val (bk1, bk2) = (e.getLong(2), e.getLong(3))
     val idx = spark.read.parquet(indexPath)
-    val b1 = idx.filter(col("bucket") === bk(w1) && col("token") === w1)
+    val b1 = idx.filter(col("bucket") === bk1 && col("token") === w1)
       .select(col("doc_id"), col("pos"))
-    val b2 = idx.filter(col("bucket") === bk(w2) && col("token") === w2)
+    val b2 = idx.filter(col("bucket") === bk2 && col("token") === w2)
       .select(col("doc_id"), (col("pos") - 1).as("pos"))
     b1.join(b2, Seq("doc_id", "pos"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))

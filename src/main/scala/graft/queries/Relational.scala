@@ -1348,10 +1348,15 @@ object Relational {
   def groupedRegression(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    val e = t(spark, dir, "events").select(col("event_type"),
-      (expr("unix_micros(ts) div 86400000000") - OlsRefDay).as("cx"),
-      (dec(col("value")).cast(DecimalType(28, 6)) * lit(1000000))
-        .cast("long").as("yq"))
+    // value IS NOT NULL: without it a null row would enter n/scx/sxx but
+    // silently drop from syq/sxy (null products leave SUM) — the moment
+    // sums would describe DIFFERENT row sets, and the oracle, replaying
+    // the same omission, could never catch it
+    val e = t(spark, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (expr("unix_micros(ts) div 86400000000") - OlsRefDay).as("cx"),
+        (dec(col("value")).cast(DecimalType(28, 6)) * lit(1000000))
+          .cast("long").as("yq"))
     val s = e.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("cx").cast(d38)).as("scx"),
@@ -1384,7 +1389,7 @@ object Relational {
        |    epoch_us(ts) // 86400000000 - $OlsRefDay AS cx,
        |    CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,6))
        |         * 1000000 AS BIGINT) AS yq
-       |  FROM events),
+       |  FROM events WHERE value IS NOT NULL),
        |s AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        |    SUM(CAST(cx AS DECIMAL(38,0))) AS scx,

@@ -180,7 +180,10 @@ object EventStreams {
   }
 
   private def toVerdict(userId: Long, s: List[Event]): PatternVerdict = {
-    val seq = s.map(_.event_type.substring(0, 1)).mkString
+    // take(1), not substring(0, 1): the batch twin's SQL substring yields
+    // "" for an empty event_type where JVM substring would THROW — the
+    // stream must not crash on the malformed row batch flows through
+    val seq = s.map(_.event_type.take(1)).mkString
     val hit = graft.queries.Relational.SessionPatternRe.r.findFirstIn(seq)
     PatternVerdict(userId, s.head.ts_us, s.length, seq,
       hit.isDefined, hit.getOrElse(""))
@@ -509,17 +512,23 @@ object EventStreams {
       .flatMapGroupsWithState[CusumState, CusumVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (etype, batch, state) =>
-          val (nRef, sRef) = references(etype)
-          val lam = BigInt(lambda) * BigInt(nRef) * BigInt(1000000L)
-          var st = state.getOption.getOrElse(CusumState(0L, BigInt(0)))
-          val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            val (s2, alarm) =
-              cusumStep(nRef, sRef, lam, st.s, microQuantize(e.value))
-            st = CusumState(st.n + 1, s2)
-            CusumVerdict(etype, e.event_id, st.n, s2, alarm)
+          // an UNTRAINED type (no stored in-control moments) must not
+          // kill the query for every healthy type: skip its events —
+          // monitoring starts once a reference artifact exists for it
+          references.get(etype) match {
+            case None => Iterator.empty
+            case Some((nRef, sRef)) =>
+              val lam = BigInt(lambda) * BigInt(nRef) * BigInt(1000000L)
+              var st = state.getOption.getOrElse(CusumState(0L, BigInt(0)))
+              val out = batch.toList.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+                val (s2, alarm) =
+                  cusumStep(nRef, sRef, lam, st.s, microQuantize(e.value))
+                st = CusumState(st.n + 1, s2)
+                CusumVerdict(etype, e.event_id, st.n, s2, alarm)
+              }
+              state.update(st)
+              out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
