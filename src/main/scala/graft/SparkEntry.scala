@@ -188,6 +188,8 @@ object SparkEntry {
     // 3-step funnel via chained as-of windows (one shuffle, no range
     // self-joins); retention cohorts as pure partial-combinable rollups
     "funnel_conversion" -> (Relational.funnelConversion _),
+    // U-shaped multi-touch attribution, integer-scaled exact credits
+    "attribution_credit" -> (Relational.attributionCredit _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     // CUSUM mean-shift detection via the closed form P - min(0, runmin P)
@@ -535,6 +537,7 @@ object SparkEntry {
     "skyline_pareto" -> Relational.skylineParetoSql,
     "grouped_regression" -> Relational.groupedRegressionSql,
     "funnel_conversion" -> Relational.funnelConversionSql,
+    "attribution_credit" -> Relational.attributionCreditSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
     "changepoint_cusum" -> Relational.changepointCusumSql,

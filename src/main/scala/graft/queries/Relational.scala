@@ -1414,6 +1414,116 @@ object Relational {
        |    / CAST(1000000 AS DOUBLE) AS icept
        |FROM c ORDER BY event_type""".stripMargin
 
+  /** Attribution lookback window (3 days, µs) and credit scale (10¹²). */
+  final val AttrWindowUs = 259200000000L
+  final val AttrScale = 1000000000000L
+
+  /** MULTI-TOUCH ATTRIBUTION — position-based (U-shaped) conversion
+    * credit over the event stream, the marketing-analytics member of the
+    * product family ([[funnelConversion]] counts stage reachability;
+    * THIS divides each conversion's credit across the touchpoints that
+    * preceded it): every purchase credits its same-user view/click
+    * touches inside [[AttrWindowUs]] — solo touch 100%, two touches
+    * 50/50, otherwise 40% first / 40% last / 20% split across the
+    * middles. Credits are INTEGERS scaled by [[AttrScale]] (the middle
+    * share is one integer division, floor remainder documented — NOT a
+    * floating 0.2/(n−2), whose per-conversion rounding would make the
+    * aggregate order-dependent), so the per-(type, role) totals are
+    * exact DECIMAL(38,0) and the reported fraction is one final
+    * division. All four n-classes (solo / pair / U-shaped / zero-touch
+    * excluded) are measured populated at every SF.
+    *
+    * Scale shape: the conversion×touch pairing is a user-co-keyed range
+    * join (both sides hash on user_id — never a cross join; fan-out
+    * bounded by touches-per-user-window); per-conversion stats are one
+    * partial-combinable (count, min-struct, max-struct) aggregation;
+    * role tagging and credit arithmetic are map-side on the pair frame
+    * re-joined co-keyed on the conversion id; the final rollup is
+    * ~|types × roles| rows. Zero windows. */
+  def attributionCredit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("cid"),
+        col("ts_us").as("cts"))
+    val tch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("ts_us").as("tts"), col("event_type").as("ttype"))
+    val pairs = graft.SharedFrames.shared(
+      conv.join(tch, Seq("user_id"))
+        .filter(col("tts") < col("cts") &&
+          col("cts") - col("tts") < AttrWindowUs)
+        .select(col("cid"), col("tid"), col("tts"), col("ttype")))
+    val stats = pairs.groupBy(col("cid")).agg(
+      count(lit(1)).as("n"),
+      min(struct(col("tts"), col("tid"))).as("f"),
+      max(struct(col("tts"), col("tid"))).as("l"))
+    val k = struct(col("tts"), col("tid"))
+    pairs.join(stats, Seq("cid"))
+      .withColumn("role",
+        when(col("n") === 1, "solo")
+          .when(k === col("f"), "first")
+          .when(k === col("l"), "last")
+          .otherwise("middle"))
+      .withColumn("credit",
+        when(col("n") === 1, lit(AttrScale))
+          .when(col("n") === 2, lit(AttrScale / 2))
+          .when(col("role").isin("first", "last"), lit(AttrScale / 5 * 2))
+          .otherwise(expr(s"(${AttrScale / 5}) div (n - 2)")))
+      .groupBy(col("ttype"), col("role"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit").cast(d38)).as("credit_scaled"))
+      .withColumn("conversions_credited",
+        (col("credit_scaled").cast("string").cast("double") /
+          lit(AttrScale.toDouble)))
+      .orderBy(col("ttype"), col("role"))
+  }
+
+  /** Oracle: the identical pairing, role election, and integer credit
+    * arithmetic (window-ranked first/last — oracles may sort). */
+  val attributionCreditSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |conv AS (
+       |  SELECT user_id, event_id AS cid, ts_us AS cts FROM ev
+       |  WHERE event_type = 'purchase'),
+       |tch AS (
+       |  SELECT user_id, event_id AS tid, ts_us AS tts,
+       |    event_type AS ttype
+       |  FROM ev WHERE event_type IN ('view', 'click')),
+       |pairs AS (
+       |  SELECT c.cid, t.tid, t.tts, t.ttype
+       |  FROM conv c JOIN tch t ON t.user_id = c.user_id
+       |    AND t.tts < c.cts AND c.cts - t.tts < $AttrWindowUs),
+       |ranked AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY cid) AS n,
+       |    row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rf,
+       |    row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC)
+       |      AS rl
+       |  FROM pairs),
+       |credited AS (
+       |  SELECT ttype,
+       |    CASE WHEN n = 1 THEN 'solo'
+       |         WHEN rf = 1 THEN 'first'
+       |         WHEN rl = 1 THEN 'last'
+       |         ELSE 'middle' END AS role,
+       |    CASE WHEN n = 1 THEN $AttrScale
+       |         WHEN n = 2 THEN ${AttrScale / 2}
+       |         WHEN rf = 1 OR rl = 1 THEN ${AttrScale / 5 * 2}
+       |         ELSE ${AttrScale / 5} // (n - 2) END AS credit
+       |  FROM ranked)
+       |SELECT ttype, role, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       |  CAST(SUM(CAST(credit AS HUGEINT)) AS DECIMAL(38,0))
+       |    AS credit_scaled,
+       |  CAST(CAST(SUM(CAST(credit AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+       |    / CAST($AttrScale AS DOUBLE) AS conversions_credited
+       |FROM credited GROUP BY 1, 2
+       |ORDER BY ttype, role""".stripMargin
+
   /** SEASONAL-TREND DECOMPOSITION (STL-lite, exact) — each event type's
     * DAILY total decomposed into linear trend + day-of-week seasonality
     * + irregular remainder, the additive model seasonal monitoring runs
