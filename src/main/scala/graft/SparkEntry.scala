@@ -190,6 +190,8 @@ object SparkEntry {
     "funnel_conversion" -> (Relational.funnelConversion _),
     // U-shaped multi-touch attribution, integer-scaled exact credits
     "attribution_credit" -> (Relational.attributionCredit _),
+    // market-basket: co-purchased part pairs ranked by exact lift
+    "copurchase_lift" -> (Relational.copurchaseLift _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     // CUSUM mean-shift detection via the closed form P - min(0, runmin P)
@@ -538,6 +540,7 @@ object SparkEntry {
     "grouped_regression" -> Relational.groupedRegressionSql,
     "funnel_conversion" -> Relational.funnelConversionSql,
     "attribution_credit" -> Relational.attributionCreditSql,
+    "copurchase_lift" -> Relational.copurchaseLiftSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
     "changepoint_cusum" -> Relational.changepointCusumSql,

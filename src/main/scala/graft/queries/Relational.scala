@@ -1524,6 +1524,88 @@ object Relational {
        |FROM credited GROUP BY 1, 2
        |ORDER BY ttype, role""".stripMargin
 
+  /** Minimum co-occurrence support for [[copurchaseLift]]. */
+  final val BasketMinSupport = 2L
+  /** Pairs reported. */
+  final val BasketTopK = 20
+
+  /** MARKET-BASKET ANALYSIS — top co-purchased part pairs by lift,
+    * the association-rule-mining workload (Agrawal et al.'s Apriori
+    * family, restricted to 2-itemsets ranked by lift rather than
+    * mined by level-wise candidate generation — on a wide catalog the
+    * pair layer IS the deliverable): with N baskets, lift(a,b) =
+    * N·cnt_ab/(cnt_a·cnt_b) > 1 ⇔ a and b co-occur more than
+    * independence predicts — the [[graft.operators.TextAnalysis]] PMI
+    * discipline applied to the basket domain.
+    *
+    * Exactness: all counts are exact integers; N·cnt_ab and cnt_a·cnt_b
+    * are staged through DECIMAL(19,0) → DECIMAL(38,0) (at 10¹⁰ baskets
+    * the raw products overflow int64), and lift is ONE division of two
+    * varchar-routed exact casts. Support floor [[BasketMinSupport]]
+    * (measured populated at every SF) kills the 1-co-occurrence noise
+    * tier.
+    *
+    * Scale shape: baskets = one distinct projection; the pair join is
+    * SELF-co-keyed on the order key with fan-out bounded by basket
+    * WIDTH (≤ C(w,2) pairs per order — a per-row contract, never
+    * corpus-sized); item frequencies join co-keyed on each part key;
+    * the report is a global top-k (TakeOrderedAndProject). Zero
+    * windows, zero cross joins. */
+  def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val b = graft.SharedFrames.shared(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+    val nb = broadcast(b.agg(countDistinct(col("ok")).as("n_baskets")))
+    val ci = b.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = b.as("x")
+      .join(b.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= BasketMinSupport)
+    pairs
+      .join(ci.select(col("pk").as("p1"), col("c").as("ca")), Seq("p1"))
+      .join(ci.select(col("pk").as("p2"), col("c").as("cb")), Seq("p2"))
+      .crossJoin(nb)
+      .withColumn("num",
+        (col("n_baskets").cast(d19) * col("cab")).cast(d38))
+      .withColumn("den", (col("ca").cast(d19) * col("cb")).cast(d38))
+      .withColumn("lift",
+        col("num").cast("string").cast("double") /
+          col("den").cast("string").cast("double"))
+      .select(col("p1"), col("p2"), col("cab"), col("ca"), col("cb"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(BasketTopK)
+  }
+
+  /** Oracle: identical counts, DECIMAL staging, and the single-division
+    * lift. */
+  val copurchaseLiftSql: String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+       |ci AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.pk AS p1, y.pk AS p2, CAST(COUNT(*) AS BIGINT) AS cab
+       |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $BasketMinSupport)
+       |SELECT p1, p2, cab, a.c AS ca, b2.c AS cb,
+       |  CAST(CAST(CAST(CAST(n_baskets AS DECIMAL(19,0)) * cab
+       |         AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(CAST(CAST(a.c AS DECIMAL(19,0)) * b2.c
+       |         AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS lift
+       |FROM pairs
+       |JOIN ci a ON a.pk = p1
+       |JOIN ci b2 ON b2.pk = p2
+       |CROSS JOIN nb
+       |ORDER BY lift DESC, p1, p2 LIMIT $BasketTopK""".stripMargin
+
   /** SEASONAL-TREND DECOMPOSITION (STL-lite, exact) — each event type's
     * DAILY total decomposed into linear trend + day-of-week seasonality
     * + irregular remainder, the additive model seasonal monitoring runs
