@@ -192,6 +192,8 @@ object SparkEntry {
     "attribution_credit" -> (Relational.attributionCredit _),
     // market-basket: co-purchased part pairs ranked by exact lift
     "copurchase_lift" -> (Relational.copurchaseLift _),
+    // RFM segmentation: quintile scores via holistic percentile, no NTILE
+    "rfm_segments" -> (Relational.rfmSegments _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     // CUSUM mean-shift detection via the closed form P - min(0, runmin P)
@@ -541,6 +543,7 @@ object SparkEntry {
     "funnel_conversion" -> Relational.funnelConversionSql,
     "attribution_credit" -> Relational.attributionCreditSql,
     "copurchase_lift" -> Relational.copurchaseLiftSql,
+    "rfm_segments" -> Relational.rfmSegmentsSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
     "changepoint_cusum" -> Relational.changepointCusumSql,

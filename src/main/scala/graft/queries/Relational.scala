@@ -1524,6 +1524,112 @@ object Relational {
        |FROM credited GROUP BY 1, 2
        |ORDER BY ttype, role""".stripMargin
 
+  /** RFM CUSTOMER SEGMENTATION — the classic recency/frequency/monetary
+    * scoring over the order history: per customer, days since last
+    * order (vs the corpus max date), order count, and exact DECIMAL
+    * total spend; each dimension scored 1–5 against its own quintile
+    * thresholds; a CASE precedence maps scores to the marketing segment
+    * labels. Quintiles come from ONE holistic `percentile` aggregation
+    * (NOT an NTILE window — a global rank window is the banned
+    * partition-less shape; the threshold table is 1 row, broadcast, and
+    * scoring is map-side comparisons). Cross-engine exactness of the
+    * thresholds rides on the [[percentiles]] precedent: Spark
+    * `percentile` ≡ DuckDB `quantile_cont` bit-for-bit on this data
+    * (that query's green row IS the proof), inputs are varchar-routed
+    * exact casts, and every score is an integer comparison count. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val per = graft.SharedFrames.shared(
+      o.groupBy(col("o_custkey"))
+        .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+            .as("last_day"),
+          count(lit(1)).as("f"),
+          sum(dec(col("o_totalprice"))).as("m_dec"))
+        .crossJoin(broadcast(
+          o.agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+            .as("max_day"))))
+        .select(col("o_custkey"),
+          (col("max_day") - col("last_day")).as("r_days"), col("f"),
+          col("m_dec").cast("string").cast("double").as("m")))
+    val th = broadcast(per.agg(
+      expr("percentile(CAST(r_days AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))")
+        .as("tr"),
+      expr("percentile(CAST(f AS DOUBLE), array(0.2, 0.4, 0.6, 0.8))")
+        .as("tf"),
+      expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("tm")))
+    def bucket(v: Column, t: Column): Column =
+      (0 to 3).map(i => when(v > element_at(t, i + 1), 1L).otherwise(0L))
+        .reduce(_ + _)
+    per.crossJoin(th)
+      .withColumn("r_score", lit(5L) - bucket(col("r_days").cast("double"),
+        col("tr")))
+      .withColumn("f_score", lit(1L) + bucket(col("f").cast("double"),
+        col("tf")))
+      .withColumn("m_score", lit(1L) + bucket(col("m"), col("tm")))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("m_score") >= 4, "big_spender")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Oracle: identical stats, quantile thresholds, comparison-count
+    * scores, and segment CASE precedence. */
+  val rfmSegmentsSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+      |      AS DOUBLE) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |mx AS (SELECT MAX(epoch_us(o_orderdate) // 86400000000) AS max_day
+      |       FROM orders),
+      |base AS (
+      |  SELECT o_custkey, max_day - last_day AS r_days, f, m
+      |  FROM per CROSS JOIN mx),
+      |th AS (
+      |  SELECT
+      |    quantile_cont(CAST(r_days AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS tr,
+      |    quantile_cont(CAST(f AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS tf,
+      |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS tm
+      |  FROM base),
+      |scored AS (
+      |  SELECT o_custkey, r_days, f, m,
+      |    5 - ((CASE WHEN CAST(r_days AS DOUBLE) > tr[1] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN CAST(r_days AS DOUBLE) > tr[2] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN CAST(r_days AS DOUBLE) > tr[3] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN CAST(r_days AS DOUBLE) > tr[4] THEN 1 ELSE 0 END))
+      |      AS r_score,
+      |    1 + ((CASE WHEN CAST(f AS DOUBLE) > tf[1] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN CAST(f AS DOUBLE) > tf[2] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN CAST(f AS DOUBLE) > tf[3] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN CAST(f AS DOUBLE) > tf[4] THEN 1 ELSE 0 END))
+      |      AS f_score,
+      |    1 + ((CASE WHEN m > tm[1] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN m > tm[2] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN m > tm[3] THEN 1 ELSE 0 END)
+      |       + (CASE WHEN m > tm[4] THEN 1 ELSE 0 END)) AS m_score
+      |  FROM base CROSS JOIN th)
+      |SELECT o_custkey, r_days, f, m,
+      |  CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |         THEN 'champion'
+      |       WHEN f_score >= 4 THEN 'loyal'
+      |       WHEN m_score >= 4 THEN 'big_spender'
+      |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |       WHEN r_score <= 2 THEN 'hibernating'
+      |       ELSE 'regular' END AS segment
+      |FROM scored ORDER BY o_custkey""".stripMargin
+
   /** Minimum co-occurrence support for [[copurchaseLift]]. */
   final val BasketMinSupport = 2L
   /** Pairs reported. */
