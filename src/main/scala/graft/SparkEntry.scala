@@ -194,6 +194,10 @@ object SparkEntry {
     "copurchase_lift" -> (Relational.copurchaseLift _),
     // RFM segmentation: quintile scores via holistic percentile, no NTILE
     "rfm_segments" -> (Relational.rfmSegments _),
+    // path analysis: top session journeys + conversion share
+    "session_paths" -> (Relational.sessionPaths _),
+    // A/B 2x2 chi-square with exact cross-multiplied verdict
+    "ab_test" -> (Relational.abTest _),
     "retention_cohorts" -> (Relational.retentionCohorts _),
     "events_anomaly" -> (Relational.eventsAnomaly _),
     // CUSUM mean-shift detection via the closed form P - min(0, runmin P)
@@ -544,6 +548,8 @@ object SparkEntry {
     "attribution_credit" -> Relational.attributionCreditSql,
     "copurchase_lift" -> Relational.copurchaseLiftSql,
     "rfm_segments" -> Relational.rfmSegmentsSql,
+    "session_paths" -> Relational.sessionPathsSql,
+    "ab_test" -> Relational.abTestSql,
     "retention_cohorts" -> Relational.retentionCohortsSql,
     "events_anomaly" -> Relational.eventsAnomalySql,
     "changepoint_cusum" -> Relational.changepointCusumSql,

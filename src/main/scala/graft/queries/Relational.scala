@@ -1524,6 +1524,163 @@ object Relational {
        |FROM credited GROUP BY 1, 2
        |ORDER BY ttype, role""".stripMargin
 
+  /** Paths reported by [[sessionPaths]]. */
+  final val PathTopK = 20
+
+  /** PATH ANALYSIS — the top-[[PathTopK]] session event-sequences with
+    * their conversion share: which journeys users actually take, the
+    * product question between [[funnelConversion]] (stage reachability)
+    * and [[sessionPattern]] (one fixed pattern). Rides the SAME
+    * sessionization + session-bounded sequence assembly as the CEP
+    * operator (collect_list over a ≤session-sized group — the 30-min gap
+    * contract bounds it); paths then aggregate partial-combinably and
+    * the report is one global TakeOrdered on (count desc, path). The
+    * conversion share is exact-integer counts with one final division. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .select(col("user_id"), col("session_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+        x => x.getField("c")), "").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("path").contains("p"), 1)).as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_sessions").cast("double"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopK)
+
+  /** Oracle: the session CTEs + ordered string_agg + the same rollup. */
+  val sessionPathsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+       |         ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged
+       |), seqs AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+       |      AS path
+       |  FROM sess GROUP BY user_id, session_id)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(CASE WHEN path LIKE '%p%' THEN 1 END) AS BIGINT)
+       |    AS n_converted,
+       |  CAST(COUNT(CASE WHEN path LIKE '%p%' THEN 1 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS conv_rate
+       |FROM seqs GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $PathTopK""".stripMargin
+
+  /** χ²(1) 95% critical value ×1000 (3.841): the A/B significance
+    * verdict compares 1000·N·(ad−bc)² against 3841·(row/col products) —
+    * EXACT integers, no floating χ² ever computed for the verdict. */
+  final val AbChi2Crit1000 = 3841L
+
+  /** A/B EXPERIMENT ANALYSIS — users hash-split into two arms (the
+    * md5-prefix device — deterministic, engine-replayable assignment),
+    * conversion = at least one purchase, and the 2×2 contingency tested
+    * by the χ² statistic in EXACT integer arithmetic: the verdict is
+    * the cross-multiplied comparison 1000·N·(ad−bc)² vs
+    * [[AbChi2Crit1000]]·(a+b)(c+d)(a+c)(b+d), both sides DECIMAL(38,0)
+    * (at 10⁹ users the products need the wider staging the
+    * [[graft.operators.TextAnalysis.chi2Tokens]] family documents); the
+    * reported χ² double is one fixed division chain beside it. A
+    * hash-split of identical populations is EXPECTED insignificant —
+    * the null result is the point: the harness proves the test itself,
+    * not a synthetic effect. One partial-combinable per-user rollup,
+    * one 4-cell aggregate; nothing data-sized after the first shuffle. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    // metric: MORE purchases than errors ("net-positive user") — every
+    // user fires every event type on this corpus, so has-a-purchase is
+    // universally true and would zero a margin; the count comparison
+    // splits at every SF and is scale-free
+    val perUser = t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)), 1L)
+        .otherwise(0L).as("converted"))
+      .withColumn("arm", expr(
+        "pmod(cast(conv(substring(md5(cast(cast(user_id as string) as binary)" +
+          "), 1, 13), 16, 10) as bigint), 2)"))
+    val cells = perUser.agg(
+      count(when(col("arm") === 0 && col("converted") === 1, 1)).as("a"),
+      count(when(col("arm") === 0 && col("converted") === 0, 1)).as("b"),
+      count(when(col("arm") === 1 && col("converted") === 1, 1)).as("c"),
+      count(when(col("arm") === 1 && col("converted") === 0, 1)).as("d"))
+    cells
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("dd",
+        (col("a").cast(d19) * col("d") - col("b").cast(d19) * col("c"))
+          .cast(d38))
+      .withColumn("num",
+        (lit(1000L).cast(d19) * col("n") * col("dd") * col("dd")).cast(d38))
+      .withColumn("den",
+        (((col("a") + col("b")).cast(d19) * (col("c") + col("d")))
+          .cast(d38) *
+          ((col("a") + col("c")).cast(d19) * (col("b") + col("d")))
+            .cast(d38)).cast(d38))
+      .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+        when(col("den") > 0,
+          col("num").cast("string").cast("double") /
+            col("den").cast("string").cast("double") / lit(1000.0d))
+          .as("chi2"),
+        (col("den") > 0 &&
+          col("num") > lit(AbChi2Crit1000).cast(d38) * col("den"))
+          .as("significant"))
+  }
+
+  /** Oracle: identical assignment, cells, and HUGEINT cross-multiplied
+    * verdict. */
+  val abTestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |           > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |         THEN 1 ELSE 0 END AS converted,
+       |    CAST(CAST(concat('0x',
+       |      substring(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      AS BIGINT) % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(COUNT(CASE WHEN arm = 0 AND converted = 1 THEN 1 END)
+       |      AS BIGINT) AS a,
+       |    CAST(COUNT(CASE WHEN arm = 0 AND converted = 0 THEN 1 END)
+       |      AS BIGINT) AS b,
+       |    CAST(COUNT(CASE WHEN arm = 1 AND converted = 1 THEN 1 END)
+       |      AS BIGINT) AS c,
+       |    CAST(COUNT(CASE WHEN arm = 1 AND converted = 0 THEN 1 END)
+       |      AS BIGINT) AS d
+       |  FROM pu),
+       |w AS (
+       |  SELECT a, b, c, d, a + b + c + d AS n,
+       |    CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS dd,
+       |    (CAST(a AS HUGEINT) + b) * (CAST(c AS HUGEINT) + d)
+       |      * (CAST(a AS HUGEINT) + c) * (CAST(b AS HUGEINT) + d) AS den
+       |  FROM cells)
+       |SELECT a, b, c, d, n,
+       |  CASE WHEN den > 0 THEN
+       |    CAST(CAST(1000 * CAST(n AS HUGEINT) * dd * dd AS VARCHAR)
+       |      AS DOUBLE)
+       |      / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+       |      / CAST(1000 AS DOUBLE) END AS chi2,
+       |  (den > 0 AND 1000 * CAST(n AS HUGEINT) * dd * dd
+       |     > $AbChi2Crit1000 * den) AS significant
+       |FROM w""".stripMargin
+
   /** RFM CUSTOMER SEGMENTATION — the classic recency/frequency/monetary
     * scoring over the order history: per customer, days since last
     * order (vs the corpus max date), order count, and exact DECIMAL
