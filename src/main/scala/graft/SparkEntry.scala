@@ -393,6 +393,8 @@ object SparkEntry {
     "crossmodal_retrieval" -> (Similarity.crossModalRetrieval _),
     // IR scorecard: recall@k + reciprocal rank of the pruned IVF vs exact
     "retrieval_eval" -> (Similarity.retrievalEval _),
+    // MRL: retrieval quality of the 16-dim embedding prefix vs full 64
+    "matryoshka_eval" -> (Similarity.matryoshkaEval _),
     // embedding-space decontamination: paraphrase-robust eval-leak
     // flagging (broadcast eval set, strict-fold max cosine, tau verdict)
     "decontaminate_semantic" -> (Similarity.decontaminateSemantic _),
@@ -634,6 +636,7 @@ object SparkEntry {
     // brute-force cross-modal SQL — the end-to-end IVF recall gate
     "crossmodal_retrieval" -> Similarity.crossModalRetrievalSql,
     "retrieval_eval" -> Similarity.retrievalEvalSql,
+    "matryoshka_eval" -> Similarity.matryoshkaEvalSql,
     "decontaminate_semantic" -> Similarity.decontaminateSemanticSql,
     "image_phash" -> Multimodal.imagePhashSql,
     // oracle digests the parquet SOURCE; Spark digests the JSONL

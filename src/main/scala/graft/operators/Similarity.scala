@@ -763,13 +763,23 @@ object Similarity {
         .select(col("qid"), posexplode(col("tk")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
           col("col.id").as("img_vec")))
-    val hits = ivf.join(brute, Seq("qid", "img_vec"))
+    rankingEval(ivf.withColumnRenamed("img_vec", "nid"),
+      brute.withColumnRenamed("img_vec", "nid"), qs.select(col("qid")))
+  }
+
+  /** The recall@k / reciprocal-rank scorecard over an approximate and an
+    * exact (qid, rnk, nid) ranking — ONE copy serving [[retrievalEval]]
+    * and [[matryoshkaEval]] (a drifted duplicate would let the two
+    * scorecards define "recall" differently). */
+  private def rankingEval(approx: DataFrame, exact: DataFrame,
+      qids: DataFrame): DataFrame = {
+    val hits = approx.join(exact, Seq("qid", "nid"))
       .groupBy(col("qid")).agg(count(lit(1)).as("h"))
-    val nnRank = brute.filter(col("rnk") === 1L)
-      .select(col("qid"), col("img_vec"))
-      .join(ivf, Seq("qid", "img_vec"), "left_outer")
+    val nnRank = exact.filter(col("rnk") === 1L)
+      .select(col("qid"), col("nid"))
+      .join(approx, Seq("qid", "nid"), "left_outer")
       .select(col("qid"), coalesce(col("rnk"), lit(0L)).as("nn_rank"))
-    qs.select(col("qid"))
+    qids
       .join(hits, Seq("qid"), "left_outer")
       .join(nnRank, Seq("qid"))
       .select(col("qid"),
@@ -781,6 +791,87 @@ object Similarity {
           lit(1.0d) / col("nn_rank").cast("double")).otherwise(lit(0.0d))
           .as("rr"))
       .orderBy(col("qid"))
+  }
+
+  /** Dimensions kept by [[matryoshkaEval]]'s truncated arm. */
+  final val TruncDims = 16
+
+  /** MATRYOSHKA TRUNCATION EVALUATION — how much retrieval quality the
+    * first [[TruncDims]] of 64 embedding dimensions retain: the MRL
+    * question (Kusupati et al. 2022 — can the prefix of the vector serve
+    * as a cheap index?) answered as a gated scorecard, the
+    * [[retrievalEval]] metrics with the approximate arm = exact cosine
+    * over the TRUNCATED prefix instead of a pruned index. Reading 4×
+    * fewer bytes per vector is the 100 TB win being measured.
+    *
+    * Both arms are map-side scored passes over the bounded query batch
+    * with k-bounded top-k aggregation; slicing is `slice(ev, 1, 16)` vs
+    * DuckDB's `ev[1:16]` — the same elements through the same strict
+    * fold, bit-identical. The oracle replays both rankings, the
+    * intersection, and the metrics. */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
+    val qs = emb.orderBy(col("vec_id")).limit(XModalQueries)
+      .withColumnRenamed("vec_id", "qid").withColumnRenamed("ev", "qv")
+    val topk = graft.functions.TopKAgg.top_k(XModalK)
+    def arm(vec: Column, qvec: Column): DataFrame =
+      emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          dot(vec, qvec) /
+            (sqrt(dot(vec, vec)) * sqrt(dot(qvec, qvec))))
+        .groupBy(col("qid"))
+        .agg(topk(col("vec_id"), col("cosine")).as("tk"))
+        .select(col("qid"), posexplode(col("tk")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("nid"))
+    val full = graft.SharedFrames.shared(arm(col("ev"), col("qv")))
+    val trunc = graft.SharedFrames.shared(
+      arm(slice(col("ev"), 1, TruncDims), slice(col("qv"), 1, TruncDims)))
+    rankingEval(trunc, full, qs.select(col("qid")))
+  }
+
+  /** Oracle: both rankings (full and prefix-sliced strict-fold cosines)
+    * + the shared metric arithmetic. */
+  val matryoshkaEvalSql: String = OracleSql.materializeCtes {
+    def cosOf(a: String, b: String) =
+      s"""${foldSql(a, b)}
+         |    / (sqrt(${foldSql(a, a)})
+         |       * sqrt(${foldSql(b, b)}))""".stripMargin
+    def ranked(name: String, scored: String) =
+      s"""$name AS (
+         |  SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY cosine DESC, vec_id) AS rnk
+         |    FROM $scored) WHERE rnk <= $XModalK)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS qid, ev AS qv FROM e
+       |      ORDER BY vec_id LIMIT $XModalQueries),
+       |fs AS (
+       |  SELECT q.qid, c.vec_id, ${cosOf("c.ev", "q.qv")} AS cosine
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       |ts AS (
+       |  SELECT q.qid, c.vec_id,
+       |    ${cosOf(s"(c.ev[1:$TruncDims])", s"(q.qv[1:$TruncDims])")}
+       |      AS cosine
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       |${ranked("fr", "fs")},
+       |${ranked("tr", "ts")},
+       |hits AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS h
+       |  FROM tr JOIN fr USING (qid, vec_id) GROUP BY 1),
+       |nr AS (
+       |  SELECT n.qid, COALESCE(tr.rnk, 0) AS nn_rank
+       |  FROM (SELECT qid, vec_id FROM fr WHERE rnk = 1) n
+       |  LEFT JOIN tr ON tr.qid = n.qid AND tr.vec_id = n.vec_id)
+       |SELECT q.qid, COALESCE(h, 0) AS hits,
+       |  CAST(COALESCE(h, 0) AS DOUBLE) / ${XModalK.toDouble} AS recall,
+       |  nn_rank,
+       |  CASE WHEN nn_rank > 0 THEN 1.0 / CAST(nn_rank AS DOUBLE)
+       |       ELSE 0.0 END AS rr
+       |FROM q LEFT JOIN hits USING (qid) JOIN nr USING (qid)
+       |ORDER BY q.qid""".stripMargin
   }
 
   /** Oracle: the full cross-modal replay plus the exact arm and the
