@@ -166,7 +166,12 @@ object Sketches {
     estRows
       .crossJoin(broadcast(exact))
       .crossJoin(broadcast(estMin))
-      .select(col("row"), col("est_row"), col("exact"), col("est_min"),
+      // the exact squared-count integers ride as canonical decimal
+      // STRINGS (counts at 100 TB square past int64; DECIMAL(38,0)
+      // outputs hash engine-dependently in the gate)
+      .select(col("row"), col("est_row").cast("string").as("est_row"),
+        col("exact").cast("string").as("exact"),
+        col("est_min").cast("string").as("est_min"),
         (col("est_min").cast("string").cast("double") /
           col("exact").cast("string").cast("double")).as("over_ratio"))
       .orderBy(col("row"))
@@ -195,7 +200,9 @@ object Sketches {
        |      AS DECIMAL(38,0)) AS exact
        |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM th GROUP BY h) k),
        |mn AS (SELECT MIN(est_row) AS est_min FROM est)
-       |SELECT e.row, e.est_row, ex.exact, mn.est_min,
+       |SELECT e.row, CAST(e.est_row AS VARCHAR) AS est_row,
+       |  CAST(ex.exact AS VARCHAR) AS exact,
+       |  CAST(mn.est_min AS VARCHAR) AS est_min,
        |  CAST(CAST(mn.est_min AS VARCHAR) AS DOUBLE)
        |    / CAST(CAST(ex.exact AS VARCHAR) AS DOUBLE) AS over_ratio
        |FROM est e, ex, mn ORDER BY e.row""".stripMargin

@@ -472,8 +472,10 @@ object Relational {
           .cast(d38))
       .withColumn("s_stat",
         (col("pn") - least(lit(0L).cast(d38), col("rm"))).cast(d38))
+      // s_stat reported as a canonical decimal STRING (exceeds int64 at
+      // 100 TB; DECIMAL(38,0) outputs hash engine-dependently in the gate)
       .select(col("event_type"), col("event_id"), col("ts"), col("seq"),
-        col("s_stat"),
+        col("s_stat").cast("string").as("s_stat"),
         (col("s_stat") >
           (col("n").cast(d38) * lit(CusumLambda * 1000000L).cast(d38))
             .cast(d38)).as("alarm"))
@@ -511,8 +513,8 @@ object Relational {
        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT event_type, event_id, ts, seq,
-       |  CAST(pn - LEAST(CAST(0 AS DECIMAL(38,0)), rm) AS DECIMAL(38,0))
-       |    AS s_stat,
+       |  CAST(CAST(pn - LEAST(CAST(0 AS DECIMAL(38,0)), rm) AS DECIMAL(38,0))
+       |    AS VARCHAR) AS s_stat,
        |  (pn - LEAST(CAST(0 AS DECIMAL(38,0)), rm))
        |    > CAST(n AS DECIMAL(38,0)) * ${CusumLambda * 1000000L} AS alarm
        |FROM p2 ORDER BY event_type, seq""".stripMargin
@@ -569,8 +571,13 @@ object Relational {
       .withColumn("acf",
         col("num").cast("string").cast("double") /
           col("den").cast("string").cast("double"))
+      // exact-integer evidence rides as canonical decimal STRINGS: the
+      // values exceed int64 at 100 TB (squared deviations), and the
+      // driver's hash canonicalizes DECIMAL(38,0) engine-dependently —
+      // strings are the one wide-integer rendering both engines agree on
       .select(col("event_type"), col("lag").cast("int").as("lag"),
-        col("n_pairs"), col("num"), col("den"), col("acf"))
+        col("n_pairs"), col("num").cast("string").as("num"),
+        col("den").cast("string").as("den"), col("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
 
@@ -599,7 +606,7 @@ object Relational {
        |  JOIN d b ON b.event_type = a.event_type AND b.seq = a.seq + l.lag
        |  GROUP BY 1, 2)
        |SELECT event_type, lag, n_pairs,
-       |  CAST(num AS DECIMAL(38,0)) AS num, CAST(den AS DECIMAL(38,0)) AS den,
+       |  CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
        |FROM num JOIN den USING (event_type)
@@ -1370,7 +1377,12 @@ object Relational {
           .cast(d38).as("slope_den"),
         (col("syq") * col("sxx") - col("scx") * col("sxy"))
           .cast(d38).as("icept_num"))
-      .select(col("event_type"), col("n"), col("slope_num"), col("slope_den"),
+      // the exact normal-equation integers ride as canonical decimal
+      // STRINGS (≤10²⁶ per the scaladoc — past int64; DECIMAL(38,0)
+      // outputs hash engine-dependently in the gate)
+      .select(col("event_type"), col("n"),
+        col("slope_num").cast("string").as("slope_num"),
+        col("slope_den").cast("string").as("slope_den"),
         (col("slope_num").cast("string").cast("double") /
           col("slope_den").cast("string").cast("double") /
           lit(1000000.0d)).as("slope"),
@@ -1405,7 +1417,9 @@ object Relational {
        |         AS DECIMAL(38,0)) AS slope_den,
        |    CAST(syq * sxx - scx * sxy AS DECIMAL(38,0)) AS icept_num
        |  FROM s)
-       |SELECT event_type, n, slope_num, slope_den,
+       |SELECT event_type, n,
+       |  CAST(slope_num AS VARCHAR) AS slope_num,
+       |  CAST(slope_den AS VARCHAR) AS slope_den,
        |  CAST(CAST(slope_num AS VARCHAR) AS DOUBLE)
        |    / CAST(CAST(slope_den AS VARCHAR) AS DOUBLE)
        |    / CAST(1000000 AS DOUBLE) AS slope,
@@ -1479,6 +1493,10 @@ object Relational {
       .withColumn("conversions_credited",
         (col("credit_scaled").cast("string").cast("double") /
           lit(AttrScale.toDouble)))
+      // exact scaled credit rides as a canonical decimal STRING (sums
+      // exceed int64 at corpus scale; DECIMAL(38,0) outputs hash
+      // engine-dependently in the gate)
+      .withColumn("credit_scaled", col("credit_scaled").cast("string"))
       .orderBy(col("ttype"), col("role"))
   }
 
@@ -1517,7 +1535,7 @@ object Relational {
        |         ELSE ${AttrScale / 5} // (n - 2) END AS credit
        |  FROM ranked)
        |SELECT ttype, role, CAST(COUNT(*) AS BIGINT) AS n_touches,
-       |  CAST(SUM(CAST(credit AS HUGEINT)) AS DECIMAL(38,0))
+       |  CAST(SUM(CAST(credit AS HUGEINT)) AS VARCHAR)
        |    AS credit_scaled,
        |  CAST(CAST(SUM(CAST(credit AS HUGEINT)) AS VARCHAR) AS DOUBLE)
        |    / CAST($AttrScale AS DOUBLE) AS conversions_credited
@@ -1927,8 +1945,13 @@ object Relational {
     detr.join(broadcast(sea), Seq("event_type", "dow"))
       .withColumn("f_scaled",
         (col("nw").cast(d38) * col("r_scaled") - col("sr")).cast(d38))
-      .select(col("event_type"), col("day"), col("dow"), col("y"),
-        col("r_scaled"), col("f_scaled"),
+      // the D-scaled exact integers ride as canonical decimal STRINGS
+      // (detrended residuals exceed int64 at corpus scale; DECIMAL(38,0)
+      // outputs hash engine-dependently in the gate)
+      .select(col("event_type"), col("day"), col("dow"),
+        col("y").cast("string").as("y"),
+        col("r_scaled").cast("string").as("r_scaled"),
+        col("f_scaled").cast("string").as("f_scaled"),
         (dbl(col("icept_num") + col("slope_num") * col("cx")) /
           dbl(col("dd")) / lit(1000000.0d)).as("trend_fit"),
         (dbl(col("sr")) / dbl(col("nw").cast(d38) * col("dd")) /
@@ -1969,9 +1992,9 @@ object Relational {
        |    SUM(r_scaled) AS sr
        |  FROM detr GROUP BY event_type, dow)
        |SELECT d.event_type, d.day, d.dow,
-       |  CAST(d.y AS DECIMAL(38,0)) AS y,
-       |  CAST(d.r_scaled AS DECIMAL(38,0)) AS r_scaled,
-       |  CAST(s.nw * d.r_scaled - s.sr AS DECIMAL(38,0)) AS f_scaled,
+       |  CAST(d.y AS VARCHAR) AS y,
+       |  CAST(d.r_scaled AS VARCHAR) AS r_scaled,
+       |  CAST(s.nw * d.r_scaled - s.sr AS VARCHAR) AS f_scaled,
        |  CAST(CAST(d.icept_num + d.slope_num * d.cx AS VARCHAR) AS DOUBLE)
        |    / CAST(CAST(d.dd AS VARCHAR) AS DOUBLE)
        |    / CAST(1000000 AS DOUBLE) AS trend_fit,
