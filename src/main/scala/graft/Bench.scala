@@ -45,14 +45,27 @@ object Bench {
     if (v < 0) v.toString
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** The round this run belongs to: one past the highest driver-written
-    * BENCH_r<N>.json in the working directory (the driver runs from the
-    * repo root; anywhere else just yields r1, which is still a valid
-    * durable artifact name). */
-  private lazy val roundNo: Int = {
-    val pat = """BENCH_r(\d+)\.json""".r
-    val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
-    files.collect { case pat(n) => n.toInt }.foldLeft(0)(math.max) + 1
+  /** The durable-artifact name for this run. An EXPLICIT round
+    * (`-Dgraft.round=N` or `SPARK_GRAFT_ROUND=N`) always wins. Without
+    * one, the round is inferred as one past the highest driver-written
+    * BENCH_r<N>.json — but an inferred name NEVER overwrites an existing
+    * file: when the driver skipped a round's artifacts the inference is
+    * stale, and round 11 proved it silently clobbers a committed prior
+    * round's record. A taken inferred name falls back to
+    * BENCH_LOCAL_latest.json, which is always safe to rewrite. */
+  private lazy val localArtifact: String = {
+    val explicit = sys.props.get("graft.round")
+      .orElse(sys.env.get("SPARK_GRAFT_ROUND")).map(_.trim).filter(_.nonEmpty)
+    explicit match {
+      case Some(n) => s"BENCH_LOCAL_r$n.json"
+      case None =>
+        val pat = """BENCH_r(\d+)\.json""".r
+        val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        val inferred = files.collect { case pat(n) => n.toInt }
+          .foldLeft(0)(math.max) + 1
+        val name = s"BENCH_LOCAL_r$inferred.json"
+        if (new java.io.File(name).exists()) "BENCH_LOCAL_latest.json" else name
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +135,7 @@ object Bench {
       // round — the artifact survives any capture window
       try {
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"BENCH_LOCAL_r$roundNo.json"),
+          java.nio.file.Paths.get(localArtifact),
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] local artifact write failed: $e")

@@ -2014,10 +2014,24 @@ object Similarity {
     * ([[graft.Tables.dec]]) so the cross-row sums are order-independent,
     * and cov derives from those exact sums with one pinned-order double
     * expression — bit-identical in any engine. */
-  def pcaCovariance(spark: SparkSession, dir: String): DataFrame = {
+  /** [[pcaCovariance]]'s frame WITH the per-dimension mean it already
+    * joins ridden out as a column — so [[pcaProject]] gets covariance AND
+    * means from ONE corpus pass (the diagonal i==j rows carry each
+    * dimension's sx/n) instead of re-running a second corpus-wide
+    * explode + aggregate just to re-derive what this join computed. */
+  private def pcaCovFull(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables.{dec, asDouble}
+    // spread the raw vectors BEFORE the 2080× pair fan-out: a narrow
+    // embeddings scan arrives in few partitions (locally ONE), which made
+    // the whole d²/2 explode single-threaded; the shuffle moves only the
+    // pre-explode vectors, never the pairs
     val e = t(spark, dir, "embeddings")
       .select(toDouble(col("embedding")).as("ev"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // explode × explode + triangle filter streams through whole-stage
+    // codegen row by row; generating the 2080-struct pair array per row
+    // with nested transform/flatten was MEASURED 1.7× slower (it
+    // materializes the array before exploding)
     val pairs = e.select(col("ev"), posexplode(col("ev")).as(Seq("i0", "x")))
       .select(col("i0"), col("x"), posexplode(col("ev")).as(Seq("j0", "y")))
       .filter(col("i0") <= col("j0"))
@@ -2036,9 +2050,15 @@ object Similarity {
         Seq("j"))
       .select(col("i"), col("j"), col("n"),
         ((asDouble(col("sxy")) - ((asDouble(col("sx")) * asDouble(col("sy")))
-          / nD)) / nD).as("cov"))
+          / nD)) / nD).as("cov"),
+        // mean_i = sx/n in the exact order the dropped second pass used
+        (asDouble(col("sx")) / nD).as("mean_i"))
       .orderBy(col("i"), col("j"))
   }
+
+  def pcaCovariance(spark: SparkSession, dir: String): DataFrame =
+    pcaCovFull(spark, dir)
+      .select(col("i"), col("j"), col("n"), col("cov"))
 
   val pcaCovarianceSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
@@ -2143,7 +2163,10 @@ object Similarity {
     * orthonormality, determinism, and per-component variance =
     * eigenvalue. */
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
-    val covRows = pcaCovariance(spark, dir).collect()
+    // ONE corpus pass: covariance matrix and per-dimension means both come
+    // off pcaCovFull — the diagonal rows carry mean_i, so no second
+    // corpus-wide explode + aggregate re-derives what this join computed
+    val covRows = pcaCovFull(spark, dir).collect()
     val d = EmbedDim
     val cov = Array.ofDim[Double](d, d)
     val mean = Array.ofDim[Double](d)
@@ -2151,15 +2174,8 @@ object Similarity {
       val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
         r.getDouble(3))
       cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mean(i) = r.getDouble(4)
     }
-    // means re-derived from the same dec-exact sums the covariance used
-    val mrows = t(spark, dir, "embeddings")
-      .select(posexplode(toDouble(col("embedding"))).as(Seq("i0", "x")))
-      .groupBy(col("i0"))
-      .agg(graft.Tables.asDouble(sum(graft.Tables.dec(col("x")))).as("sx"),
-        count(lit(1)).as("n"))
-      .collect()
-    mrows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / r.getLong(2))
     val (_, vecs) = jacobiEigen(cov)
     val projCols = (0 until PcaDim).map { c =>
       val basis = vecs(c).map(_.toString).mkString(", ")

@@ -2748,9 +2748,12 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"), "left_outer")),
       leg("lineitem_qty_positive", count(lit(1)),
         count(when(col("l_quantity") <= 0, 1)), li),
+      // no broadcast hint on either FK parent key set: a 100 TB corpus's
+      // distinct customer keys don't fit an executor — let AQE pick
+      // broadcast only when the measured build side is actually small
       leg("orders_customer_fk", count(lit(1)),
         count(when(col("c_custkey").isNull, 1)),
-        orders.join(broadcast(cust.select(col("c_custkey")).distinct()),
+        orders.join(cust.select(col("c_custkey")).distinct(),
           col("o_custkey") === col("c_custkey"), "left_outer")),
       leg("orders_pk_unique", count(lit(1)),
         count(lit(1)) - countDistinct(col("o_orderkey")), orders))

@@ -73,7 +73,7 @@ final case class AnomalyVerdict(event_type: String, event_id: Long,
 final case class CusumState(n: Long, s: BigInt)
 
 final case class CusumVerdict(event_type: String, event_id: Long,
-    n_seen: Long, s_stat: BigInt, alarm: Boolean)
+    n_seen: Long, s_stat: String, alarm: Boolean)
 
 /** Structured Streaming twins of the batch event operators (SURVEY §2.4/§2.5
   * note the quota sliding window as the reference's only time construct; the
@@ -189,19 +189,20 @@ object EventStreams {
       hit.isDefined, hit.getOrElse(""))
   }
 
-  /** Sessionization with a REAL event-time timeout: a user's open session
-    * is also emitted once the watermark passes last-event + 30 min, so
-    * trailing sessions don't linger in state forever (the finalizing twin
-    * of [[sessionize]]'s emit-on-close contract). */
-  def sessionizeWithTimeout(events: Dataset[Event],
-      watermarkDelay: String = "10 minutes"): Dataset[SessionUpdate] = {
+  /** Shared event-time-timeout session kernel: sessions close either by a
+    * later event revealing a >30-min gap OR by the watermark passing
+    * last-event + 30 min (trailing sessions don't linger in state
+    * forever); each closed session is rendered once by `emit`. */
+  private def sessionedWithTimeout[T: org.apache.spark.sql.Encoder](
+      events: Dataset[Event], watermarkDelay: String,
+      emit: (Long, List[Event]) => T): Dataset[T] = {
     import events.sparkSession.implicits._
     val timed = events
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .as[TimedEvent]
       .withWatermark("ts", watermarkDelay)
     timed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Event], SessionUpdate](
+      .flatMapGroupsWithState[List[Event], T](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId, batch, state) =>
           if (state.hasTimedOut) {
@@ -209,7 +210,7 @@ object EventStreams {
             val open = state.getOption.getOrElse(Nil)
             state.remove()
             if (open.isEmpty) Iterator.empty
-            else Iterator.single(toUpdate(userId, open))
+            else Iterator.single(emit(userId, open))
           } else {
             val events = (state.getOption.getOrElse(Nil) ++
               batch.map(t => Event(t.event_id, t.ts_us, t.user_id,
@@ -226,10 +227,31 @@ object EventStreams {
               state.setTimeoutTimestamp(
                 math.max(open.last.ts_us / 1000 + GapUs / 1000,
                   state.getCurrentWatermarkMs() + 1))
-              closed.iterator.map(s => toUpdate(userId, s))
+              closed.iterator.map(s => emit(userId, s))
             }
           }
       }
+  }
+
+  /** Sessionization with a REAL event-time timeout — the finalizing twin
+    * of [[sessionize]]'s emit-on-close contract. */
+  def sessionizeWithTimeout(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    sessionedWithTimeout(events, watermarkDelay, toUpdate)
+  }
+
+  /** CEP with a REAL event-time timeout — the finalizing twin of
+    * [[sessionPatternStream]]: trailing open sessions also receive their
+    * pattern verdict once the watermark passes last-event + 30 min, so a
+    * user who goes silent still gets scanned. Fed a whole corpus plus a
+    * watermark-advancing horizon, the verdict set equals the BATCH
+    * registered query on EVERY session, not just the closed ones
+    * (pinned in EventStreamsSpec). */
+  def sessionPatternStreamWithTimeout(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[PatternVerdict] = {
+    import events.sparkSession.implicits._
+    sessionedWithTimeout(events, watermarkDelay, toVerdict)
   }
 
   /** Streaming exact dedup on content fingerprint within the watermark
@@ -524,7 +546,10 @@ object EventStreams {
                 val (s2, alarm) =
                   cusumStep(nRef, sRef, lam, st.s, microQuantize(e.value))
                 st = CusumState(st.n + 1, s2)
-                CusumVerdict(etype, e.event_id, st.n, s2, alarm)
+                // s_stat as the canonical digit string — the batch face
+                // renders DECIMAL(38,0) via cast(string) to the same form,
+                // keeping the stream ≡ batch twins schema-identical
+                CusumVerdict(etype, e.event_id, st.n, s2.toString, alarm)
               }
               state.update(st)
               out.iterator

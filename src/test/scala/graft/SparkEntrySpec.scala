@@ -17,6 +17,30 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("no registered query emits DecimalType precision > 18 (driver-hash-unsafe)") {
+    // DECIMAL(>18) survives analysis but the driver's cross-engine hash
+    // canonicalizes it engine-dependently (Spark java.math.BigDecimal vs
+    // DuckDB HUGEINT rendering) — the class of silent red that hid
+    // sketch_f2 and the six round-11 rows. Exact integers beyond int64
+    // must ride as BIGINT (when range-provable) or canonical STRINGS.
+    import org.apache.spark.sql.types._
+    def wide(dt: DataType, path: String): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 => Seq(s"$path: $d")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => wide(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => wide(a.elementType, s"$path[]")
+      case m: MapType =>
+        wide(m.keyType, s"$path<key>") ++ wide(m.valueType, s"$path<val>")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        wide(fn(spark, "/root/testdata/sf0.001").schema, name)
+    }
+    assert(offenders.isEmpty,
+      s"gate-unsafe wide decimals in query outputs:\n${offenders.mkString("\n")}")
+  }
+
   test("query outputs have distinct, non-empty column names") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val cols = fn(spark, "/root/testdata/sf0.001").columns.toSeq

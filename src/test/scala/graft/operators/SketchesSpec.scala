@@ -237,9 +237,8 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
   test("sketch_f2: every row over-estimates F2 (one-sided), the min lands within the N^2/W noise, exact F2 replays") {
     import org.apache.spark.sql.functions._
     val rows = Sketches.sketchF2(spark, dir).collect()
-      .map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger),
-        BigInt(r.getDecimal(2).toBigInteger),
-        BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4)))
+      .map(r => (r.getInt(0), BigInt(r.getString(1)),
+        BigInt(r.getString(2)), BigInt(r.getString(3)), r.getDouble(4)))
     graft.SharedFrames.releaseAll()
     assert(rows.length == Sketches.CmsRows.length)
 

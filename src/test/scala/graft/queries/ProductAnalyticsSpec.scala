@@ -34,7 +34,7 @@ class ProductAnalyticsSpec extends AnyFunSuite with SparkSpec {
     // >= 1 touch) * scale, minus only the documented floor remainders of
     // the middle split (< (n-2) per U-shaped conversion)
     val rows = Relational.attributionCredit(spark, dir).collect()
-    val totalCredit = rows.map(r => BigInt(r.getDecimal(3).toBigInteger)).sum
+    val totalCredit = rows.map(r => BigInt(r.getString(3))).sum
     val ev = graft.Tables.t(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
         expr("unix_micros(ts)").as("ts_us"), col("event_type"))

@@ -38,7 +38,10 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
 
   test("grouped_regression: exact BigInt replay of the normal equations") {
     import spark.implicits._
+    // mirror the operator's eventSeq null gate: a null value decoded into a
+    // non-nullable Double would silently become 0.0 and skew the replay
     val rows = graft.Tables.t(spark, dir, "events")
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").cast("long"),
         col("value"))
@@ -64,8 +67,8 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
     got.foreach { r =>
       val (n, num, den, inum) = expected(r.getString(0))
       assert(BigInt(r.getLong(1)) == n)
-      assert(BigInt(r.getDecimal(2).toBigInteger) == num, s"${r.getString(0)} num")
-      assert(BigInt(r.getDecimal(3).toBigInteger) == den, s"${r.getString(0)} den")
+      assert(BigInt(r.getString(2)) == num, s"${r.getString(0)} num")
+      assert(BigInt(r.getString(3)) == den, s"${r.getString(0)} den")
       // the reported doubles are exactly num/den/1e6 in IEEE order
       assert(r.getDouble(4) ==
         num.toString.toDouble / den.toString.toDouble / 1000000.0d)
@@ -100,7 +103,7 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
     }.toMap
     val got = Relational.changepointCusum(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(3), BigInt(r.getDecimal(4).toBigInteger), r.getBoolean(5))))
+        ((r.getLong(3), BigInt(r.getString(4)), r.getBoolean(5))))
       .toMap
     assert(got.size == expected.size)
     expected.foreach { case (k, v) =>
@@ -133,7 +136,7 @@ class SkylineRegressionSpec extends AnyFunSuite with SparkSpec {
     val rows = Relational.seasonalTrend(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val y = BigDecimal(r.getDecimal(3)).toDouble / 1e6
+      val y = BigDecimal(r.getString(3)).toDouble / 1e6
       val (tr, se, re) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
       // y = trend + seasonal + resid exactly as rationals; as doubles the
       // three divisions round independently — allow ulp-scale slack only

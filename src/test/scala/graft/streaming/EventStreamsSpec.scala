@@ -280,8 +280,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       // statistic must coincide exactly
       val batch = graft.queries.Relational.changepointCusum(spark, dir)
         .collect().map(r => (r.getString(0), r.getLong(1)) ->
-          ((r.getLong(3), BigInt(r.getDecimal(4).toBigInteger),
-            r.getBoolean(5)))).toMap
+          ((r.getLong(3), r.getString(4), r.getBoolean(5)))).toMap
       assert(streamed.size == batch.size)
       batch.foreach { case (k, v) =>
         assert(streamed(k) == v, s"event $k: stream ${streamed(k)} != batch $v")
@@ -450,6 +449,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         s"stream/batch session_window divergence: ${(batch diff streamed).size} " +
           s"missing, ${(streamed diff batch).size} extra of ${batch.size}")
       assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionPatternStreamWithTimeout: watermark finalizes trailing sessions — verdicts equal batch on EVERY session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionPatternStreamWithTimeout(mem.toDS(), "0 seconds")
+      .writeStream.format("memory").queryName("cepto").outputMode("append")
+      .start()
+    try {
+      val sorted = rows.sortBy(_.ts_us)
+      val (b1, b2) = sorted.splitAt(rows.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // a far-future sentinel (synthetic user -1) advances the watermark
+      // past every real user's last-event + gap; two batches because the
+      // timeout check uses the PREVIOUS batch's watermark
+      val horizon = sorted.last.ts_us + us(120)
+      mem.addData(Seq(Event(-1L, horizon, -1L, "z", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(-2L, horizon + us(1), -1L, "z", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("cepto").as[PatternVerdict].collect()
+        .filter(_.user_id >= 0)
+      val streamedKeyed = streamed.groupBy(_.user_id).toSeq.flatMap {
+        case (u, vs) => vs.sortBy(_.session_start_us).zipWithIndex.toSeq.map {
+          case (v, i) =>
+            (u, (i + 1).toLong) -> ((v.n_events, v.seq, v.matched, v.hit))
+        }
+      }.toMap
+      val batch = graft.queries.Relational.sessionPattern(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getString(3), r.getBoolean(4), r.getString(5))))
+        .toMap
+      // EVERY batch session — trailing ones included — has a verdict
+      assert(streamedKeyed.keySet == batch.keySet,
+        s"missing: ${batch.keySet.diff(streamedKeyed.keySet).take(5)} " +
+          s"extra: ${streamedKeyed.keySet.diff(batch.keySet).take(5)}")
+      streamedKeyed.foreach { case (k, v) =>
+        assert(batch(k) == v, s"session $k: stream $v != batch ${batch(k)}")
+      }
+      assert(streamedKeyed.values.exists(_._3) &&
+        streamedKeyed.values.exists(!_._3))
     } finally q.stop()
   }
 
