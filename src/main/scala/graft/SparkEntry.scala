@@ -305,6 +305,10 @@ object SparkEntry {
     // suffix-automaton intra-doc maximal repeats (per-row bounded, zero
     // shuffle); rows-only — IntradocRepeatsSpec replays the definition
     "intradoc_repeats" -> (Dedup.intradocRepeats _),
+    // no-seed-floor substring dedup: distributed prefix-doubling suffix
+    // ranks, SA-adjacent LCP descend, ML >= 4 interval union; coverage
+    // superset of the gram-seeded family (spec-pinned)
+    "dup_spans_suffix" -> (Dedup.dupSpansSuffix _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -598,6 +602,7 @@ object SparkEntry {
     "dup_spans_maximal_pairwise" -> Dedup.dupSpansMaximalPairwiseSql,
     "doc_novelty" -> Dedup.docNoveltySql,
     "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
+    "dup_spans_suffix" -> Dedup.dupSpansSuffixSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
     "decontaminate_scrub" -> Dedup.decontaminateScrubSql,

@@ -2409,4 +2409,310 @@ object Dedup {
     }
     out.sortBy(x => (x._1, x._2)).toSeq
   }
+
+  // ---- suffix-ranked substring dedup (no seed-length floor) ----
+
+  /** Minimum match length a [[dupSpansSuffix]] position must carry to seed
+    * a span — deliberately BELOW [[DupSpanGram]]: the suffix ranking has
+    * no fixed gram width, so repeats of any length ≥ this are exact. */
+  final val DupSpanSuffixMinLen = 4
+
+  /** Range buckets for the distributed suffix-rank passes. */
+  private final val SuffixRankBuckets = 1024L
+
+  /** Prefix-doubling rounds: 2^7 = 128 ≥ the corpus's max document token
+    * length (100 across every SF), so round 7's capped prefixes are whole
+    * suffixes. Rounds past the needed depth are exact no-ops (all capped
+    * prefixes already distinct ⇒ the dense rank is unchanged). */
+  private final val SuffixDoublingRounds = 7
+
+  /** Distributed global rank WITHOUT a partition-less window: `bucket`
+    * must be monotone in `order` (all keys of bucket b sort before bucket
+    * b+1); within-bucket row_number + [[TextAnalysis.exclusivePrefix]]
+    * bucket offsets compose to the exact global row_number — dense rank
+    * when `rows` are distinct keys. The two-phase shape
+    * [[graft.operators.TextAnalysis.globalShuffle]] pins. */
+  private def bucketedRank(rows: DataFrame, bucket: Column,
+      order: Seq[Column], maxBucket: Long, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = rows.withColumn("_skb", bucket)
+    val rn = b.withColumn("_skrn", row_number()
+      .over(Window.partitionBy(col("_skb")).orderBy(order: _*)).cast("long"))
+    val offsets = TextAnalysis.exclusivePrefix(
+      b.groupBy(col("_skb").as("bucket")).agg(count(lit(1)).as("bsum")),
+      maxBucket)
+      .select(col("bucket").as("_skb"), col("offset").as("_sko"))
+    rn.join(broadcast(offsets), Seq("_skb"))
+      .withColumn(out, col("_sko") + col("_skrn"))
+      .drop("_skb", "_skrn", "_sko")
+  }
+
+  /** SUFFIX-RANKED SUBSTRING DEDUP — the no-seed-floor completion of the
+    * dup-span family (Lee et al. 2021's exact semantics, reached by
+    * distributed prefix doubling instead of a single-node suffix array):
+    *
+    *  1. rank every per-doc suffix by Manber–Myers prefix doubling —
+    *     round k densely ranks the capped 2^k-token prefix by the pair
+    *     (rank_{k-1}(i), rank_{k-1}(i+2^{k-1}) or 0 past the end); the
+    *     level-0 alphabet orders tokens by their md5 fingerprint (match
+    *     LENGTHS are alphabet-independent, and md5 gives spread range
+    *     buckets plus a DuckDB-replayable order);
+    *  2. suffix-array adjacency is an equi-join on global position p vs
+    *     p−1 (position = two-phase bucketed row_number — never a
+    *     partition-less window);
+    *  3. adjacent LCPs descend the stored rank levels (k = 6..0: equal
+    *     level-k ranks ⇒ first 2^k tokens equal ⇒ advance both cursors),
+    *     capped by remaining suffix length for identical-tail pairs;
+    *  4. each position's maximal match length ML = max(LCP with its two
+    *     SA neighbours) — the suffix-array maximality argument: the
+    *     longest other occurrence of a prefix of suffix s is adjacent to
+    *     s in SA order; repeats here are CORPUS-level (a second
+    *     occurrence in the same doc counts, as in Lee et al.), a
+    *     superset of the gram family's cross-doc gate;
+    *  5. spans = per-doc union of [i, i+ML(i)−1] over ML(i) ≥
+    *     [[DupSpanSuffixMinLen]] (gaps-and-islands on the running max
+    *     end — merge only overlapping/adjacent coverage).
+    *
+    * Coverage ⊇ every [[dupSpans]] island (spec-pinned): a duplicated
+    * [[DupSpanGram]]-gram at h has ML(h) ≥ 8, and islands merge hits ≤ 8
+    * apart, so the interval union is contiguous across each island.
+    *
+    * Scale shape: O(log maxDocLen) = 7 rounds, each a bounded-bucket rank
+    * (range buckets + partial-count offsets) + one co-keyed equi-join,
+    * with per-round lineage cuts (persisted RDDs — the dedup_clusters
+    * discipline, each round's frame is read twice by the next); the
+    * descend is 14 equi-joins against the persisted level frames; every
+    * window is bucket- or doc-partitioned, bounded by bucket/document
+    * size. The ORACLE unrolls the identical construction declaratively
+    * (dense_rank per round, materialized CTEs). */
+  def dupSpansSuffix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = SuffixRankBuckets
+    // persisted stores; every reuse builds a FRESH DataFrame over the
+    // RDD so self-joins never share attribute ids
+    val store = scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+    def keep(df: DataFrame): Int = {
+      val t0 = System.nanoTime()
+      val rdd = df.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (sys.env.contains("SPARK_GRAFT_SFX_DEBUG")) {
+        val n = rdd.count()
+        System.err.println(f"[sfx] keep#${store.length} rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      store += ((rdd, df.schema)); store.length - 1
+    }
+    def at(i: Int): DataFrame =
+      spark.createDataFrame(store(i)._1, store(i)._2)
+
+    val toksI = keep(tokFrame(spark, dir)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("tok")))
+    def lens = at(toksI).groupBy(col("doc_id"))
+      .agg((max(col("idx")) + 1).as("len"))
+    // the ONE driver action of the whole construction (it also warms the
+    // token cache): every round's rank domain is ≤ the suffix count, so
+    // nt bounds every bucket range — no per-round count/max jobs
+    val nt = at(toksI).count().toDouble.max(1.0)
+
+    /** Range bucket, monotone in (r1, r2) order: the linearized key
+      * scaled into [0, B). Doubles round at huge nt but IEEE rounding is
+      * MONOTONE, so order never inverts — adjacent keys can only merge
+      * into one bucket, which costs balance, not correctness. */
+    def pairBucket(r1: Column, r2: Column): Column =
+      least(floor(((r1 - 1).cast("double") * (nt + 1.0) + r2.cast("double"))
+        * B / (nt * (nt + 1.0))).cast("long"), lit(B - 1))
+
+    // level 0: dense token ranks in md5 order (spread hex-prefix buckets)
+    val vocab = at(toksI).select(col("tok")).distinct()
+      .withColumn("mk", md5(col("tok").cast("binary")))
+    val v0 = bucketedRank(vocab,
+      conv(substring(col("mk"), 1, 3), 16, 10).cast("long"),
+      Seq(col("mk"), col("tok")), 4095L, "r")
+    keep(at(toksI).join(v0.select(col("tok"), col("r")), Seq("tok"))
+      .select(col("doc_id"), col("idx"), col("r")))
+    // store(1 + k) = level-k rank frame. ONE keep (= one eager job) per
+    // round: the 2^{k-1}-shifted partner rank is a doc-partitioned lead
+    // window (never a self-join); the dense rank is a bucket window; the
+    // per-bucket offsets are a countDistinct agg feeding a broadcast
+    // stage of the SAME job (identical exchange subtrees dedup via
+    // ReusedExchange) — no distinct frame, no rank join-back
+    def level(k: Int): DataFrame = at(1 + k)
+    for (k <- 1 to SuffixDoublingRounds) {
+      import org.apache.spark.sql.expressions.Window
+      val step = (1L << (k - 1)).toInt
+      val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      val paired = level(k - 1)
+        .withColumn("r2", coalesce(lead(col("r"), step).over(byDocW),
+          lit(0L)))
+        .withColumn("_skb", pairBucket(col("r"), col("r2")))
+      val offsets = TextAnalysis.exclusivePrefix(
+        paired.groupBy(col("_skb").as("bucket"))
+          .agg(countDistinct(col("r"), col("r2")).as("bsum")), B - 1)
+        .select(col("bucket").as("_skb"), col("offset").as("_sko"))
+      keep(paired
+        .withColumn("_skdr", dense_rank()
+          .over(Window.partitionBy(col("_skb"))
+            .orderBy(col("r"), col("r2"))).cast("long"))
+        .join(broadcast(offsets), Seq("_skb"))
+        .select(col("doc_id"), col("idx"),
+          (col("_sko") + col("_skdr")).as("r")))
+    }
+    val fin = 1 + SuffixDoublingRounds
+
+    // global SA position: unique row_number over (r, doc_id, idx)
+    val saI = keep(bucketedRank(at(fin),
+      least(floor((col("r") - 1).cast("double") * B / nt).cast("long"),
+        lit(B - 1)),
+      Seq(col("r"), col("doc_id"), col("idx")), B - 1, "p")
+      .select(col("doc_id"), col("idx"), col("p")))
+
+    // adjacent pair (p-1, p) + LCP descend over the stored levels
+    var d = at(saI).select(col("p"), col("doc_id").as("ad"),
+        col("idx").as("ai"))
+      .join(at(saI).select((col("p") + 1).as("p"), col("doc_id").as("bd"),
+        col("idx").as("bi")), Seq("p"))
+      .withColumn("acc", lit(0L))
+      .withColumn("ap", col("ai")).withColumn("bp", col("bi"))
+    for (k <- SuffixDoublingRounds - 1 to 0 by -1) {
+      val w = 1L << k
+      d = d.join(level(k).select(col("doc_id").as("ad"),
+          col("idx").as("ap"), col("r").as("ra")), Seq("ad", "ap"),
+          "left_outer")
+        .join(level(k).select(col("doc_id").as("bd"),
+          col("idx").as("bp"), col("r").as("rb")), Seq("bd", "bp"),
+          "left_outer")
+        .withColumn("m", col("ra").isNotNull && col("rb").isNotNull &&
+          col("ra") === col("rb"))
+        .select(col("p"), col("ad"), col("ai"), col("bd"), col("bi"),
+          when(col("m"), col("acc") + w).otherwise(col("acc")).as("acc"),
+          when(col("m"), col("ap") + w).otherwise(col("ap")).as("ap"),
+          when(col("m"), col("bp") + w).otherwise(col("bp")).as("bp"))
+    }
+    // identical-tail pairs match every level their cursors can reach —
+    // cap by remaining length (true lcp = the shorter remainder)
+    val lcpI = keep(d
+      .join(lens.select(col("doc_id").as("ad"), col("len").as("la")),
+        Seq("ad"))
+      .join(lens.select(col("doc_id").as("bd"), col("len").as("lb")),
+        Seq("bd"))
+      .select(col("p"),
+        least(col("acc"), col("la") - col("ai"), col("lb") - col("bi"))
+          .as("lcp")))
+
+    val hits = at(saI)
+      .join(at(lcpI).select(col("p"), col("lcp").as("l1")), Seq("p"),
+        "left_outer")
+      .join(at(lcpI).select((col("p") - 1).as("p"), col("lcp").as("l2")),
+        Seq("p"), "left_outer")
+      .select(col("doc_id"), col("idx"),
+        greatest(coalesce(col("l1"), lit(0L)), coalesce(col("l2"), lit(0L)))
+          .as("ml"))
+      .filter(col("ml") >= DupSpanSuffixMinLen)
+      .select(col("doc_id"), col("idx"),
+        (col("idx") + col("ml") - 1).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    hits
+      .withColumn("pm",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pm").isNull || col("idx") > col("pm") + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("idx")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Oracle for [[dupSpansSuffix]]: the identical prefix-doubling /
+    * descend construction unrolled declaratively — dense_rank per round,
+    * the same md5 level-0 alphabet, the same cap and island merge. Every
+    * CTE MATERIALIZED: each rank level is referenced three times (both
+    * legs of the next round + the descend). */
+  lazy val dupSpansSuffixSql: String =
+    OracleSql.materializeCtes(dupSpansSuffixSqlRaw)
+
+  private lazy val dupSpansSuffixSqlRaw: String = {
+    val rounds = (1 to SuffixDoublingRounds).map { k =>
+      val step = 1L << (k - 1)
+      s"""r$k AS (
+         |  SELECT a.doc_id, a.idx,
+         |    CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0))
+         |      AS BIGINT) AS r
+         |  FROM r${k - 1} a LEFT JOIN r${k - 1} b
+         |    ON b.doc_id = a.doc_id AND b.idx = a.idx + $step)"""
+        .stripMargin
+    }.mkString(",\n")
+    val descend = (SuffixDoublingRounds - 1 to 0 by -1).map { k =>
+      val w = 1L << k
+      val src = s"d${k + 1}"
+      s"""d$k AS (
+         |  SELECT $src.p, $src.ad, $src.ai, $src.bd, $src.bi,
+         |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+         |         AND ra.r = rb.r THEN $src.acc + $w ELSE $src.acc END AS acc,
+         |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+         |         AND ra.r = rb.r THEN $src.ap + $w ELSE $src.ap END AS ap,
+         |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+         |         AND ra.r = rb.r THEN $src.bp + $w ELSE $src.bp END AS bp
+         |  FROM $src
+         |  LEFT JOIN r$k ra ON ra.doc_id = $src.ad AND ra.idx = $src.ap
+         |  LEFT JOIN r$k rb ON rb.doc_id = $src.bd AND rb.idx = $src.bp)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, unnest(parts) AS tok,
+       |         unnest(range(1, len(parts) + 1)) AS o
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |        FROM documents)),
+       |toks AS (
+       |  SELECT doc_id, tok,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY o) - 1
+       |      AS BIGINT) AS idx
+       |  FROM toks0 WHERE tok <> ''),
+       |lens AS (SELECT doc_id, max(idx) + 1 AS len FROM toks GROUP BY 1),
+       |r0 AS (
+       |  SELECT doc_id, idx,
+       |    CAST(dense_rank() OVER (ORDER BY md5(tok), tok) AS BIGINT) AS r
+       |  FROM toks),
+       |$rounds,
+       |sa AS (
+       |  SELECT doc_id, idx,
+       |    CAST(row_number() OVER (ORDER BY r, doc_id, idx) AS BIGINT) AS p
+       |  FROM r$SuffixDoublingRounds),
+       |d$SuffixDoublingRounds AS (
+       |  SELECT x.p, x.doc_id AS ad, x.idx AS ai, y.doc_id AS bd,
+       |    y.idx AS bi, CAST(0 AS BIGINT) AS acc, x.idx AS ap, y.idx AS bp
+       |  FROM sa x JOIN sa y ON y.p = x.p - 1),
+       |$descend,
+       |lcp AS (
+       |  SELECT d.p,
+       |    LEAST(d.acc, la.len - d.ai, lb.len - d.bi) AS lcp
+       |  FROM d0 d
+       |  JOIN lens la ON la.doc_id = d.ad
+       |  JOIN lens lb ON lb.doc_id = d.bd),
+       |mls AS (
+       |  SELECT s.doc_id, s.idx,
+       |    GREATEST(COALESCE(l1.lcp, 0), COALESCE(l2.lcp, 0)) AS mlv
+       |  FROM sa s
+       |  LEFT JOIN lcp l1 ON l1.p = s.p
+       |  LEFT JOIN lcp l2 ON l2.p = s.p + 1),
+       |shits AS (
+       |  SELECT doc_id, idx, idx + mlv - 1 AS e FROM mls
+       |  WHERE mlv >= $DupSpanSuffixMinLen),
+       |sisl AS (
+       |  SELECT doc_id, idx, e,
+       |    SUM(CASE WHEN pm IS NULL OR idx > pm + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY idx) AS island
+       |  FROM (SELECT doc_id, idx, e,
+       |          MAX(e) OVER (PARTITION BY doc_id ORDER BY idx
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |        FROM shits))
+       |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+       |  CAST(max(e) AS BIGINT) AS span_end,
+       |  CAST(max(e) - min(idx) + 1 AS BIGINT) AS span_tokens
+       |FROM sisl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 }

@@ -426,7 +426,7 @@ object TextAnalysis {
     * Depth is log₁₀₀(buckets): 10⁹ docs → 10⁷ buckets → 3 levels. Each
     * level's offsets table is PackBucket× smaller than the last, so every
     * broadcast shrinks geometrically. */
-  private def exclusivePrefix(sums: DataFrame, maxBucket: Long): DataFrame = {
+  private[operators] def exclusivePrefix(sums: DataFrame, maxBucket: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (maxBucket < PackBucket) {
       // ≤ PackBucket rows: bounded θ-join, window-free
