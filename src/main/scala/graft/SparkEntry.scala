@@ -104,6 +104,10 @@ object SparkEntry {
     "pipeline_e2e" -> (graft.operators.Pipeline.pipelineE2e _),
     "lineage_report" -> (graft.operators.Pipeline.lineageReport _),
     "lang_detect" -> (TextAnalysis.langDetect _),
+    // TRAINED lang-id: chi2-selected hashed char trigrams + fixed-point
+    // NB costs trained on the labeled slice, scored corpus-wide; the
+    // oracle replays selection + training + scoring
+    "lang_id_trained" -> (TextAnalysis.langIdTrained _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // corpus-hygiene extensions: repetition quality gate, PII scrubbing,
     // deterministic data mixing, fixed-budget chunking
@@ -511,6 +515,7 @@ object SparkEntry {
     "pipeline_e2e" -> graft.operators.Pipeline.pipelineE2eSql,
     "lineage_report" -> graft.operators.Pipeline.lineageReportSql,
     "lang_detect" -> TextAnalysis.langDetectSql,
+    "lang_id_trained" -> TextAnalysis.langIdTrainedSql,
     "quality_gopher" -> graft.operators.CorpusOps.qualityGopherSql,
     "quality_model_score" -> graft.operators.CorpusOps.qualityModelScoreSql,
     "pii_redact" -> graft.operators.CorpusOps.piiRedactSql,

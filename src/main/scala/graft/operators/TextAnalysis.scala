@@ -1099,4 +1099,255 @@ object TextAnalysis {
        |SELECT m.doc_id, best.w1, best.w2, m.n_hits
        |FROM m CROSS JOIN best
        |ORDER BY m.doc_id""".stripMargin)
+
+  // ---- trained language ID (χ²-selected hashed trigrams + integer NB) ----
+
+  /** Labeled-slice boundary for [[langIdTrained]] (doc_id < cap): the
+    * `lang` column IS the label — the stand-in for the labeled sample a
+    * real pipeline trains its fastText-style lang-id on. */
+  final val LidTrainCap = 200L
+  /** Hashed char-trigram feature buckets. */
+  final val LidDim = 512L
+  /** Pre-bucket polynomial-hash modulus (the [[CorpusOps.QmHashMod]]
+    * discipline — keeps the fold's accumulator far from 2^63). */
+  final val LidHashMod = 1L << 20
+  /** χ²-selected buckets kept per language. */
+  final val LidSelK = 64
+
+  /** Hashed char-trigram rows (doc_id, lang, j): every length-3 character
+    * window of the text → the [[CorpusOps]] polynomial code-point hash →
+    * bucket. Docs under 3 chars have no features (both faces filter
+    * identically; scoring falls back to the prior). */
+  private def lidTrigrams(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, char_length(text) - 2)," +
+          " i -> substring(text, i, 3))")).as("tg"))
+      .withColumn("j", expr(
+        s"""aggregate(
+           |  transform(sequence(1, 3),
+           |            i -> CAST(ascii(substring(tg, i, 1)) AS BIGINT)),
+           |  CAST(0 AS BIGINT),
+           |  (a, cp) -> (a * 31 + cp) % $LidHashMod) % $LidDim""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("j"))
+
+  /** TRAINED LANGUAGE ID — the learned companion of the fixed-marker
+    * [[langDetect]] heuristic, composing the suite's two training
+    * primitives exactly as a production lang-id does:
+    *
+    *  1. FEATURES: hashed char trigrams ([[lidTrigrams]] — the signal
+    *     fastText lang-id models actually use; zh needs no tokenizer);
+    *  2. SELECTION: per-language χ² over exact doc-level contingency
+    *     cells on the labeled slice — the [[chi2Tokens]] arithmetic on
+    *     bucket ids, top-[[LidSelK]] per language through the k-bounded
+    *     partial aggregator with the id tie-break, union over languages;
+    *  3. TRAINING: multinomial Naive Bayes on the slice's selected-bucket
+    *     counts, all arithmetic exact — add-1 smoothed per-class costs
+    *     −log2((c+1)/(tot+V)) and class priors in
+    *     [[UnigramLm.withIlog2]]'s Q8 fixed point (no transcendental
+    *     between the engines);
+    *  4. SCORING (the corpus-sized part): per-doc bucket counts semi-join
+    *     the ≤5·[[LidSelK]] selected set, one broadcast join to the
+    *     weight table, one partial-combinable (doc, lang) aggregate, and
+    *     min(struct(cost, lang)) elects the prediction deterministically;
+    *     featureless docs fall back to the prior-argmin class.
+    *
+    * The ORACLE replays everything — hashing, the χ² election, the
+    * fixed-point logs, scoring — so the gate certifies the TRAINING.
+    * LangIdSpec pins held-out accuracy above both the majority baseline
+    * and the marker heuristic.
+    *
+    * 100 TB shape: training is slice-sized by the labeled-slice premise;
+    * scoring is one explode + hash per document, a broadcast weight
+    * table, and map-side-combinable aggregates — no shuffle wider than
+    * (doc, bucket). */
+  def langIdTrained(spark: SparkSession, dir: String): DataFrame =
+    langIdTrainedFrom(t(spark, dir, "documents"))
+
+  /** [[langIdTrained]] over an explicit (doc_id, text, lang) frame — the
+    * spec hook: the corpus's `lang` labels are SYNTHETIC (every language
+    * draws from one shared vocabulary — see [[langDetect]]'s note), so
+    * chance-level corpus accuracy is a DATA property; LangIdSpec feeds a
+    * constructed corpus with real per-language character distributions
+    * and pins near-perfect held-out accuracy there. */
+  private[operators] def langIdTrainedFrom(docs: DataFrame): DataFrame = {
+    import graft.operators.{UnigramLm => UL}
+    val slice = docs.filter(col("doc_id") < LidTrainCap)
+    // TRAINING = two bounded driver collects (the qualityModelWeights
+    // discipline — labels are expensive, so the slice is small at ANY
+    // corpus size): per-(lang, bucket) presence + multiplicity cells in
+    // one aggregate, per-lang doc counts in another. The χ² election and
+    // the Q8 log costs run driver-side in the same exact arithmetic the
+    // in-engine twins use ([[UnigramLm.ilog2Long]]); the unrolled SQL
+    // oracle replays all of it, so the gate certifies this training.
+    val cells = lidTrigrams(slice)
+      .groupBy(col("lang"), col("j"))
+      .agg(countDistinct(col("doc_id")).as("a"), count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val classCnt = slice.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nAll = classCnt.values.sum
+    val dfJ = cells.groupBy(_._2).map { case (j, cs) => j -> cs.map(_._3).sum }
+    // χ² per (lang, bucket): the exact chi2Tokens arithmetic — BigInt
+    // (ad−bc), then the identical left-to-right IEEE division chain
+    val chi2 = cells.flatMap { case (lang, j, a, _) =>
+      val df = dfJ(j); val nl = classCnt(lang)
+      if (df < 2 || df >= nAll) None
+      else {
+        val d = nAll - df - nl + a
+        val dd = BigInt(a) * d - BigInt(df - a) * (nl - a)
+        val ddD = dd.toString.toDouble
+        Some((lang, j,
+          nAll.toDouble * ddD * ddD / df.toDouble / (nAll - df).toDouble
+            / nl.toDouble / (nAll - nl).toDouble))
+      }
+    }
+    // top-K per language by (chi2 DESC, j ASC) — the TopKAgg order
+    val selJs = chi2.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy { case (_, j, x2) => (-x2, j) }.take(LidSelK).map(_._2)
+    }.toArray.distinct.sorted
+    val selSet = selJs.toSet
+    val nSel = selJs.length.toLong
+    // multinomial NB with add-1 smoothing over the selected buckets,
+    // costs −log2((c+1)/(tot+V)) and priors −log2(nl/N) in Q8 fixed point
+    val langs = classCnt.keys.toArray.sorted
+    val cntMap = cells.collect {
+      case (lang, j, _, c) if selSet(j) => (lang, j) -> c
+    }.toMap
+    val wMap: Map[String, Map[Long, Long]] = langs.map { l =>
+      val tot = selJs.map(j => cntMap.getOrElse((l, j), 0L)).sum
+      val lt = UL.ilog2Long(tot + nSel)
+      l -> selJs.map { j =>
+        j -> (lt - UL.ilog2Long(cntMap.getOrElse((l, j), 0L) + 1))
+      }.toMap
+    }.toMap
+    val priorMap = langs.map { l =>
+      l -> (UL.ilog2Long(nAll) - UL.ilog2Long(classCnt(l)))
+    }.toMap
+    // SCORING — the corpus-sized pass is ONE narrow projection: hash
+    // each trigram to its bucket ONCE, look up the 5-language cost
+    // vector in a typedlit map (a real Literal — no per-row map
+    // construction), and array-accumulate all languages in one fold (the
+    // PCA-basis / LSH-plane literal pattern). No explode row blow-up, no
+    // join, no shuffle; least(struct) elects the prediction.
+    val zeroVec = langs.toSeq.map(_ => 0L)
+    // bucket-indexed cost-vector table (dense [0, LidDim) domain): O(1)
+    // array indexing per trigram — a literal MAP's element_at is a
+    // linear key scan, measured 3× slower over the corpus
+    val wTable: Seq[Seq[Long]] = (0L until LidDim).map { j =>
+      if (selSet(j)) langs.toSeq.map(l => wMap(l)(j)) else zeroVec
+    }
+    // per-char closed form of the 3-step (h·31 + cp) % m fold — congruent
+    // since every operand stays far below 2^63 (cp < 2^21, ×961) — over a
+    // codepoint ARRAY built once per doc: positional substring() on a
+    // long UTF8 string is an O(i) scan (O(len²) per doc, measured 2×)
+    val cps = expr(
+      "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
+    val jArr = expr(
+      s"""CASE WHEN char_length(text) >= 3 THEN
+         |  transform(sequence(1, char_length(text) - 2),
+         |    i -> (element_at(_cps, i) * 961
+         |          + element_at(_cps, i + 1) * 31
+         |          + element_at(_cps, i + 2))
+         |         % $LidHashMod % $LidDim)
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)
+    val sums = aggregate(col("_jarr"), typedlit(zeroVec),
+      (acc, j) => zip_with(acc,
+        element_at(typedlit(wTable), (j + 1).cast("int")),
+        (x, y) => x + y))
+    val bst = least(langs.toSeq.zipWithIndex.map { case (l, i) =>
+      struct((element_at(col("_sums"), i + 1) + priorMap(l)).as("score"),
+        lit(l).as("lang"))
+    }: _*)
+    docs
+      .withColumn("_cps", cps)
+      .withColumn("_jarr", jArr)
+      .withColumn("_sums", sums)
+      .select(col("doc_id"), col("lang").as("lang_true"), bst.as("b"))
+      .select(col("doc_id"), col("lang_true"),
+        col("b.lang").as("lang_pred"), col("b.score").as("cost"))
+      .withColumn("correct", col("lang_pred") === col("lang_true"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[langIdTrained]]: hashing, the χ² election, the Q8
+    * fixed-point logs ([[UnigramLm.ilog2SqlCtes]] — one copy of the log
+    * twin), scoring and the prior fallback, all unrolled. */
+  lazy val langIdTrainedSql: String = OracleSql.materializeCtes(
+    s"""WITH tg AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, 4),
+       |                       i -> CAST(ascii(tgs[i:i]) AS BIGINT))),
+       |      (a, cp) -> (a * 31 + cp) % $LidHashMod) % $LidDim AS j
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, length(text) - 1),
+       |                                i -> substring(text, i, 3))) AS tgs
+       |        FROM documents WHERE length(text) >= 3)),
+       |sl AS (SELECT * FROM tg WHERE doc_id < $LidTrainCap),
+       |dtt AS (SELECT DISTINCT doc_id, lang, j FROM sl),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents
+       |       WHERE doc_id < $LidTrainCap),
+       |lt0 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM documents
+       |        WHERE doc_id < $LidTrainCap GROUP BY 1),
+       |bl AS (SELECT j, lang, CAST(COUNT(*) AS BIGINT) AS a
+       |       FROM dtt GROUP BY 1, 2),
+       |bj AS (SELECT j, CAST(SUM(a) AS BIGINT) AS df FROM bl GROUP BY 1),
+       |scc AS (
+       |  SELECT bl.lang, bl.j, a, df, nl, n_all,
+       |    CAST(CAST(a AS DECIMAL(19,0)) * (n_all - df - nl + a)
+       |       - CAST(df - a AS DECIMAL(19,0)) * (nl - a)
+       |       AS DECIMAL(38,0)) AS dd
+       |  FROM bl JOIN bj USING (j) JOIN lt0 USING (lang) CROSS JOIN nn
+       |  WHERE df >= 2 AND df < n_all),
+       |sc2 AS (
+       |  SELECT lang, j,
+       |    CAST(n_all AS DOUBLE) * CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+       |      * CAST(CAST(dd AS VARCHAR) AS DOUBLE)
+       |      / CAST(df AS DOUBLE) / CAST(n_all - df AS DOUBLE)
+       |      / CAST(nl AS DOUBLE) / CAST(n_all - nl AS DOUBLE) AS chi2
+       |  FROM scc),
+       |rk AS (SELECT lang, j, row_number() OVER (PARTITION BY lang
+       |         ORDER BY chi2 DESC, j) AS rnk FROM sc2),
+       |sel AS (SELECT DISTINCT j FROM rk WHERE rnk <= $LidSelK),
+       |nsel AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM sel),
+       |cnt AS (SELECT lang, j, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM sl JOIN sel USING (j) GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT l.lang, s.j, COALESCE(c.c, 0) + 1 AS c1
+       |  FROM (SELECT lang FROM lt0) l CROSS JOIN sel s
+       |  LEFT JOIN cnt c ON c.lang = l.lang AND c.j = s.j),
+       |tots AS (SELECT lang, CAST(SUM(c1 - 1) AS BIGINT) AS tot
+       |         FROM grid GROUP BY 1),
+       |tots2 AS (SELECT lang, tot + v AS tv FROM tots CROSS JOIN nsel),
+       |${UnigramLm.ilog2SqlCtes("grid", "c1", Seq("lang", "j"), "glp", "lp")},
+       |${UnigramLm.ilog2SqlCtes("tots2", "tv", Seq("lang"), "glt", "lt")},
+       |wts AS (SELECT glp.lang, glp.j, glt.lt - glp.lp AS w
+       |        FROM glp JOIN glt USING (lang)),
+       |pr0 AS (SELECT lang, nl, n_all FROM lt0 CROSS JOIN nn),
+       |${UnigramLm.ilog2SqlCtes("pr0", "n_all", Seq("lang", "nl"), "pna", "ln")},
+       |${UnigramLm.ilog2SqlCtes("pna", "nl", Seq("lang", "ln"), "pnl", "lnl")},
+       |pri AS (SELECT lang, ln - lnl AS pc FROM pnl),
+       |xf AS (SELECT doc_id, j, CAST(COUNT(*) AS BIGINT) AS x
+       |       FROM tg JOIN sel USING (j) GROUP BY 1, 2),
+       |pl AS (SELECT xf.doc_id, w.lang, CAST(SUM(xf.x * w.w) AS BIGINT) AS sc
+       |       FROM xf JOIN wts w USING (j) GROUP BY 1, 2),
+       |pls AS (SELECT pl.doc_id, pl.lang, pl.sc + pri.pc AS score
+       |        FROM pl JOIN pri USING (lang)),
+       |best AS (SELECT doc_id, lang AS plang, score,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score, lang) AS rn
+       |         FROM pls),
+       |dflt AS (SELECT lang AS dl, pc AS ds FROM pri
+       |         ORDER BY pc, lang LIMIT 1)
+       |SELECT d.doc_id, d.lang AS lang_true,
+       |  COALESCE(b.plang, dflt.dl) AS lang_pred,
+       |  CAST(COALESCE(b.score, dflt.ds) AS BIGINT) AS cost,
+       |  COALESCE(b.plang, dflt.dl) = d.lang AS correct
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |CROSS JOIN dflt
+       |ORDER BY d.doc_id""".stripMargin)
 }

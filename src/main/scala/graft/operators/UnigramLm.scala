@@ -95,6 +95,30 @@ object UnigramLm {
       .drop("_v", "_s", "_p", "_m", "_f")
   }
 
+  /** Driver-side twin of [[withIlog2]] (the third face, beside
+    * [[ilog2SqlCtes]]): the same msb walk and mantissa squaring in plain
+    * Long arithmetic — for bounded-collect training paths
+    * ([[TextAnalysis.langIdTrained]]) whose SQL oracle replays the CTE
+    * chain. Callers keep x in [1, 2^62); all operands stay nonnegative so
+    * JVM `/` matches both engines' truncating division. */
+  private[operators] def ilog2Long(x: Long): Long = {
+    var v = x; var s = 0L; var p = 1L
+    Seq(32, 16, 8, 4, 2, 1).foreach { k =>
+      val tw = 1L << k
+      if (v >= tw) { v /= tw; s += k; p *= tw }
+    }
+    var m = if (p > MantScale) x / (p / MantScale) else (x * MantScale) / p
+    var f = 0L
+    (1 to 8).foreach { _ =>
+      var m2 = (m * m) / MantScale
+      val b = if (m2 >= 2L * MantScale) 1L else 0L
+      f = f * 2 + b
+      if (b == 1L) m2 /= 2
+      m = m2
+    }
+    s * 256 + f
+  }
+
   /** Distinct corpus words with frequencies — the ONE corpus-sized pass. */
   private[operators] def wordsOf(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -250,7 +274,7 @@ object UnigramLm {
 
   /** Emits the CTE chain computing [[withIlog2]] in DuckDB over `src`
     * (carrying `keep`), final CTE named `dst` with column `out`. */
-  private def ilog2SqlCtes(src: String, xCol: String, keep: Seq[String],
+  private[operators] def ilog2SqlCtes(src: String, xCol: String, keep: Seq[String],
       dst: String, out: String): String = {
     val steps = scala.collection.mutable.ArrayBuffer.empty[String]
     var prev = src
