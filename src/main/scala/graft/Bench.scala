@@ -179,6 +179,10 @@ object Bench {
       // ContextCleaner/GC-paced (safe even after an abandoned worker:
       // shared frames keep lineage, so a straggler read recomputes)
       SharedFrames.releaseAll()
+      // NO System.gc() here: a forced full GC after every query was
+      // measured 1.27× WORSE on the common subtotal — ContextCleaner's
+      // async cleanup storm (shuffle-file deletes, block-manager RPCs)
+      // overlaps the NEXT query's timed window.
       // CUMULATIVE map-so-far after every run: round 6's artifact kept only
       // the TAIL of the output and lost the first 17 queries' numbers, so
       // each line must make every earlier line redundant — truncation from

@@ -2420,11 +2420,15 @@ object Dedup {
   /** Range buckets for the distributed suffix-rank passes. */
   private final val SuffixRankBuckets = 1024L
 
-  /** Prefix-doubling rounds: 2^7 = 128 ≥ the corpus's max document token
-    * length (100 across every SF), so round 7's capped prefixes are whole
-    * suffixes. Rounds past the needed depth are exact no-ops (all capped
-    * prefixes already distinct ⇒ the dense rank is unchanged). */
-  private final val SuffixDoublingRounds = 7
+  /** Radix-4 prefix-doubling rounds: round k ranks the capped 4^k-token
+    * prefix by the QUADRUPLE (r(i), r(i+s), r(i+2s), r(i+3s)), s = 4^{k-1}
+    * — two binary doublings per round, so 4 rounds reach 4^4 = 256 ≥ the
+    * corpus's max document token length (100 at every SF) where binary
+    * doubling needs 7 (each round is a fixed per-job cost at local[*];
+    * the three shifted ranks come from ONE doc-partitioned window).
+    * Rounds past the needed depth are exact no-ops (all capped prefixes
+    * already distinct ⇒ the dense rank is unchanged). */
+  private final val SuffixRadixRounds = 4
 
   /** Distributed global rank WITHOUT a partition-less window: `bucket`
     * must be monotone in `order` (all keys of bucket b sort before bucket
@@ -2451,18 +2455,21 @@ object Dedup {
     * dup-span family (Lee et al. 2021's exact semantics, reached by
     * distributed prefix doubling instead of a single-node suffix array):
     *
-    *  1. rank every per-doc suffix by Manber–Myers prefix doubling —
-    *     round k densely ranks the capped 2^k-token prefix by the pair
-    *     (rank_{k-1}(i), rank_{k-1}(i+2^{k-1}) or 0 past the end); the
-    *     level-0 alphabet orders tokens by their md5 fingerprint (match
-    *     LENGTHS are alphabet-independent, and md5 gives spread range
-    *     buckets plus a DuckDB-replayable order);
+    *  1. rank every per-doc suffix by Manber–Myers prefix doubling at
+    *     RADIX 4 — round k densely ranks the capped 4^k-token prefix by
+    *     the quadruple (rank_{k-1}(i), rank_{k-1}(i+s), rank_{k-1}(i+2s),
+    *     rank_{k-1}(i+3s)), s = 4^{k-1}, 0 past the end; the level-0
+    *     alphabet orders tokens by their md5 fingerprint (match LENGTHS
+    *     are alphabet-independent, and md5 gives spread range buckets
+    *     plus a DuckDB-replayable order);
     *  2. suffix-array adjacency is an equi-join on global position p vs
     *     p−1 (position = two-phase bucketed row_number — never a
     *     partition-less window);
-    *  3. adjacent LCPs descend the stored rank levels (k = 6..0: equal
-    *     level-k ranks ⇒ first 2^k tokens equal ⇒ advance both cursors),
-    *     capped by remaining suffix length for identical-tail pairs;
+    *  3. adjacent LCPs descend the stored rank levels as base-4 digits
+    *     (k = 3..0, ≤3 advances per level: equal level-k ranks ⇒ first
+    *     4^k tokens equal ⇒ advance both cursors; a 4th advance would
+    *     contradict the failed level-(k+1) test above), capped by
+    *     remaining suffix length for identical-tail pairs;
     *  4. each position's maximal match length ML = max(LCP with its two
     *     SA neighbours) — the suffix-array maximality argument: the
     *     longest other occurrence of a prefix of suffix s is adjacent to
@@ -2523,42 +2530,60 @@ object Dedup {
       least(floor(((r1 - 1).cast("double") * (nt + 1.0) + r2.cast("double"))
         * B / (nt * (nt + 1.0))).cast("long"), lit(B - 1))
 
+    // every kept level also carries ITS OWN +w/+2w lead ranks (w = the
+    // level's width): the LCP descend then fuses each level's three
+    // base-4 sub-steps into ONE join pair — without the leads it was 24
+    // joins (measured 4.5 s in the lcp materialization alone)
+    def withLeads(df: DataFrame, w: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      df.withColumn("rw", lead(col("r"), w).over(byDocW))
+        .withColumn("r2w", lead(col("r"), 2 * w).over(byDocW))
+    }
+
     // level 0: dense token ranks in md5 order (spread hex-prefix buckets)
     val vocab = at(toksI).select(col("tok")).distinct()
       .withColumn("mk", md5(col("tok").cast("binary")))
     val v0 = bucketedRank(vocab,
       conv(substring(col("mk"), 1, 3), 16, 10).cast("long"),
       Seq(col("mk"), col("tok")), 4095L, "r")
-    keep(at(toksI).join(v0.select(col("tok"), col("r")), Seq("tok"))
-      .select(col("doc_id"), col("idx"), col("r")))
-    // store(1 + k) = level-k rank frame. ONE keep (= one eager job) per
-    // round: the 2^{k-1}-shifted partner rank is a doc-partitioned lead
-    // window (never a self-join); the dense rank is a bucket window; the
-    // per-bucket offsets are a countDistinct agg feeding a broadcast
-    // stage of the SAME job (identical exchange subtrees dedup via
-    // ReusedExchange) — no distinct frame, no rank join-back
+    keep(withLeads(
+      at(toksI).join(v0.select(col("tok"), col("r")), Seq("tok"))
+        .select(col("doc_id"), col("idx"), col("r")), 1))
+    // store(1 + k) = level-k rank frame (level k covers width 4^k). ONE
+    // keep (= one eager job) per round: the three shifted partner ranks
+    // are doc-partitioned lead windows over ONE sort (never a self-join);
+    // the dense rank is a bucket window; the per-bucket offsets are a
+    // countDistinct agg feeding a broadcast stage of the SAME job — no
+    // distinct frame, no rank join-back
     def level(k: Int): DataFrame = at(1 + k)
-    for (k <- 1 to SuffixDoublingRounds) {
+    val quadOrder = Seq(col("r"), col("r2"), col("r3"), col("r4"))
+    for (k <- 1 to SuffixRadixRounds) {
       import org.apache.spark.sql.expressions.Window
-      val step = (1L << (k - 1)).toInt
+      val s = math.pow(4, k - 1).toInt
       val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       val paired = level(k - 1)
-        .withColumn("r2", coalesce(lead(col("r"), step).over(byDocW),
-          lit(0L)))
+        .withColumn("r2", coalesce(lead(col("r"), s).over(byDocW), lit(0L)))
+        .withColumn("r3",
+          coalesce(lead(col("r"), 2 * s).over(byDocW), lit(0L)))
+        .withColumn("r4",
+          coalesce(lead(col("r"), 3 * s).over(byDocW), lit(0L)))
         .withColumn("_skb", pairBucket(col("r"), col("r2")))
       val offsets = TextAnalysis.exclusivePrefix(
         paired.groupBy(col("_skb").as("bucket"))
-          .agg(countDistinct(col("r"), col("r2")).as("bsum")), B - 1)
+          .agg(countDistinct(col("r"), col("r2"), col("r3"), col("r4"))
+            .as("bsum")), B - 1)
         .select(col("bucket").as("_skb"), col("offset").as("_sko"))
-      keep(paired
+      keep(withLeads(paired
         .withColumn("_skdr", dense_rank()
-          .over(Window.partitionBy(col("_skb"))
-            .orderBy(col("r"), col("r2"))).cast("long"))
+          .over(Window.partitionBy(col("_skb")).orderBy(quadOrder: _*))
+          .cast("long"))
         .join(broadcast(offsets), Seq("_skb"))
         .select(col("doc_id"), col("idx"),
-          (col("_sko") + col("_skdr")).as("r")))
+          (col("_sko") + col("_skdr")).as("r")),
+        math.pow(4, k).toInt))
     }
-    val fin = 1 + SuffixDoublingRounds
+    val fin = 1 + SuffixRadixRounds
 
     // global SA position: unique row_number over (r, doc_id, idx)
     val saI = keep(bucketedRank(at(fin),
@@ -2574,20 +2599,32 @@ object Dedup {
         col("idx").as("bi")), Seq("p"))
       .withColumn("acc", lit(0L))
       .withColumn("ap", col("ai")).withColumn("bp", col("bi"))
-    for (k <- SuffixDoublingRounds - 1 to 0 by -1) {
-      val w = 1L << k
+    // base-4 LCP digits: at level k (width 4^k) up to THREE advances can
+    // land before the digit is exhausted (a fourth would contradict the
+    // level-(k+1) non-match above it). ONE join pair per level: the
+    // kept levels carry their own +w/+2w lead ranks, so the three
+    // sub-steps are row-local conditionals on (r, rw, r2w)
+    for (k <- SuffixRadixRounds - 1 to 0 by -1) {
+      val w = math.pow(4, k).toLong
       d = d.join(level(k).select(col("doc_id").as("ad"),
-          col("idx").as("ap"), col("r").as("ra")), Seq("ad", "ap"),
-          "left_outer")
+          col("idx").as("ap"), col("r").as("ra0"), col("rw").as("ra1"),
+          col("r2w").as("ra2")), Seq("ad", "ap"), "left_outer")
         .join(level(k).select(col("doc_id").as("bd"),
-          col("idx").as("bp"), col("r").as("rb")), Seq("bd", "bp"),
-          "left_outer")
-        .withColumn("m", col("ra").isNotNull && col("rb").isNotNull &&
-          col("ra") === col("rb"))
+          col("idx").as("bp"), col("r").as("rb0"), col("rw").as("rb1"),
+          col("r2w").as("rb2")), Seq("bd", "bp"), "left_outer")
+        .withColumn("m1", col("ra0").isNotNull && col("rb0").isNotNull &&
+          col("ra0") === col("rb0"))
+        .withColumn("m2", col("m1") && col("ra1").isNotNull &&
+          col("rb1").isNotNull && col("ra1") === col("rb1"))
+        .withColumn("m3", col("m2") && col("ra2").isNotNull &&
+          col("rb2").isNotNull && col("ra2") === col("rb2"))
+        .withColumn("adv",
+          (col("m1").cast("long") + col("m2").cast("long") +
+            col("m3").cast("long")) * w)
         .select(col("p"), col("ad"), col("ai"), col("bd"), col("bi"),
-          when(col("m"), col("acc") + w).otherwise(col("acc")).as("acc"),
-          when(col("m"), col("ap") + w).otherwise(col("ap")).as("ap"),
-          when(col("m"), col("bp") + w).otherwise(col("bp")).as("bp"))
+          (col("acc") + col("adv")).as("acc"),
+          (col("ap") + col("adv")).as("ap"),
+          (col("bp") + col("adv")).as("bp"))
     }
     // identical-tail pairs match every level their cursors can reach —
     // cap by remaining length (true lcp = the shorter remainder)
@@ -2612,7 +2649,7 @@ object Dedup {
       .select(col("doc_id"), col("idx"),
         (col("idx") + col("ml") - 1).as("e"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    hits
+    val spansI = keep(hits
       .withColumn("pm",
         max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",
@@ -2622,8 +2659,12 @@ object Dedup {
       .agg(min(col("idx")).cast("long").as("span_start"),
         max(col("e")).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
-      .orderBy(col("doc_id"), col("span_start"))
+        (col("span_end") - col("span_start") + 1).as("span_tokens")))
+    // free every intermediate: only the span-sized result stays cached —
+    // leaving the ~10 corpus-sized level RDDs persisted degraded EVERY
+    // later query in the same session (measured 1.07× on the full bench)
+    store.indices.dropRight(1).foreach(i => store(i)._1.unpersist(false))
+    at(spansI).orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Oracle for [[dupSpansSuffix]]: the identical prefix-doubling /
@@ -2635,20 +2676,31 @@ object Dedup {
     OracleSql.materializeCtes(dupSpansSuffixSqlRaw)
 
   private lazy val dupSpansSuffixSqlRaw: String = {
-    val rounds = (1 to SuffixDoublingRounds).map { k =>
-      val step = 1L << (k - 1)
+    val rounds = (1 to SuffixRadixRounds).map { k =>
+      val s = math.pow(4, k - 1).toLong
       s"""r$k AS (
          |  SELECT a.doc_id, a.idx,
-         |    CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0))
-         |      AS BIGINT) AS r
-         |  FROM r${k - 1} a LEFT JOIN r${k - 1} b
-         |    ON b.doc_id = a.doc_id AND b.idx = a.idx + $step)"""
+         |    CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0),
+         |      COALESCE(c.r, 0), COALESCE(d.r, 0)) AS BIGINT) AS r
+         |  FROM r${k - 1} a
+         |  LEFT JOIN r${k - 1} b
+         |    ON b.doc_id = a.doc_id AND b.idx = a.idx + $s
+         |  LEFT JOIN r${k - 1} c
+         |    ON c.doc_id = a.doc_id AND c.idx = a.idx + ${2 * s}
+         |  LEFT JOIN r${k - 1} d
+         |    ON d.doc_id = a.doc_id AND d.idx = a.idx + ${3 * s})"""
         .stripMargin
     }.mkString(",\n")
-    val descend = (SuffixDoublingRounds - 1 to 0 by -1).map { k =>
-      val w = 1L << k
-      val src = s"d${k + 1}"
-      s"""d$k AS (
+    // descend steps named dN (N counts down): 3 sub-steps per level
+    val steps = for {
+      k <- SuffixRadixRounds - 1 to 0 by -1
+      sub <- 1 to 3
+    } yield (k, sub)
+    val descend = steps.zipWithIndex.map { case ((k, _), i) =>
+      val w = math.pow(4, k).toLong
+      val src = if (i == 0) s"d$SuffixRadixRounds" else s"dd$i"
+      val dst = s"dd${i + 1}"
+      s"""$dst AS (
          |  SELECT $src.p, $src.ad, $src.ai, $src.bd, $src.bi,
          |    CASE WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
          |         AND ra.r = rb.r THEN $src.acc + $w ELSE $src.acc END AS acc,
@@ -2680,8 +2732,8 @@ object Dedup {
        |sa AS (
        |  SELECT doc_id, idx,
        |    CAST(row_number() OVER (ORDER BY r, doc_id, idx) AS BIGINT) AS p
-       |  FROM r$SuffixDoublingRounds),
-       |d$SuffixDoublingRounds AS (
+       |  FROM r$SuffixRadixRounds),
+       |d$SuffixRadixRounds AS (
        |  SELECT x.p, x.doc_id AS ad, x.idx AS ai, y.doc_id AS bd,
        |    y.idx AS bi, CAST(0 AS BIGINT) AS acc, x.idx AS ap, y.idx AS bp
        |  FROM sa x JOIN sa y ON y.p = x.p - 1),
@@ -2689,7 +2741,7 @@ object Dedup {
        |lcp AS (
        |  SELECT d.p,
        |    LEAST(d.acc, la.len - d.ai, lb.len - d.bi) AS lcp
-       |  FROM d0 d
+       |  FROM dd${steps.length} d
        |  JOIN lens la ON la.doc_id = d.ad
        |  JOIN lens lb ON lb.doc_id = d.bd),
        |mls AS (

@@ -1261,6 +1261,10 @@ object TextAnalysis {
         lit(l).as("lang"))
     }: _*)
     docs
+      // the scoring projection otherwise runs inside the one-partition
+      // scan stage of a small parquet (the pcaCovariance lesson): spread
+      // the RAW docs first — the shuffle moves input bytes, not work
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("_cps", cps)
       .withColumn("_jarr", jArr)
       .withColumn("_sums", sums)
