@@ -7,22 +7,26 @@ import graft.SparkSpec
 /** Content pins for [[TextAnalysis.langIdTrained]] beyond its oracle row.
   * The corpus's `lang` labels are synthetic (one shared vocabulary across
   * languages), so corpus accuracy is chance by construction — the MODEL
-  * pin therefore runs on a constructed corpus whose three "languages"
-  * have genuinely distinct character distributions: the identical
+  * pin therefore runs on a constructed corpus whose four "languages"
+  * (one multibyte CJK) have genuinely distinct character distributions: the identical
   * selection + training + scoring pipeline must recover them on held-out
   * docs. The real-corpus pins check the pipeline's structural contract.
   */
 class LangIdSpec extends AnyFunSuite with SparkSpec {
   val dir = "/root/testdata/sf0.01"
 
-  /** Three artificial languages over disjoint alphabets, deterministic
-    * "texts" (LCG over each language's word list). */
+  /** Four artificial languages over disjoint alphabets — one of them
+    * multibyte CJK — deterministic "texts" (LCG over each language's
+    * word list). */
   private def syntheticDocs(nTrainPerLang: Int, nHoldPerLang: Int) = {
     import spark.implicits._
     val words = Map(
       "aa" -> Vector("aba", "bab", "aab", "bba", "abab"),
       "bb" -> Vector("cdc", "dcd", "ccd", "ddc", "cdcd"),
-      "cc" -> Vector("efe", "fef", "eef", "ffe", "efef"))
+      "cc" -> Vector("efe", "fef", "eef", "ffe", "efef"),
+      // multibyte codepoints: the trigram hash must see BMP CJK chars
+      // exactly like the corpus's zh docs (codepoint-array path)
+      "zz" -> Vector("天地人", "地人天", "人天地", "天天地", "地地人"))
     val langs = words.keys.toVector.sorted
     def text(lang: String, seed: Long): String = {
       val ws = words(lang)
@@ -48,11 +52,11 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     val docs = syntheticDocs(40, 40)
     val out = TextAnalysis.langIdTrainedFrom(docs).collect()
     val hold = out.filter(_.getLong(0) >= TextAnalysis.LidTrainCap)
-    assert(hold.length == 120)
+    assert(hold.length == 160)
     val acc = hold.count(_.getBoolean(4)).toDouble / hold.length
     assert(acc >= 0.95, s"held-out accuracy $acc — model not learning")
-    // all three classes must actually be predicted (not one-class collapse)
-    assert(hold.map(_.getString(2)).toSet.size == 3)
+    // all four classes must actually be predicted (not one-class collapse)
+    assert(hold.map(_.getString(2)).toSet.size == 4)
   }
 
   test("lang_id_trained on the corpus: one row per doc, non-negative NB costs, deterministic") {
