@@ -45,28 +45,20 @@ object Bench {
     if (v < 0) v.toString
     else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** The durable-artifact name for this run. An EXPLICIT round
-    * (`-Dgraft.round=N` or `SPARK_GRAFT_ROUND=N`) always wins. Without
-    * one, the round is inferred as one past the highest driver-written
-    * BENCH_r<N>.json — but an inferred name NEVER overwrites an existing
-    * file: when the driver skipped a round's artifacts the inference is
-    * stale, and round 11 proved it silently clobbers a committed prior
-    * round's record. A taken inferred name falls back to
-    * BENCH_LOCAL_latest.json, which is always safe to rewrite. */
-  private lazy val localArtifact: String = {
-    val explicit = sys.props.get("graft.round")
+  /** The durable-artifact name for this run. ONLY an explicit round
+    * (`-Dgraft.round=N` or `SPARK_GRAFT_ROUND=N`) produces a round-named
+    * file; everything else writes BENCH_LOCAL_latest.json. Round-number
+    * INFERENCE is gone entirely: it silently clobbered a committed prior
+    * round when the driver had skipped artifacts (round 11), and the
+    * exists()-guard variant silently FROZE the current round's file at
+    * its first run, diverting every re-measure to _latest. Scratch runs
+    * (subset SPARK_GRAFT_ONLY included) can never touch a round record;
+    * the round-close recipe sets the env explicitly. */
+  private lazy val localArtifact: String =
+    sys.props.get("graft.round")
       .orElse(sys.env.get("SPARK_GRAFT_ROUND")).map(_.trim).filter(_.nonEmpty)
-    explicit match {
-      case Some(n) => s"BENCH_LOCAL_r$n.json"
-      case None =>
-        val pat = """BENCH_r(\d+)\.json""".r
-        val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
-        val inferred = files.collect { case pat(n) => n.toInt }
-          .foldLeft(0)(math.max) + 1
-        val name = s"BENCH_LOCAL_r$inferred.json"
-        if (new java.io.File(name).exists()) "BENCH_LOCAL_latest.json" else name
-    }
-  }
+      .map(n => s"BENCH_LOCAL_r$n.json")
+      .getOrElse("BENCH_LOCAL_latest.json")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

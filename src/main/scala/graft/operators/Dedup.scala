@@ -2519,8 +2519,19 @@ object Dedup {
       .agg((max(col("idx")) + 1).as("len"))
     // the ONE driver action of the whole construction (it also warms the
     // token cache): every round's rank domain is ≤ the suffix count, so
-    // nt bounds every bucket range — no per-round count/max jobs
-    val nt = at(toksI).count().toDouble.max(1.0)
+    // nt bounds every bucket range — no per-round count/max jobs. The
+    // same job asserts the rank-depth invariant: a document longer than
+    // 4^rounds tokens would SILENTLY truncate match lengths at 255 on
+    // BOTH faces (the oracle unrolls the same rounds), so fail loudly
+    val statsRow = at(toksI)
+      .agg(count(lit(1)).as("n"), coalesce(max(col("idx")) + 1, lit(0L))
+        .as("maxlen")).head
+    val nt = statsRow.getLong(0).toDouble.max(1.0)
+    val depth = math.pow(4, SuffixRadixRounds).toLong
+    require(statsRow.getLong(1) <= depth,
+      s"dup_spans_suffix: a ${statsRow.getLong(1)}-token document exceeds " +
+        s"the 4^$SuffixRadixRounds = $depth-token rank depth; raise " +
+        "SuffixRadixRounds together with the oracle's unrolled rounds")
 
     /** Range bucket, monotone in (r1, r2) order: the linearized key
       * scaled into [0, B). Doubles round at huge nt but IEEE rounding is
@@ -2664,6 +2675,10 @@ object Dedup {
     // leaving the ~10 corpus-sized level RDDs persisted degraded EVERY
     // later query in the same session (measured 1.07× on the full bench)
     store.indices.dropRight(1).foreach(i => store(i)._1.unpersist(false))
+    // the span-sized result RDD outlives this method (the consumer's
+    // terminal action reads it) — register for harness-owned release so
+    // repeated invocations don't accumulate even result-sized residue
+    graft.SharedFrames.sharedRdd(store(spansI)._1)
     at(spansI).orderBy(col("doc_id"), col("span_start"))
   }
 
