@@ -51,11 +51,16 @@ object Bench {
     * INFERENCE is gone entirely: it silently clobbered a committed prior
     * round when the driver had skipped artifacts (round 11), and the
     * exists()-guard variant silently FROZE the current round's file at
-    * its first run, diverting every re-measure to _latest. Scratch runs
-    * (subset SPARK_GRAFT_ONLY included) can never touch a round record;
-    * the round-close recipe sets the env explicitly. */
+    * its first run, diverting every re-measure to _latest. A subset run
+    * (SPARK_GRAFT_ONLY set) is forced to _latest EVEN IF the round env
+    * is also set: a shell where the close run's round export lingers
+    * would otherwise overwrite the round record with subset-only data —
+    * exactly the clobber class this rewrite eliminates. Only the full
+    * suite with an explicit round touches a round record. */
   private lazy val localArtifact: String =
-    sys.props.get("graft.round")
+    if (sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty))
+      "BENCH_LOCAL_latest.json"
+    else sys.props.get("graft.round")
       .orElse(sys.env.get("SPARK_GRAFT_ROUND")).map(_.trim).filter(_.nonEmpty)
       .map(n => s"BENCH_LOCAL_r$n.json")
       .getOrElse("BENCH_LOCAL_latest.json")

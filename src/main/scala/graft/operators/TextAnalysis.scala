@@ -1160,7 +1160,13 @@ object TextAnalysis {
     * 100 TB shape: training is slice-sized by the labeled-slice premise;
     * scoring is one explode + hash per document, a broadcast weight
     * table, and map-side-combinable aggregates — no shuffle wider than
-    * (doc, bucket). */
+    * (doc, bucket).
+    *
+    * DOMAIN: Basic Multilingual Plane text only, asserted per document —
+    * the engine's trigram windows count UTF-16 code units while the
+    * oracle's count codepoints, so a doc containing an astral-plane
+    * character (or a stray surrogate half) raises loudly instead of
+    * silently diverging from the oracle. */
   def langIdTrained(spark: SparkSession, dir: String): DataFrame =
     langIdTrainedFrom(t(spark, dir, "documents"))
 
@@ -1241,9 +1247,24 @@ object TextAnalysis {
     // per-char closed form of the 3-step (h·31 + cp) % m fold — congruent
     // since every operand stays far below 2^63 (cp < 2^21, ×961) — over a
     // codepoint ARRAY built once per doc: positional substring() on a
-    // long UTF8 string is an O(i) scan (O(len²) per doc, measured 2×)
-    val cps = expr(
-      "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
+    // long UTF8 string is an O(i) scan (O(len²) per doc, measured 2×).
+    // BMP-ONLY DOMAIN, asserted loudly: the engine windows trigram over
+    // UTF-16 code units (split(text, '')) while the oracle windows over
+    // Unicode codepoints — identical ONLY while no character needs a
+    // surrogate pair. An astral-plane character (emoji, supplementary
+    // CJK) would shift every later window and hash surrogate halves, so
+    // it must FAIL the query, never silently hash-mismatch the gate.
+    // Java's regex engine decodes to code POINTS, so a lone surrogate
+    // class only matches unpaired halves — match the astral plane
+    // directly ([\x{10000}-\x{10FFFF}]) plus stray halves.
+    val astral = col("text")
+      .rlike("[\\x{10000}-\\x{10FFFF}]|[\\uD800-\\uDFFF]")
+    val cps = when(astral, raise_error(concat(
+        lit("lang_id_trained: non-BMP character in doc_id="),
+        col("doc_id").cast("string"),
+        lit(" — UTF-16 trigram windows diverge from codepoint windows"))))
+      .otherwise(expr(
+        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
     val jArr = expr(
       s"""CASE WHEN char_length(text) >= 3 THEN
          |  transform(sequence(1, char_length(text) - 2),

@@ -59,6 +59,23 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     assert(hold.map(_.getString(2)).toSet.size == 4)
   }
 
+  test("lang_id_trained rejects astral-plane text loudly (BMP-only domain)") {
+    import spark.implicits._
+    // one held-out doc with a supplementary-plane character: UTF-16
+    // trigram windows would silently diverge from the oracle's codepoint
+    // windows, so the operator must raise, not mispredict
+    val astral = syntheticDocs(8, 8).union(
+      Seq((TextAnalysis.LidTrainCap + 9999L, "ok text 𝕏 more", "aa"))
+        .toDF("doc_id", "text", "lang"))
+    val e = intercept[Exception] {
+      TextAnalysis.langIdTrainedFrom(astral).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-BMP character")),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("lang_id_trained on the corpus: one row per doc, non-negative NB costs, deterministic") {
     val rows = TextAnalysis.langIdTrained(spark, dir).collect()
     val nDocs = graft.Tables.t(spark, dir, "documents").count()
