@@ -313,6 +313,11 @@ object SparkEntry {
     // ranks, SA-adjacent LCP descend, ML >= 4 interval union; coverage
     // superset of the gram-seeded family (spec-pinned)
     "dup_spans_suffix" -> (Dedup.dupSpansSuffix _),
+    // batch-cadence suffix dedup: exact suffix-level spans for delta
+    // docs vs the whole corpus; token hashing is write-once per doc,
+    // the per-batch global cost is the 8-byte-key re-rank; the oracle
+    // IS the full rebuild restricted to the delta
+    "dup_spans_suffix_incremental" -> (Dedup.dupSpansSuffixIncremental _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -608,6 +613,7 @@ object SparkEntry {
     "doc_novelty" -> Dedup.docNoveltySql,
     "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
     "dup_spans_suffix" -> Dedup.dupSpansSuffixSql,
+    "dup_spans_suffix_incremental" -> Dedup.dupSpansSuffixIncrementalSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
     "decontaminate_scrub" -> Dedup.decontaminateScrubSql,

@@ -2409,7 +2409,6 @@ object Dedup {
     }
     out.sortBy(x => (x._1, x._2)).toSeq
   }
-
   // ---- suffix-ranked substring dedup (no seed-length floor) ----
 
   /** Minimum match length a [[dupSpansSuffix]] position must carry to seed
@@ -2417,18 +2416,41 @@ object Dedup {
     * no fixed gram width, so repeats of any length ≥ this are exact. */
   final val DupSpanSuffixMinLen = 4
 
-  /** Range buckets for the distributed suffix-rank passes. */
-  private final val SuffixRankBuckets = 1024L
+  /** The ENGINE's prefix-doubling radix: each round ranks by the
+    * 16-tuple of previous-round ranks at offsets 0, s, 2s … 15s — two
+    * rounds cover 255-token documents where radix 4 needs four and
+    * binary doubling eight, and every round is a fixed per-job cost.
+    * The ORACLE deliberately stays at radix 4 ([[SuffixOracleRounds]]):
+    * the two faces build the suffix order through DIFFERENT round
+    * structures, so their equality is an independent-construction proof
+    * (the dup_spans_hashed verified-twin discipline), not a replay. */
+  private final val SuffixRadix = 16
 
-  /** Radix-4 prefix-doubling rounds: round k ranks the capped 4^k-token
-    * prefix by the QUADRUPLE (r(i), r(i+s), r(i+2s), r(i+3s)), s = 4^{k-1}
-    * — two binary doublings per round, so 4 rounds reach 4^4 = 256 ≥ the
-    * corpus's max document token length (100 at every SF) where binary
-    * doubling needs 7 (each round is a fixed per-job cost at local[*];
-    * the three shifted ranks come from ONE doc-partitioned window).
-    * Rounds past the needed depth are exact no-ops (all capped prefixes
-    * already distinct ⇒ the dense rank is unchanged). */
-  private final val SuffixRadixRounds = 4
+  /** Hard ceiling on representable match length: 4 radix-16 rounds ≡ 8
+    * radix-4 oracle rounds ≡ 65 535 tokens (the descend advances at most
+    * radix−1 times per level, so K levels represent exactly 0..16^K − 1).
+    * The ENGINE derives its actual round count from the corpus's
+    * measured max document length; rounds past that depth would be
+    * exact no-ops (every capped prefix is already the full suffix, so
+    * the dense rank stops refining), so the engine never runs them
+    * while the oracle unrolls its full fixed depth and stays equal. A
+    * corpus beyond the ceiling fails LOUDLY instead of truncating match
+    * lengths — truncation is invisible to the equality gate because
+    * both faces would truncate identically. */
+  private final val SuffixMaxMatchTokens = 65535L
+
+  /** Radix-4 rounds the oracle unrolls: 4^8 − 1 = [[SuffixMaxMatchTokens]]
+    * — the same ceiling the engine asserts. */
+  private final val SuffixOracleRounds = 8
+
+  /** Range buckets for the distributed suffix-rank passes: 32 × the
+    * session's shuffle parallelism (1024 at the local[32] default)
+    * rather than a constant, so the two-phase global rank's sort
+    * parallelism scales with the cluster instead of capping at a fixed
+    * width; the per-bucket offset table stays B rows — bounded and
+    * broadcast-safe at any corpus size. */
+  private def suffixRankBuckets(spark: SparkSession): Long =
+    spark.sessionState.conf.numShufflePartitions * 32L
 
   /** Distributed global rank WITHOUT a partition-less window: `bucket`
     * must be monotone in `order` (all keys of bucket b sort before bucket
@@ -2453,29 +2475,84 @@ object Dedup {
 
   /** SUFFIX-RANKED SUBSTRING DEDUP — the no-seed-floor completion of the
     * dup-span family (Lee et al. 2021's exact semantics, reached by
-    * distributed prefix doubling instead of a single-node suffix array):
+    * distributed prefix doubling instead of a single-node suffix array). */
+  def dupSpansSuffix(spark: SparkSession, dir: String): DataFrame =
+    suffixSpansCore(spark, t(spark, dir, "documents"), None)
+
+  /** [[dupSpansSuffix]] over an explicit (doc_id, text) frame — the spec
+    * hook: SuffixDedupSpec drives corpora the parquet tables cannot
+    * express (documents beyond 256 tokens, exercising rank depths past
+    * the corpus's, and the 65 535-token ceiling's loud failure). */
+  private[operators] def dupSpansSuffixFrom(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    suffixSpansCore(spark, docs, None)
+
+  /** Batch-cadence [[dupSpansSuffix]] — exact suffix-level dup spans for
+    * the DELTA docs only (doc_id ≥ [[IncrementalCut]], the fresh-crawl
+    * stand-in), against the WHOLE corpus: the oracle is the full-rebuild
+    * construction with a delta hit filter, so the equality gate itself
+    * proves incremental ≡ rebuild (the dedup_incremental contract).
+    * See [[suffixSpansCore]]'s scale notes for what is and is not
+    * per-batch work: token content is hashed once per document ever
+    * (the level-0 alphabet is content-defined, never corpus-ranked);
+    * the per-batch global cost is the O(log_16 maxDocLen) re-rank of
+    * 8-byte keys — exact corpus-level suffix ORDER is corpus-dependent
+    * by nature (dense ranks compress unbounded prefixes; a
+    * corpus-independent order key would have to grow with prefix
+    * width), so unlike the gram family there is no sublinear stored
+    * order artifact, and the honest cadence is re-ranking keys per
+    * batch while everything token-sized stays incremental. The descend
+    * and span stages are delta-bounded (only delta-touching adjacent
+    * pairs descend; only delta hits merge). */
+  def dupSpansSuffixIncremental(spark: SparkSession, dir: String): DataFrame =
+    suffixSpansCore(spark, t(spark, dir, "documents"), Some(IncrementalCut))
+
+  /** [[dupSpansSuffixIncremental]] over an explicit frame (spec hook). */
+  private[operators] def dupSpansSuffixIncrementalFrom(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    suffixSpansCore(spark, docs, Some(IncrementalCut))
+
+  /** Shared construction behind [[dupSpansSuffix]] and
+    * [[dupSpansSuffixIncremental]]:
     *
     *  1. rank every per-doc suffix by Manber–Myers prefix doubling at
-    *     RADIX 4 — round k densely ranks the capped 4^k-token prefix by
-    *     the quadruple (rank_{k-1}(i), rank_{k-1}(i+s), rank_{k-1}(i+2s),
-    *     rank_{k-1}(i+3s)), s = 4^{k-1}, 0 past the end; the level-0
-    *     alphabet orders tokens by their md5 fingerprint (match LENGTHS
-    *     are alphabet-independent, and md5 gives spread range buckets
-    *     plus a DuckDB-replayable order);
+    *     radix [[SuffixRadix]] — round k densely ranks the capped
+    *     16^k-token prefix by the 16-tuple (rank_{k-1}(i + j·s))_{j=0..15},
+    *     s = 16^{k-1}, 0 past the end. The round COUNT is derived from
+    *     the corpus's measured max document length (ceil(log16(maxlen+1)),
+    *     ceiling [[SuffixMaxMatchTokens]] — beyond it the stats job
+    *     fails loudly); rounds past that depth would be exact no-ops,
+    *     so the engine never runs them. The level-0 alphabet orders
+    *     tokens by the first 60 bits of their md5 — content-defined
+    *     (distinct tokens collide with probability ≲ 2^-60·|vocab|²,
+    *     and a collision would be CAUGHT by the gate, whose oracle
+    *     ranks densely over the full md5), so no vocabulary ever needs
+    *     ranking or joining, and the hashed token stream is a
+    *     write-once per-document artifact at batch cadence;
     *  2. suffix-array adjacency is an equi-join on global position p vs
-    *     p−1 (position = two-phase bucketed row_number — never a
-    *     partition-less window);
-    *  3. adjacent LCPs descend the stored rank levels as base-4 digits
-    *     (k = 3..0, ≤3 advances per level: equal level-k ranks ⇒ first
-    *     4^k tokens equal ⇒ advance both cursors; a 4th advance would
-    *     contradict the failed level-(k+1) test above), capped by
-    *     remaining suffix length for identical-tail pairs;
+    *     p−1 (position = two-phase bucketed row_number over range
+    *     buckets that scale with shuffle parallelism — never a
+    *     partition-less window, never a fixed-width ceiling);
+    *  3. adjacent LCPs descend the stored rank levels as base-16 digits
+    *     (k = K−1..0, ≤15 advances per level: equal level-k ranks ⇒
+    *     first 16^k tokens equal ⇒ advance both cursors; a 16th advance
+    *     would contradict the failed level-(k+1) test above), capped by
+    *     remaining suffix length for identical-tail pairs. Pairs whose
+    *     width-4 start FINGERPRINTS differ (xxhash64 of the first four
+    *     level-0 ranks, carried through the pipeline) have LCP ≤ 3 <
+    *     [[DupSpanSuffixMinLen]] and can never move a position past the
+    *     span gate, so they skip the descend entirely — equal windows
+    *     always hash equal, so the gate can only KEEP extra pairs
+    *     (which then descend to their true LCP), never drop a live one.
+    *     The gated probe is the duplicated-region subset, small enough
+    *     for AQE to broadcast against the full level frames (the joins
+    *     are written build-side-first right_outer so the PAIR side is
+    *     the broadcastable one);
     *  4. each position's maximal match length ML = max(LCP with its two
-    *     SA neighbours) — the suffix-array maximality argument: the
-    *     longest other occurrence of a prefix of suffix s is adjacent to
-    *     s in SA order; repeats here are CORPUS-level (a second
-    *     occurrence in the same doc counts, as in Lee et al.), a
-    *     superset of the gram family's cross-doc gate;
+    *     SA neighbours) — the suffix-array maximality argument; repeats
+    *     are CORPUS-level (a second occurrence in the same doc counts,
+    *     as in Lee et al.), a superset of the gram family's cross-doc
+    *     gate;
     *  5. spans = per-doc union of [i, i+ML(i)−1] over ML(i) ≥
     *     [[DupSpanSuffixMinLen]] (gaps-and-islands on the running max
     *     end — merge only overlapping/adjacent coverage).
@@ -2484,17 +2561,27 @@ object Dedup {
     * [[DupSpanGram]]-gram at h has ML(h) ≥ 8, and islands merge hits ≤ 8
     * apart, so the interval union is contiguous across each island.
     *
-    * Scale shape: O(log maxDocLen) = 7 rounds, each a bounded-bucket rank
-    * (range buckets + partial-count offsets) + one co-keyed equi-join,
-    * with per-round lineage cuts (persisted RDDs — the dedup_clusters
-    * discipline, each round's frame is read twice by the next); the
-    * descend is 14 equi-joins against the persisted level frames; every
-    * window is bucket- or doc-partitioned, bounded by bucket/document
-    * size. The ORACLE unrolls the identical construction declaratively
-    * (dense_rank per round, materialized CTEs). */
-  def dupSpansSuffix(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: O(log_16 maxDocLen) rounds, each a bounded-bucket rank
+    * (range buckets + partial-count offsets over the shifted-rank tuple,
+    * whose shifts reuse the previous level's STORED leads — one window
+    * sort per round, never a self-join) + one co-keyed equi-join, with
+    * per-round lineage cuts (persisted RDDs — each round's frame is
+    * read twice by the next); the FINAL round is folded into the SA
+    * keep (its ranks feed only the SA position). The descend is 2K
+    * equi-joins against the persisted level frames, probing only the
+    * gated pair subset; every window is bucket- or doc-partitioned,
+    * bounded by bucket/document size. `deltaCut` restricts the descend
+    * to delta-touching adjacent pairs and the span merge to delta
+    * documents — the batch-cadence face. The ORACLE reaches the same
+    * spans through a radix-4 unroll of the same semantics (dense_rank
+    * per round, materialized CTEs, fixed [[SuffixOracleRounds]] depth):
+    * equality across two different round structures certifies the
+    * semantics, not a shared implementation. */
+  private def suffixSpansCore(spark: SparkSession, docs: DataFrame,
+      deltaCut: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = SuffixRankBuckets
+    val B = suffixRankBuckets(spark)
+    val R = SuffixRadix
     // persisted stores; every reuse builds a FRESH DataFrame over the
     // RDD so self-joins never share attribute ids
     val store = scala.collection.mutable.ArrayBuffer[
@@ -2513,125 +2600,157 @@ object Dedup {
     def at(i: Int): DataFrame =
       spark.createDataFrame(store(i)._1, store(i)._2)
 
-    val toksI = keep(tokFrame(spark, dir)
-      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("tok")))
-    def lens = at(toksI).groupBy(col("doc_id"))
-      .agg((max(col("idx")) + 1).as("len"))
-    // the ONE driver action of the whole construction (it also warms the
-    // token cache): every round's rank domain is ≤ the suffix count, so
-    // nt bounds every bucket range — no per-round count/max jobs. The
-    // same job asserts the rank-depth invariant: a document longer than
-    // 4^rounds tokens would SILENTLY truncate match lengths at 255 on
-    // BOTH faces (the oracle unrolls the same rounds), so fail loudly
-    val statsRow = at(toksI)
-      .agg(count(lit(1)).as("n"), coalesce(max(col("idx")) + 1, lit(0L))
-        .as("maxlen")).head
+    // the ONE pre-construction driver action: token count (bounds every
+    // rank domain, so no per-round count/max jobs) and max document
+    // length (fixes the rank DEPTH). Computed on the raw scan — cheaper
+    // than materializing a token frame first. The depth invariant is
+    // asserted strictly: K levels represent matches of 0..16^K − 1
+    // tokens (≤15 advances per level), so a 16^K-token document would
+    // silently truncate by ONE token on BOTH faces — fail loudly.
+    val statsRow = docs
+      .select(filter(split(col("text"), " "), x => x =!= "").as("ps"))
+      .agg(coalesce(sum(size(col("ps"))), lit(0L)).as("n"),
+        coalesce(max(size(col("ps"))), lit(0)).cast("long").as("maxlen"))
+      .head()
     val nt = statsRow.getLong(0).toDouble.max(1.0)
-    val depth = math.pow(4, SuffixRadixRounds).toLong
-    require(statsRow.getLong(1) <= depth,
-      s"dup_spans_suffix: a ${statsRow.getLong(1)}-token document exceeds " +
-        s"the 4^$SuffixRadixRounds = $depth-token rank depth; raise " +
-        "SuffixRadixRounds together with the oracle's unrolled rounds")
+    val maxlen = statsRow.getLong(1)
+    require(maxlen <= SuffixMaxMatchTokens,
+      s"dup_spans_suffix: a $maxlen-token document exceeds the " +
+        s"$SuffixMaxMatchTokens-token rank-depth ceiling; chunk " +
+        "documents or deepen SuffixMaxMatchTokens together with the " +
+        "oracle's unrolled rounds")
+    // smallest K with 16^K − 1 ≥ maxlen: the descend can then represent
+    // any match length, and the level-K class IS full-suffix identity
+    var kv = 1
+    while ((1L << (4 * kv)) - 1 < maxlen) kv += 1
+    val K = kv
 
-    /** Range bucket, monotone in (r1, r2) order: the linearized key
-      * scaled into [0, B). Doubles round at huge nt but IEEE rounding is
-      * MONOTONE, so order never inverts — adjacent keys can only merge
-      * into one bucket, which costs balance, not correctness. */
+    val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    /** Each kept level carries ITS OWN +j·w lead ranks (w = the level's
+      * width, j = 1..radix−2): the LCP descend's ≤15 sub-steps per level
+      * become row-local conditionals after ONE join pair, and the next
+      * round's shifted-rank tuple reads the same stored columns instead
+      * of re-windowing. */
+    def withLeads(df: DataFrame, w: Int): DataFrame =
+      (1 to R - 2).foldLeft(df)((f, j) =>
+        f.withColumn(s"rw$j", lead(col("r"), j * w).over(byDocW)))
+
+    /** Range bucket for rank rounds ≥ 2 (dense ranks in [1, nt]),
+      * monotone in (r1, r2) order: the linearized key scaled into
+      * [0, B). Doubles round at huge nt but IEEE rounding is MONOTONE,
+      * so order never inverts — adjacent keys can only merge into one
+      * bucket, which costs balance, not correctness. */
     def pairBucket(r1: Column, r2: Column): Column =
       least(floor(((r1 - 1).cast("double") * (nt + 1.0) + r2.cast("double"))
         * B / (nt * (nt + 1.0))).cast("long"), lit(B - 1))
+    // level 0: per-token content alphabet — the first 60 bits of md5 as
+    // a long. Order-isomorphic to the oracle's dense md5 rank (spans are
+    // alphabet-independent, spec-pinned) and injective w.h.p.; being
+    // content-defined, this frame never changes when other documents
+    // arrive — the write-once artifact of the batch cadence. `f4` is
+    // the width-4 start fingerprint the descend gate keys on (−1
+    // sentinels keep short tails distinct from real rank 0s).
+    val l0 = keep(withLeads(tokFrameOf(docs)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("r")), 1)
+      .withColumn("f4", xxhash64(col("r"),
+        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
+        coalesce(col("rw3"), lit(-1L)))))
 
-    // every kept level also carries ITS OWN +w/+2w lead ranks (w = the
-    // level's width): the LCP descend then fuses each level's three
-    // base-4 sub-steps into ONE join pair — without the leads it was 24
-    // joins (measured 4.5 s in the lcp materialization alone)
-    def withLeads(df: DataFrame, w: Int): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      df.withColumn("rw", lead(col("r"), w).over(byDocW))
-        .withColumn("r2w", lead(col("r"), 2 * w).over(byDocW))
-    }
-
-    // level 0: dense token ranks in md5 order (spread hex-prefix buckets)
-    val vocab = at(toksI).select(col("tok")).distinct()
-      .withColumn("mk", md5(col("tok").cast("binary")))
-    val v0 = bucketedRank(vocab,
-      conv(substring(col("mk"), 1, 3), 16, 10).cast("long"),
-      Seq(col("mk"), col("tok")), 4095L, "r")
-    keep(withLeads(
-      at(toksI).join(v0.select(col("tok"), col("r")), Seq("tok"))
-        .select(col("doc_id"), col("idx"), col("r")), 1))
-    // store(1 + k) = level-k rank frame (level k covers width 4^k). ONE
-    // keep (= one eager job) per round: the three shifted partner ranks
-    // are doc-partitioned lead windows over ONE sort (never a self-join);
-    // the dense rank is a bucket window; the per-bucket offsets are a
-    // countDistinct agg feeding a broadcast stage of the SAME job — no
-    // distinct frame, no rank join-back
-    def level(k: Int): DataFrame = at(1 + k)
-    val quadOrder = Seq(col("r"), col("r2"), col("r3"), col("r4"))
-    for (k <- 1 to SuffixRadixRounds) {
-      import org.apache.spark.sql.expressions.Window
-      val s = math.pow(4, k - 1).toInt
-      val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      val paired = level(k - 1)
-        .withColumn("r2", coalesce(lead(col("r"), s).over(byDocW), lit(0L)))
-        .withColumn("r3",
-          coalesce(lead(col("r"), 2 * s).over(byDocW), lit(0L)))
-        .withColumn("r4",
-          coalesce(lead(col("r"), 3 * s).over(byDocW), lit(0L)))
-        .withColumn("_skb", pairBucket(col("r"), col("r2")))
+    /** One prefix-doubling round over a FULL stored level frame: the
+      * radix−1 shifted partner ranks reuse the level's stored leads
+      * (plus one fresh lead for the last slot — the only window expr);
+      * the dense rank is a bucket window; the per-bucket offsets are a
+      * countDistinct agg feeding a broadcast stage of the SAME job. */
+    def roundFrame(prev: DataFrame, k: Int): DataFrame = {
+      val s = 1 << (4 * (k - 1))
+      val shifted = (1 to R - 2).map(j => coalesce(col(s"rw$j"), lit(0L)))
+      val last = coalesce(lead(col("r"), (R - 1) * s).over(byDocW), lit(0L))
+      val tuple = col("r") +: (shifted :+ last)
+      val named = tuple.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }
+      val tupleCols = tuple.indices.map(i => col(s"_t$i"))
+      val paired = prev
+        .select((Seq(col("doc_id"), col("idx"), col("f4")) ++ named): _*)
+        .withColumn("_skb",
+          if (k == 1)
+            least(floor(col("_t0").cast("double") * B / math.pow(2, 60))
+              .cast("long"), lit(B - 1))
+          else pairBucket(col("_t0"), col("_t1")))
       val offsets = TextAnalysis.exclusivePrefix(
         paired.groupBy(col("_skb").as("bucket"))
-          .agg(countDistinct(col("r"), col("r2"), col("r3"), col("r4"))
-            .as("bsum")), B - 1)
+          .agg(countDistinct(tupleCols.head, tupleCols.tail: _*).as("bsum")),
+        B - 1)
         .select(col("bucket").as("_skb"), col("offset").as("_sko"))
-      keep(withLeads(paired
+      paired
         .withColumn("_skdr", dense_rank()
-          .over(Window.partitionBy(col("_skb")).orderBy(quadOrder: _*))
+          .over(Window.partitionBy(col("_skb")).orderBy(tupleCols: _*))
           .cast("long"))
         .join(broadcast(offsets), Seq("_skb"))
         .select(col("doc_id"), col("idx"),
-          (col("_sko") + col("_skdr")).as("r")),
-        math.pow(4, k).toInt))
+          (col("_sko") + col("_skdr")).as("r"), col("f4"))
     }
-    val fin = 1 + SuffixRadixRounds
 
-    // global SA position: unique row_number over (r, doc_id, idx)
-    val saI = keep(bucketedRank(at(fin),
+    // store(k) = level-k rank frame for k < K (one keep = one eager job
+    // per round). The FINAL round is never kept: its ranks feed only the
+    // SA position, so it folds into the SA keep below, and its leads —
+    // which the descend (levels 0..K−1) never reads — are never built.
+    for (k <- 1 until K)
+      keep(withLeads(roundFrame(at(k - 1), k), 1 << (4 * k)))
+
+    // global SA position: unique row_number over (r, doc_id, idx) on the
+    // folded final round; f4 rides along into the adjacency pairs
+    val saI = keep(bucketedRank(
+      roundFrame(at(K - 1), K),
       least(floor((col("r") - 1).cast("double") * B / nt).cast("long"),
         lit(B - 1)),
       Seq(col("r"), col("doc_id"), col("idx")), B - 1, "p")
-      .select(col("doc_id"), col("idx"), col("p")))
+      .select(col("doc_id"), col("idx"), col("p"), col("f4")))
 
-    // adjacent pair (p-1, p) + LCP descend over the stored levels
+    def lens = at(l0).groupBy(col("doc_id"))
+      .agg((max(col("idx")) + 1).as("len"))
+
+    // adjacent pair (p-1, p), gated: unequal width-4 start fingerprints
+    // ⇒ LCP ≤ 3 < MinLen ⇒ the pair can never lift a position past the
+    // span gate — skip its descend (and, at batch cadence, skip every
+    // pair not touching a delta document)
     var d = at(saI).select(col("p"), col("doc_id").as("ad"),
-        col("idx").as("ai"))
+        col("idx").as("ai"), col("f4").as("x4"))
       .join(at(saI).select((col("p") + 1).as("p"), col("doc_id").as("bd"),
-        col("idx").as("bi")), Seq("p"))
-      .withColumn("acc", lit(0L))
+        col("idx").as("bi"), col("f4").as("y4")), Seq("p"))
+      .filter(col("x4") === col("y4"))
+      .drop("x4", "y4")
+    deltaCut.foreach { cut =>
+      d = d.filter(col("ad") >= cut || col("bd") >= cut)
+    }
+    d = d.withColumn("acc", lit(0L))
       .withColumn("ap", col("ai")).withColumn("bp", col("bi"))
-    // base-4 LCP digits: at level k (width 4^k) up to THREE advances can
-    // land before the digit is exhausted (a fourth would contradict the
-    // level-(k+1) non-match above it). ONE join pair per level: the
-    // kept levels carry their own +w/+2w lead ranks, so the three
-    // sub-steps are row-local conditionals on (r, rw, r2w)
-    for (k <- SuffixRadixRounds - 1 to 0 by -1) {
-      val w = math.pow(4, k).toLong
-      d = d.join(level(k).select(col("doc_id").as("ad"),
-          col("idx").as("ap"), col("r").as("ra0"), col("rw").as("ra1"),
-          col("r2w").as("ra2")), Seq("ad", "ap"), "left_outer")
-        .join(level(k).select(col("doc_id").as("bd"),
-          col("idx").as("bp"), col("r").as("rb0"), col("rw").as("rb1"),
-          col("r2w").as("rb2")), Seq("bd", "bp"), "left_outer")
-        .withColumn("m1", col("ra0").isNotNull && col("rb0").isNotNull &&
-          col("ra0") === col("rb0"))
-        .withColumn("m2", col("m1") && col("ra1").isNotNull &&
-          col("rb1").isNotNull && col("ra1") === col("rb1"))
-        .withColumn("m3", col("m2") && col("ra2").isNotNull &&
-          col("rb2").isNotNull && col("ra2") === col("rb2"))
-        .withColumn("adv",
-          (col("m1").cast("long") + col("m2").cast("long") +
-            col("m3").cast("long")) * w)
+    // base-16 LCP digits: at level k (width 16^k) up to FIFTEEN advances
+    // can land before the digit is exhausted (a 16th would contradict
+    // the level-(k+1) non-match above it). ONE join pair per level: the
+    // kept levels carry their own +j·w lead ranks, so the fifteen
+    // sub-steps are row-local conditionals. Written build-side-first
+    // right_outer (≡ the pair side's left_outer) so AQE can broadcast
+    // the small gated PAIR side and stream the level frame without an
+    // exchange.
+    for (k <- K - 1 to 0 by -1) {
+      val w = 1L << (4 * k)
+      def lvl(docAs: String, idxAs: String, pre: String): DataFrame =
+        at(k).select(
+          (Seq(col("doc_id").as(docAs), col("idx").as(idxAs),
+            col("r").as(s"${pre}0")) ++
+            (1 to R - 2).map(j => col(s"rw$j").as(s"$pre$j"))): _*)
+      d = lvl("ad", "ap", "ra").join(d, Seq("ad", "ap"), "right_outer")
+      d = lvl("bd", "bp", "rb").join(d, Seq("bd", "bp"), "right_outer")
+      // m_j = "the j-th advance of width w lands": ranks at cursor +
+      // (j−1)·w exist on both sides and agree, and every earlier
+      // sub-step landed
+      val ms = (0 until R - 1).scanLeft(lit(true)) { (prevM, j) =>
+        prevM && col(s"ra$j").isNotNull && col(s"rb$j").isNotNull &&
+          col(s"ra$j") === col(s"rb$j")
+      }.tail
+      val adv = ms.map(_.cast("long")).reduce(_ + _) * w
+      d = d.withColumn("adv", adv)
         .select(col("p"), col("ad"), col("ai"), col("bd"), col("bi"),
           (col("acc") + col("adv")).as("acc"),
           (col("ap") + col("adv")).as("ap"),
@@ -2648,7 +2767,11 @@ object Dedup {
         least(col("acc"), col("la") - col("ai"), col("lb") - col("bi"))
           .as("lcp")))
 
-    val hits = at(saI)
+    val positions = deltaCut match {
+      case Some(cut) => at(saI).filter(col("doc_id") >= cut)
+      case None      => at(saI)
+    }
+    val hits = positions
       .join(at(lcpI).select(col("p"), col("lcp").as("l1")), Seq("p"),
         "left_outer")
       .join(at(lcpI).select((col("p") - 1).as("p"), col("lcp").as("l2")),
@@ -2659,20 +2782,19 @@ object Dedup {
       .filter(col("ml") >= DupSpanSuffixMinLen)
       .select(col("doc_id"), col("idx"),
         (col("idx") + col("ml") - 1).as("e"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val spansI = keep(hits
       .withColumn("pm",
-        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        max(col("e")).over(byDocW.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",
         when(col("pm").isNull || col("idx") > col("pm") + 1, 1).otherwise(0))
-      .withColumn("island", sum(col("brk")).over(byDoc))
+      .withColumn("island", sum(col("brk")).over(byDocW))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("idx")).cast("long").as("span_start"),
         max(col("e")).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens")))
     // free every intermediate: only the span-sized result stays cached —
-    // leaving the ~10 corpus-sized level RDDs persisted degraded EVERY
+    // leaving the corpus-sized level RDDs persisted degraded EVERY
     // later query in the same session (measured 1.07× on the full bench)
     store.indices.dropRight(1).foreach(i => store(i)._1.unpersist(false))
     // the span-sized result RDD outlives this method (the consumer's
@@ -2682,17 +2804,29 @@ object Dedup {
     at(spansI).orderBy(col("doc_id"), col("span_start"))
   }
 
-  /** Oracle for [[dupSpansSuffix]]: the identical prefix-doubling /
-    * descend construction unrolled declaratively — dense_rank per round,
-    * the same md5 level-0 alphabet, the same cap and island merge. Every
-    * CTE MATERIALIZED: each rank level is referenced three times (both
-    * legs of the next round + the descend). */
+  /** Oracle for [[dupSpansSuffix]]: the same suffix-dedup semantics
+    * unrolled declaratively at RADIX 4 — dense_rank per round, the
+    * dense-md5 level-0 alphabet, all [[SuffixOracleRounds]] rounds (the
+    * tail rounds are exact no-ops on any corpus the engine accepts),
+    * the same cap and island merge. The engine ranks at radix 16, so
+    * equality is an independent-construction proof. Every CTE
+    * MATERIALIZED: each rank level is referenced three times (both legs
+    * of the next round + the descend). */
   lazy val dupSpansSuffixSql: String =
-    OracleSql.materializeCtes(dupSpansSuffixSqlRaw)
+    OracleSql.materializeCtes(dupSpansSuffixSqlOf(""))
 
-  private lazy val dupSpansSuffixSqlRaw: String = {
-    val rounds = (1 to SuffixRadixRounds).map { k =>
-      val s = math.pow(4, k - 1).toLong
+  /** Oracle for [[dupSpansSuffixIncremental]]: the FULL construction
+    * with the hit set restricted to delta docs (islands are per-doc, so
+    * filtering hits ≡ filtering spans) — equality proves the
+    * batch-cadence face reports exactly the rebuild's delta spans. */
+  lazy val dupSpansSuffixIncrementalSql: String =
+    OracleSql.materializeCtes(
+      dupSpansSuffixSqlOf(s" AND doc_id >= $IncrementalCut"))
+
+  private def dupSpansSuffixSqlOf(hitFilter: String): String = {
+    val R = SuffixOracleRounds
+    val rounds = (1 to R).map { k =>
+      val s = 1L << (2 * (k - 1))
       s"""r$k AS (
          |  SELECT a.doc_id, a.idx,
          |    CAST(dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0),
@@ -2708,12 +2842,12 @@ object Dedup {
     }.mkString(",\n")
     // descend steps named dN (N counts down): 3 sub-steps per level
     val steps = for {
-      k <- SuffixRadixRounds - 1 to 0 by -1
+      k <- R - 1 to 0 by -1
       sub <- 1 to 3
     } yield (k, sub)
     val descend = steps.zipWithIndex.map { case ((k, _), i) =>
-      val w = math.pow(4, k).toLong
-      val src = if (i == 0) s"d$SuffixRadixRounds" else s"dd$i"
+      val w = 1L << (2 * k)
+      val src = if (i == 0) s"d$R" else s"dd$i"
       val dst = s"dd${i + 1}"
       s"""$dst AS (
          |  SELECT $src.p, $src.ad, $src.ai, $src.bd, $src.bi,
@@ -2747,8 +2881,8 @@ object Dedup {
        |sa AS (
        |  SELECT doc_id, idx,
        |    CAST(row_number() OVER (ORDER BY r, doc_id, idx) AS BIGINT) AS p
-       |  FROM r$SuffixRadixRounds),
-       |d$SuffixRadixRounds AS (
+       |  FROM r$R),
+       |d$R AS (
        |  SELECT x.p, x.doc_id AS ad, x.idx AS ai, y.doc_id AS bd,
        |    y.idx AS bi, CAST(0 AS BIGINT) AS acc, x.idx AS ap, y.idx AS bp
        |  FROM sa x JOIN sa y ON y.p = x.p - 1),
@@ -2767,7 +2901,7 @@ object Dedup {
        |  LEFT JOIN lcp l2 ON l2.p = s.p + 1),
        |shits AS (
        |  SELECT doc_id, idx, idx + mlv - 1 AS e FROM mls
-       |  WHERE mlv >= $DupSpanSuffixMinLen),
+       |  WHERE mlv >= $DupSpanSuffixMinLen$hitFilter),
        |sisl AS (
        |  SELECT doc_id, idx, e,
        |    SUM(CASE WHEN pm IS NULL OR idx > pm + 1 THEN 1 ELSE 0 END)

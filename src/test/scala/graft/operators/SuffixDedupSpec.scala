@@ -90,6 +90,73 @@ class SuffixDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty, "no spans at all — vacuous corpus")
   }
 
+  /** Deterministic LCG token stream over a small vocabulary. */
+  private def lcgTokens(seed: Long, n: Int): Array[String] = {
+    var s = seed
+    Array.fill(n) {
+      s = (s * 1103515245L + 12345L) % 2147483648L
+      "w" + (s % 50)
+    }
+  }
+
+  /** Three synthetic documents the parquet corpus cannot express: two
+    * long docs (400 and 380 tokens) sharing a 280-token run — a match
+    * LONGER than the 255 tokens two radix-16 rounds represent, so the
+    * measured-depth logic must rank at K = 3 — plus one doc with an
+    * intra-document repeat (corpus-level semantics count it). */
+  private def longDocs(): Map[Long, Array[String]] = {
+    val block = lcgTokens(99, 280)
+    val rep = lcgTokens(5, 12)
+    Map(
+      1L -> (lcgTokens(1, 60) ++ block ++ lcgTokens(2, 60)),
+      2L -> (lcgTokens(3, 50) ++ block ++ lcgTokens(4, 50)),
+      3L -> (lcgTokens(6, 20) ++ rep ++ lcgTokens(7, 9) ++ rep ++
+        lcgTokens(8, 20)))
+  }
+
+  test("dup_spans_suffix: >256-token documents rank at the measured depth and match the replay") {
+    import spark.implicits._
+    val docs = longDocs()
+    val df = docs.toSeq.sortBy(_._1)
+      .map { case (d, toks) => (d, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpansSuffixFrom(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.SharedFrames.releaseAll()
+    val want = bruteSpans(docs, Dedup.DupSpanSuffixMinLen)
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    // the pin is non-vacuous: some span must exceed the 255-token reach
+    // of two radix-16 rounds (the old fixed-depth implementation
+    // REJECTED this corpus outright)
+    assert(got.exists { case (_, s, e) => e - s + 1 > 255 },
+      "no span beyond 255 tokens — the depth pin is vacuous")
+  }
+
+  test("dup_spans_suffix rejects a document past the 65 535-token ceiling loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Array.fill(65536)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupSpansSuffixFrom(spark, df)
+    }
+    assert(e.getMessage.contains("rank-depth ceiling"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("dup_spans_suffix_incremental equals the full rebuild restricted to delta docs") {
+    val full = Dedup.dupSpansSuffix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 >= Dedup.IncrementalCut).toSet
+    val inc = Dedup.dupSpansSuffixIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    graft.SharedFrames.releaseAll()
+    assert(inc == full,
+      s"missing=${full.diff(inc).take(5)} extra=${inc.diff(full).take(5)}")
+    assert(inc.nonEmpty, "no delta spans at all — vacuous cadence pin")
+  }
+
   test("dup_spans_suffix: coverage is a superset of every gram-seeded dup_spans island") {
     val sfx = Dedup.dupSpansSuffix(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
