@@ -1,0 +1,46 @@
+// Scale probe data: sbt "runMain graft.tools.ScaleProbe <srcSfDir> <destDir> <replicas>"
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builds a documents table N× the source SF for the heavy-tail scaling
+  * probe (BASELINE.md "sf1 probe"): the source documents are replicated
+  * with per-replica REMAPPED tokens (`tok` → `tok_k`) and offset doc_ids,
+  * so replicas never duplicate each other and every replica carries the
+  * source's exact duplication structure — total duplicated-span mass
+  * scales linearly with corpus size, the regime a grown crawl sits in.
+  * Other tables are not written here; the probe recipe copies them from
+  * the source SF unchanged (embedding-joined stages therefore see only
+  * the original ids — noted where a probed query uses them). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val replicas = args(2).toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val cols = docs.columns
+    val out = (0 until replicas).map { k =>
+      val remapped =
+        if (k == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              x => when(x === "", x).otherwise(concat(x, lit(s"_$k")))),
+            " "))
+      remapped.select(cols.map(col): _*)
+    }.reduce(_ union _)
+    out.repartition(32).write.mode("overwrite")
+      .parquet(s"$dest/documents.parquet")
+    val n = spark.read.parquet(s"$dest/documents.parquet").count()
+    println(s"[scaleprobe] wrote $n docs to $dest/documents.parquet")
+    spark.stop()
+  }
+}
