@@ -2658,25 +2658,30 @@ object Dedup {
         coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
         coalesce(col("rw3"), lit(-1L)))))
 
-    /** One prefix-doubling round over a FULL stored level frame: the
-      * radix−1 shifted partner ranks reuse the level's stored leads
-      * (plus one fresh lead for the last slot — the only window expr);
-      * the dense rank is a bucket window; the per-bucket offsets are a
-      * countDistinct agg feeding a broadcast stage of the SAME job. */
-    def roundFrame(prev: DataFrame, k: Int): DataFrame = {
+    val tupleCols = (0 until R).map(i => col(s"_t$i"))
+    /** The shifted-rank tuple of round k over a FULL stored level frame:
+      * the radix−1 shifted partner ranks reuse the level's stored leads
+      * (plus one fresh lead for the last slot — the only window expr),
+      * with the rank-class range bucket attached. */
+    def pairedFrame(prev: DataFrame, k: Int): DataFrame = {
       val s = 1 << (4 * (k - 1))
       val shifted = (1 to R - 2).map(j => coalesce(col(s"rw$j"), lit(0L)))
       val last = coalesce(lead(col("r"), (R - 1) * s).over(byDocW), lit(0L))
       val tuple = col("r") +: (shifted :+ last)
       val named = tuple.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }
-      val tupleCols = tuple.indices.map(i => col(s"_t$i"))
-      val paired = prev
+      prev
         .select((Seq(col("doc_id"), col("idx"), col("f4")) ++ named): _*)
         .withColumn("_skb",
           if (k == 1)
             least(floor(col("_t0").cast("double") * B / math.pow(2, 60))
               .cast("long"), lit(B - 1))
           else pairBucket(col("_t0"), col("_t1")))
+    }
+    /** One prefix-doubling round: the dense rank is a bucket window; the
+      * per-bucket offsets are a countDistinct agg feeding a broadcast
+      * stage of the SAME job. */
+    def roundFrame(prev: DataFrame, k: Int): DataFrame = {
+      val paired = pairedFrame(prev, k)
       val offsets = TextAnalysis.exclusivePrefix(
         paired.groupBy(col("_skb").as("bucket"))
           .agg(countDistinct(tupleCols.head, tupleCols.tail: _*).as("bsum")),
@@ -2692,19 +2697,19 @@ object Dedup {
     }
 
     // store(k) = level-k rank frame for k < K (one keep = one eager job
-    // per round). The FINAL round is never kept: its ranks feed only the
-    // SA position, so it folds into the SA keep below, and its leads —
-    // which the descend (levels 0..K−1) never reads — are never built.
+    // per round). The FINAL round is never kept OR dense-ranked: its
+    // rank value would only ever be used as a sort key, and ordering by
+    // (final rank, doc, idx) is the same permutation as ordering by
+    // (its defining tuple, doc, idx) — so the SA keep ranks the tuple
+    // directly, skipping a whole dense_rank window + offset agg + join.
     for (k <- 1 until K)
       keep(withLeads(roundFrame(at(k - 1), k), 1 << (4 * k)))
 
-    // global SA position: unique row_number over (r, doc_id, idx) on the
-    // folded final round; f4 rides along into the adjacency pairs
+    // global SA position: unique row_number over (tuple, doc_id, idx) on
+    // the folded final round; f4 rides along into the adjacency pairs
     val saI = keep(bucketedRank(
-      roundFrame(at(K - 1), K),
-      least(floor((col("r") - 1).cast("double") * B / nt).cast("long"),
-        lit(B - 1)),
-      Seq(col("r"), col("doc_id"), col("idx")), B - 1, "p")
+      pairedFrame(at(K - 1), K), col("_skb"),
+      tupleCols ++ Seq(col("doc_id"), col("idx")), B - 1, "p")
       .select(col("doc_id"), col("idx"), col("p"), col("f4")))
 
     def lens = at(l0).groupBy(col("doc_id"))
