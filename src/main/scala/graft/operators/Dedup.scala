@@ -2763,27 +2763,31 @@ object Dedup {
     }
     // identical-tail pairs match every level their cursors can reach —
     // cap by remaining length (true lcp = the shorter remainder)
-    val lcpI = keep(d
+    val lcp = d
       .join(lens.select(col("doc_id").as("ad"), col("len").as("la")),
         Seq("ad"))
       .join(lens.select(col("doc_id").as("bd"), col("len").as("lb")),
         Seq("bd"))
       .select(col("p"),
         least(col("acc"), col("la") - col("ai"), col("lb") - col("bi"))
-          .as("lcp")))
-
+          .as("lcp"))
+    // ML(position) = max(LCP with the two SA neighbours). Pair p holds
+    // suffixes p and p−1, so each pair row contributes to exactly those
+    // two positions: EXPLODE the pair into its contributions and
+    // max-aggregate, consuming the descend output ONCE — no persisted
+    // LCP frame, no double descend, and the per-position table is small
+    // enough to broadcast back onto the positions
+    val ml = lcp
+      .select(explode(array(col("p"), col("p") - 1)).as("p"), col("lcp"))
+      .groupBy(col("p")).agg(max(col("lcp")).as("ml"))
     val positions = deltaCut match {
       case Some(cut) => at(saI).filter(col("doc_id") >= cut)
       case None      => at(saI)
     }
     val hits = positions
-      .join(at(lcpI).select(col("p"), col("lcp").as("l1")), Seq("p"),
-        "left_outer")
-      .join(at(lcpI).select((col("p") - 1).as("p"), col("lcp").as("l2")),
-        Seq("p"), "left_outer")
+      .join(ml, Seq("p"), "left_outer")
       .select(col("doc_id"), col("idx"),
-        greatest(coalesce(col("l1"), lit(0L)), coalesce(col("l2"), lit(0L)))
-          .as("ml"))
+        coalesce(col("ml"), lit(0L)).as("ml"))
       .filter(col("ml") >= DupSpanSuffixMinLen)
       .select(col("doc_id"), col("idx"),
         (col("idx") + col("ml") - 1).as("e"))
