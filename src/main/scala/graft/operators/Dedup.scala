@@ -273,18 +273,22 @@ object Dedup {
         .withColumn("sh", xxhash64(col("s"))))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefix = sh.join(df, Seq("sh")).join(sizes, Seq("doc_id"))
-      // the canonical order must be TOTAL on shingle STRINGS (the
-      // completeness theorem orders the string universe; `s` breaks any
-      // hash-collision tie so the order is globally consistent — df is
-      // only the efficiency heuristic, any consistent order is complete)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("df"), col("sh"), col("s"))))
-      .filter(col("rn") <=
-        col("sz") - expr(s"($PfTauNum * sz + ${PfTauDen - 1}) div $PfTauDen")
-          + 1L)
-      .select(col("doc_id"), col("sh"), col("sz"))
+    // shared: BOTH sides of the candidate self-join read these rows —
+    // unshared, the df-join + size-join + prefix-election window
+    // re-executed once per side (the twice-consumed-frame audit class)
+    val prefix = graft.SharedFrames.shared(
+      sh.join(df, Seq("sh")).join(sizes, Seq("doc_id"))
+        // the canonical order must be TOTAL on shingle STRINGS (the
+        // completeness theorem orders the string universe; `s` breaks any
+        // hash-collision tie so the order is globally consistent — df is
+        // only the efficiency heuristic, any consistent order is complete)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("sh"), col("s"))))
+        .filter(col("rn") <=
+          col("sz") - expr(s"($PfTauNum * sz + ${PfTauDen - 1}) div $PfTauDen")
+            + 1L)
+        .select(col("doc_id"), col("sh"), col("sz")))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
