@@ -318,6 +318,10 @@ object SparkEntry {
     // the per-batch global cost is the 8-byte-key re-rank; the oracle
     // IS the full rebuild restricted to the delta
     "dup_spans_suffix_incremental" -> (Dedup.dupSpansSuffixIncremental _),
+    // the APPLY face of the suffix pass — Lee et al.'s published
+    // ExactSubstr policy: excise EVERY occurrence of every duplicated
+    // region (vs the gram scrubs' keep-first), rebuild cleaned text
+    "dup_span_suffix_scrub" -> (Dedup.dupSpanSuffixScrub _),
     // keep-first APPLY of dup_spans: excise non-first occurrences,
     // rebuild cleaned token stream (byte-exact vs the oracle)
     "dup_span_scrub" -> (Dedup.dupSpanScrub _),
@@ -614,6 +618,7 @@ object SparkEntry {
     "dup_spans_incremental" -> Dedup.dupSpansIncrementalSql,
     "dup_spans_suffix" -> Dedup.dupSpansSuffixSql,
     "dup_spans_suffix_incremental" -> Dedup.dupSpansSuffixIncrementalSql,
+    "dup_span_suffix_scrub" -> Dedup.dupSpanSuffixScrubSql,
     "dup_span_scrub" -> Dedup.dupSpanScrubSql,
     "dup_span_scrub_aligned" -> Dedup.dupSpanScrubAlignedSql,
     "decontaminate_scrub" -> Dedup.decontaminateScrubSql,

@@ -2516,6 +2516,31 @@ object Dedup {
       docs: DataFrame): DataFrame =
     suffixSpansCore(spark, docs, Some(IncrementalCut))
 
+  /** EXACTSUBSTR SCRUB — the APPLY face of [[dupSpansSuffix]] and the
+    * policy Lee et al. 2021's released ExactSubstr tool ships: EVERY
+    * occurrence of every duplicated region is excised (repetition is
+    * treated as boilerplate). This differs deliberately from the gram
+    * family's keep-first scrubs ([[dupSpanScrub]]), whose excision
+    * classes come from gram identity and keep the corpus-first copy —
+    * suffix spans are per-position maximal-match unions with no
+    * span-identity classes, so all-occurrence excision is the exact,
+    * well-defined APPLY. Detection is the full [[suffixSpansCore]]
+    * construction; the APPLY tail is the family's shared
+    * [[scrubRebuild]] (drop every token inside any span, rebuild the
+    * cleaned token stream, report per-doc counts) — doc-bounded
+    * per-doc arrays, no corpus-sized shuffle beyond detection's own. */
+  def dupSpanSuffixScrub(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dupSpansSuffix(spark, dir)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    // the per-doc ordered token array is split(text) minus empties —
+    // token idx is positional, so no explode / window / collect is
+    // needed (docArrOf exists for callers that already hold a token
+    // frame; rebuilding one here would re-shuffle the corpus)
+    val docArr = t(spark, dir, "documents").select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("arr"))
+    scrubRebuild(spark, dir, docArr, spans)
+  }
+
   /** Shared construction behind [[dupSpansSuffix]] and
     * [[dupSpansSuffixIncremental]]:
     *
@@ -2826,7 +2851,9 @@ object Dedup {
     * MATERIALIZED: each rank level is referenced three times (both legs
     * of the next round + the descend). */
   lazy val dupSpansSuffixSql: String =
-    OracleSql.materializeCtes(dupSpansSuffixSqlOf(""))
+    OracleSql.materializeCtes(dupSpansSuffixSqlOf("",
+      """SELECT doc_id, span_start, span_end, span_tokens FROM sspans
+        |ORDER BY doc_id, span_start""".stripMargin))
 
   /** Oracle for [[dupSpansSuffixIncremental]]: the FULL construction
     * with the hit set restricted to delta docs (islands are per-doc, so
@@ -2834,9 +2861,42 @@ object Dedup {
     * batch-cadence face reports exactly the rebuild's delta spans. */
   lazy val dupSpansSuffixIncrementalSql: String =
     OracleSql.materializeCtes(
-      dupSpansSuffixSqlOf(s" AND doc_id >= $IncrementalCut"))
+      dupSpansSuffixSqlOf(s" AND doc_id >= $IncrementalCut",
+        """SELECT doc_id, span_start, span_end, span_tokens FROM sspans
+          |ORDER BY doc_id, span_start""".stripMargin))
 
-  private def dupSpansSuffixSqlOf(hitFilter: String): String = {
+  /** Oracle for [[dupSpanSuffixScrub]]: the FULL suffix-span construction
+    * + the same excise-every-occurrence rebuild tail the gram scrubs
+    * replay (string_agg ORDER BY ≡ the sorted-struct rebuild). */
+  lazy val dupSpanSuffixScrubSql: String =
+    OracleSql.materializeCtes(dupSpansSuffixSqlOf("",
+      s"""kept AS (
+         |  SELECT t.doc_id, t.idx, t.tok FROM toks t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sspans e WHERE e.doc_id = t.doc_id
+         |      AND t.idx BETWEEN e.span_start AND e.span_end)),
+         |rebuilt AS (
+         |  SELECT doc_id, count(*) AS kept_n,
+         |    string_agg(tok, ' ' ORDER BY idx) AS kept_text
+         |  FROM kept GROUP BY doc_id),
+         |before_n AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |ex_n AS (SELECT doc_id, count(*) AS n FROM sspans GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_before,
+         |  CAST(COALESCE(r.kept_n, 0) AS BIGINT) AS n_after,
+         |  CAST(COALESCE(e.n, 0) AS BIGINT) AS n_excised,
+         |  COALESCE(r.kept_text, '') AS cleaned_text
+         |FROM documents d
+         |LEFT JOIN before_n b ON b.doc_id = d.doc_id
+         |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         |LEFT JOIN ex_n e ON e.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin))
+
+  /** The shared WITH-chain (toks → rank rounds → SA → descend → spans as
+    * the `sspans` CTE) followed by `tail`. The scrub tail needs `kept AS
+    * (...` to be a CTE continuation, so `tail` either starts its own
+    * SELECT or extends the chain. */
+  private def dupSpansSuffixSqlOf(hitFilter: String, tail: String): String = {
     val R = SuffixOracleRounds
     val rounds = (1 to R).map { k =>
       val s = 1L << (2 * (k - 1))
@@ -2922,11 +2982,13 @@ object Dedup {
        |  FROM (SELECT doc_id, idx, e,
        |          MAX(e) OVER (PARTITION BY doc_id ORDER BY idx
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       |        FROM shits))
-       |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
-       |  CAST(max(e) AS BIGINT) AS span_end,
-       |  CAST(max(e) - min(idx) + 1 AS BIGINT) AS span_tokens
-       |FROM sisl GROUP BY doc_id, island
-       |ORDER BY doc_id, span_start""".stripMargin
+       |        FROM shits)),
+       |sspans AS (
+       |  SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+       |    CAST(max(e) AS BIGINT) AS span_end,
+       |    CAST(max(e) - min(idx) + 1 AS BIGINT) AS span_tokens
+       |  FROM sisl GROUP BY doc_id, island)""".stripMargin +
+      (if (tail.trim.toUpperCase(java.util.Locale.ROOT).startsWith("SELECT"))
+        "\n" else ",\n") + tail
   }
 }

@@ -157,6 +157,33 @@ class SuffixDedupSpec extends AnyFunSuite with SparkSpec {
     assert(inc.nonEmpty, "no delta spans at all — vacuous cadence pin")
   }
 
+  test("dup_span_suffix_scrub: excises exactly the span tokens of every occurrence") {
+    val spans = Dedup.dupSpansSuffix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val scrub = Dedup.dupSpanSuffixScrub(spark, dir).collect()
+    graft.SharedFrames.releaseAll()
+    val toks = tokenized()
+    assert(scrub.length == toks.size, "one row per document")
+    scrub.foreach { r =>
+      val d = r.getLong(0)
+      val (nb, na, nx, clean) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      val orig = toks.getOrElse(d, Array.empty[String])
+      val ds = spans.getOrElse(d, Array.empty)
+      assert(nb == orig.length, s"doc $d n_before")
+      assert(nx == ds.length, s"doc $d n_excised = span count")
+      val excised = ds.flatMap { case (_, s, e) => s to e }.toSet
+      val want = orig.indices.filterNot(i => excised(i.toInt)).map(orig)
+      assert(na == want.length, s"doc $d n_after")
+      assert(clean == want.mkString(" "), s"doc $d cleaned_text")
+    }
+    // non-vacuous: some doc actually lost tokens, some doc kept all
+    assert(scrub.exists(r => r.getLong(3) > 0))
+    assert(scrub.exists(r => r.getLong(3) == 0 &&
+      r.getLong(1) == r.getLong(2)))
+  }
+
   test("dup_spans_suffix: coverage is a superset of every gram-seeded dup_spans island") {
     val sfx = Dedup.dupSpansSuffix(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
