@@ -58,7 +58,10 @@ object Bench {
     * exactly the clobber class this rewrite eliminates. Only the full
     * suite with an explicit round touches a round record. */
   private lazy val localArtifact: String =
-    if (sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty))
+    if (sys.env.contains("SPARK_GRAFT_ONLY"))
+      // present AT ALL (even blank — "SPARK_GRAFT_ONLY=$SUBSET" with an
+      // empty var must not fall through and clobber a round record with
+      // a zero-query run): any subset intent diverts to _latest
       "BENCH_LOCAL_latest.json"
     else sys.props.get("graft.round")
       .orElse(sys.env.get("SPARK_GRAFT_ROUND")).map(_.trim).filter(_.nonEmpty)
@@ -99,9 +102,13 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
 
     // dev aid: SPARK_GRAFT_ONLY=q1,q2 times a subset (driver leaves it
-    // unset, so the contract run always covers the full suite)
+    // unset, so the contract run always covers the full suite). Blank
+    // entries are dropped and an all-blank value means NO filter — the
+    // same normalization localArtifact's guard assumes, so a blank-but-
+    // set env can never produce a zero-query artifact
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 

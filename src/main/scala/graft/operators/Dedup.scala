@@ -2694,17 +2694,27 @@ object Dedup {
       * with the rank-class range bucket attached. */
     def pairedFrame(prev: DataFrame, k: Int): DataFrame = {
       val s = 1 << (4 * (k - 1))
-      val shifted = (1 to R - 2).map(j => coalesce(col(s"rw$j"), lit(0L)))
-      val last = coalesce(lead(col("r"), (R - 1) * s).over(byDocW), lit(0L))
+      // past-end padding sentinel −1: round 1's input "ranks" are raw
+      // 60-bit md5 prefixes where 0 is a LEGITIMATE value (the f4
+      // fingerprint already pads with −1 for the same reason), so a 0
+      // sentinel could merge a short suffix with one whose next token
+      // hashes to 0; −1 is below both the md5 domain and the dense
+      // ranks (≥1) of every later round
+      val shifted = (1 to R - 2).map(j => coalesce(col(s"rw$j"), lit(-1L)))
+      val last =
+        coalesce(lead(col("r"), (R - 1) * s).over(byDocW), lit(-1L))
       val tuple = col("r") +: (shifted :+ last)
       val named = tuple.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }
       prev
         .select((Seq(col("doc_id"), col("idx"), col("f4")) ++ named): _*)
+        // the −1 padding is clamped to 0 for the BUCKET only: merging
+        // the sentinel with rank 0 keeps the bucket non-negative and
+        // stays monotone (adjacent keys may merge, never invert)
         .withColumn("_skb",
           if (k == 1)
             least(floor(col("_t0").cast("double") * B / math.pow(2, 60))
               .cast("long"), lit(B - 1))
-          else pairBucket(col("_t0"), col("_t1")))
+          else pairBucket(col("_t0"), greatest(col("_t1"), lit(0L))))
     }
     /** One prefix-doubling round: the dense rank is a bucket window; the
       * per-bucket offsets are a countDistinct agg feeding a broadcast

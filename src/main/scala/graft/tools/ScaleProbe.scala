@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 
 /** Builds a documents table N× the source SF for the heavy-tail scaling
   * probe (BASELINE.md "sf1 probe"): the source documents are replicated
-  * with per-replica REMAPPED tokens (`tok` → `tok_k`) and offset doc_ids,
-  * so replicas never duplicate each other and every replica carries the
-  * source's exact duplication structure — total duplicated-span mass
-  * scales linearly with corpus size, the regime a grown crawl sits in.
-  * Other tables are not written here; the probe recipe copies them from
-  * the source SF unchanged (embedding-joined stages therefore see only
-  * the original ids — noted where a probed query uses them). */
+  * with per-replica REMAPPED tokens (`tok` → `k§tok` — the digits-only
+  * replica id before the first `§` makes the map injective across
+  * replicas for ANY source vocabulary, unlike a suffix scheme a vocab
+  * already containing `_k`-suffixed tokens could alias) and offset
+  * doc_ids, so replicas never duplicate each other and every replica
+  * carries the source's exact duplication structure — total
+  * duplicated-span mass scales linearly with corpus size, the regime a
+  * grown crawl sits in. Other tables are not written here; the probe
+  * recipe copies them from the source SF unchanged (embedding-joined
+  * stages therefore see only the original ids — noted where a probed
+  * query uses them). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -27,14 +31,15 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val cols = docs.columns
     val out = (0 until replicas).map { k =>
-      val remapped =
-        if (k == 0) docs
-        else docs
-          .withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
-          .withColumn("text", array_join(
-            transform(split(col("text"), " "),
-              x => when(x === "", x).otherwise(concat(x, lit(s"_$k")))),
-            " "))
+      // every replica (k = 0 included) gets the prefix, so the images
+      // of distinct replicas are disjoint by the digits-before-first-§
+      // parse regardless of what characters source tokens contain
+      val remapped = docs
+        .withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            x => when(x === "", x).otherwise(concat(lit(s"$k§"), x))),
+          " "))
       remapped.select(cols.map(col): _*)
     }.reduce(_ union _)
     out.repartition(32).write.mode("overwrite")

@@ -157,6 +157,35 @@ class SuffixDedupSpec extends AnyFunSuite with SparkSpec {
     assert(inc.nonEmpty, "no delta spans at all — vacuous cadence pin")
   }
 
+  test("dup_spans_suffix_incremental: delta cadence holds on a >256-token synthetic corpus") {
+    import spark.implicits._
+    // base = the long docs; delta = two docs past IncrementalCut, one
+    // sharing a 60-token slice of the base block (cross-corpus match at
+    // K = 3 depth), one sharing the intra-doc repeat
+    val base = longDocs()
+    val block = lcgTokens(99, 280)
+    val rep = lcgTokens(5, 12)
+    val docs = base ++ Map(
+      (Dedup.IncrementalCut + 1) ->
+        (lcgTokens(11, 30) ++ block.slice(100, 160) ++ lcgTokens(12, 30)),
+      (Dedup.IncrementalCut + 2) ->
+        (lcgTokens(13, 25) ++ rep ++ lcgTokens(14, 25)))
+    val df = docs.toSeq.sortBy(_._1)
+      .map { case (d, toks) => (d, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val full = Dedup.dupSpansSuffixFrom(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 >= Dedup.IncrementalCut).toSet
+    val inc = Dedup.dupSpansSuffixIncrementalFrom(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.SharedFrames.releaseAll()
+    assert(inc == full,
+      s"missing=${full.diff(inc).take(5)} extra=${inc.diff(full).take(5)}")
+    // non-vacuous: the delta really matched base content
+    assert(inc.exists { case (_, s, e) => e - s + 1 >= 50 },
+      "no long cross-corpus delta span — depth pin vacuous")
+  }
+
   test("dup_span_suffix_scrub: excises exactly the span tokens of every occurrence") {
     val spans = Dedup.dupSpansSuffix(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
