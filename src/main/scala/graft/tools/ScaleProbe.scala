@@ -30,12 +30,23 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val cols = docs.columns
+    // the replica doc_id offset stride must clear every source id, or
+    // colliding ids across replicas would make replicas duplicate each
+    // other — silently voiding the probe's linear-duplication-mass
+    // premise. Assert loudly instead (ADVICE r14).
+    val stride = 100000000L
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < stride,
+      s"ScaleProbe: max source doc_id $maxId >= replica stride $stride — ids would alias across replicas")
+    require(replicas.toLong * stride > 0 &&
+        maxId + (replicas.toLong - 1) * stride > 0,
+      s"ScaleProbe: $replicas replicas x stride $stride overflows Long")
     val out = (0 until replicas).map { k =>
       // every replica (k = 0 included) gets the prefix, so the images
       // of distinct replicas are disjoint by the digits-before-first-§
       // parse regardless of what characters source tokens contain
       val remapped = docs
-        .withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
+        .withColumn("doc_id", col("doc_id") + lit(k * stride))
         .withColumn("text", array_join(
           transform(split(col("text"), " "),
             x => when(x === "", x).otherwise(concat(lit(s"$k§"), x))),
