@@ -638,10 +638,15 @@ object SparkEntry {
     // the bounded slice — an end-to-end recall check the driver can see
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_incremental" -> Dedup.dedupMinhashIncrementalSql,
-    // dedup_simhash_verified: deliberately NO oracle — simhash recall of
-    // trigram near-dups is high but not 1.0 on this corpus, so an
-    // equality oracle would be a false claim; its output carries exact
-    // jaccard + hamming per pair instead (pair-exactness evidence).
+    // the banding MECHANISM oracles (r14 verdict task 1): FNV-1a +
+    // splitmix64 sketch hashing, banding, and hamming replayed in exact
+    // wrapping-64-bit SQL (the lang_id_trained discipline). These gate
+    // the arithmetic and candidate-pair sets; the probabilistic part
+    // (sketch recall of j>=0.7 truth) stays a ScalaTest pin, NOT an
+    // oracle claim — see the dedupSimhashVerified scaladoc.
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLshSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_simhash_verified" -> Dedup.dedupSimhashVerifiedSql,
     // oracle from first principles: expected dims/file sizes follow from
     // the format geometry; Spark must reproduce them by really encoding
     // and re-parsing BMP/WAV bytes
@@ -701,13 +706,13 @@ object SparkEntry {
     // proves the whole approximate pipeline, not just its exact twin
     "ann_lsh" -> Similarity.annLshSql,
     "embedding_neardup_lsh" -> Similarity.embeddingNearDupLshSql,
-    // dedup_minhash_lsh / dedup_simhash(_verified) / ann_ivf /
-    // approx_stats: the remaining native hash/sketch internals
-    // (xxhash-based minhash, simhash, HLL/quantile sketches, the k-means
-    // float path) aren't DuckDB-expressible → driver records the weaker
-    // rows-only check; each has an oracle-checked exact twin
-    // (dedup_*_verified, ann_ivf_verified/indexed, percentiles) and/or
-    // ScalaTest recall/error-bound pins against the exact operators.
+    // ann_ivf / approx_stats: the remaining native sketch internals
+    // (HLL/quantile register merges, the k-means float path) aren't
+    // DuckDB-expressible → driver records the weaker rows-only check;
+    // each has an oracle-checked exact twin (ann_ivf_verified/indexed,
+    // percentiles) and ScalaTest error-bound pins against the exact
+    // operators. (The minhash/simhash banding rows joined the oracle
+    // gate in r15 — their FNV/splitmix arithmetic replays in SQL.)
     // bpe_vocab_256 / bpe_vocab_256_batched / bpe_encode_batched:
     // 256 merge rounds are past unrolled-SQL tractability → rows-only,
     // with FULL driver replays (every merge, and for the encoder every

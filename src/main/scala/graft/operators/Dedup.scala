@@ -1678,25 +1678,28 @@ object Dedup {
     b.as("x").hint("shuffle_hash").join(b.as("y"), Seq("bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= SimhashHamming)
       .distinct()
   }
 
   /** SimHash evidence twin: every exact near-dup pair on the bounded slice
     * with its TRUE trigram Jaccard, exact simhash hamming distance, and
-    * whether block-banding caught it. UNLIKE [[dedupMinhashVerified]] this
-    * has NO equality oracle: a 64-bit sketch cannot separate j≈0.7 pairs
-    * from the background hamming distribution on this corpus (measured
-    * with the trigram-feature sketch: true j≥0.7 pairs sit at h≤6 for
-    * 11/12 at sf0.001 and 3/3 at sf0.01, but the single sf0.1 pair —
-    * j=0.703 — is at h=14, inside background mass). SimHash here is
-    * precision-oriented: every j≥0.9 pair measured lands at h≤5, and
-    * banding recall of h≤6 pairs is GUARANTEED ([[simhashBuckets]]), so
-    * the only loss is sketch resolution at the j≈0.7 boundary — an
-    * equality oracle against j≥0.7 truth would encode a false claim.
-    * The driver rows+schema-checks the pair-exactness columns; ScalaTest
-    * pins the recall floor per SF. */
+    * whether block-banding caught it.
+    *
+    * Its oracle ([[dedupSimhashVerifiedSql]]) replays the MECHANISM —
+    * sketch hashing, hamming, and the 2-of-8 block banding — in exact
+    * integer SQL, NOT an equality claim against j≥0.7 truth: a 64-bit
+    * sketch cannot separate j≈0.7 pairs from the background hamming
+    * distribution on this corpus (measured with the trigram-feature
+    * sketch: true j≥0.7 pairs sit at h≤6 for 11/12 at sf0.001 and 3/3 at
+    * sf0.01, but the single sf0.1 pair — j=0.703 — is at h=14, inside
+    * background mass), so a recall-encoding oracle would be a false
+    * claim. SimHash here is precision-oriented: every j≥0.9 pair
+    * measured lands at h≤5, and banding recall of h≤6 pairs is
+    * GUARANTEED ([[simhashBuckets]]). The gate certifies the arithmetic;
+    * ScalaTest pins the per-SF recall floor (the probabilistic part). */
   def dedupSimhashVerified(spark: SparkSession, dir: String): DataFrame = {
     // consumed by 4 join sides below, but the sketch is now a narrow
     // single-pass projection — recomputing per consumer is cheaper than
@@ -1713,13 +1716,200 @@ object Dedup {
       .crossJoin(sk.select(col("doc_id").as("d2"), col("simhash").as("s2")))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
     dedupNgramJaccard(spark, dir)
       .join(hams, Seq("d1", "d2"), "left_outer")
       .join(caught, Seq("d1", "d2"), "left_outer")
       .select(col("d1"), col("d2"), col("jaccard"), col("hamming"),
         coalesce(col("caught"), lit(false)).as("caught"))
   }
+
+  // ------------------------------------------------------------------
+  // DuckDB replay of the sketch-hash arithmetic (the lang_id_trained
+  // discipline, extended to the banding family): FNV-1a 64-bit over the
+  // gram's UTF-16 units + the splitmix64 finalizer — bit-for-bit the
+  // [[graft.functions.MinHashSig]]/[[graft.functions.SimHash64]]
+  // arithmetic — in wrapping 64-bit SQL integer math. Values ride as
+  // HUGEINT in [0, 2^64); the FNV multiply's product stays under 2^104
+  // (the prime is ~2^40) so a plain HUGEINT `% 2^64` wraps it, while
+  // each splitmix multiply splits its 64-bit constant into 32-bit
+  // halves so no partial product exceeds 2^96 (HUGEINT holds 2^127).
+  // ascii() yields the Unicode codepoint, which equals the UTF-16 unit
+  // for BMP text — the same windowing assumption every trigram oracle
+  // in this file already makes (the corpus is ASCII).
+  // ------------------------------------------------------------------
+  private val U64 = "18446744073709551616" // 2^64
+  private val I64Half = "9223372036854775808" // 2^63
+  private def unsignedLit(c: Long): String =
+    java.lang.Long.toUnsignedString(c)
+  /** `(a * c) % 2^64` for a HUGEINT expression `a` in [0, 2^64) and a
+    * 64-bit constant `c`, via 32-bit constant halves. */
+  private def mul64Sql(a: String, c: Long): String = {
+    val hi = unsignedLit(c >>> 32)
+    val lo = unsignedLit(c & 0xFFFFFFFFL)
+    s"(($a) * $lo + ((($a) % 4294967296) * $hi % 4294967296) * 4294967296) % $U64"
+  }
+  private val FnvBasisU = unsignedLit(0xcbf29ce484222325L)
+  private val FnvPrime = 0x100000001b3L // fits signed 64-bit
+  private val GoldenU = unsignedLit(0x9e3779b97f4a7c15L)
+  private val MixM1 = 0xbf58476d1ce4e5b9L
+  private val MixM2 = 0x94d049bb133111ebL
+
+  /** FNV-1a over a gram expression: unrolled for the hot 3-char shape,
+    * list-folded for the short-doc whole-string grams. */
+  private def fnvSql(g: String): String = {
+    val unrolled = (1 to 3).foldLeft(s"CAST($FnvBasisU AS HUGEINT)") {
+      (acc, i) =>
+        s"(xor($acc, CAST(ascii(($g)[$i:$i]) AS HUGEINT)) * $FnvPrime) % $U64"
+    }
+    s"""CASE WHEN length($g) = 3 THEN $unrolled
+       |    ELSE list_reduce(list_prepend(CAST($FnvBasisU AS HUGEINT),
+       |           list_transform(range(1, length($g)+1),
+       |                          i -> CAST(ascii(($g)[i:i]) AS HUGEINT))),
+       |         (a, c) -> (xor(a, c) * $FnvPrime) % $U64) END""".stripMargin
+  }
+
+  /** The per-doc trigram feature rows both sketches consume: every
+    * length-3 character window (docs under 3 chars contribute their
+    * whole text as the single feature — the degenerate-doc rule of both
+    * native expressions), bounded to `doc_id < cap` when given. */
+  private def gramRowsSql(cap: String = ""): String =
+    s"""SELECT doc_id, unnest(list_transform(
+       |    range(1, length(text)-1), i -> text[i:i+2])) AS gram
+       |  FROM documents WHERE length(text) >= 3 $cap
+       |  UNION ALL
+       |  SELECT doc_id, text AS gram FROM documents
+       |  WHERE length(text) < 3 $cap""".stripMargin
+
+  /** splitmix64 avalanche (post-add) as a 2-CTE chain from `src`(… z) to
+    * `out`(… h): h = xor(m2, m2 >> 31) where m2 chains the two split
+    * multiplies. `carry` columns ride through. */
+  private def mixTailCtes(src: String, out: String, carry: Seq[String]): String = {
+    val cs = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    s"""${out}_a AS (SELECT $cs${mul64Sql("xor(z, z >> 30)", MixM1)} AS z FROM $src),
+       |$out AS (SELECT $cs xor(z2, z2 >> 31) AS h FROM
+       |  (SELECT $cs${mul64Sql("xor(z, z >> 27)", MixM2)} AS z2 FROM ${out}_a))""".stripMargin
+  }
+
+  /** Oracle for [[dedupMinhashLsh]]: signatures, banding, and the inline
+    * agreement estimate replayed in exact integer SQL. Each distinct
+    * corpus gram is hashed ONCE per permutation (min over a multiset
+    * equals min over the set); signature mins compare in SIGNED 64-bit
+    * order, exactly like the Java `<`. Banding joins on the raw
+    * [[MinhashK]]/[[Bands]]-tuple instead of its xxhash64 image — bucket
+    * equality IS tuple equality modulo a 2⁻⁶⁴ collision that could only
+    * ADD a candidate (which the est filter then judges), so equality
+    * across the two constructions is an independent-construction proof
+    * of the banding mechanism. */
+  lazy val dedupMinhashLshSql: String = {
+    val r = MinhashK / Bands
+    OracleSql.materializeCtes(
+      s"""WITH gd AS (
+         |  ${gramRowsSql()}),
+         |ga AS (SELECT DISTINCT gram FROM gd),
+         |fb AS (SELECT gram, ${fnvSql("gram")} AS base FROM ga),
+         |pz AS (SELECT gram, CAST(p AS BIGINT) AS p,
+         |    (base + (p + 1) * CAST($GoldenU AS HUGEINT)) % $U64 AS z
+         |  FROM fb, range($MinhashK) rp(p)),
+         |${mixTailCtes("pz", "gh", Seq("gram", "p"))},
+         |ghs AS (SELECT gram, p,
+         |    CAST(CASE WHEN h >= $I64Half THEN h - $U64 ELSE h END
+         |         AS BIGINT) AS hs FROM gh),
+         |sigp AS (SELECT gd.doc_id, ghs.p, min(ghs.hs) AS mn
+         |         FROM gd JOIN ghs USING (gram) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(mn ORDER BY p) AS sig
+         |        FROM sigp GROUP BY 1),
+         |bands AS (SELECT doc_id, sig, b,
+         |            sig[$r*b+1:$r*b+$r] AS tup
+         |          FROM sig, range($Bands) rb(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |           x.sig AS s1, y.sig AS s2
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.tup = y.tup AND x.doc_id < y.doc_id),
+         |est AS (SELECT d1, d2,
+         |          CAST(len(list_filter(range(1, ${MinhashK + 1}),
+         |                 i -> s1[i] = s2[i])) AS DOUBLE) / $MinhashK
+         |            AS est_jaccard
+         |        FROM cand)
+         |SELECT d1, d2, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.6""".stripMargin)
+  }
+
+  /** The sketch CTE chain shared by the two simhash oracles: gram
+    * multiset counts → one mixed hash per distinct gram → 64 vote sums →
+    * `skt`(doc_id, sku HUGEINT) and `sk`(doc_id, s BIGINT signed). */
+  private def simhashSketchCtes(cap: String): String = {
+    val votes = (0 until 64).map(b =>
+      s"SUM(cnt * CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .grouped(4).map(_.mkString(", ")).mkString(",\n|    ")
+    val sketch = (0 until 64).map(b =>
+      s"CASE WHEN v$b > 0 THEN CAST(${unsignedLit(1L << b)} AS HUGEINT) ELSE 0 END")
+      .grouped(2).map(_.mkString(" + ")).mkString("\n|    + ")
+    s"""sgd AS (
+       |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  ${gramRowsSql(cap)}) GROUP BY 1, 2),
+       |sga AS (SELECT DISTINCT gram FROM sgd),
+       |sfb AS (SELECT gram, ${fnvSql("gram")} AS base FROM sga),
+       |sm0 AS (SELECT gram, (base + $GoldenU) % $U64 AS z FROM sfb),
+       |${mixTailCtes("sm0", "sgh", Seq("gram"))},
+       |sv AS (SELECT sgd.doc_id,
+       |    $votes
+       |  FROM sgd JOIN sgh USING (gram) GROUP BY 1),
+       |skt AS (SELECT doc_id,
+       |    $sketch
+       |  AS sku FROM sv),
+       |sk AS (SELECT doc_id,
+       |  CAST(CASE WHEN sku >= $I64Half THEN sku - $U64 ELSE sku END
+       |       AS BIGINT) AS s FROM skt)""".stripMargin
+  }
+
+  /** Oracle for [[dedupSimhash]]: the sketch replayed in exact integer
+    * SQL, then ALL pairs at hamming ≤ [[SimhashHamming]] by brute force —
+    * [[simhashBuckets]]' 2-of-8 banding is recall-GUARANTEED for h≤6
+    * pairs (pigeonhole) and the est filter drops everything else, so the
+    * banded output must equal the brute-force set exactly. Equality
+    * therefore certifies the sketch arithmetic AND the pigeonhole
+    * completeness of the banding, not merely a replay of it. */
+  lazy val dedupSimhashSql: String = OracleSql.materializeCtes(
+    s"""WITH ${simhashSketchCtes("")},
+       |pairs AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |    CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+       |  FROM sk x JOIN sk y ON x.doc_id < y.doc_id)
+       |SELECT d1, d2, hamming FROM pairs
+       |WHERE hamming <= $SimhashHamming""".stripMargin)
+
+  /** Oracle for [[dedupSimhashVerified]]: exact trigram Jaccard (the
+    * shared [[trigramPairsSqlPrefix]] CTEs), the sketch replay on the
+    * 200-doc slice, brute-force hamming, and the 2-of-8 block-banding
+    * bucket join replayed key-for-key ((combo<<16)|(b1<<8)|b2). */
+  lazy val dedupSimhashVerifiedSql: String = OracleSql.materializeCtes(
+    s"""$trigramPairsSqlPrefix,
+       |jac AS (
+       |  SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.7),
+       |${simhashSketchCtes("AND doc_id < 200")},
+       |ham AS (
+       |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |    CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+       |  FROM sk x JOIN sk y ON x.doc_id < y.doc_id),
+       |blocks AS (SELECT doc_id, c, (sku >> (8*c)) % 256 AS bv
+       |           FROM skt, range(8) rc(c)),
+       |bkey AS (SELECT b1.doc_id,
+       |           (b1.c*8 + b2.c)*65536 + b1.bv*256 + b2.bv AS bk
+       |         FROM blocks b1 JOIN blocks b2
+       |           ON b1.doc_id = b2.doc_id AND b1.c < b2.c),
+       |caught AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |           FROM bkey x JOIN bkey y
+       |             ON x.bk = y.bk AND x.doc_id < y.doc_id)
+       |SELECT j.d1, j.d2, j.jaccard, h.hamming,
+       |  c.d1 IS NOT NULL AS caught
+       |FROM jac j
+       |LEFT JOIN ham h ON h.d1 = j.d1 AND h.d2 = j.d2
+       |LEFT JOIN caught c ON c.d1 = j.d1 AND c.d2 = j.d2""".stripMargin)
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing any
     * [[ContamGram]]-char gram with the evaluation set (stand-in: doc_id < 10 — in

@@ -127,7 +127,7 @@ class PipelineOperatorsSpec extends AnyFunSuite with SparkSpec {
     val exact = Dedup.dedupNgramJaccard(spark, dir)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sim = Dedup.dedupSimhash(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
     sim.foreach { case (_, h) => assert(h <= Dedup.SimhashHamming) }
     val simPairs = sim.map(_._1).toSet
 
