@@ -1162,11 +1162,11 @@ object TextAnalysis {
     * table, and map-side-combinable aggregates — no shuffle wider than
     * (doc, bucket).
     *
-    * DOMAIN: Basic Multilingual Plane text only, asserted per document —
-    * the engine's trigram windows count UTF-16 code units while the
-    * oracle's count codepoints, so a doc containing an astral-plane
-    * character (or a stray surrogate half) raises loudly instead of
-    * silently diverging from the oracle. */
+    * DOMAIN: all valid Unicode — both faces window and hash true
+    * codepoints (astral planes included; a real crawl has emoji on page
+    * one), verified by probe and pinned in LangIdSpec. Only an UNPAIRED
+    * surrogate half (invalid Unicode) raises loudly per document instead
+    * of hashing engine-dependently. */
   def langIdTrained(spark: SparkSession, dir: String): DataFrame =
     langIdTrainedFrom(t(spark, dir, "documents"))
 
@@ -1245,24 +1245,25 @@ object TextAnalysis {
       if (selSet(j)) langs.toSeq.map(l => wMap(l)(j)) else zeroVec
     }
     // per-char closed form of the 3-step (h·31 + cp) % m fold — congruent
-    // since every operand stays far below 2^63 (cp < 2^21, ×961) — over a
-    // codepoint ARRAY built once per doc: positional substring() on a
-    // long UTF8 string is an O(i) scan (O(len²) per doc, measured 2×).
-    // BMP-ONLY DOMAIN, asserted loudly: the engine windows trigram over
-    // UTF-16 code units (split(text, '')) while the oracle windows over
-    // Unicode codepoints — identical ONLY while no character needs a
-    // surrogate pair. An astral-plane character (emoji, supplementary
-    // CJK) would shift every later window and hash surrogate halves, so
-    // it must FAIL the query, never silently hash-mismatch the gate.
-    // Java's regex engine decodes to code POINTS, so a lone surrogate
-    // class only matches unpaired halves — match the astral plane
-    // directly ([\x{10000}-\x{10FFFF}]) plus stray halves.
-    val astral = col("text")
-      .rlike("[\\x{10000}-\\x{10FFFF}]|[\\uD800-\\uDFFF]")
-    val cps = when(astral, raise_error(concat(
-        lit("lang_id_trained: non-BMP character in doc_id="),
+    // since every operand stays far below 2^63 (cp < 2^21: the Unicode
+    // ceiling is 0x10FFFF, ×961) — over a codepoint ARRAY built once per
+    // doc: positional substring() on a long UTF8 string is an O(i) scan
+    // (O(len²) per doc, measured 2×).
+    // FULL-UNICODE DOMAIN (r14 verdict task 3): both faces window over
+    // true CODEPOINTS — Spark's split(text, '') never splits a surrogate
+    // pair and ascii() returns the full codepoint (128169 for U+1F4A9,
+    // probe-verified), exactly like DuckDB's substring/ascii — so astral
+    // text (emoji, supplementary CJK) hashes identically in both
+    // engines; LangIdSpec pins the astral path end to end. The one
+    // remaining invalid input is an UNPAIRED surrogate half (not valid
+    // Unicode text; Java's regex engine decodes code points, so the
+    // surrogate class matches only stray halves) — that still fails
+    // loudly rather than hashing engine-dependently.
+    val lone = col("text").rlike("[\\uD800-\\uDFFF]")
+    val cps = when(lone, raise_error(concat(
+        lit("lang_id_trained: unpaired surrogate half in doc_id="),
         col("doc_id").cast("string"),
-        lit(" — UTF-16 trigram windows diverge from codepoint windows"))))
+        lit(" — not valid Unicode text"))))
       .otherwise(expr(
         "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
     val jArr = expr(

@@ -59,21 +59,39 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
     assert(hold.map(_.getString(2)).toSet.size == 4)
   }
 
-  test("lang_id_trained rejects astral-plane text loudly (BMP-only domain)") {
+  test("lang_id_trained scores astral-plane text (full-Unicode domain, r14 task 3)") {
     import spark.implicits._
-    // one held-out doc with a supplementary-plane character: UTF-16
-    // trigram windows would silently diverge from the oracle's codepoint
-    // windows, so the operator must raise, not mispredict
-    val astral = syntheticDocs(8, 8).union(
-      Seq((TextAnalysis.LidTrainCap + 9999L, "ok text 𝕏 more", "aa"))
-        .toDF("doc_id", "text", "lang"))
-    val e = intercept[Exception] {
-      TextAnalysis.langIdTrainedFrom(astral).collect()
+    // a fifth language whose words are SUPPLEMENTARY-plane characters
+    // (emoji + mathematical alphanumerics): a real crawl has these on
+    // page one, and the r13 BMP raise refused the whole document. Both
+    // faces now window true codepoints (Spark split('') never splits a
+    // surrogate pair; ascii() returns the full codepoint — probe-verified
+    // against DuckDB's substring/ascii), so the identical train+score
+    // pipeline must LEARN the astral language, not raise on it.
+    val emojiWords = Vector("😀😃😄", "🚀🌕🚀", "𝕏𝕐𝕏", "🍎🍐🍎", "😀🚀𝕏")
+    def etext(seed: Long): String = {
+      var s = seed
+      (1 to 30).map { _ =>
+        s = (s * 1103515245L + 12345L) % 2147483648L
+        emojiWords((s % emojiWords.length).toInt)
+      }.mkString(" ")
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("non-BMP character")),
-      s"wrong failure: ${e.getMessage}")
+    val eTrain = (0 until 8).map(i => (100L + i, etext(5000L + i), "ee"))
+    val eHold = (0 until 8).map(i =>
+      (TextAnalysis.LidTrainCap + 500L + i, etext(7777L + i), "ee"))
+    val docs = syntheticDocs(8, 8).union(
+      (eTrain ++ eHold).toDF("doc_id", "text", "lang"))
+    val out = TextAnalysis.langIdTrainedFrom(docs).collect()
+    val eOut = out.filter(r => r.getLong(0) >= TextAnalysis.LidTrainCap + 500 &&
+      r.getLong(0) < TextAnalysis.LidTrainCap + 500 + 8)
+    assert(eOut.length == 8)
+    val acc = eOut.count(_.getBoolean(4))
+    assert(acc >= 7, s"astral-language held-out accuracy $acc/8 — " +
+      s"preds=${eOut.map(r => r.getString(2)).mkString(",")}")
+    // and the astral docs were really scored through features, not the
+    // featureless prior fallback (fallback costs are one shared constant)
+    assert(eOut.map(_.getLong(3)).distinct.length > 1,
+      "astral docs all fell back to the prior — features not hashed")
   }
 
   test("lang_id_trained on the corpus: one row per doc, non-negative NB costs, deterministic") {
