@@ -706,6 +706,12 @@ object SparkEntry {
     // proves the whole approximate pipeline, not just its exact twin
     "ann_lsh" -> Similarity.annLshSql,
     "embedding_neardup_lsh" -> Similarity.embeddingNearDupLshSql,
+    // maximal repeats are DEFINABLE by pure occurrence counting — the
+    // oracle brute-force-enumerates every token slice and applies the
+    // definition, meeting the engine's suffix automaton by theorem
+    // (endpos algebra; see the scaladoc): an independent-construction
+    // proof in the dup_spans_hashed tradition
+    "intradoc_repeats" -> Dedup.intradocRepeatsSql,
     // ann_ivf / approx_stats: the remaining native sketch internals
     // (HLL/quantile register merges, the k-means float path) aren't
     // DuckDB-expressible → driver records the weaker rows-only check;
@@ -723,9 +729,9 @@ object SparkEntry {
     // pca_covariance is its oracle-exact input twin, and SimilaritySpec
     // pins variance capture, orthonormality, per-component variance =
     // eigenvalue, and partitioning determinism.
-    // intradoc_repeats: suffix-automaton structure is past SQL replay →
-    // rows-only; IntradocRepeatsSpec brute-forces the maximal-repeat
-    // DEFINITION (occurrence counting, O(n³)) over constructed docs and
-    // a corpus slice and matches the automaton doc-for-doc.
+    // (intradoc_repeats joined the oracle gate in r15: the maximal-repeat
+    // definition is pure occurrence counting, which DuckDB enumerates
+    // directly — IntradocRepeatsSpec additionally brute-forces it
+    // driver-side over constructed docs and a corpus slice.)
   )
 }

@@ -2536,6 +2536,49 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"), col("span_len"))
   }
 
+  /** Oracle for [[intradocRepeats]]: the maximal-repeat DEFINITION by
+    * occurrence counting, with no suffix structure at all — enumerate
+    * every (start, length ≥ [[IntraRepMinLen]]) token slice per
+    * document, count occurrences per content, and keep the slices with
+    * count ≥ 2 none of whose one-token left/right extensions preserves
+    * the count. The automaton and this enumeration meet by theorem:
+    * a state's count is its endpos size, `cnt(trans(s,b)) = occ(t·b)`
+    * exactly (all class members share endpos, so appending b maps the
+    * shared endpos identically), and longest-in-class ⇔ no left
+    * extension preserves endpos — so the engine's per-state report
+    * condition IS this count-based definition. Tokenization deliberately
+    * mirrors the engine's raw `split(text, ' ')` (empties kept).
+    * Tractable because documents are length-contracted (≤100 tokens →
+    * O(len²/2) slices per doc); equality across a suffix automaton and
+    * a brute-force enumeration is an independent-construction proof. */
+  def intradocRepeatsSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+       |), pos AS (
+       |  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM docs
+       |), subs AS (
+       |  SELECT p.doc_id, p.i, ls.l, list_slice(p.arr, p.i, p.i + ls.l - 1) AS sub
+       |  FROM pos p
+       |  CROSS JOIN (SELECT unnest(range($IntraRepMinLen,
+       |      (SELECT max(len(arr)) + 1 FROM docs))) AS l) ls
+       |  WHERE p.i + ls.l - 1 <= len(p.arr)
+       |), counts AS (
+       |  SELECT doc_id, l, sub, count(*) AS cnt, min(i) AS fi
+       |  FROM subs GROUP BY doc_id, l, sub
+       |)
+       |SELECT r.doc_id,
+       |  CAST(r.fi - 1 AS BIGINT) AS span_start,
+       |  CAST(r.l AS BIGINT) AS span_len,
+       |  CAST(r.cnt AS BIGINT) AS n_occ,
+       |  array_to_string(r.sub, ' ') AS span_text
+       |FROM counts r
+       |WHERE r.cnt >= 2 AND NOT EXISTS (
+       |  SELECT 1 FROM counts e
+       |  WHERE e.doc_id = r.doc_id AND e.l = r.l + 1 AND e.cnt >= r.cnt
+       |    AND (e.sub[1:r.l] = r.sub OR e.sub[2:r.l + 1] = r.sub)
+       |)
+       |ORDER BY doc_id, span_start, span_len""".stripMargin
+
   /** All maximal repeats of a token array as (first_start, len, n_occ),
     * via suffix automaton. Deterministic; O(n·α) with α the hash-map
     * transition cost. */
@@ -2819,20 +2862,55 @@ object Dedup {
     def at(i: Int): DataFrame =
       spark.createDataFrame(store(i)._1, store(i)._2)
 
+    val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    /** Each kept level carries ITS OWN +j·w lead ranks (w = the level's
+      * width, j = 1..radix−2): the LCP descend's ≤15 sub-steps per level
+      * become row-local conditionals after ONE join pair, and the next
+      * round's shifted-rank tuple reads the same stored columns instead
+      * of re-windowing. */
+    def withLeads(df: DataFrame, w: Int): DataFrame =
+      (1 to R - 2).foldLeft(df)((f, j) =>
+        f.withColumn(s"rw$j", lead(col("r"), j * w).over(byDocW)))
+
+    // level 0: per-token content alphabet — the first 60 bits of md5 as
+    // a long. Order-isomorphic to the oracle's dense md5 rank (spans are
+    // alphabet-independent, spec-pinned) and injective w.h.p.; being
+    // content-defined, this frame never changes when other documents
+    // arrive — the write-once artifact of the batch cadence. `f4` is
+    // the width-4 start fingerprint the descend gate keys on (−1
+    // sentinels keep short tails distinct from real rank 0s). Built
+    // BEFORE the stats job so stats can aggregate the persisted frame
+    // instead of re-parsing the raw corpus (l0 depends on neither the
+    // token count nor the rank depth).
+    val l0 = keep(withLeads(tokFrameOf(docs)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("r")), 1)
+      .withColumn("f4", xxhash64(col("r"),
+        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
+        coalesce(col("rw3"), lit(-1L)))))
+
     // the ONE pre-construction driver action: token count (bounds every
     // rank domain, so no per-round count/max jobs) and max document
-    // length (fixes the rank DEPTH). Computed on the raw scan — cheaper
-    // than materializing a token frame first. The depth invariant is
-    // asserted strictly: K levels represent matches of 0..16^K − 1
-    // tokens (≤15 advances per level), so a 16^K-token document would
-    // silently truncate by ONE token on BOTH faces — fail loudly.
-    val statsRow = docs
-      .select(filter(split(col("text"), " "), x => x =!= "").as("ps"))
-      .agg(coalesce(sum(size(col("ps"))), lit(0L)).as("n"),
-        coalesce(max(size(col("ps"))), lit(0)).cast("long").as("maxlen"))
+    // length (fixes the rank DEPTH). Aggregated over the l0 frame the
+    // rounds need anyway — materializing its persist here replaces a
+    // whole extra raw-corpus parse job (max per-doc length = global
+    // max(idx)+1 since idx restarts at 0 per document). The depth
+    // invariant is asserted strictly: K levels represent matches of
+    // 0..16^K − 1 tokens (≤15 advances per level), so a 16^K-token
+    // document would silently truncate by ONE token on BOTH faces —
+    // fail loudly.
+    val statsRow = at(l0)
+      .agg(count(lit(1)).as("n"),
+        coalesce(max(col("idx")) + 1, lit(0L)).as("maxlen"))
       .head()
     val nt = statsRow.getLong(0).toDouble.max(1.0)
     val maxlen = statsRow.getLong(1)
+    // the raise path must release the already-persisted l0 frame (the
+    // stats job materialized it) — the happy path's unpersist sweep at
+    // the method tail never runs when this throws
+    if (maxlen > SuffixMaxMatchTokens)
+      store.foreach(_._1.unpersist(false))
     require(maxlen <= SuffixMaxMatchTokens,
       s"dup_spans_suffix: a $maxlen-token document exceeds the " +
         s"$SuffixMaxMatchTokens-token rank-depth ceiling; chunk " +
@@ -2844,16 +2922,6 @@ object Dedup {
     while ((1L << (4 * kv)) - 1 < maxlen) kv += 1
     val K = kv
 
-    val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    /** Each kept level carries ITS OWN +j·w lead ranks (w = the level's
-      * width, j = 1..radix−2): the LCP descend's ≤15 sub-steps per level
-      * become row-local conditionals after ONE join pair, and the next
-      * round's shifted-rank tuple reads the same stored columns instead
-      * of re-windowing. */
-    def withLeads(df: DataFrame, w: Int): DataFrame =
-      (1 to R - 2).foldLeft(df)((f, j) =>
-        f.withColumn(s"rw$j", lead(col("r"), j * w).over(byDocW)))
-
     /** Range bucket for rank rounds ≥ 2 (dense ranks in [1, nt]),
       * monotone in (r1, r2) order: the linearized key scaled into
       * [0, B). Doubles round at huge nt but IEEE rounding is MONOTONE,
@@ -2862,20 +2930,6 @@ object Dedup {
     def pairBucket(r1: Column, r2: Column): Column =
       least(floor(((r1 - 1).cast("double") * (nt + 1.0) + r2.cast("double"))
         * B / (nt * (nt + 1.0))).cast("long"), lit(B - 1))
-    // level 0: per-token content alphabet — the first 60 bits of md5 as
-    // a long. Order-isomorphic to the oracle's dense md5 rank (spans are
-    // alphabet-independent, spec-pinned) and injective w.h.p.; being
-    // content-defined, this frame never changes when other documents
-    // arrive — the write-once artifact of the batch cadence. `f4` is
-    // the width-4 start fingerprint the descend gate keys on (−1
-    // sentinels keep short tails distinct from real rank 0s).
-    val l0 = keep(withLeads(tokFrameOf(docs)
-      .select(col("doc_id"), col("idx").cast("long").as("idx"),
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("r")), 1)
-      .withColumn("f4", xxhash64(col("r"),
-        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
-        coalesce(col("rw3"), lit(-1L)))))
 
     val tupleCols = (0 until R).map(i => col(s"_t$i"))
     /** The shifted-rank tuple of round k over a FULL stored level frame:
@@ -2935,11 +2989,19 @@ object Dedup {
       keep(withLeads(roundFrame(at(k - 1), k), 1 << (4 * k)))
 
     // global SA position: unique row_number over (tuple, doc_id, idx) on
-    // the folded final round; f4 rides along into the adjacency pairs
+    // the folded final round; f4 rides along into the adjacency pairs,
+    // and so do _t0.._t14 — the level-(K−1) ranks at offsets 0..14·16^(K−1)
+    // from the SAME pairedFrame the position was ranked by. Carrying
+    // them fuses the descend's FIRST level into the adjacency self-join:
+    // that level's two per-side joins against at(K−1) would re-fetch
+    // exactly these columns at the initial cursors (ap=ai, bp=bi), so
+    // the first level becomes row-local conditionals for the cost of a
+    // wider (but still one-pass) position exchange.
     val saI = keep(bucketedRank(
       pairedFrame(at(K - 1), K), col("_skb"),
       tupleCols ++ Seq(col("doc_id"), col("idx")), B - 1, "p")
-      .select(col("doc_id"), col("idx"), col("p"), col("f4")))
+      .select((Seq(col("doc_id"), col("idx"), col("p"), col("f4")) ++
+        (0 until R - 1).map(i => col(s"_t$i"))): _*))
 
     def lens = at(l0).groupBy(col("doc_id"))
       .agg((max(col("idx")) + 1).as("len"))
@@ -2947,11 +3009,17 @@ object Dedup {
     // adjacent pair (p-1, p), gated: unequal width-4 start fingerprints
     // ⇒ LCP ≤ 3 < MinLen ⇒ the pair can never lift a position past the
     // span gate — skip its descend (and, at batch cadence, skip every
-    // pair not touching a delta document)
-    var d = at(saI).select(col("p"), col("doc_id").as("ad"),
-        col("idx").as("ai"), col("f4").as("x4"))
-      .join(at(saI).select((col("p") + 1).as("p"), col("doc_id").as("bd"),
-        col("idx").as("bi"), col("f4").as("y4")), Seq("p"))
+    // pair not touching a delta document). The carried _t columns arrive
+    // pre-named ra*/rb* so the descend's fused first level reads them as
+    // if its join pair had run.
+    def saSide(shift: Long, docAs: String, idxAs: String, fpAs: String,
+        pre: String): DataFrame =
+      at(saI).select((Seq((col("p") + shift).as("p"),
+        col("doc_id").as(docAs), col("idx").as(idxAs),
+        col("f4").as(fpAs)) ++
+        (0 until R - 1).map(i => col(s"_t$i").as(s"$pre$i"))): _*)
+    var d = saSide(0L, "ad", "ai", "x4", "ra")
+      .join(saSide(1L, "bd", "bi", "y4", "rb"), Seq("p"))
       .filter(col("x4") === col("y4"))
       .drop("x4", "y4")
     deltaCut.foreach { cut =>
@@ -2966,16 +3034,26 @@ object Dedup {
     // sub-steps are row-local conditionals. Written build-side-first
     // right_outer (≡ the pair side's left_outer) so AQE can broadcast
     // the small gated PAIR side and stream the level frame without an
-    // exchange.
+    // exchange. Level K−1 runs WITHOUT a join pair: its per-side ranks
+    // rode in on the adjacency join (cursors are still at ai/bi there).
+    // Those carried ranks use pairedFrame's −1 past-end sentinel instead
+    // of null; a −1 === −1 "advance" can only fire when BOTH cursors are
+    // past their documents' ends, which (the earlier sub-steps having
+    // landed) means both suffixes already matched to their final token —
+    // the remaining-length cap below truncates the over-advance to the
+    // exact LCP, and −1 never equals a live rank (md5 domain ≥ 0, dense
+    // ranks ≥ 1), so cross cases stay non-advances.
     for (k <- K - 1 to 0 by -1) {
       val w = 1L << (4 * k)
-      def lvl(docAs: String, idxAs: String, pre: String): DataFrame =
-        at(k).select(
-          (Seq(col("doc_id").as(docAs), col("idx").as(idxAs),
-            col("r").as(s"${pre}0")) ++
-            (1 to R - 2).map(j => col(s"rw$j").as(s"$pre$j"))): _*)
-      d = lvl("ad", "ap", "ra").join(d, Seq("ad", "ap"), "right_outer")
-      d = lvl("bd", "bp", "rb").join(d, Seq("bd", "bp"), "right_outer")
+      if (k < K - 1) {
+        def lvl(docAs: String, idxAs: String, pre: String): DataFrame =
+          at(k).select(
+            (Seq(col("doc_id").as(docAs), col("idx").as(idxAs),
+              col("r").as(s"${pre}0")) ++
+              (1 to R - 2).map(j => col(s"rw$j").as(s"$pre$j"))): _*)
+        d = lvl("ad", "ap", "ra").join(d, Seq("ad", "ap"), "right_outer")
+        d = lvl("bd", "bp", "rb").join(d, Seq("bd", "bp"), "right_outer")
+      }
       // m_j = "the j-th advance of width w lands": ranks at cursor +
       // (j−1)·w exist on both sides and agree, and every earlier
       // sub-step landed

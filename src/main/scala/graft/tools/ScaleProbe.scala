@@ -1,27 +1,46 @@
-// Scale probe data: sbt "runMain graft.tools.ScaleProbe <srcSfDir> <destDir> <replicas>"
+// Scale probe data: sbt "runMain graft.tools.ScaleProbe <srcSfDir> <destDir> <replicas> [mode]"
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Builds a documents table N× the source SF for the heavy-tail scaling
-  * probe (BASELINE.md "sf1 probe"): the source documents are replicated
-  * with per-replica REMAPPED tokens (`tok` → `k§tok` — the digits-only
-  * replica id before the first `§` makes the map injective across
-  * replicas for ANY source vocabulary, unlike a suffix scheme a vocab
-  * already containing `_k`-suffixed tokens could alias) and offset
-  * doc_ids, so replicas never duplicate each other and every replica
-  * carries the source's exact duplication structure — total
-  * duplicated-span mass scales linearly with corpus size, the regime a
-  * grown crawl sits in. Other tables are not written here; the probe
-  * recipe copies them from the source SF unchanged (embedding-joined
-  * stages therefore see only the original ids — noted where a probed
-  * query uses them). */
+  * probe (BASELINE.md "sf1 probe"), in one of three modes:
+  *
+  *  - `dup` (default): the source documents are replicated with
+  *    per-replica REMAPPED tokens (`tok` → `k§tok` — the digits-only
+  *    replica id before the first `§` makes the map injective across
+  *    replicas for ANY source vocabulary, unlike a suffix scheme a vocab
+  *    already containing `_k`-suffixed tokens could alias) and offset
+  *    doc_ids, so replicas never duplicate each other and every replica
+  *    carries the source's exact duplication structure — total
+  *    duplicated-span mass scales linearly with corpus size, the regime
+  *    a grown crawl sits in.
+  *  - `nodup`: tokens are remapped `tok` → `<doc_id>§tok` with the
+  *    replica-offset (globally unique) doc_id, giving every document a
+  *    private vocabulary: NO cross-document duplication survives
+  *    anywhere in the corpus. Isolates a dedup query's compute-bound
+  *    cost (tokenize, count, elect, near-empty candidate join) from its
+  *    output-bound cost — on the `dup` corpus both the data AND the
+  *    result set grow with the replica count.
+  *  - `down`: like `dup` but replicas k ≥ 1 take doc_id − k·stride
+  *    (NEGATIVE id ranges, injective, all strictly below any source
+  *    id), so every added replica sits BELOW [[graft.operators.Dedup
+  *    .IncrementalCut]]: the incremental faces' DELTA stays exactly the
+  *    source's while the corpus behind it grows N× — the fixed-batch,
+  *    growing-history regime their per-batch-cost claim is about.
+  *
+  * Other tables are not written here; the probe recipe copies them from
+  * the source SF unchanged (embedding-joined stages therefore see only
+  * the original ids — noted where a probed query uses them). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dest = args(1)
     val replicas = args(2).toInt
+    val mode = if (args.length > 3) args(3) else "dup"
+    require(Set("dup", "nodup", "down")(mode),
+      s"ScaleProbe: unknown mode '$mode' (dup | nodup | down)")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -33,30 +52,45 @@ object ScaleProbe {
     // the replica doc_id offset stride must clear every source id, or
     // colliding ids across replicas would make replicas duplicate each
     // other — silently voiding the probe's linear-duplication-mass
-    // premise. Assert loudly instead (ADVICE r14).
+    // premise. Assert loudly instead (ADVICE r14). `down` needs the
+    // same clearance below the MINIMUM source id.
     val stride = 100000000L
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val idsRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (minId, maxId) = (idsRow.getLong(0), idsRow.getLong(1))
     require(maxId < stride,
       s"ScaleProbe: max source doc_id $maxId >= replica stride $stride — ids would alias across replicas")
+    require(minId >= 0,
+      s"ScaleProbe: negative source doc_id $minId — the replica offset ranges assume non-negative sources")
     require(replicas.toLong * stride > 0 &&
         maxId + (replicas.toLong - 1) * stride > 0,
       s"ScaleProbe: $replicas replicas x stride $stride overflows Long")
     val out = (0 until replicas).map { k =>
-      // every replica (k = 0 included) gets the prefix, so the images
-      // of distinct replicas are disjoint by the digits-before-first-§
-      // parse regardless of what characters source tokens contain
-      val remapped = docs
-        .withColumn("doc_id", col("doc_id") + lit(k * stride))
-        .withColumn("text", array_join(
-          transform(split(col("text"), " "),
-            x => when(x === "", x).otherwise(concat(lit(s"$k§"), x))),
-          " "))
+      // every replica (k = 0 included) gets the dup/down prefix, so the
+      // images of distinct replicas are disjoint by the
+      // digits-before-first-§ parse regardless of what characters
+      // source tokens contain; nodup keys on the offset doc_id, which
+      // is globally unique by the stride assertion
+      val offset = if (mode == "down") -k * stride else k * stride
+      val withId = docs.withColumn("doc_id", col("doc_id") + lit(offset))
+      val remapped = mode match {
+        case "nodup" =>
+          withId.withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              x => when(x === "", x)
+                .otherwise(concat(col("doc_id").cast("string"), lit("§"), x))),
+            " "))
+        case _ =>
+          withId.withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              x => when(x === "", x).otherwise(concat(lit(s"$k§"), x))),
+            " "))
+      }
       remapped.select(cols.map(col): _*)
     }.reduce(_ union _)
     out.repartition(32).write.mode("overwrite")
       .parquet(s"$dest/documents.parquet")
     val n = spark.read.parquet(s"$dest/documents.parquet").count()
-    println(s"[scaleprobe] wrote $n docs to $dest/documents.parquet")
+    println(s"[scaleprobe] wrote $n docs to $dest/documents.parquet (mode=$mode)")
     spark.stop()
   }
 }
