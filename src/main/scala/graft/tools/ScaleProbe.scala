@@ -34,43 +34,37 @@ import org.apache.spark.sql.functions._
   * the source SF unchanged (embedding-joined stages therefore see only
   * the original ids — noted where a probed query uses them). */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dest = args(1)
-    val replicas = args(2).toInt
-    val mode = if (args.length > 3) args(3) else "dup"
+  /** Replica doc_id offset stride; must clear every source id (asserted
+    * in [[replicate]]) or colliding ids across replicas would make
+    * replicas duplicate each other — silently voiding the probe's
+    * linear-duplication-mass premise (ADVICE r14). */
+  final val Stride = 100000000L
+
+  /** The N× replication as a frame-in/frame-out function (main's body,
+    * factored for the spec): see the object scaladoc for the three
+    * modes' semantics. */
+  def replicate(docs: org.apache.spark.sql.DataFrame, replicas: Int,
+      mode: String): org.apache.spark.sql.DataFrame = {
     require(Set("dup", "nodup", "down")(mode),
       s"ScaleProbe: unknown mode '$mode' (dup | nodup | down)")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$src/documents.parquet")
     val cols = docs.columns
-    // the replica doc_id offset stride must clear every source id, or
-    // colliding ids across replicas would make replicas duplicate each
-    // other — silently voiding the probe's linear-duplication-mass
-    // premise. Assert loudly instead (ADVICE r14). `down` needs the
-    // same clearance below the MINIMUM source id.
-    val stride = 100000000L
+    // `down` needs the same clearance below the MINIMUM source id
     val idsRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     val (minId, maxId) = (idsRow.getLong(0), idsRow.getLong(1))
-    require(maxId < stride,
-      s"ScaleProbe: max source doc_id $maxId >= replica stride $stride — ids would alias across replicas")
+    require(maxId < Stride,
+      s"ScaleProbe: max source doc_id $maxId >= replica stride $Stride — ids would alias across replicas")
     require(minId >= 0,
       s"ScaleProbe: negative source doc_id $minId — the replica offset ranges assume non-negative sources")
-    require(replicas.toLong * stride > 0 &&
-        maxId + (replicas.toLong - 1) * stride > 0,
-      s"ScaleProbe: $replicas replicas x stride $stride overflows Long")
-    val out = (0 until replicas).map { k =>
+    require(replicas.toLong * Stride > 0 &&
+        maxId + (replicas.toLong - 1) * Stride > 0,
+      s"ScaleProbe: $replicas replicas x stride $Stride overflows Long")
+    (0 until replicas).map { k =>
       // every replica (k = 0 included) gets the dup/down prefix, so the
       // images of distinct replicas are disjoint by the
       // digits-before-first-§ parse regardless of what characters
       // source tokens contain; nodup keys on the offset doc_id, which
       // is globally unique by the stride assertion
-      val offset = if (mode == "down") -k * stride else k * stride
+      val offset = if (mode == "down") -k * Stride else k * Stride
       val withId = docs.withColumn("doc_id", col("doc_id") + lit(offset))
       val remapped = mode match {
         case "nodup" =>
@@ -87,7 +81,21 @@ object ScaleProbe {
       }
       remapped.select(cols.map(col): _*)
     }.reduce(_ union _)
-    out.repartition(32).write.mode("overwrite")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val replicas = args(2).toInt
+    val mode = if (args.length > 3) args(3) else "dup"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    replicate(docs, replicas, mode).repartition(32).write.mode("overwrite")
       .parquet(s"$dest/documents.parquet")
     val n = spark.read.parquet(s"$dest/documents.parquet").count()
     println(s"[scaleprobe] wrote $n docs to $dest/documents.parquet (mode=$mode)")

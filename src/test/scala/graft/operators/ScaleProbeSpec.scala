@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.tools.ScaleProbe
+
+/** Pins the invariants each ScaleProbe mode's probe interpretation rests
+  * on (BASELINE.md heavy-tail recipes): `dup` preserves each replica's
+  * internal duplication structure while replicas never duplicate each
+  * other; `down` additionally keeps the incremental faces' DELTA
+  * (doc_id ≥ IncrementalCut) exactly the source's; `nodup` destroys
+  * every cross-document token overlap corpus-wide. A wrong mode here
+  * silently invalidates a recorded scaling claim, not a query result —
+  * which is why it gets its own spec rather than riding the gate. */
+class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // two docs sharing a 4-token run (cross-doc duplication), one doc
+  // straddling the IncrementalCut boundary, a token containing the
+  // remap delimiter, and a double space (empty token)
+  private val cut = Dedup.IncrementalCut
+  private def src = Seq(
+    (0L, "a b c d x"),
+    (1L, "a b c d y  z"),
+    (2L, "p 9§q r"),
+    (cut, "a b c d w")
+  ).toDF("doc_id", "text")
+
+  private def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+
+  test("dup: 10x rows, per-replica duplication preserved, zero cross-replica token overlap") {
+    val out = ScaleProbe.replicate(src, 3, "dup")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(out.size == src.count() * 3)
+    val byReplica = out.groupBy { case (id, _) =>
+      math.floorDiv(id, ScaleProbe.Stride)
+    }
+    assert(byReplica.keySet == Set(0L, 1L, 2L))
+    // replica k's texts are the source's with every nonempty token
+    // prefixed k§ — duplication structure inside a replica is intact
+    for ((k, docs) <- byReplica) {
+      val back = docs.map { case (id, t) =>
+        (id - k * ScaleProbe.Stride,
+          toks(t).map(x => if (x.isEmpty) x else {
+            assert(x.startsWith(s"$k§"), s"token $x lacks prefix $k§")
+            x.drop(s"$k§".length)
+          }).mkString(" "))
+      }.toSet
+      assert(back == src.as[(Long, String)].collect().toSet)
+    }
+    // replicas never duplicate each other: no token string appears in
+    // two replicas (the injectivity ADVICE r14 asserted by construction)
+    val tokenReplicas = out.flatMap { case (id, t) =>
+      toks(t).filter(_.nonEmpty)
+        .map(x => (x, math.floorDiv(id, ScaleProbe.Stride)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(tokenReplicas.values.forall(_ == 1))
+  }
+
+  test("down: replicas sit below the cut; the delta is exactly the source's") {
+    val out = ScaleProbe.replicate(src, 3, "down")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(out.size == src.count() * 3)
+    val delta = out.filter(_._1 >= cut)
+    // only replica 0 (untouched ids) can reach the cut
+    assert(delta.map(_._1).toSet == Set(cut))
+    assert(out.map(_._1).distinct.size == out.size)
+    // and replica k > 0 ids are strictly negative (below any source id)
+    assert(out.map(_._1).count(_ < 0) == 2 * src.count())
+  }
+
+  test("nodup: no nonempty token is shared by two documents") {
+    val out = ScaleProbe.replicate(src, 2, "nodup")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val owners = out.flatMap { case (id, t) =>
+      toks(t).filter(_.nonEmpty).distinct.map(x => (x, id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(owners.nonEmpty && owners.values.forall(_ == 1))
+    // lengths (token counts, empties included) are preserved — the
+    // compute-floor comparison rests on identical per-doc shapes
+    val srcLens = src.as[(Long, String)].collect()
+      .map { case (id, t) => id -> toks(t).size }.toMap
+    out.foreach { case (id, t) =>
+      val sid = ((id % ScaleProbe.Stride) + ScaleProbe.Stride) % ScaleProbe.Stride
+      assert(toks(t).size == srcLens(sid))
+    }
+  }
+
+  test("a source id at the stride fails loudly instead of aliasing") {
+    val bad = Seq((ScaleProbe.Stride, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      ScaleProbe.replicate(bad, 2, "dup")
+    }
+    assert(e.getMessage.contains("alias"))
+  }
+}
