@@ -2551,7 +2551,7 @@ object Dedup {
     * Tractable because documents are length-contracted (≤100 tokens →
     * O(len²/2) slices per doc); equality across a suffix automaton and
     * a brute-force enumeration is an independent-construction proof. */
-  def intradocRepeatsSql: String =
+  def intradocRepeatsSql: String = OracleSql.materializeCtes(
     s"""WITH docs AS (
        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
        |), pos AS (
@@ -2577,7 +2577,7 @@ object Dedup {
        |  WHERE e.doc_id = r.doc_id AND e.l = r.l + 1 AND e.cnt >= r.cnt
        |    AND (e.sub[1:r.l] = r.sub OR e.sub[2:r.l + 1] = r.sub)
        |)
-       |ORDER BY doc_id, span_start, span_len""".stripMargin
+       |ORDER BY doc_id, span_start, span_len""".stripMargin)
 
   /** All maximal repeats of a token array as (first_start, len, n_occ),
     * via suffix automaton. Deterministic; O(n·α) with α the hash-map

@@ -1164,9 +1164,11 @@ object TextAnalysis {
     *
     * DOMAIN: all valid Unicode — both faces window and hash true
     * codepoints (astral planes included; a real crawl has emoji on page
-    * one), verified by probe and pinned in LangIdSpec. Only an UNPAIRED
-    * surrogate half (invalid Unicode) raises loudly per document instead
-    * of hashing engine-dependently. */
+    * one), verified by probe and pinned in LangIdSpec. Unpaired
+    * surrogate halves cannot reach this operator: Spark's UTF-8 string
+    * domain normalizes them at every entry (JVM encoder → '?',
+    * malformed bytes → U+FFFD), so no guard is needed — pinned in
+    * LangIdSpec's boundary test. */
   def langIdTrained(spark: SparkSession, dir: String): DataFrame =
     langIdTrainedFrom(t(spark, dir, "documents"))
 
@@ -1254,18 +1256,17 @@ object TextAnalysis {
     // pair and ascii() returns the full codepoint (128169 for U+1F4A9,
     // probe-verified), exactly like DuckDB's substring/ascii — so astral
     // text (emoji, supplementary CJK) hashes identically in both
-    // engines; LangIdSpec pins the astral path end to end. The one
-    // remaining invalid input is an UNPAIRED surrogate half (not valid
-    // Unicode text; Java's regex engine decodes code points, so the
-    // surrogate class matches only stray halves) — that still fails
-    // loudly rather than hashing engine-dependently.
-    val lone = col("text").rlike("[\\uD800-\\uDFFF]")
-    val cps = when(lone, raise_error(concat(
-        lit("lang_id_trained: unpaired surrogate half in doc_id="),
-        col("doc_id").cast("string"),
-        lit(" — not valid Unicode text"))))
-      .otherwise(expr(
-        "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+    // engines; LangIdSpec pins the astral path end to end. Unpaired
+    // surrogate halves need NO guard: Spark's string domain is UTF-8
+    // (UTF8String), which cannot represent them — the JVM encoder
+    // normalizes a lone half to '?' at every Dataset/literal entry
+    // (probe: D83D arrives as 003F, LangIdSpec pins it) and malformed
+    // parquet bytes decode to U+FFFD — so every string this expression
+    // can ever see is valid Unicode, hashed identically by both
+    // engines. (An rlike guard here cost a full regex scan per doc and
+    // was UNREACHABLE — caught when a spec tried to trigger it.)
+    val cps = expr(
+      "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
     val jArr = expr(
       s"""CASE WHEN char_length(text) >= 3 THEN
          |  transform(sequence(1, char_length(text) - 2),

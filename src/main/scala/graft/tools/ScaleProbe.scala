@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *    a grown crawl sits in.
   *  - `nodup`: tokens are remapped `tok` → `<doc_id>§tok` with the
   *    replica-offset (globally unique) doc_id, giving every document a
-  *    private vocabulary: NO cross-document duplication survives
-  *    anywhere in the corpus. Isolates a dedup query's compute-bound
+  *    private vocabulary: no cross-document duplication survives AT
+  *    TOKEN GRANULARITY (character-shingle queries still see shared
+  *    digit prefixes across ids, so this mode only isolates
+  *    TOKEN-shingled dedup — dedup_prefix_filter, not the char-trigram
+  *    minhash/simhash family). Isolates such a query's compute-bound
   *    cost (tokenize, count, elect, near-empty candidate join) from its
   *    output-bound cost — on the `dup` corpus both the data AND the
   *    result set grow with the replica count.
@@ -47,17 +50,19 @@ object ScaleProbe {
       mode: String): org.apache.spark.sql.DataFrame = {
     require(Set("dup", "nodup", "down")(mode),
       s"ScaleProbe: unknown mode '$mode' (dup | nodup | down)")
+    require(replicas >= 1, s"ScaleProbe: need at least 1 replica, got $replicas")
     val cols = docs.columns
     // `down` needs the same clearance below the MINIMUM source id
     val idsRow = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!idsRow.isNullAt(0),
+      "ScaleProbe: source documents frame is empty — nothing to replicate")
     val (minId, maxId) = (idsRow.getLong(0), idsRow.getLong(1))
     require(maxId < Stride,
       s"ScaleProbe: max source doc_id $maxId >= replica stride $Stride — ids would alias across replicas")
     require(minId >= 0,
       s"ScaleProbe: negative source doc_id $minId — the replica offset ranges assume non-negative sources")
-    require(replicas.toLong * Stride > 0 &&
-        maxId + (replicas.toLong - 1) * Stride > 0,
-      s"ScaleProbe: $replicas replicas x stride $Stride overflows Long")
+    // no Long-overflow guard needed: replicas is an Int, so the largest
+    // offset magnitude is < 2^31 · 10^8 < 2^62
     (0 until replicas).map { k =>
       // every replica (k = 0 included) gets the dup/down prefix, so the
       // images of distinct replicas are disjoint by the

@@ -94,6 +94,26 @@ class LangIdSpec extends AnyFunSuite with SparkSpec {
       "astral docs all fell back to the prior — features not hashed")
   }
 
+  test("unpaired surrogate halves are unrepresentable in the operator's domain (boundary pin)") {
+    import spark.implicits._
+    // Spark's string domain is UTF-8 (UTF8String): a lone surrogate half
+    // cannot survive entry — the JVM encoder normalizes it to '?'. This
+    // pin is what makes langIdTrained need NO invalid-Unicode guard (a
+    // raise_error path for it was measured unreachable and removed): if
+    // a Spark upgrade ever started passing raw surrogates through, this
+    // test fails and the guard question reopens.
+    val txt = "hello \uD83D world"
+    val back = Seq((900L, txt)).toDF("doc_id", "text")
+      .collect()(0).getString(1)
+    assert(back == "hello ? world",
+      s"boundary changed: ${back.toCharArray.map(c => f"${c.toInt}%04X").mkString(" ")}")
+    // and such a document scores like any other instead of failing
+    val docs = syntheticDocs(4, 0).union(
+      Seq((900L, txt, "xx")).toDF("doc_id", "text", "lang"))
+    val out = TextAnalysis.langIdTrainedFrom(docs).collect()
+    assert(out.count(_.getLong(0) == 900L) == 1)
+  }
+
   test("lang_id_trained on the corpus: one row per doc, non-negative NB costs, deterministic") {
     val rows = TextAnalysis.langIdTrained(spark, dir).collect()
     val nDocs = graft.Tables.t(spark, dir, "documents").count()

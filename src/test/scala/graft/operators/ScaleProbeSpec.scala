@@ -29,7 +29,7 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
 
   private def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
 
-  test("dup: 10x rows, per-replica duplication preserved, zero cross-replica token overlap") {
+  test("dup: Nx rows (N=3 here), per-replica duplication preserved, zero cross-replica token overlap") {
     val out = ScaleProbe.replicate(src, 3, "dup")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
     assert(out.size == src.count() * 3)
