@@ -744,36 +744,66 @@ object Dedup {
   /** (toks, provenance-carrying maximal spans) — the construction behind
     * [[dupSpansMaximal]], exposed as parts so [[dupSpanScrubAligned]] can
     * reuse the one materialized token/gram generation. */
+  /** Bits the packed canonical-occurrence election reserves for the
+    * token index: idx < 2^21 (a 2M-token document ceiling, far above the
+    * corpus contract) leaves |doc_id| < 2^41 — both guarded loudly. */
+  private final val ElectIdxBits = 21
+
+  /** (doc, idx) packed into ONE long, lexicographic order preserved
+    * (idx ∈ [0, 2^21) cannot borrow from the doc bits; arithmetic shift
+    * keeps the order exact for negative doc_ids too). */
+  private def packOcc(doc: Column, i: Column): Column = {
+    val cap = lit(1L << ElectIdxBits)
+    val docCap = lit(1L << (62 - ElectIdxBits))
+    when(i < 0 || i >= cap || abs(doc) >= docCap,
+      raise_error(concat(lit("canonical-occurrence pack overflow: doc="),
+        doc.cast("string"), lit(" idx="), i.cast("string"))))
+      .otherwise(shiftleft(doc, ElectIdxBits) + i)
+  }
+
+  /** Canonical occurrence pair per gram hash — the corpus-first
+    * occurrence (d1, i1) and the first occurrence in a DIFFERENT doc
+    * (d2, i2) — elected by partial-combinable HASH aggregates over
+    * PACKED (doc, idx) longs. min(struct(doc, idx)) expresses the same
+    * argmin but lowers to SortAggregate (struct buffers are not
+    * hash-mutable), re-sorting the gram-doc frame once per partial and
+    * final stage; min over [[packOcc]] longs is the identical
+    * lexicographic election as a plain HashAggregate (unpack by
+    * arithmetic shift / mask — exact for negative doc_ids). The
+    * `pk =!= p1` gate ≡ the old `doc_id > first-doc` filter: docMin has
+    * one row per (gh, doc) and p1's doc is the per-gh MINIMUM, so every
+    * other row's doc is strictly later; this inner join + filter IS the
+    * cross-doc duplication gate (a gram living in one doc only
+    * contributes no surviving row). Shared by [[dupSpansMaximal]] /
+    * [[dupSpansMaximal2]] / [[dupSpansMaximalPairwise]] (previously
+    * triplicated). The earlier row_number() OVER (PARTITION BY gh)
+    * election put a universal boilerplate gram's whole per-doc row mass
+    * into ONE window partition — a single-task sort AQE cannot split
+    * (its skew handling covers joins, not windows); here every stage
+    * folds map-side and the one gh equi-join is AQE-skew-splittable. */
+  private def canonicalPairTab(grams: DataFrame): DataFrame = {
+    val docMin = grams.groupBy(col("gh"), col("doc_id"))
+      .agg(min(col("idx")).as("di"))
+    val packed = docMin.select(col("gh"),
+      packOcc(col("doc_id"), col("di")).as("pk"))
+    val firstOcc = packed.groupBy(col("gh")).agg(min(col("pk")).as("p1"))
+    val mask = lit((1L << ElectIdxBits) - 1)
+    packed.join(firstOcc, Seq("gh"))
+      .filter(col("pk") =!= col("p1"))
+      .groupBy(col("gh"))
+      .agg(min(col("p1")).as("p1"), min(col("pk")).as("p2"))
+      .select(col("gh"),
+        shiftright(col("p1"), ElectIdxBits).as("d1"),
+        col("p1").bitwiseAND(mask).as("i1"),
+        shiftright(col("p2"), ElectIdxBits).as("d2"),
+        col("p2").bitwiseAND(mask).as("i2"))
+  }
+
   private def maximalSpanParts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val n = DupSpanGram
     val (toks, grams) = hashedGramParts(spark, dir)
-    // both canonical occurrences via partial-combinable aggregates — NO
-    // gh-partitioned window anywhere: per-(gh, doc) min idx first (a
-    // well-spread composite key), then per-gh min(struct(doc_id, di))
-    // picks the corpus-first occurrence, and one more aggregate over the
-    // doc_id > first-doc rows picks the first occurrence in a DIFFERENT
-    // doc. The earlier row_number() OVER (PARTITION BY gh) election put a
-    // universal boilerplate gram's whole per-doc row mass into ONE window
-    // partition — a single-task sort AQE cannot split (its skew handling
-    // covers joins, not windows). Here every stage folds map-side and the
-    // one gh equi-join is AQE-skew-splittable. Same pairTab by
-    // construction: docMin has one row per (gh, doc), so struct ordering
-    // by (doc_id, di) ranks docs exactly as the old ORDER BY doc_id did.
-    val docMin = grams.groupBy(col("gh"), col("doc_id"))
-      .agg(min(col("idx")).as("di"))
-    val firstOcc = docMin.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("di"))).as("o1"))
-    // the inner join + doc_id > first-doc filter IS the cross-doc
-    // duplication gate: a gram whose occurrences all live in one doc
-    // contributes no surviving row, hence no pairTab entry
-    val pairTab = docMin.join(firstOcc, Seq("gh"))
-      .filter(col("doc_id") > col("o1.doc_id"))
-      .groupBy(col("gh"))
-      .agg(min(col("o1")).as("o1"),
-        min(struct(col("doc_id"), col("di"))).as("o2"))
-      .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.di").as("i1"),
-        col("o2.doc_id").as("d2"), col("o2.di").as("i2"))
+    val pairTab = canonicalPairTab(grams)
     val hits = grams.join(pairTab, Seq("gh"))
       .select(col("doc_id"), col("idx"),
         when(col("doc_id") === col("d1"), col("d2"))
@@ -833,17 +863,7 @@ object Dedup {
   def dupSpansMaximal2(spark: SparkSession, dir: String): DataFrame = {
     val n = DupSpanGram
     val (_, grams) = hashedGramParts(spark, dir)
-    val docMin = grams.groupBy(col("gh"), col("doc_id"))
-      .agg(min(col("idx")).as("di"))
-    val firstOcc = docMin.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("di"))).as("o1"))
-    val pairTab = docMin.join(firstOcc, Seq("gh"))
-      .filter(col("doc_id") > col("o1.doc_id"))
-      .groupBy(col("gh"))
-      .agg(min(col("o1")).as("o1"),
-        min(struct(col("doc_id"), col("di"))).as("o2"))
-      .select(col("gh"), col("o1.doc_id").as("d1"), col("o1.di").as("i1"),
-        col("o2.doc_id").as("d2"), col("o2.di").as("i2"))
+    val pairTab = canonicalPairTab(grams)
     // one materialized generation feeds both chain passes
     val base = graft.SharedFrames.shared(grams.join(pairTab, Seq("gh"))
       .select(col("doc_id"), col("idx"),
@@ -894,16 +914,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val n = DupSpanGram
     val (_, grams) = hashedGramParts(spark, dir)
-    val docMin = grams.groupBy(col("gh"), col("doc_id"))
-      .agg(min(col("idx")).as("di"))
-    val firstOcc = docMin.groupBy(col("gh"))
-      .agg(min(struct(col("doc_id"), col("di"))).as("o1"))
-    val pairTab = docMin.join(firstOcc, Seq("gh"))
-      .filter(col("doc_id") > col("o1.doc_id"))
-      .groupBy(col("gh"))
-      .agg(min(col("o1")).as("o1"),
-        min(struct(col("doc_id"), col("di"))).as("o2"))
-      .select(col("gh"), col("o1.doc_id").as("d1"), col("o2.doc_id").as("d2"))
+    val pairTab = canonicalPairTab(grams).select(col("gh"), col("d1"), col("d2"))
     val base = grams.join(pairTab, Seq("gh"))
       .select(col("doc_id"), col("d1"), col("d2"))
     // the A∪B partner set, as (doc, partner) pairs — ≤2 per (doc, gram)
