@@ -133,6 +133,34 @@ class SuffixDedupSpec extends AnyFunSuite with SparkSpec {
       "no span beyond 255 tokens — the depth pin is vacuous")
   }
 
+  test("identical-tail pairs: the fused first descend level's past-end advances cap exactly") {
+    import spark.implicits._
+    // the SA-adjacency fusion carries level-(K−1) ranks with a −1
+    // past-end sentinel instead of null, so a pair whose BOTH cursors
+    // run past their documents' ends takes spurious −1 = −1 advances;
+    // the remaining-length cap must truncate them to the true LCP. This
+    // corpus makes such pairs certain: docs that END in shared runs of
+    // every flavor — one doc's whole text a suffix of another's, equal
+    // tails at different offsets, and a doc that IS its own tail twice.
+    val docs: Map[Long, Array[String]] = Map(
+      1L -> "p q r a b c d e".split(" "),     // tail "a b c d e"
+      2L -> "a b c d e".split(" "),           // the whole doc IS that tail
+      3L -> "x y a b c d e".split(" "),       // same tail, other offset
+      4L -> "a b c d e a b c d e".split(" "), // self-adjacent tail
+      5L -> "m n o p q".split(" "))           // background, no long match
+    val df = docs.toSeq.sortBy(_._1)
+      .map { case (d, t) => (d, t.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.dupSpansSuffixFrom(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.SharedFrames.releaseAll()
+    val want = bruteSpans(docs, Dedup.DupSpanSuffixMinLen)
+    assert(got == want,
+      s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    // non-vacuous: doc 2's whole text must be one exact span (any
+    // over-advance that escaped the cap would inflate a span end)
+    assert(got.contains((2L, 0L, 4L)), s"doc-2 whole-text span missing: $got")
+  }
+
   test("dup_spans_suffix rejects a document past the 65 535-token ceiling loudly") {
     import spark.implicits._
     val df = Seq((1L, Array.fill(65536)("a").mkString(" ")))
