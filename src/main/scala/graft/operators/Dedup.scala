@@ -2860,10 +2860,26 @@ object Dedup {
     val store = scala.collection.mutable.ArrayBuffer[
       (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType)]()
+    // Storage level for the kept level frames, chosen ONCE from the
+    // measured corpus size (set right after the stats job; l0 itself is
+    // kept deserialized — it is a single frame, materialized before the
+    // corpus size is known, and one frame fits where the K+2
+    // simultaneously-live ones do not). Deserialized Row caching costs
+    // ~500 B/row on these all-long frames (boxed longs + row-object
+    // overhead; measured ~2.7 GB at 5.4 M tokens), and when the live
+    // frames outgrow the WHOLE heap the spill starts thrashing —
+    // serialized storage is 2.3× better there (84.6 → 36.9 s, 20×-docs
+    // probe on an 8 GiB heap) but costs ~40% extra CPU below it
+    // (7.4 → 10.3 s at sf0.1), so the switch point is total-estimated-
+    // bytes > maxMemory: calibration points sf0.1 (0.5 GB, plain ✓),
+    // 10× docs at 8 GiB (5.4 GB, plain, measured heap-insensitive ✓),
+    // 20× at 8 GiB (10.8 GB, serialized ✓), 20× at 12 GiB (plain,
+    // measured 27.7 s vs serialized ~37 ✓). On a cluster the same rule
+    // holds per executor against its own heap share.
+    var keepLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keep(df: DataFrame): Int = {
       val t0 = System.nanoTime()
-      val rdd = df.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rdd = df.rdd.persist(keepLevel)
       if (sys.env.contains("SPARK_GRAFT_SFX_DEBUG")) {
         val n = rdd.count()
         System.err.println(f"[sfx] keep#${store.length} rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -2883,45 +2899,25 @@ object Dedup {
       (1 to R - 2).foldLeft(df)((f, j) =>
         f.withColumn(s"rw$j", lead(col("r"), j * w).over(byDocW)))
 
-    // level 0: per-token content alphabet — the first 60 bits of md5 as
-    // a long. Order-isomorphic to the oracle's dense md5 rank (spans are
-    // alphabet-independent, spec-pinned) and injective w.h.p.; being
-    // content-defined, this frame never changes when other documents
-    // arrive — the write-once artifact of the batch cadence. `f4` is
-    // the width-4 start fingerprint the descend gate keys on (−1
-    // sentinels keep short tails distinct from real rank 0s). Built
-    // BEFORE the stats job so stats can aggregate the persisted frame
-    // instead of re-parsing the raw corpus (l0 depends on neither the
-    // token count nor the rank depth).
-    val l0 = keep(withLeads(tokFrameOf(docs)
-      .select(col("doc_id"), col("idx").cast("long").as("idx"),
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("r")), 1)
-      .withColumn("f4", xxhash64(col("r"),
-        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
-        coalesce(col("rw3"), lit(-1L)))))
-
     // the ONE pre-construction driver action: token count (bounds every
     // rank domain, so no per-round count/max jobs) and max document
-    // length (fixes the rank DEPTH). Aggregated over the l0 frame the
-    // rounds need anyway — materializing its persist here replaces a
-    // whole extra raw-corpus parse job (max per-doc length = global
-    // max(idx)+1 since idx restarts at 0 per document). The depth
-    // invariant is asserted strictly: K levels represent matches of
-    // 0..16^K − 1 tokens (≤15 advances per level), so a 16^K-token
-    // document would silently truncate by ONE token on BOTH faces —
-    // fail loudly.
-    val statsRow = at(l0)
-      .agg(count(lit(1)).as("n"),
-        coalesce(max(col("idx")) + 1, lit(0L)).as("maxlen"))
+    // length (fixes the rank DEPTH). A raw one-column scan, run BEFORE
+    // any frame persists: the exact token count must pick the level
+    // frames' storage level (keepLevel above) before l0 materializes —
+    // an r15 interim version aggregated the persisted l0 instead to
+    // save this parse, but that locked l0 into a storage level chosen
+    // blind, which is exactly the frame whose deserialized footprint
+    // crowds the heap past the spill cliff. The depth invariant is
+    // asserted strictly: K levels represent matches of 0..16^K − 1
+    // tokens (≤15 advances per level), so a 16^K-token document would
+    // silently truncate by ONE token on BOTH faces — fail loudly.
+    val statsRow = docs
+      .select(filter(split(col("text"), " "), x => x =!= "").as("ps"))
+      .agg(coalesce(sum(size(col("ps"))), lit(0L)).as("n"),
+        coalesce(max(size(col("ps"))), lit(0)).cast("long").as("maxlen"))
       .head()
     val nt = statsRow.getLong(0).toDouble.max(1.0)
     val maxlen = statsRow.getLong(1)
-    // the raise path must release the already-persisted l0 frame (the
-    // stats job materialized it) — the happy path's unpersist sweep at
-    // the method tail never runs when this throws
-    if (maxlen > SuffixMaxMatchTokens)
-      store.foreach(_._1.unpersist(false))
     require(maxlen <= SuffixMaxMatchTokens,
       s"dup_spans_suffix: a $maxlen-token document exceeds the " +
         s"$SuffixMaxMatchTokens-token rank-depth ceiling; chunk " +
@@ -2932,6 +2928,26 @@ object Dedup {
     var kv = 1
     while ((1L << (4 * kv)) - 1 < maxlen) kv += 1
     val K = kv
+    // corpus size is now known — pick the level-frame storage BEFORE
+    // anything persists (see keepLevel's scaladoc for the measured
+    // calibration; K+2 ≈ the simultaneously-live corpus-sized frames)
+    if (nt * 500.0 * (K + 2) > Runtime.getRuntime.maxMemory.toDouble)
+      keepLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+    // level 0: per-token content alphabet — the first 60 bits of md5 as
+    // a long. Order-isomorphic to the oracle's dense md5 rank (spans are
+    // alphabet-independent, spec-pinned) and injective w.h.p.; being
+    // content-defined, this frame never changes when other documents
+    // arrive — the write-once artifact of the batch cadence. `f4` is
+    // the width-4 start fingerprint the descend gate keys on (−1
+    // sentinels keep short tails distinct from real rank 0s).
+    val l0 = keep(withLeads(tokFrameOf(docs)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("r")), 1)
+      .withColumn("f4", xxhash64(col("r"),
+        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
+        coalesce(col("rw3"), lit(-1L)))))
 
     /** Range bucket for rank rounds ≥ 2 (dense ranks in [1, nt]),
       * monotone in (r1, r2) order: the linearized key scaled into
