@@ -87,6 +87,39 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("chardup: token lengths preserved, per-replica rename consistent, replicas disjoint") {
+    val out = ScaleProbe.replicate(src, 2, "chardup")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val srcMap = src.as[(Long, String)].collect().toMap
+    // shape: every token keeps its exact length (empties included), so
+    // char-shingle statistics are not inflated by a shared prefix
+    out.foreach { case (id, t) =>
+      val sid = ((id % ScaleProbe.Stride) + ScaleProbe.Stride) % ScaleProbe.Stride
+      val (a, b) = (toks(srcMap(sid)), toks(t))
+      assert(a.map(_.length) == b.map(_.length),
+        s"doc $id token lengths changed: $a -> $b")
+    }
+    // consistency: the same source token maps to ONE image within a
+    // replica (duplication structure preserved), and replicas' token
+    // sets are disjoint
+    val pairs = out.flatMap { case (id, t) =>
+      val k = math.floorDiv(id, ScaleProbe.Stride)
+      val sid = ((id % ScaleProbe.Stride) + ScaleProbe.Stride) % ScaleProbe.Stride
+      toks(srcMap(sid)).zip(toks(t)).filter(_._1.nonEmpty)
+        .map { case (s, o) => ((k, s), o) }
+    }
+    pairs.groupBy(_._1).foreach { case (key, vs) =>
+      assert(vs.map(_._2).distinct.size == 1, s"inconsistent rename for $key")
+    }
+    val byReplica = pairs.groupBy(_._1._1).view.mapValues(_.map(_._2).toSet)
+    assert(byReplica(0L).intersect(byReplica(1L)).isEmpty,
+      "replica token images overlap")
+    // and the injectivity measurement the builder asserts
+    assert(ScaleProbe.distinctTokens(
+      ScaleProbe.replicate(src, 2, "chardup")) ==
+      2 * ScaleProbe.distinctTokens(src))
+  }
+
   test("a source id at the stride fails loudly instead of aliasing") {
     val bad = Seq((ScaleProbe.Stride, "a b")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
