@@ -2850,6 +2850,35 @@ object Dedup {
     * per round, materialized CTEs, fixed [[SuffixOracleRounds]] depth):
     * equality across two different round structures certifies the
     * semantics, not a shared implementation. */
+
+  /** Estimated deserialized cache cost per row of a kept suffix level
+    * frame (all-long columns: boxed longs + Row-object overhead) — the
+    * hand-measured calibration constant behind [[suffixSpansCore]]'s
+    * adaptive storage level (~2.7 GB at 5.4 M tokens ⇒ ~500 B/row).
+    * SuffixStorageCalibrationSpec re-measures a sampled level frame with
+    * SizeEstimator each run and asserts it within a band of this
+    * constant, so schema drift in the level frames breaks loudly here
+    * instead of silently mis-placing the spill switch. */
+  final val SuffixFrameBytesPerRow = 500.0
+
+  /** Heap budget the simultaneously-live level frames must fit in for
+    * deserialized caching to stay ahead of serialized (see keepLevel's
+    * calibration comment in [[suffixSpansCore]]). Local mode: this JVM's
+    * heap — the regime every calibration point was measured in. Cluster:
+    * executors × executor heap (conf-derived; the driver JVM's
+    * Runtime.maxMemory says nothing about executor storage — ADVICE
+    * r15). Executor count comes from the block-manager roster minus the
+    * driver, floored at 1 before first-executor registration. */
+  private def storageHeapBudget(spark: SparkSession): Double = {
+    val sc = spark.sparkContext
+    if (sc.isLocal) Runtime.getRuntime.maxMemory.toDouble
+    else {
+      val execHeap = sc.getConf.getSizeAsBytes("spark.executor.memory", "1g")
+      val execs = math.max(1, sc.getExecutorMemoryStatus.size - 1)
+      execHeap.toDouble * execs
+    }
+  }
+
   private def suffixSpansCore(spark: SparkSession, docs: DataFrame,
       deltaCut: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2861,21 +2890,28 @@ object Dedup {
       (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType)]()
     // Storage level for the kept level frames, chosen ONCE from the
-    // measured corpus size (set right after the stats job; l0 itself is
-    // kept deserialized — it is a single frame, materialized before the
-    // corpus size is known, and one frame fits where the K+2
-    // simultaneously-live ones do not). Deserialized Row caching costs
+    // measured corpus size: the stats scan below runs BEFORE anything
+    // persists, so EVERY kept frame — l0 included — takes the
+    // size-calibrated level. Deserialized Row caching costs
     // ~500 B/row on these all-long frames (boxed longs + row-object
     // overhead; measured ~2.7 GB at 5.4 M tokens), and when the live
     // frames outgrow the WHOLE heap the spill starts thrashing —
     // serialized storage is 2.3× better there (84.6 → 36.9 s, 20×-docs
     // probe on an 8 GiB heap) but costs ~40% extra CPU below it
     // (7.4 → 10.3 s at sf0.1), so the switch point is total-estimated-
-    // bytes > maxMemory: calibration points sf0.1 (0.5 GB, plain ✓),
-    // 10× docs at 8 GiB (5.4 GB, plain, measured heap-insensitive ✓),
-    // 20× at 8 GiB (10.8 GB, serialized ✓), 20× at 12 GiB (plain,
-    // measured 27.7 s vs serialized ~37 ✓). On a cluster the same rule
-    // holds per executor against its own heap share.
+    // bytes > the heap budget holding the frames: calibration points
+    // sf0.1 (0.5 GB, plain ✓), 10× docs at 8 GiB (5.4 GB, plain,
+    // measured heap-insensitive ✓), 20× at 8 GiB (10.8 GB, serialized
+    // ✓), 20× at 12 GiB (plain, measured 27.7 s vs serialized ~37 ✓).
+    // The budget is the JVM heap in local mode (frames and heap are
+    // both whole-corpus there — where every point above was measured);
+    // on a cluster each executor holds ~1/E of every frame's
+    // partitions against ~1 executor heap of budget, so the comparison
+    // scales as total-bytes vs E × executor heap (ADVICE r15:
+    // Runtime.maxMemory alone would read the DRIVER's heap there).
+    // Heuristic, not a contract: mis-sizing costs the measured 40% CPU
+    // (switch early) or smooth-degrading spill (switch late), never
+    // correctness.
     var keepLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keep(df: DataFrame): Int = {
       val t0 = System.nanoTime()
@@ -2931,7 +2967,7 @@ object Dedup {
     // corpus size is now known — pick the level-frame storage BEFORE
     // anything persists (see keepLevel's scaladoc for the measured
     // calibration; K+2 ≈ the simultaneously-live corpus-sized frames)
-    if (nt * 500.0 * (K + 2) > Runtime.getRuntime.maxMemory.toDouble)
+    if (nt * SuffixFrameBytesPerRow * (K + 2) > storageHeapBudget(spark))
       keepLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
     // level 0: per-token content alphabet — the first 60 bits of md5 as
