@@ -683,6 +683,13 @@ object SparkEntry {
     // ann_ivf_indexed through the written cluster-partitioned index
     "ann_ivf_verified" -> Similarity.annBruteForceSql,
     "ann_ivf_indexed" -> Similarity.annBruteForceSql,
+    // the inline formulation at the production probe width (4 of 16 —
+    // recall is NOT total there, so brute force can't be its oracle):
+    // its oracle replays the PIPELINE itself — fixed-point Lloyd
+    // training, L2-argmin assignment, probe selection, cosine re-rank —
+    // which became possible in r16 when ivfCentroids switched from the
+    // float avg update to the quantizedLloyd discipline
+    "ann_ivf" -> Similarity.annIvfSql,
     "ann_pq" -> Similarity.annPqSql,
     "ann_ivfpq" -> Similarity.annIvfPqSql,
     "embedding_neardup" -> Similarity.embeddingNearDupExactSql,
@@ -712,13 +719,13 @@ object SparkEntry {
     // (endpos algebra; see the scaladoc): an independent-construction
     // proof in the dup_spans_hashed tradition
     "intradoc_repeats" -> Dedup.intradocRepeatsSql,
-    // ann_ivf / approx_stats: the remaining native sketch internals
-    // (HLL/quantile register merges, the k-means float path) aren't
-    // DuckDB-expressible → driver records the weaker rows-only check;
-    // each has an oracle-checked exact twin (ann_ivf_verified/indexed,
-    // percentiles) and ScalaTest error-bound pins against the exact
+    // approx_stats: the remaining native sketch internals (HLL/quantile
+    // register merges) aren't DuckDB-expressible → driver records the
+    // weaker rows-only check; it has oracle-checked exact twins
+    // (percentiles) and ScalaTest error-bound pins against the exact
     // operators. (The minhash/simhash banding rows joined the oracle
-    // gate in r15 — their FNV/splitmix arithmetic replays in SQL.)
+    // gate in r15 — their FNV/splitmix arithmetic replays in SQL — and
+    // ann_ivf joined in r16 when its coarse training went fixed-point.)
     // bpe_vocab_256 / bpe_vocab_256_batched / bpe_encode_batched:
     // 256 merge rounds are past unrolled-SQL tractability → rows-only,
     // with FULL driver replays (every merge, and for the encoder every

@@ -332,46 +332,25 @@ object Similarity {
   // Spark jobs, so the cap is a real query-latency knob
   final val IvfIters = 3
 
-  /** Deterministic Lloyd's k-means over the embedding column. Centroids are
-    * tiny (k × dims doubles) and live on the driver / in broadcasts; the
-    * assignment step is distributed (mapPartitions over the vectors — the
-    * genuinely imperative per-partition piece), and the update step is a
-    * distributed posexplode + groupBy average. Init = the k lowest vec_ids
-    * (seedless, reproducible). */
+  /** Deterministic Lloyd's k-means over the embedding column — the ONE
+    * coarse-quantizer training every IVF formulation (inline, written
+    * index, verified twins) uses. Since round 16 it IS the fixed-point
+    * [[quantizedLloyd]] loop (via [[semDedupCentroids]]): assignment is
+    * the distributed L2-argmin mapPartitions pass, the update step sums
+    * Σ floor(x·2^20) over BIGINT — associative, so partition- and
+    * engine-order independent — making the trained centroids a pure
+    * function of the data that DuckDB replays bit-identically. That is
+    * what lets [[annIvfSql]] oracle the inline operator END-TO-END (the
+    * `ann_ivfpq` discipline; through round 15 this trained with a float
+    * `avg` update whose last-ulp order dependence made `ann_ivf` the
+    * catalog's one unreplayable IVF row). Centroids are tiny (k × dims
+    * doubles) and live on the driver / in broadcasts. Init = the k
+    * lowest vec_ids (seedless, reproducible). Modality-restricted
+    * indexes (the image-side slice of [[crossModalRetrieval]]) train
+    * with the same fixed-point loop over their slice. */
   def ivfCentroids(spark: SparkSession, dir: String,
       k: Int = IvfClusters, iters: Int = IvfIters): Array[Array[Double]] =
-    ivfCentroidsOf(t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("ev")), k, iters)
-
-  /** [[ivfCentroids]] over an arbitrary (vec_id, ev) frame — factored so
-    * modality-restricted indexes (e.g. the image-side slice of
-    * [[crossModalRetrieval]]) train with the same Lloyd code. */
-  private def ivfCentroidsOf(vecFrame: DataFrame, k: Int,
-      iters: Int): Array[Array[Double]] = {
-    import vecFrame.sparkSession.implicits._
-    val vecs = vecFrame.as[(Long, Array[Double])]
-    var centroids = vecs.orderBy(col("vec_id")).limit(k)
-      .collect().map(_._2)
-    (0 until iters).foreach { _ =>
-      val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
-      val assigned = vecs.mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) => (nearestCentroid(v, cs), v) }
-      }.toDF("cluster", "ev")
-      val updated = assigned
-        .select(col("cluster"), posexplode(col("ev")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .view.mapValues(rows => rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
-        .toMap
-      // a cluster that attracted no points keeps its previous centroid —
-      // otherwise groupBy silently drops it and k shrinks/remaps
-      centroids = centroids.indices
-        .map(c => updated.getOrElse(c, centroids(c))).toArray
-    }
-    centroids
-  }
+    semDedupCentroids(spark, dir, k = k, iters = iters)
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
@@ -436,7 +415,12 @@ object Similarity {
     * the inverted lists of the query's `IvfProbes` nearest centroids,
     * exact-cosine re-rank inside. The write-time formulation — cluster as
     * a partition column, probes via partition pruning — is
-    * [[ivfWriteIndex]]/[[annIvfIndexed]], plan-asserted in IvfLayoutSpec. */
+    * [[ivfWriteIndex]]/[[annIvfIndexed]], plan-asserted in IvfLayoutSpec.
+    *
+    * ORACLE-EXACT since round 16 ([[annIvfSql]] replays the pipeline):
+    * the [[ivfCentroids]] coarse training is the fixed-point
+    * [[quantizedLloyd]], so training, assignment, probe selection AND the
+    * strict-fold cosine re-rank are all engine-neutral arithmetic. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val centroids = ivfCentroids(spark, dir)
@@ -444,6 +428,73 @@ object Similarity {
     val (qid, qv, _) = assigned.orderBy(col("vec_id")).limit(1)
       .as[(Long, Array[Double], Int)].collect()(0)
     ivfQuery(assigned, nearestProbes(centroids, qv), qid, qv)
+  }
+
+  /** Oracle: replays the ENTIRE inline IVF pipeline — [[IvfIters]]
+    * fixed-point Lloyd rounds (init = the [[IvfClusters]] lowest vec_ids;
+    * assignment argmin = the same strict-left L2 fold with lowest-cid
+    * ties; update = the identical BIGINT Σ floor(x·2^20) sums with
+    * JVM-truncating division), the final L2-argmin cluster assignment,
+    * the [[IvfProbes]]-nearest-centroid probe selection for the
+    * min-vec_id query, and the exact-cosine re-rank over the probed
+    * inverted lists — bit-identically at any SF (the [[annIvfPqSql]]
+    * discipline applied to the inline formulation; CTEs MATERIALIZED or
+    * DuckDB's inlining re-expands the training chain exponentially). */
+  val annIvfSql: String = OracleSql.materializeCtes(annIvfSqlRaw)
+
+  private def annIvfSqlRaw: String = {
+    val q = SemDedupQScale
+    val train = (1 to IvfIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT x.vec_id, c.cid, row_number() OVER (
+         |        PARTITION BY x.vec_id
+         |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
+         |    FROM e x CROSS JOIN $prev c) WHERE rn = 1),
+         |s$i AS (
+         |  SELECT a.cid, t.i AS pos,
+         |    SUM(CAST(floor(e.ev[t.i] * $q) AS BIGINT)) AS sq,
+         |    COUNT(*) AS n
+         |  FROM a$i a JOIN e ON e.vec_id = a.vec_id,
+         |    UNNEST(range(1, len(e.ev)+1)) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |u$i AS (
+         |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
+         |  FROM (SELECT cid, pos,
+         |          CASE WHEN sq >= 0 THEN sq // n
+         |               ELSE -((-sq) // n) END AS td
+         |        FROM s$i) GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |         AS cid, ev AS cv
+       |       FROM e WHERE vec_id IN
+       |         (SELECT vec_id FROM e ORDER BY vec_id LIMIT $IvfClusters)),
+       |$train,
+       |asg AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT x.vec_id, c.cid, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
+       |    FROM e x CROSS JOIN c$IvfIters c) WHERE rn = 1),
+       |qv AS (SELECT vec_id AS qid, ev AS qe FROM e
+       |       ORDER BY vec_id LIMIT 1),
+       |pr AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, row_number() OVER (
+       |        ORDER BY ${l2FoldSql("q.qe", "c.cv")}, c.cid) AS rn
+       |    FROM c$IvfIters c CROSS JOIN qv q) WHERE rn <= $IvfProbes)
+       |SELECT q.qid, e.vec_id,
+       |  ${foldSql("e.ev", "q.qe")} /
+       |    (sqrt(${foldSql("e.ev", "e.ev")}) * sqrt(${foldSql("q.qe", "q.qe")}))
+       |    AS cosine
+       |FROM e JOIN asg USING (vec_id) CROSS JOIN qv q
+       |WHERE asg.cluster IN (SELECT cid FROM pr) AND e.vec_id <> q.qid
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
   /** WRITE-TIME IVF layout — the scale path [[annIvf]]'s doc promises: the
