@@ -1149,31 +1149,50 @@ object Similarity {
       |ORDER BY v1, v2""".stripMargin
 
   /** Embedding near-duplicate pairs at corpus scale: multi-table LSH
-    * candidates (id-only equi-join on (table, bucket), deduped), then ONE
-    * exact cosine per candidate pair with precomputed norms, keeping ≥ τ.
-    * Wider banding than the ANN path ([[NearDupTables]]×[[NearDupPlanes]])
-    * because dup mining wants recall at a moderate τ, not top-k precision.
-    * Never an all-pairs product — candidates are bucket-bounded at any
-    * corpus size. Recall vs the exact primitive is pinned in ScalaTest. */
+    * candidates (equi-join on (table, bucket)), then ONE exact cosine per
+    * candidate with precomputed norms, keeping ≥ τ. Wider banding than
+    * the ANN path ([[NearDupTables]]×[[NearDupPlanes]]) because dup
+    * mining wants recall at a moderate τ, not top-k precision. Recall vs
+    * the exact primitive is pinned in ScalaTest.
+    *
+    * Plan shape (rewritten r16 after the 10×-embeddings probe timed the
+    * old plan out): at τ this low, hyperplane collisions barely separate
+    * — a RANDOM pair collides in some table with prob ≈ 1−(1−2⁻⁴)⁸ ≈
+    * 0.4, so the candidate multiset is Θ(n²) on isotropic data and the
+    * old id-only pipeline (pair distinct → two vector re-joins) pushed
+    * those Θ(n²) rows through THREE shuffles. Now the vectors ride the
+    * LINEAR bucket shuffle instead ([[NearDupTables]]× the corpus — the
+    * only materialized/exchanged frame), the quadratic candidate stream
+    * is generated AND cosine-verified inside the join's streamed output
+    * (whole-stage codegen, never shuffled, never deduped), and the
+    * distinct runs on the SURVIVORS — output-sized by definition.
+    * Duplicates collapse exactly because the cosine is a pure function
+    * of the pair (same strict fold ⇒ bit-equal doubles across tables).
+    * Verified identical output to the old plan; the oracle replay is
+    * unchanged. The Θ(n²·p(τ)) OUTPUT (and the matching Θ(n²) verify
+    * stream) is the query's own contract on isotropic embeddings — see
+    * the r16 probe notes in BASELINE.md. */
   def embeddingNearDup(spark: SparkSession, dir: String,
       tau: Double = NearDupTau): DataFrame = {
-    val bk = bucketed(spark, dir, NearDupTables, NearDupPlanes)
+    val e = withNorm(spark, dir)
+    val bk = e.select(col("vec_id"), col("ev"), col("nrm"),
+        explode(array((0 until NearDupTables).map(tb =>
+          struct(lit(tb).as("tbl"),
+            lshBucket(col("ev"), tb, NearDupPlanes).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("vec_id"), col("ev"), col("nrm"),
+        col("tb.tbl"), col("tb.bucket"))
     // shuffle_hash: corpus-sized bucket table — same reasoning as
     // Dedup.dedupMinhashLsh (never broadcastable at scale, faster locally)
-    val pairs = bk.as("x").hint("shuffle_hash").join(bk.as("y"),
+    bk.as("x").hint("shuffle_hash").join(bk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
-    val e = withNorm(spark, dir)
-    pairs
-      .join(e.select(col("vec_id").as("v1"), col("ev").as("e1"),
-        col("nrm").as("n1")), Seq("v1"))
-      .join(e.select(col("vec_id").as("v2"), col("ev").as("e2"),
-        col("nrm").as("n2")), Seq("v2"))
-      .withColumn("cosine", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .withColumn("cosine",
+        dot(col("x.ev"), col("y.ev")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cosine") >= tau)
-      .select(col("v1"), col("v2"), col("cosine"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        col("cosine"))
+      .distinct()
       .orderBy(col("v1"), col("v2"))
   }
 
