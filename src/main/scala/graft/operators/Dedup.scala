@@ -2861,6 +2861,30 @@ object Dedup {
     * instead of silently mis-placing the spill switch. */
   final val SuffixFrameBytesPerRow = 500.0
 
+  /** Level-0 of the suffix rank construction — per-token content
+    * alphabet (first 60 bits of md5 as a long; order-isomorphic to the
+    * oracle's dense md5 rank and injective w.h.p.) with the width-1
+    * lead-rank columns and the width-4 start fingerprint `f4`. Factored
+    * from [[suffixSpansCore]] so SuffixStorageCalibrationSpec can
+    * persist a REAL level frame and measure its deserialized
+    * bytes-per-row against [[SuffixFrameBytesPerRow]]. Being
+    * content-defined, this frame never changes when other documents
+    * arrive — the write-once artifact of the batch cadence. (−1
+    * sentinels keep short tails distinct from real rank 0s.) */
+  private[operators] def l0FrameOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val base = tokFrameOf(docs)
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("r"))
+    (1 to SuffixRadix - 2).foldLeft(base)((f, j) =>
+        f.withColumn(s"rw$j", lead(col("r"), j).over(byDocW)))
+      .withColumn("f4", xxhash64(col("r"),
+        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
+        coalesce(col("rw3"), lit(-1L))))
+  }
+
   /** Heap budget the simultaneously-live level frames must fit in for
     * deserialized caching to stay ahead of serialized (see keepLevel's
     * calibration comment in [[suffixSpansCore]]). Local mode: this JVM's
@@ -2970,20 +2994,10 @@ object Dedup {
     if (nt * SuffixFrameBytesPerRow * (K + 2) > storageHeapBudget(spark))
       keepLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
 
-    // level 0: per-token content alphabet — the first 60 bits of md5 as
-    // a long. Order-isomorphic to the oracle's dense md5 rank (spans are
-    // alphabet-independent, spec-pinned) and injective w.h.p.; being
-    // content-defined, this frame never changes when other documents
-    // arrive — the write-once artifact of the batch cadence. `f4` is
-    // the width-4 start fingerprint the descend gate keys on (−1
-    // sentinels keep short tails distinct from real rank 0s).
-    val l0 = keep(withLeads(tokFrameOf(docs)
-      .select(col("doc_id"), col("idx").cast("long").as("idx"),
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("r")), 1)
-      .withColumn("f4", xxhash64(col("r"),
-        coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
-        coalesce(col("rw3"), lit(-1L)))))
+    // level 0: see l0FrameOf (factored for the calibration spec) —
+    // per-token md5-alphabet ranks + width-1 leads + the `f4` width-4
+    // start fingerprint the descend gate keys on
+    val l0 = keep(l0FrameOf(docs))
 
     /** Range bucket for rank rounds ≥ 2 (dense ranks in [1, nt]),
       * monotone in (r1, r2) order: the linearized key scaled into

@@ -56,6 +56,11 @@ import org.apache.spark.sql.functions._
   *    source's, failing loudly on any collision within or across
   *    replicas.
   *
+  *  - `embed`: replicates the EMBEDDINGS table instead (vec_id stride +
+  *    per-replica signed coordinate permutation — an exact orthogonal
+  *    transform); see [[replicateEmbeddings]] for the fidelity argument
+  *    and why no `embed_nodup` floor analog can exist.
+  *
   * Other tables are not written here; the probe recipe copies them from
   * the source SF unchanged (embedding-joined stages therefore see only
   * the original ids — noted where a probed query uses them). */
@@ -144,6 +149,75 @@ object ScaleProbe {
     docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").select(countDistinct(col("w"))).head().getLong(0)
 
+  /** EMBEDDINGS-table replication for the embedding-bound query probes
+    * (`embed` mode): replica k takes vec_id + k·[[Stride]] and a
+    * per-replica SIGNED COORDINATE PERMUTATION of the vector —
+    * coordinate i of the image is ±(coordinate π_k(i) of the source),
+    * with π_k and the sign pattern drawn from a replica-seeded PRNG
+    * (replica 0 is the identity, so min-vec_id query vectors and the
+    * Lloyd inits stay bit-identical to the source corpus's).
+    *
+    * Why a signed permutation and not a "fixed-point perturbation": it
+    * is an EXACTLY orthogonal transform that performs no arithmetic at
+    * all — every float of every vector survives bit-identically (at
+    * most negated, which is a sign-bit flip), so within-replica dot
+    * products/cosines/norms equal the source's up to summation-order
+    * reassociation (≤ ulp-level), and the replica is distributionally
+    * indistinguishable from a fresh sample of the same isotropic
+    * source. Cross-replica pairs see two independent random signed
+    * permutations — i.e. the same near-random geometry as any two
+    * source vectors. The union is therefore statistically a GENUINE
+    * R×-larger corpus of this embedding model.
+    *
+    * There is deliberately NO `embed_nodup` floor analog: for isotropic
+    * vectors in fixed dimension the fixed-τ cosine tail is a property
+    * of the geometry, not of planted structure — measured
+    * P(cos ≥ 0.4) ≈ 4.6e-4 and P(cos ≥ 0.35) ≈ 2.1e-3, SF-invariant
+    * across sf0.001/0.01/0.1 — so EVERY corpus of this distribution
+    * (fresh-drawn or replicated) carries Θ(n²·p) near-dup pairs; a
+    * token-style "private vocabulary" that zeroes overlap has no
+    * embedding counterpart (n ≫ d vectors cannot be pairwise
+    * sub-τ-coherent for τ this small at these n — and isotropic
+    * redraws reproduce the same tail by construction). Output-bound
+    * queries are instead decomposed by REPORTING output rows alongside
+    * seconds in the probe table (BASELINE.md r16). */
+  def replicateEmbeddings(emb: org.apache.spark.sql.DataFrame,
+      replicas: Int): org.apache.spark.sql.DataFrame = {
+    require(replicas >= 1, s"ScaleProbe: need at least 1 replica, got $replicas")
+    val cols = emb.columns
+    val statsRow = emb.agg(min(col("vec_id")), max(col("vec_id")),
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    require(!statsRow.isNullAt(0),
+      "ScaleProbe embed: source embeddings frame is empty — nothing to replicate")
+    val (minId, maxId) = (statsRow.getLong(0), statsRow.getLong(1))
+    val (dMin, dMax) = (statsRow.getInt(2), statsRow.getInt(3))
+    require(maxId < Stride,
+      s"ScaleProbe embed: max source vec_id $maxId >= replica stride $Stride — ids would alias across replicas")
+    require(minId >= 0,
+      s"ScaleProbe embed: negative source vec_id $minId — the replica offset ranges assume non-negative sources")
+    require(dMin == dMax,
+      s"ScaleProbe embed: ragged embedding dims [$dMin, $dMax] — a single permutation cannot apply")
+    val d = dMin
+    (0 until replicas).map { k =>
+      val withId = emb.withColumn("vec_id", col("vec_id") + lit(k * Stride))
+      val remapped =
+        if (k == 0) withId
+        else {
+          // replica-seeded, so the probe corpus is reproducible
+          // run-to-run; the large odd multiplier decorrelates adjacent
+          // replica seeds
+          val rnd = new scala.util.Random(0x9E3779B97F4A7C15L * k)
+          val perm = rnd.shuffle((0 until d).toVector)
+          val sign = Vector.fill(d)(rnd.nextBoolean())
+          withId.withColumn("embedding", array((0 until d).map { i =>
+            val e = element_at(col("embedding"), perm(i) + 1)
+            if (sign(i)) negate(e) else e
+          }: _*))
+        }
+      remapped.select(cols.map(col): _*)
+    }.reduce(_ union _)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dest = args(1)
@@ -155,6 +229,18 @@ object ScaleProbe {
       .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "embed") {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      replicateEmbeddings(emb, replicas).repartition(32)
+        .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+      val out = spark.read.parquet(s"$dest/embeddings.parquet")
+      val n = out.count()
+      require(n == replicas * emb.count(),
+        s"ScaleProbe embed: wrote $n rows, expected ${replicas}×${emb.count()}")
+      println(s"[scaleprobe] wrote $n embeddings to $dest/embeddings.parquet (mode=$mode)")
+      spark.stop()
+      return
+    }
     val docs = spark.read.parquet(s"$src/documents.parquet")
     replicate(docs, replicas, mode).repartition(32).write.mode("overwrite")
       .parquet(s"$dest/documents.parquet")

@@ -127,4 +127,68 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("alias"))
   }
+
+  // a tiny embedding corpus with a PLANTED near-dup pair (0 ≈ 1) and an
+  // orthogonal-ish third vector — the structure the embed mode must
+  // carry into every replica
+  private def srcEmb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.25f, 0.0f), 7),
+    (1L, Array(0.9f, 0.1f, 0.25f, 0.0f), 8),
+    (2L, Array(0.0f, 1.0f, 0.0f, -0.5f), 9)
+  ).toDF("vec_id", "embedding", "label")
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("embed: Nx rows, replica 0 bit-identical, within-replica geometry preserved, labels carried") {
+    val out = ScaleProbe.replicateEmbeddings(srcEmb, 3)
+      .as[(Long, Array[Float], Int)].collect().toSeq
+    assert(out.size == 9)
+    val src = srcEmb.as[(Long, Array[Float], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    val byReplica = out.groupBy(r => math.floorDiv(r._1, ScaleProbe.Stride))
+    assert(byReplica.keySet == Set(0L, 1L, 2L))
+    for ((k, vecs) <- byReplica; (id, ev, label) <- vecs) {
+      val (sid, sev, slabel) = src(id - k * ScaleProbe.Stride)
+      assert(label == slabel, s"label not carried for $id")
+      // the signed permutation moves float BITS, never values: the
+      // image's |coordinates| are a permutation of the source's
+      assert(ev.map(math.abs).sorted.toSeq == sev.map(math.abs).sorted.toSeq,
+        s"replica $k is not a signed permutation of source $sid")
+      if (k == 0L) assert(ev.toSeq == sev.toSeq, "replica 0 must be identity")
+    }
+    // within-replica cosine structure: the planted near-dup pair and the
+    // orthogonal-ish pair reproduce in EVERY replica (up to summation
+    // reassociation)
+    for ((k, vecs) <- byReplica) {
+      val m = vecs.map(r => (r._1 - k * ScaleProbe.Stride) -> r._2.toSeq).toMap
+      assert(math.abs(cos(m(0L), m(1L)) - cos(src(0L)._2.toSeq, src(1L)._2.toSeq)) < 1e-12)
+      assert(math.abs(cos(m(0L), m(2L)) - cos(src(0L)._2.toSeq, src(2L)._2.toSeq)) < 1e-12)
+    }
+    // replicas differ from each other (the transform is non-trivial for
+    // k >= 1), so cross-replica pairs are NOT planted duplicates
+    assert(byReplica(1L).map(r => (r._1 % ScaleProbe.Stride, r._2.toSeq)).toSet !=
+      byReplica(0L).map(r => (r._1, r._2.toSeq)).toSet)
+    // determinism: the probe corpus is reproducible run-to-run
+    val again = ScaleProbe.replicateEmbeddings(srcEmb, 3)
+      .as[(Long, Array[Float], Int)].collect().toSeq
+    assert(again.map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1) ==
+      out.map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1))
+  }
+
+  test("embed: ragged dims and stride-breaking ids fail loudly") {
+    val ragged = Seq((0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.replicateEmbeddings(ragged, 2)
+    }.getMessage.contains("ragged"))
+    val big = Seq((ScaleProbe.Stride, Array(1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(intercept[IllegalArgumentException] {
+      ScaleProbe.replicateEmbeddings(big, 2)
+    }.getMessage.contains("alias"))
+  }
 }
