@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{Event, EventStreams}
+
+/** Micro-benchmark for the streaming twins' documented state claims
+  * (VERDICT r15 item 6) — the KvBench tradition applied to Structured
+  * Streaming: each twin is driven through a MemoryStream at THREE
+  * growing input cadences over a FIXED key population, and we record
+  * rows/sec plus the state store's row count and memory footprint from
+  * the final StreamingQueryProgress. The claims under test are
+  * per-operator:
+  *
+  *  - `quotaAdmission` / `asofEnrich`: state is O(1) PER KEY (an
+  *    admitted-window list bounded by the quota window / one prior view
+  *    tuple) — state rows must track the key population, FLAT as input
+  *    rows grow 25×.
+  *  - `streamingDedup`: state is the fingerprints inside the watermark
+  *    horizon — with event time advancing at a fixed rate, state rows
+  *    must track the HORIZON (flat), not the total rows seen.
+  *  - `corpusCleanStream`: its `dropDuplicates` state is one row per
+  *    DISTINCT document hash seen — linear in distinct keys BY
+  *    CONTRACT (the scaladoc's documented production bound is the
+  *    watermark variant, i.e. [[EventStreams.streamingDedup]]'s shape);
+  *    the bench feeds a fixed distinct-doc population so the state must
+  *    go flat once the population is exhausted.
+  *
+  * Usage: runMain graft.tools.StreamBench [keys] [baseRows]
+  * Prints one JSON line per (twin, cadence):
+  * {"metric":"stream_rows_per_sec","twin":…,"rows":N,"value":…,
+  *  "state_rows":…,"state_bytes":…}
+  *
+  * MemoryStream feeds arrive in driver-sized chunks (micro-batches of
+  * [[ChunkRows]]), so per-batch overhead is amortized identically at
+  * every cadence and the rows/sec figures are comparable within a twin.
+  */
+object StreamBench {
+  final val ChunkRows = 10000
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Drains `rows` into the stream in [[ChunkRows]] chunks, processing
+    * after each, and returns (seconds, stateRows, stateBytes) read from
+    * the last progress with state operators. */
+  private def drive[T](mem: MemoryStream[T], q: StreamingQuery,
+      rows: Seq[T]): (Double, Long, Long) = {
+    val (_, sec) = time {
+      rows.grouped(ChunkRows).foreach { chunk =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+      }
+    }
+    val st = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq)
+    (sec, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
+  }
+
+  private def report(twin: String, rows: Int, sec: Double,
+      stateRows: Long, stateBytes: Long): Unit =
+    println(f"""{"metric":"stream_rows_per_sec","twin":"$twin","rows":$rows,"value":${rows / sec}%.0f,"seconds":$sec%.3f,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+
+  def main(args: Array[String]): Unit = {
+    val keys = args.lift(0).map(_.toInt).getOrElse(200)
+    val base = args.lift(1).map(_.toInt).getOrElse(20000)
+    val cadences = Seq(base, base * 5, base * 25)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      // see Bench.scala: single-JVM harness disables artifact-isolation
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def events(n: Int, kinds: Seq[String]): Seq[Event] =
+      (0 until n).map { i =>
+        Event(i.toLong, i.toLong * 1000L, (i % keys).toLong,
+          kinds(i % kinds.size), (i % 7 + 1).toDouble)
+      }
+
+    // fresh stream + query per (twin, cadence): state never carries over,
+    // so each cadence point is independent
+    def bench[T](twin: String, n: Int)(mk: () => (MemoryStream[T],
+        StreamingQuery, Seq[T])): Unit = {
+      val (mem, q, rows) = mk()
+      try {
+        val (sec, sRows, sBytes) = drive(mem, q, rows)
+        report(twin, n, sec, sRows, sBytes)
+      } finally q.stop()
+    }
+
+    for (n <- cadences) {
+      bench[Event]("quota_admission", n) { () =>
+        val mem = MemoryStream[Event]
+        // window/quota sized so admissions flip both ways at this value
+        // range: per-user in-window sums reach the cap and expire
+        val q = EventStreams.quotaAdmission(mem.toDS(), maxAmount = 40.0,
+            windowUs = 50L * keys * 1000L)
+          .writeStream.format("noop").outputMode("append").start()
+        (mem, q, events(n, Seq("click")))
+      }
+      bench[Event]("asof_enrich", n) { () =>
+        val mem = MemoryStream[Event]
+        val q = EventStreams.asofEnrich(mem.toDS())
+          .writeStream.format("noop").outputMode("append").start()
+        (mem, q, events(n, Seq("view", "click")))
+      }
+      bench[(Long, java.sql.Timestamp, String)]("streaming_dedup", n) { () =>
+        val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val q = EventStreams.streamingDedup(
+            mem.toDF().toDF("event_id", "ts", "fingerprint"),
+            watermarkDelay = "1 hour")
+          .writeStream.format("noop").outputMode("append").start()
+        // event time advances 1 s/row → the 1 h horizon holds ~3600
+        // fingerprints at every cadence; 10% of rows repeat a recent
+        // fingerprint so the dedup actually drops rows
+        val rows = (0 until n).map { i =>
+          val fp = if (i % 10 == 9) s"fp${i - 1}" else s"fp$i"
+          (i.toLong, new java.sql.Timestamp(i * 1000L), fp)
+        }
+        (mem, q, rows)
+      }
+      bench[(Long, String, String)]("corpus_clean_stream", n) { () =>
+        val mem = MemoryStream[(Long, String, String)]
+        val q = EventStreams.corpusCleanStream(
+            mem.toDF().toDF("doc_id", "text", "lang"))
+          .writeStream.format("noop").outputMode("append").start()
+        // fixed distinct-doc population (4 × keys texts), every later row
+        // a duplicate: state must plateau at the population size
+        val pop = 4 * keys
+        val rows = (0 until n).map { i =>
+          val d = i % pop
+          (i.toLong, s"the of and doc number $d body token$d stream bench text", "en")
+        }
+        (mem, q, rows)
+      }
+    }
+    spark.stop()
+  }
+}
