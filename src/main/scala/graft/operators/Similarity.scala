@@ -1324,24 +1324,61 @@ object Similarity {
     centroids
   }
 
-  /** Core of [[semDedup]] over any (vec_id, ev, nrm) frame and any centroid
-    * table — K rows broadcast, so assignment is a map-side argmax scan. */
   /** Nearest-centroid assignment of an (vec_id, ev, nrm) frame against a
-    * broadcast K-row centroid table — the shared front half of
-    * [[semDedupCore]] and [[semDedupIncremental]]. Materialized once (it
-    * feeds both sides of the pair join + the verdict join). */
+    * K-row centroid table — the shared front half of [[semDedupCore]]
+    * and [[semDedupIncremental]]. Materialized once (it feeds both sides
+    * of the pair join + the verdict join).
+    *
+    * Plan shape (rewritten r16 after the embed-mode probe): the argmax
+    * is a map-side scan over the DRIVER-BROADCAST centroid array inside
+    * ONE mapPartitions pass — the old crossJoin + per-vector
+    * `row_number` window materialized and SORTED n·K rows, which at the
+    * SemDeDup K ∝ n derivation is a QUADRATIC exchange (15 G rows at a
+    * million vectors). Exactness is preserved move for move: the cosine
+    * is the same strict-left-fold dot ([[graft.functions.VecDot]]'s
+    * ascending accumulate from 0.0) over the same `d/(nrm·cn)`
+    * expression, and the argmax replicates the window's
+    * (cos DESC, cid ASC) total order INCLUDING Spark's NaN-sorts-first
+    * descending rule (a zero-norm vector or centroid yields NaN cosines;
+    * the old plan elected the lowest-cid NaN row) — so the DuckDB
+    * oracle replay is unchanged. */
   private def semDedupAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    graft.SharedFrames.shared(e.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", dot(col("ev"), col("cv")) / (col("nrm") * col("cn")))
-      // argmax over K centroid rows per vector; ties (only possible with
-      // duplicate centroids) break to the lowest centroid id
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_c").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cluster"),
-        col("cos_c").as("cos_centroid"), col("ev"), col("nrm")))
+    import e.sparkSession.implicits._
+    // K rows by contract (driver-scale) — sorted by cid so the strict
+    // argmax keeps the lowest cid on exact ties, as the window did
+    val cents = centroids.select(col("cid"), col("cv"), col("cn"))
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    val bc = e.sparkSession.sparkContext.broadcast(cents)
+    graft.SharedFrames.shared(
+      e.select(col("vec_id"), col("ev"), col("nrm"))
+        .as[(Long, Array[Double], Double)]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (id, ev, nrm) =>
+            var best = 0L
+            var bestCos = Double.NegativeInfinity
+            var first = true
+            var j = 0
+            while (j < cs.length) {
+              val (cid, cv, cn) = cs(j)
+              var d = 0.0
+              var i = 0
+              while (i < ev.length) { d += ev(i) * cv(i); i += 1 }
+              val c = d / (nrm * cn)
+              // Spark's descending sort is a total order with NaN ABOVE
+              // every double — replicate it: NaN beats non-NaN; within a
+              // NaN class only cid order (keep first) applies
+              val better =
+                (java.lang.Double.isNaN(c) && !java.lang.Double.isNaN(bestCos)) ||
+                  (java.lang.Double.isNaN(c) == java.lang.Double.isNaN(bestCos)
+                    && c > bestCos)
+              if (first || better) { bestCos = c; best = cid; first = false }
+              j += 1
+            }
+            (id, best, bestCos, ev, nrm)
+          }
+        }
+        .toDF("vec_id", "cluster", "cos_centroid", "ev", "nrm"))
   }
 
   def semDedupCore(e: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
