@@ -282,21 +282,34 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
 
-  /** (vec_id, table, bucket) — ids only; vectors join back in later so the
-    * candidate shuffle never carries 64-double arrays. Banding is
+  /** Appends the multi-table (tbl, bucket) LSH coordinates to any frame
+    * carrying an `ev` vector column — the ONE bucketing formulation
+    * (explode over per-table hyperplane sign codes) every LSH path
+    * derives from, so a change to the banding scheme cannot silently
+    * fork the query paths from each other or from [[bucketsSql]]'s
+    * oracle replay. Callers choose what rides along: [[bucketed]] keeps
+    * ids only (query-bound candidate joins never carry 64-double
+    * arrays); [[embeddingNearDup]] carries ev/nrm (its corpus-sized
+    * pair verify streams inside the bucket join — see its scaladoc). */
+  private def withBuckets(f: DataFrame, tables: Int, planes: Int): DataFrame =
+    f.select(f.columns.map(col) :+
+        explode(array((0 until tables).map(tb =>
+          struct(lit(tb).as("tbl"), lshBucket(col("ev"), tb, planes).as("bucket"))): _*))
+          .as("tb"): _*)
+      .select((f.columns.map(col) :+ col("tb.tbl") :+ col("tb.bucket")): _*)
+
+  /** (vec_id, table, bucket) — ids only (see [[withBuckets]]). Banding is
     * parametric: more planes per table = fewer, more selective candidates
     * (top-k search wants selectivity); fewer planes over more tables =
     * higher recall at a lower similarity threshold (near-dup mining). At
     * scale `planes` grows with log(corpus) so bucket occupancy stays flat. */
   private def bucketed(spark: SparkSession, dir: String,
       tables: Int = Tables, planes: Int = PlanesPerTable): DataFrame =
-    t(spark, dir, "embeddings")
-      .select(col("vec_id"), toDouble(col("embedding")).as("ev"))
-      .select(col("vec_id"),
-        explode(array((0 until tables).map(tb =>
-          struct(lit(tb).as("tbl"), lshBucket(col("ev"), tb, planes).as("bucket"))): _*))
-          .as("tb"))
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    withBuckets(
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("ev")),
+      tables, planes)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
 
   /** ANN via multi-table hyperplane LSH: candidates share a bucket with the
     * query in ANY table; exact cosine re-ranks. The candidate join is an
@@ -1175,13 +1188,8 @@ object Similarity {
   def embeddingNearDup(spark: SparkSession, dir: String,
       tau: Double = NearDupTau): DataFrame = {
     val e = withNorm(spark, dir)
-    val bk = e.select(col("vec_id"), col("ev"), col("nrm"),
-        explode(array((0 until NearDupTables).map(tb =>
-          struct(lit(tb).as("tbl"),
-            lshBucket(col("ev"), tb, NearDupPlanes).as("bucket"))): _*))
-          .as("tb"))
-      .select(col("vec_id"), col("ev"), col("nrm"),
-        col("tb.tbl"), col("tb.bucket"))
+    val bk = withBuckets(e.select(col("vec_id"), col("ev"), col("nrm")),
+      NearDupTables, NearDupPlanes)
     // shuffle_hash: corpus-sized bucket table — same reasoning as
     // Dedup.dedupMinhashLsh (never broadcastable at scale, faster locally)
     bk.as("x").hint("shuffle_hash").join(bk.as("y"),
@@ -1354,7 +1362,11 @@ object Similarity {
         .as[(Long, Array[Double], Double)]
         .mapPartitions { it =>
           val cs = bc.value
-          it.map { case (id, ev, nrm) =>
+          // an empty centroid table assigns NOTHING — the old crossJoin
+          // plan (and the oracle's CROSS JOIN replay) yields zero rows,
+          // not a fabricated cluster
+          if (cs.isEmpty) Iterator.empty
+          else it.map { case (id, ev, nrm) =>
             var best = 0L
             var bestCos = Double.NegativeInfinity
             var first = true
@@ -1363,7 +1375,10 @@ object Similarity {
               val (cid, cv, cn) = cs(j)
               var d = 0.0
               var i = 0
-              while (i < ev.length) { d += ev(i) * cv(i); i += 1 }
+              // min-length truncation exactly as VecDot.eval — ragged
+              // dims stay wrong-but-defined instead of throwing
+              val n = math.min(ev.length, cv.length)
+              while (i < n) { d += ev(i) * cv(i); i += 1 }
               val c = d / (nrm * cn)
               // Spark's descending sort is a total order with NaN ABOVE
               // every double — replicate it: NaN beats non-NaN; within a

@@ -80,10 +80,15 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // kind indexes by the user's OCCURRENCE counter (i / keys), not by i:
+    // user u's events are i ≡ u (mod keys), so an i-based kind would be
+    // CONSTANT per user whenever keys is a multiple of kinds.size — every
+    // user alternating through the kinds is what makes asof_enrich
+    // actually match clicks to prior views
     def events(n: Int, kinds: Seq[String]): Seq[Event] =
       (0 until n).map { i =>
         Event(i.toLong, i.toLong * 1000L, (i % keys).toLong,
-          kinds(i % kinds.size), (i % 7 + 1).toDouble)
+          kinds((i / keys) % kinds.size), (i % 7 + 1).toDouble)
       }
 
     // fresh stream + query per (twin, cadence): state never carries over,
