@@ -36,6 +36,46 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val printed = new AtomicBoolean(false)
 
+  /** HOST-SPEED CANARY (VERDICT r16 item 4): a fixed, deterministic,
+    * allocation-free splitmix64 mixing loop run on `threads` concurrent
+    * workers (fixed work per worker), timed wall-clock. No I/O, no Spark,
+    * no data dependence — its seconds measure ONLY this host's effective
+    * CPU throughput at suite concurrency, so cross-round bench ratios can
+    * be canary-normalized instead of burning a same-day worktree re-run
+    * to separate the host's ±28% session swing from code effect. Multi-
+    * threaded deliberately: the swing is co-tenancy, which a single
+    * scalar loop on one core cannot see. The xor-fold into `sink` defeats
+    * dead-code elimination; the work constant is sized to ~2 s on the
+    * reference host. */
+  final val CanaryItersPerThread = 400000000L
+
+  def canarySeconds(threads: Int): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val ws = (0 until threads).map { w =>
+      val th = new Thread(() => {
+        var x = 0x243F6A8885A308D3L + w
+        var acc = 0L
+        var i = 0L
+        while (i < CanaryItersPerThread) {
+          x += 0x9E3779B97F4A7C15L
+          var z = x
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          acc ^= z ^ (z >>> 31)
+          i += 1
+        }
+        sink.getAndAdd(acc)
+      }, s"bench-canary-$w")
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ws.foreach(_.join())
+    if (sink.get() == 42L) System.err.println("[bench] canary sink collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Seconds at 3 decimals (Locale.ROOT — never a comma separator), full
     * precision for the negative sentinels. 3 decimals keeps the complete
     * ~90-query JSON line around 2.0 KB — inside the harness's ~2.2 KB
@@ -114,6 +154,9 @@ object Bench {
 
     val samples = TrieMap.empty[String, List[Double]] // successful secs per query
     val statuses = TrieMap.empty[String, String] // worst non-ok outcome seen
+    // host-speed canary seconds; -1.0 until measured (a killed-before-
+    // canary run records the sentinel, never a fake speed)
+    @volatile var canarySec = -1.0
 
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       val results = names.map { n =>
@@ -130,7 +173,7 @@ object Bench {
       // sentinels are kept visible per-query but never subtract from the total
       val total = results.map(_._2).filter(_ >= 0).sum
       val line =
-        s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmtSec(total)},"unit":"sec","canary_s":${fmtSec(canarySec)},"queries":$qs,"sf":"$sfDir"}"""
       println(line)
       System.out.flush()
       // durable copy: the harness captures only a bounded TAIL of stdout
@@ -203,6 +246,11 @@ object Bench {
           case _         => "\"" + n + "\":-1.0"
         })
     }.mkString("{", ",", "}")
+
+    // host-speed canary BEFORE any Spark work touches the caches — pure
+    // CPU, so it reads the host, not the suite
+    canarySec = canarySeconds(cpus.toInt)
+    System.err.println(f"[bench] canary_s=$canarySec%.3f (threads=$cpus)")
 
     // warmup: run the flagship shape once, untimed but watchdogged — a hung
     // warmup must not eat the whole session

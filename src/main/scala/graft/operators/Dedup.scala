@@ -2891,14 +2891,25 @@ object Dedup {
     * heap — the regime every calibration point was measured in. Cluster:
     * executors × executor heap (conf-derived; the driver JVM's
     * Runtime.maxMemory says nothing about executor storage — ADVICE
-    * r15). Executor count comes from the block-manager roster minus the
-    * driver, floored at 1 before first-executor registration. */
+    * r15). Executor count is the MAX of the block-manager roster (minus
+    * the driver) and the configured fleet size
+    * (spark.executor.instances / spark.dynamicAllocation.initialExecutors
+    * — ADVICE r16: the roster races executor registration, so an early
+    * call under dynamic allocation could see 0–1 executors and fire the
+    * serialized-storage switch a whole fleet early), floored at 1. Still
+    * a heuristic — the failure direction either way is the ~40%
+    * serialized-CPU tax, never correctness. */
   private def storageHeapBudget(spark: SparkSession): Double = {
     val sc = spark.sparkContext
     if (sc.isLocal) Runtime.getRuntime.maxMemory.toDouble
     else {
-      val execHeap = sc.getConf.getSizeAsBytes("spark.executor.memory", "1g")
-      val execs = math.max(1, sc.getExecutorMemoryStatus.size - 1)
+      val conf = sc.getConf
+      val execHeap = conf.getSizeAsBytes("spark.executor.memory", "1g")
+      val confExecs = math.max(
+        conf.getInt("spark.executor.instances", 0),
+        conf.getInt("spark.dynamicAllocation.initialExecutors", 0))
+      val seenExecs = sc.getExecutorMemoryStatus.size - 1
+      val execs = math.max(1, math.max(confExecs, seenExecs))
       execHeap.toDouble * execs
     }
   }

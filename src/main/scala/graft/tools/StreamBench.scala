@@ -39,6 +39,31 @@ import graft.streaming.{Event, EventStreams}
 object StreamBench {
   final val ChunkRows = 10000
 
+  /** Versioned artifact (VERDICT r16 item 6): the state-boundedness
+    * numbers used to live only in BASELINE.md prose; now every run also
+    * writes its records — one JSON object per line, one line per
+    * (twin, cadence) — to a repo file, so state-shape regressions diff
+    * across rounds exactly like BENCH/CORRECTNESS. Naming follows
+    * Bench.localArtifact: only an explicit round env/prop writes a
+    * round-named record; everything else goes to _latest. */
+  private lazy val artifactName: String =
+    sys.props.get("graft.round")
+      .orElse(sys.env.get("SPARK_GRAFT_ROUND")).map(_.trim).filter(_.nonEmpty)
+      .map(n => s"STREAMBENCH_r$n.json")
+      .getOrElse("STREAMBENCH_latest.json")
+
+  private val records = scala.collection.mutable.ArrayBuffer[String]()
+
+  private def writeArtifact(): Unit =
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(artifactName),
+        (records.mkString("", "\n", "\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] artifact write failed: $e")
+    }
+
   private def time[A](body: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = body
@@ -62,8 +87,14 @@ object StreamBench {
   }
 
   private def report(twin: String, rows: Int, sec: Double,
-      stateRows: Long, stateBytes: Long): Unit =
-    println(f"""{"metric":"stream_rows_per_sec","twin":"$twin","rows":$rows,"value":${rows / sec}%.0f,"seconds":$sec%.3f,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      stateRows: Long, stateBytes: Long): Unit = {
+    val line = f"""{"metric":"stream_rows_per_sec","twin":"$twin","rows":$rows,"value":${rows / sec}%.0f,"seconds":$sec%.3f,"state_rows":$stateRows,"state_bytes":$stateBytes}"""
+    println(line)
+    records += line
+    // rewrite after every record: a killed run still leaves everything
+    // measured so far on disk
+    writeArtifact()
+  }
 
   def main(args: Array[String]): Unit = {
     val keys = args.lift(0).map(_.toInt).getOrElse(200)

@@ -28,8 +28,13 @@ class SuffixStorageCalibrationSpec extends AnyFunSuite with SparkSpec {
         "the per-row measurement would be dominated by block overhead")
       val info = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
         .getOrElse(fail("persisted level frame missing from storage info"))
-      assert(info.diskSize == 0L,
-        "the sf0.001 frame spilled to disk — memSize no longer measures the full frame")
+      // a spill means memSize no longer measures the full frame — that is
+      // an ENVIRONMENT limitation (small test heap), not schema drift, so
+      // CANCEL rather than fail (ADVICE r16): only a genuine bytes-per-row
+      // move should trip the 2x band below
+      assume(info.diskSize == 0L,
+        "the sf0.001 frame spilled to disk on this heap — calibration " +
+          "unmeasurable here; cancelling (not a schema-drift failure)")
       val perRow = info.memSize.toDouble / n
       val c = Dedup.SuffixFrameBytesPerRow
       assert(perRow >= c / 2 && perRow <= c * 2,
