@@ -132,6 +132,72 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       s"dominant cluster holds $maxPop of ${rows.length} vectors")
   }
 
+  test("blocked centroid fold ≡ single block when K spans several blocks (r17 sharding pin)") {
+    // K = 8 on sf0.001 → blockRows = 3 splits training, norm derivation
+    // AND assignment across 3 blocks (3 + 3 + 2); the fold must replay
+    // the single-array scan bit-for-bit — same Lloyd init/update per
+    // block range, same ascending-cid election, same doubles
+    graft.SharedFrames.releaseAll()
+    val one = Similarity.semDedupWithBlockRows(spark, dir, blockRows = 1 << 20)
+      .collect().toSeq
+    graft.SharedFrames.releaseAll()
+    val blk = Similarity.semDedupWithBlockRows(spark, dir, blockRows = 3)
+      .collect().toSeq
+    graft.SharedFrames.releaseAll()
+    assert(one.nonEmpty && one == blk,
+      "blocked centroid structures diverged from the single-block path")
+  }
+
+  test("centroidBlocksOf: value-range blocking over an explicit centroid frame folds identically") {
+    import spark.implicits._
+    // constructed 5-centroid frame spanning 3 value-range blocks at
+    // blockRows = 2, with a zero-norm centroid (cid 2) so the NaN-first
+    // descending rule must FOLD across blocks (NaN arrives in the middle
+    // block and must hold against later finite cosines)
+    val cents = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(0.0, 0.0)), (3L, Array(0.6, 0.8)),
+      (4L, Array(0.6, 0.8))
+    ).toDF("cid", "cv")
+      .withColumn("cn",
+        sqrt(graft.functions.VecDot.vec_dot(col("cv"), col("cv"))))
+    val e = Seq(
+      (0L, Array(0.9, 0.1)), (1L, Array(0.1, 0.9)),
+      (2L, Array(0.59, 0.81)), (3L, Array(-1.0, -1.0))
+    ).toDF("vec_id", "ev")
+      .withColumn("nrm",
+        sqrt(graft.functions.VecDot.vec_dot(col("ev"), col("ev"))))
+    def run(blockRows: Int): (Seq[org.apache.spark.sql.Row], Int, Int) = {
+      val blocks = Similarity.centroidBlocksOf(cents, blockRows)
+      val out = Similarity.semDedupAssignBlocked(e, blocks)
+        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("cluster"), col("cos_centroid"))
+        .collect().toSeq
+      graft.SharedFrames.releaseAll()
+      (out, blocks.map(_.value.length).sum, blocks.length)
+    }
+    val (single, n1, b1) = run(1 << 20)
+    val (folded, n2, b2) = run(2)
+    assert(n1 == 5 && n2 == 5 && b1 == 1 && b2 == 3)
+    assert(single == folded,
+      "cross-block assignment fold diverged from the single-block scan")
+    // every vector assigned to the NaN-cosine zero-norm centroid (cid 2,
+    // NaN sorts first descending; lowest cid within the NaN class) — the
+    // fold must agree even though cid 2 sits alone in the MIDDLE block
+    assert(single.forall(_.getLong(1) == 2L))
+    // exact-tie election ACROSS a block boundary: without the NaN
+    // centroid, cids 3 and 4 carry the SAME vector — at blockRows = 1
+    // they land in different blocks and the identical cosine must keep
+    // the FIRST (lowest-cid) winner, exactly as the old single-array scan
+    val noNan = cents.filter(col("cid") =!= 2L)
+    val tied = Similarity.semDedupAssignBlocked(e,
+        Similarity.centroidBlocksOf(noNan, 1))
+      .filter(col("vec_id") === 2L).collect()
+    graft.SharedFrames.releaseAll()
+    assert(tied.length == 1 && tied(0).getLong(1) == 3L,
+      s"cross-block tie elected ${tied.toSeq} — expected lowest cid 3")
+  }
+
   test("semDedupCentroids: training moves centroids off the init and is idempotent") {
     val init = graft.Tables.t(spark, dir, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
