@@ -263,6 +263,10 @@ object SparkEntry {
     // the bounded partial TopKAgg (no window sort), the aggregate the
     // LSH/IVF candidate streams feed at full scale
     "knn_graph" -> (Similarity.knnGraph _),
+    // the full-corpus kNN face: the SAME bounded aggregate (set-semantics
+    // variant — in-buffer dedup of the multi-table candidate stream) fed
+    // by LSH candidate pairs scored inside the streamed bucket join
+    "knn_graph_lsh" -> (Similarity.knnGraphLsh _),
     // single-pass distributed second moments (partial-combined to d²/2
     // cells before the exchange); exact via the dec-staged sums
     "pca_covariance" -> (Similarity.pcaCovariance _),
@@ -502,6 +506,7 @@ object SparkEntry {
     "drift_windows" -> CorpusOps.driftWindowsSql,
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
+    "knn_graph_lsh" -> Similarity.knnGraphLshSql,
     "pca_covariance" -> Similarity.pcaCovarianceSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,

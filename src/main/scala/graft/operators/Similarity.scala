@@ -198,7 +198,7 @@ object Similarity {
     * PRNG (java.util.Random — identical sequence on every JVM) and shipped
     * as array literals. This keeps bucket computation a single codegen'd
     * fold per plane instead of per-row, per-dimension hash evaluation. */
-  private def planeVector(tbl: Int, p: Int): Seq[Double] = {
+  private[operators] def planeVector(tbl: Int, p: Int): Seq[Double] = {
     val rnd = new java.util.Random(tbl * 1031L + p * 7919L)
     Seq.fill(Dims)(rnd.nextDouble() * 2 - 1)
   }
@@ -2309,11 +2309,11 @@ object Similarity {
     *
     * The all-pairs scoring is contract-capped at [[KnnCap]] nodes (the
     * [[GraphRank]] slice discipline): the exact face verifies the
-    * ranking machinery bit-for-bit against the DuckDB window replay; at
-    * full corpus the SAME TopKAgg consumes LSH/IVF candidate pairs
-    * ([[embeddingNearDupLsh]] / [[annIvfIndexed]] shapes) instead of the
-    * quadratic frame — candidate generation is the only thing that
-    * changes, the ranking aggregate is already scale-shaped. */
+    * ranking machinery bit-for-bit against the DuckDB window replay; the
+    * full-corpus face is [[knnGraphLsh]] (registered since r17), where
+    * the SAME k-bounded aggregate consumes LSH candidate pairs —
+    * candidate generation is the only thing that changes, the ranking
+    * aggregate is already scale-shaped. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     // zero-norm guard — see decontaminateSemantic: NaN cosines order
     // differently through the bounded aggregate than through a window
@@ -2349,6 +2349,87 @@ object Similarity {
        |  SELECT a.vec_id AS src, b.vec_id AS nbr,
        |    ${foldSql("a.ev", "b.ev")} / (a.nrm * b.nrm) AS cosine
        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT src, nbr, cosine, row_number() OVER (
+       |      PARTITION BY src ORDER BY cosine DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, nbr, cosine
+       |FROM r WHERE rnk <= $KnnK
+       |ORDER BY src, rnk""".stripMargin)
+
+  /** k-NN GRAPH at FULL CORPUS — the composition [[knnGraph]]'s scaladoc
+    * promised, now a registered query (VERDICT r16 item 5): the SAME
+    * k-bounded ranking aggregate, fed by LSH candidate pairs instead of
+    * the contract-capped all-pairs frame. Approximate by contract (a
+    * node's neighbors are the best of its CANDIDATES — KnnGraphLshSpec
+    * measures recall vs the exact slice); the oracle replays the
+    * IDENTICAL candidate set through the window twin, the
+    * [[annLsh]]/[[embeddingNearDup]] discipline.
+    *
+    * Plan shape — both r16 anti-pattern lessons applied at once:
+    *  - vectors ride the LINEAR bucket shuffle ([[NearDupTables]]× the
+    *    corpus, the only exchanged frame); the Θ(n²·p) directed candidate
+    *    stream is generated AND cosine-scored inside the bucket join's
+    *    streamed codegen output, never materialized;
+    *  - a pair colliding in several tables enters the stream once per
+    *    table with a BIT-EQUAL cosine (pure function of the pair), and
+    *    the SET-SEMANTICS bounded aggregate
+    *    ([[graft.functions.TopKAgg.top_k_distinct]]) collapses those
+    *    duplicates IN-BUFFER — no `distinct` over the quadratic stream
+    *    anywhere, ≤ k·partitions rows shuffle to the reduce side.
+    * Zero-norm vectors are excluded exactly as [[knnGraph]] (NaN cosines
+    * order differently through a bounded aggregate than a window). */
+  def knnGraphLsh(spark: SparkSession, dir: String): DataFrame =
+    knnGraphLshCapped(spark, dir, Long.MaxValue)
+
+  /** [[knnGraphLsh]] restricted to vec_id < cap — KnnGraphLshSpec runs it
+    * on the [[KnnCap]] slice to compare faces against [[knnGraph]] and a
+    * full driver replay. */
+  private[operators] def knnGraphLshCapped(spark: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    val e = withNorm(spark, dir)
+      .filter(col("vec_id") < cap).filter(col("nrm") > 0)
+    val bk = withBuckets(e.select(col("vec_id"), col("ev"), col("nrm")),
+      NearDupTables, NearDupPlanes)
+    val pairs = bk.as("x").hint("shuffle_hash").join(bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("nid"),
+        (dot(col("x.ev"), col("y.ev")) / (col("x.nrm") * col("y.nrm")))
+          .as("cos"))
+    val topk = graft.functions.TopKAgg.top_k_distinct(KnnK)
+    pairs.groupBy(col("src"))
+      .agg(topk(col("nid"), col("cos")).as("nn"))
+      .select(col("src"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("nbr"), col("e.v").as("cosine"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  /** Oracle: the identical candidate set (same inlined hyperplanes, same
+    * strict-fold projections ⇒ same buckets), deduped declaratively and
+    * ranked by the window twin — equality proves the in-buffer
+    * set-semantics aggregate replays DISTINCT + window over the raw
+    * duplicate-bearing stream. */
+  val knnGraphLshSql: String = OracleSql.materializeCtes(
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, ev, nrm FROM (
+       |    SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e0)
+       |  WHERE nrm > 0),
+       |e AS (SELECT vec_id, ev FROM n),
+       |b AS (
+       |${bucketsSql(NearDupTables, NearDupPlanes)}),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS nbr
+       |  FROM b x JOIN b y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |    AND x.vec_id <> y.vec_id),
+       |p AS (
+       |  SELECT c.src, c.nbr,
+       |    ${foldSql("a.ev", "d.ev")} / (a.nrm * d.nrm) AS cosine
+       |  FROM cand c JOIN n a ON a.vec_id = c.src
+       |  JOIN n d ON d.vec_id = c.nbr),
        |r AS (
        |  SELECT src, nbr, cosine, row_number() OVER (
        |      PARTITION BY src ORDER BY cosine DESC, nbr) AS rnk
