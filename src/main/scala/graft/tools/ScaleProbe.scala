@@ -61,9 +61,20 @@ import org.apache.spark.sql.functions._
   *    transform); see [[replicateEmbeddings]] for the fidelity argument
   *    and why no `embed_nodup` floor analog can exist.
   *
+  *  - `full`: BOTH tables — documents in `dup` mode and embeddings in
+  *    `embed` mode — with ALIGNED id strides (VERDICT r16 item 3): both
+  *    replications offset replica k's ids by k·[[Stride]], so the 1:1
+  *    doc_id ↔ vec_id correspondence the source corpus carries survives
+  *    into every replica, and the composite pipelines (lineage_report,
+  *    pipeline_e2e, decontaminate_semantic) see a semantic-dup stage
+  *    with vectors for EVERY scaled doc_id — under the single-table
+  *    recipes the embeddings-joined stage saw original ids only.
+  *
   * Other tables are not written here; the probe recipe copies them from
   * the source SF unchanged (embedding-joined stages therefore see only
-  * the original ids — noted where a probed query uses them). */
+  * the original ids under the single-table modes — noted where a probed
+  * query uses them; `full` closes that for documents+embeddings
+  * consumers). */
 object ScaleProbe {
   /** Replica doc_id offset stride; must clear every source id (asserted
     * in [[replicate]]) or colliding ids across replicas would make
@@ -229,7 +240,7 @@ object ScaleProbe {
       .config("spark.sql.artifact.isolation.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "embed") {
+    if (mode == "embed" || mode == "full") {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       replicateEmbeddings(emb, replicas).repartition(32)
         .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
@@ -238,14 +249,29 @@ object ScaleProbe {
       require(n == replicas * emb.count(),
         s"ScaleProbe embed: wrote $n rows, expected ${replicas}×${emb.count()}")
       println(s"[scaleprobe] wrote $n embeddings to $dest/embeddings.parquet (mode=$mode)")
-      spark.stop()
-      return
+      if (mode == "embed") { spark.stop(); return }
+      // `full` continues into the dup-mode documents write below; both
+      // replications use the same k·Stride offsets, so doc_ids and
+      // vec_ids stay 1:1-aligned per replica (asserted after writing)
     }
+    val docMode = if (mode == "full") "dup" else mode
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    replicate(docs, replicas, mode).repartition(32).write.mode("overwrite")
+    replicate(docs, replicas, docMode).repartition(32).write.mode("overwrite")
       .parquet(s"$dest/documents.parquet")
     val out = spark.read.parquet(s"$dest/documents.parquet")
     val n = out.count()
+    if (mode == "full") {
+      // the aligned-strides contract, measured on what was actually
+      // written: the scaled tables carry identical id sets
+      val docIds = out.select(col("doc_id"))
+      val vecIds = spark.read.parquet(s"$dest/embeddings.parquet")
+        .select(col("vec_id"))
+      val mismatch = docIds.except(vecIds.toDF("doc_id")).count() +
+        vecIds.toDF("doc_id").except(docIds).count()
+      require(mismatch == 0L,
+        s"ScaleProbe full: doc_id/vec_id sets diverged ($mismatch ids) — " +
+          "the aligned-stride contract is broken")
+    }
     if (mode == "chardup") {
       // the length-preserving rename is injective only w.h.p. — verify
       // by measurement: any collision (within a replica or across

@@ -179,6 +179,24 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpec {
       out.map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1))
   }
 
+  test("full-mode contract: dup-docs and embed replications keep ids 1:1-aligned") {
+    // the `full` probe mode writes documents (dup) and embeddings (embed)
+    // with the same k·Stride offsets — given a source whose doc_ids and
+    // vec_ids align 1:1 (the corpus contract), every replica's ids must
+    // align too, so composite pipelines see vectors for EVERY scaled doc
+    val srcDocs = Seq((0L, "a b"), (1L, "c d"), (2L, "e f"))
+      .toDF("doc_id", "text")
+    val srcVecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val docIds = ScaleProbe.replicate(srcDocs, 3, "dup")
+      .select("doc_id").as[Long].collect().toSet
+    val vecIds = ScaleProbe.replicateEmbeddings(srcVecs, 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(docIds.size == 9 && docIds == vecIds,
+      s"aligned-stride contract broken: ${docIds.diff(vecIds)} / ${vecIds.diff(docIds)}")
+  }
+
   test("embed: ragged dims and stride-breaking ids fail loudly") {
     val ragged = Seq((0L, Array(1.0f, 0.0f), 1), (1L, Array(1.0f), 1))
       .toDF("vec_id", "embedding", "label")
