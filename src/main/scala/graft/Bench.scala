@@ -248,9 +248,13 @@ object Bench {
     }.mkString("{", ",", "}")
 
     // host-speed canary BEFORE any Spark work touches the caches — pure
-    // CPU, so it reads the host, not the suite
-    canarySec = canarySeconds(cpus.toInt)
-    System.err.println(f"[bench] canary_s=$canarySec%.3f (threads=$cpus)")
+    // CPU, so it reads the host, not the suite. SPARK_GRAFT_NO_CANARY
+    // skips it (A/B instrument for attributing suite movement to the
+    // canary itself)
+    if (!sys.env.contains("SPARK_GRAFT_NO_CANARY")) {
+      canarySec = canarySeconds(cpus.toInt)
+      System.err.println(f"[bench] canary_s=$canarySec%.3f (threads=$cpus)")
+    }
 
     // warmup: run the flagship shape once, untimed but watchdogged — a hung
     // warmup must not eat the whole session
