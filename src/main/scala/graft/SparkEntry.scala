@@ -267,6 +267,10 @@ object SparkEntry {
     // variant — in-buffer dedup of the multi-table candidate stream) fed
     // by LSH candidate pairs scored inside the streamed bucket join
     "knn_graph_lsh" -> (Similarity.knnGraphLsh _),
+    // the SUBQUADRATIC-COMPUTE full-corpus kNN face: candidates from the
+    // own + probed inverted lists of the sharded K∝n SemDeDup centroids
+    // (~320 cosines per vector at any scale), same bounded aggregate
+    "knn_graph_ivf" -> (Similarity.knnGraphIvf _),
     // single-pass distributed second moments (partial-combined to d²/2
     // cells before the exchange); exact via the dec-staged sums
     "pca_covariance" -> (Similarity.pcaCovariance _),
@@ -507,6 +511,7 @@ object SparkEntry {
     "split_leakfree" -> graft.operators.Pipeline.splitLeakfreeSql,
     "knn_graph" -> Similarity.knnGraphSql,
     "knn_graph_lsh" -> Similarity.knnGraphLshSql,
+    "knn_graph_ivf" -> Similarity.knnGraphIvfSql,
     "pca_covariance" -> Similarity.pcaCovarianceSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,

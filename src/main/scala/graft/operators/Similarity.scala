@@ -1672,28 +1672,40 @@ object Similarity {
        |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  /** Oracle: replays the ENTIRE operator — [[SemDedupIters]] quantized
-    * Lloyd rounds (assignment argmin = same fold, same lowest-cid ties;
-    * update = the identical BIGINT fixed-point arithmetic, with `//`
-    * wrapped to match JVM truncating division) and then the assignment +
-    * prune stages — bit-identically, at any scale factor. No inlined
-    * constants beyond [[SemDedupQScale]]: the centroids the oracle prunes
-    * with are DERIVED from the data exactly as the operator derives them. */
-  val semDedupSql: String = {
+  /** The K ∝ n init CTE of the quantized-Lloyd replay over source CTE
+    * `src`: cid = training index over the k lowest vec_ids, with K
+    * derived from the SAME integer arithmetic as [[semDedupKFor]]. */
+  private def lloydInitSql(src: String): String =
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |         AS cid, ev AS cv
+       |       FROM $src WHERE vec_id IN
+       |         (SELECT vec_id FROM $src ORDER BY vec_id LIMIT (
+       |            SELECT GREATEST($SemDedupK,
+       |              (COUNT(*) + ${SemDedupTargetPop - 1}) // $SemDedupTargetPop)
+       |            FROM $src)))""".stripMargin
+
+  /** The [[SemDedupIters]] quantized-Lloyd rounds as CTEs over a
+    * (vec_id, ev) source CTE `src` — the ONE training replay shared by
+    * [[semDedupSql]] (src = the whole corpus),
+    * [[semDedupIncrementalSql]] (src = the stored-corpus prefix) and
+    * [[knnGraphIvfSql]]: assignment argmin = the same strict fold with
+    * lowest-cid ties; update = the identical BIGINT fixed-point
+    * arithmetic, with `//` wrapped to match JVM truncating division. */
+  private def lloydRoundsSql(src: String): String = {
     val q = SemDedupQScale
-    val train = (1 to SemDedupIters).map { i =>
+    (1 to SemDedupIters).map { i =>
       val prev = s"c${i - 1}"
       s"""a$i AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT x.vec_id, c.cid, row_number() OVER (
          |        PARTITION BY x.vec_id
          |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
-         |    FROM e x CROSS JOIN $prev c) WHERE rn = 1),
+         |    FROM $src x CROSS JOIN $prev c) WHERE rn = 1),
          |s$i AS (
          |  SELECT a.cid, t.i AS pos,
          |    SUM(CAST(floor(e.ev[t.i] * $q) AS BIGINT)) AS sq,
          |    COUNT(*) AS n
-         |  FROM a$i a JOIN e ON e.vec_id = a.vec_id,
+         |  FROM a$i a JOIN $src e ON e.vec_id = a.vec_id,
          |    UNNEST(range(1, len(e.ev)+1)) AS t(i)
          |  GROUP BY a.cid, t.i),
          |u$i AS (
@@ -1706,16 +1718,18 @@ object Similarity {
          |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** Oracle: replays the ENTIRE operator — [[SemDedupIters]] quantized
+    * Lloyd rounds ([[lloydRoundsSql]]) and then the assignment + prune
+    * stages — bit-identically, at any scale factor. No inlined
+    * constants beyond [[SemDedupQScale]]: the centroids the oracle prunes
+    * with are DERIVED from the data exactly as the operator derives them. */
+  val semDedupSql: String = {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
        |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-       |         AS cid, ev AS cv
-       |       FROM e WHERE vec_id IN
-       |         (SELECT vec_id FROM e ORDER BY vec_id LIMIT (
-       |            SELECT GREATEST($SemDedupK,
-       |              (COUNT(*) + ${SemDedupTargetPop - 1}) // $SemDedupTargetPop)
-       |            FROM e))),
-       |$train,
+       |${lloydInitSql("e")},
+       |${lloydRoundsSql("e")},
        |c AS (SELECT cid, cv, sqrt(${foldSql("cv", "cv")}) AS cn
        |      FROM c$SemDedupIters),
        |a0 AS (SELECT x.vec_id, c.cid,
@@ -1788,44 +1802,12 @@ object Similarity {
     * the delta's verdicts. Bit-identical at any SF for the same reasons
     * as the full oracle (fixed-point training, strict-fold cosines). */
   val semDedupIncrementalSql: String = {
-    val q = SemDedupQScale
     val cut = graft.operators.Dedup.IncrementalCut
-    val train = (1 to SemDedupIters).map { i =>
-      val prev = s"c${i - 1}"
-      s"""a$i AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT x.vec_id, c.cid, row_number() OVER (
-         |        PARTITION BY x.vec_id
-         |        ORDER BY ${l2FoldSql("x.ev", "c.cv")}, c.cid) AS rn
-         |    FROM ec x CROSS JOIN $prev c) WHERE rn = 1),
-         |s$i AS (
-         |  SELECT a.cid, t.i AS pos,
-         |    SUM(CAST(floor(e.ev[t.i] * $q) AS BIGINT)) AS sq,
-         |    COUNT(*) AS n
-         |  FROM a$i a JOIN ec e ON e.vec_id = a.vec_id,
-         |    UNNEST(range(1, len(e.ev)+1)) AS t(i)
-         |  GROUP BY a.cid, t.i),
-         |u$i AS (
-         |  SELECT cid, list(CAST(td AS DOUBLE) / $q ORDER BY pos) AS cv
-         |  FROM (SELECT cid, pos,
-         |          CASE WHEN sq >= 0 THEN sq // n
-         |               ELSE -((-sq) // n) END AS td
-         |        FROM s$i) GROUP BY cid),
-         |c$i AS (
-         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
-         |  FROM $prev p LEFT JOIN u$i u USING (cid))""".stripMargin
-    }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
        |ec AS (SELECT * FROM e WHERE vec_id < $cut),
        |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
-       |         AS cid, ev AS cv
-       |       FROM ec WHERE vec_id IN
-       |         (SELECT vec_id FROM ec ORDER BY vec_id LIMIT (
-       |            SELECT GREATEST($SemDedupK,
-       |              (COUNT(*) + ${SemDedupTargetPop - 1}) // $SemDedupTargetPop)
-       |            FROM ec))),
-       |$train,
+       |${lloydInitSql("ec")},
+       |${lloydRoundsSql("ec")},
        |c AS (SELECT cid, cv, sqrt(${foldSql("cv", "cv")}) AS cn
        |      FROM c$SemDedupIters),
        |a0 AS (SELECT x.vec_id, c.cid,
@@ -2310,10 +2292,12 @@ object Similarity {
     * The all-pairs scoring is contract-capped at [[KnnCap]] nodes (the
     * [[GraphRank]] slice discipline): the exact face verifies the
     * ranking machinery bit-for-bit against the DuckDB window replay; the
-    * full-corpus face is [[knnGraphLsh]] (registered since r17), where
-    * the SAME k-bounded aggregate consumes LSH candidate pairs —
-    * candidate generation is the only thing that changes, the ranking
-    * aggregate is already scale-shaped. */
+    * full-corpus faces are [[knnGraphIvf]] (subquadratic probed-cluster
+    * candidates — the graph-at-scale plan) and [[knnGraphLsh]] (banding
+    * candidates — the near-dup-threshold recall tool), where the SAME
+    * k-bounded aggregate consumes the candidate pairs — candidate
+    * generation is the only thing that changes, the ranking aggregate
+    * is already scale-shaped. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     // zero-norm guard — see decontaminateSemantic: NaN cosines order
     // differently through the bounded aggregate than through a window
@@ -2378,7 +2362,15 @@ object Similarity {
     *    duplicates IN-BUFFER — no `distinct` over the quadratic stream
     *    anywhere, ≤ k·partitions rows shuffle to the reduce side.
     * Zero-norm vectors are excluded exactly as [[knnGraph]] (NaN cosines
-    * order differently through a bounded aggregate than a window). */
+    * order differently through a bounded aggregate than a window).
+    *
+    * SCALE CAVEAT (VERDICT r17): at the 8×4 near-dup banding a random
+    * pair collides somewhere with p ≈ 0.4, so the scored stream is
+    * ~0.4·n² cosines — quadratic COMPUTE for this face's LINEAR output
+    * (measured 42× wall at 20× data). That is the right recall tool at
+    * near-dup thresholds (cos ≥ ~0.8, where banding is selective), but
+    * for building a whole-corpus graph prefer [[knnGraphIvf]]: bounded
+    * probed-cluster candidates, ~n·320 cosines at any scale. */
   def knnGraphLsh(spark: SparkSession, dir: String): DataFrame =
     knnGraphLshCapped(spark, dir, Long.MaxValue)
 
@@ -2430,6 +2422,190 @@ object Similarity {
        |    ${foldSql("a.ev", "d.ev")} / (a.nrm * d.nrm) AS cosine
        |  FROM cand c JOIN n a ON a.vec_id = c.src
        |  JOIN n d ON d.vec_id = c.nbr),
+       |r AS (
+       |  SELECT src, nbr, cosine, row_number() OVER (
+       |      PARTITION BY src ORDER BY cosine DESC, nbr) AS rnk
+       |  FROM p)
+       |SELECT src, CAST(rnk AS BIGINT) AS rnk, nbr, cosine
+       |FROM r WHERE rnk <= $KnnK
+       |ORDER BY src, rnk""".stripMargin)
+
+  /** Probed inverted lists per vector BEYOND its own for [[knnGraphIvf]]
+    * — candidates come from the vector's own cluster plus its
+    * [[KnnIvfProbes]] next-nearest clusters' members. */
+  final val KnnIvfProbes = 4
+
+  /** Per-vector top-nprobe NEAREST CENTROIDS, in rank order, from ONE
+    * mapPartitions pass over the broadcast centroid blocks —
+    * [[semDedupAssignBlocked]]'s argmax generalized to a bounded
+    * insertion buffer (probes(0) IS the assignment cluster). The rank
+    * order replicates the window twin's (cos DESC, cid ASC) total order
+    * including Spark's NaN-sorts-first descending rule, and the cosine
+    * is the same strict-left-fold `d / (nrm · cn)` expression — so a
+    * DuckDB `row_number() OVER (ORDER BY cos DESC, cid)` replay elects
+    * the IDENTICAL probe sets. Emits (vec_id, ev, nrm, probes);
+    * vectors ride along so the candidate join never re-reads the
+    * corpus. */
+  private[operators] def semDedupProbeBlocked(e: DataFrame,
+      blocks: IndexedSeq[org.apache.spark.broadcast.Broadcast[
+        Array[(Long, Array[Double], Double)]]],
+      nprobe: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select(col("vec_id"), col("ev"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        if (blocks.isEmpty) Iterator.empty
+        else it.map { case (id, ev, nrm) =>
+          val cids = new Array[Long](nprobe)
+          val coss = new Array[Double](nprobe)
+          var cnt = 0
+          var b = 0
+          while (b < blocks.length) {
+            val cs = blocks(b).value
+            var j = 0
+            while (j < cs.length) {
+              val (cid, cv, cn) = cs(j)
+              var d = 0.0
+              var i = 0
+              // min-length truncation exactly as VecDot.eval
+              val nl = math.min(ev.length, cv.length)
+              while (i < nl) { d += ev(i) * cv(i); i += 1 }
+              val c = d / (nrm * cn)
+              // first buffer slot this candidate ranks strictly before;
+              // candidates arrive in ascending cid, so equal-cosine ties
+              // never displace a buffered (lower-cid) entry
+              var pos = 0
+              while (pos < cnt &&
+                  !ranksBefore(c, cid, coss(pos), cids(pos))) pos += 1
+              if (pos < nprobe) {
+                var m = math.min(cnt, nprobe - 1)
+                while (m > pos) {
+                  cids(m) = cids(m - 1); coss(m) = coss(m - 1); m -= 1
+                }
+                cids(pos) = cid
+                coss(pos) = c
+                if (cnt < nprobe) cnt += 1
+              }
+              j += 1
+            }
+            b += 1
+          }
+          (id, ev, nrm, cids.take(cnt))
+        }
+      }
+      .toDF("vec_id", "ev", "nrm", "probes")
+  }
+
+  /** `(c1, cid1)` ranks strictly before `(c2, cid2)` under Spark's
+    * (cos DESC, cid ASC) window order with NaN above every double —
+    * the [[semDedupAssignBlocked]] election rule, buffered. Primitive
+    * double comparisons, exactly as the assignment's `c > bestCos`. */
+  private def ranksBefore(c1: Double, cid1: Long,
+      c2: Double, cid2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(c1)
+    val n2 = java.lang.Double.isNaN(c2)
+    if (n1 != n2) n1
+    else if (!n1 && c1 != c2) c1 > c2
+    else cid1 < cid2
+  }
+
+  /** k-NN GRAPH at FULL CORPUS, SUBQUADRATIC COMPUTE — the IVF-candidate
+    * face (VERDICT r17 item 1): candidates for a vector are the members
+    * of its own cluster plus its [[KnnIvfProbes]] next-nearest clusters,
+    * over the SAME sharded K ∝ n SemDeDup centroids
+    * ([[semDedupCentroidBlocks]]) the dedup family already trains, fed
+    * to the SAME set-semantics bounded ranking aggregate as
+    * [[knnGraphLsh]].
+    *
+    * Why this is the graph-at-scale face: [[knnGraphLsh]]'s 8×4 near-dup
+    * banding collides a RANDOM pair somewhere with p ≈ 0.4, so its
+    * scored stream is ~0.4·n² cosines — quadratic COMPUTE for a LINEAR
+    * output (measured 42× wall at 20× data, BASELINE.md r17). Here the
+    * per-vector candidate count is bounded by the probed populations:
+    * with K = ⌈n/64⌉ centroids ([[semDedupKFor]]) populations hold at
+    * ~[[SemDedupTargetPop]] regardless of corpus size, so FLOPs are
+    * n·(K_scan + ~64·([[KnnIvfProbes]]+1)) — the K_scan is the
+    * already-sharded blocked centroid pass every SemDeDup face pays,
+    * and the candidate stage is ~320 cosines per vector at ANY scale.
+    * Exchange is linear end-to-end: the probe side carries vectors on a
+    * ([[KnnIvfProbes]]+1)× explode, the inverted side on 1×, and the
+    * candidate stream is scored inside the equi-join's streamed codegen
+    * output — never materialized, ≤ k·partitions rows reach the reduce
+    * side ([[graft.functions.TopKAgg.top_k_distinct]] dedups in-buffer;
+    * (src, nbr) pairs are in fact unique here — a nbr has ONE home
+    * cluster and a src probes DISTINCT clusters — so set semantics cost
+    * nothing and keep the LSH face's aggregate contract).
+    *
+    * Approximate by contract exactly like the LSH face (a node's
+    * neighbors are the best of its CANDIDATES — KnnGraphIvfSpec measures
+    * recall vs the exact slice); the oracle replays the IDENTICAL
+    * candidate set through the window twin. Recall/compute knob:
+    * probing MORE clusters raises recall linearly in FLOPs, vs the LSH
+    * face's all-or-nothing banding — at near-dup thresholds (cos ≥ 0.8)
+    * prefer [[knnGraphLsh]]; for whole-corpus graph building, this. */
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
+    knnGraphIvfCapped(spark, dir, Long.MaxValue)
+
+  /** [[knnGraphIvf]] restricted to vec_id < cap — KnnGraphIvfSpec runs it
+    * on the [[KnnCap]] slice to compare against [[knnGraph]] and a full
+    * driver replay. */
+  private[operators] def knnGraphIvfCapped(spark: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    // K from corpus size (footer-metadata count), exactly as [[semDedup]]
+    val k = semDedupKFor(
+      t(spark, dir, "embeddings").filter(col("vec_id") < cap).count())
+    val blocks = semDedupCentroidBlocks(spark, dir, k = k, maxId = cap)
+    val e = withNorm(spark, dir).filter(col("vec_id") < cap)
+      .filter(col("nrm") > 0)
+    val probed = graft.SharedFrames.shared(
+      semDedupProbeBlocked(e, blocks, KnnIvfProbes + 1))
+    val inv = probed.select(col("probes").getItem(0).as("cl"),
+      col("vec_id").as("nid"), col("ev").as("nev"), col("nrm").as("nnrm"))
+    val qry = probed.select(col("vec_id").as("src"), col("ev").as("qev"),
+      col("nrm").as("qnrm"), explode(col("probes")).as("cl"))
+    val pairs = qry.hint("shuffle_hash").join(inv, Seq("cl"))
+      .filter(col("src") =!= col("nid"))
+      .select(col("src"), col("nid"),
+        (dot(col("qev"), col("nev")) / (col("qnrm") * col("nnrm")))
+          .as("cos"))
+    val topk = graft.functions.TopKAgg.top_k_distinct(KnnK)
+    pairs.groupBy(col("src"))
+      .agg(topk(col("nid"), col("cos")).as("nn"))
+      .select(col("src"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rnk"),
+        col("e.id").as("nbr"), col("e.v").as("cosine"))
+      .orderBy(col("src"), col("rnk"))
+  }
+
+  /** Oracle: replays the ENTIRE operator — the [[lloydRoundsSql]]
+    * training (identical fixed-point centroids), the per-vector probe
+    * ranking as the window twin of [[semDedupProbeBlocked]]'s bounded
+    * insertion, the IDENTICAL candidate set (probe × home-cluster
+    * equi-join), and the (cos DESC, nbr) top-k window — bit-identically
+    * at any scale factor, the [[knnGraphLshSql]] discipline. */
+  val knnGraphIvfSql: String = OracleSql.materializeCtes(
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |n AS (SELECT vec_id, ev, sqrt(${foldSql("ev", "ev")}) AS nrm FROM e),
+       |${lloydInitSql("e")},
+       |${lloydRoundsSql("e")},
+       |c AS (SELECT cid, cv, sqrt(${foldSql("cv", "cv")}) AS cn
+       |      FROM c$SemDedupIters),
+       |nf AS (SELECT vec_id, ev, nrm FROM n WHERE nrm > 0),
+       |pr AS (SELECT vec_id, cid, rn FROM (
+       |    SELECT x.vec_id, c.cid, row_number() OVER (
+       |        PARTITION BY x.vec_id
+       |        ORDER BY ${foldSql("x.ev", "c.cv")} / (x.nrm * c.cn) DESC,
+       |          c.cid) AS rn
+       |    FROM nf x CROSS JOIN c) WHERE rn <= ${KnnIvfProbes + 1}),
+       |asg AS (SELECT vec_id, cid FROM pr WHERE rn = 1),
+       |cand AS (
+       |  SELECT p.vec_id AS src, a.vec_id AS nbr
+       |  FROM pr p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+       |p AS (
+       |  SELECT cnd.src, cnd.nbr,
+       |    ${foldSql("a.ev", "d.ev")} / (a.nrm * d.nrm) AS cosine
+       |  FROM cand cnd JOIN nf a ON a.vec_id = cnd.src
+       |  JOIN nf d ON d.vec_id = cnd.nbr),
        |r AS (
        |  SELECT src, nbr, cosine, row_number() OVER (
        |      PARTITION BY src ORDER BY cosine DESC, nbr) AS rnk
