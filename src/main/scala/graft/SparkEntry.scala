@@ -271,6 +271,11 @@ object SparkEntry {
     // own + probed inverted lists of the sharded K∝n SemDeDup centroids
     // (~320 cosines per vector at any scale), same bounded aggregate
     "knn_graph_ivf" -> (Similarity.knnGraphIvf _),
+    // FULL-CORPUS connected components over the ivf kNN edges — hash-to-
+    // min with pointer jumping, linear per-round equi-joins; the graph
+    // family's first whole-corpus face (the 200-node slice contract
+    // covers the rest)
+    "knn_components" -> (Similarity.knnComponents _),
     // single-pass distributed second moments (partial-combined to d²/2
     // cells before the exchange); exact via the dec-staged sums
     "pca_covariance" -> (Similarity.pcaCovariance _),
@@ -512,6 +517,7 @@ object SparkEntry {
     "knn_graph" -> Similarity.knnGraphSql,
     "knn_graph_lsh" -> Similarity.knnGraphLshSql,
     "knn_graph_ivf" -> Similarity.knnGraphIvfSql,
+    "knn_components" -> Similarity.knnComponentsSql,
     "pca_covariance" -> Similarity.pcaCovarianceSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,
