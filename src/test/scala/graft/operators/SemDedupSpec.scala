@@ -148,7 +148,7 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       "blocked centroid structures diverged from the single-block path")
   }
 
-  test("centroidBlocksOf: value-range blocking over an explicit centroid frame folds identically") {
+  test("centroidBlocksOf: rank blocking over an explicit centroid frame folds identically") {
     import spark.implicits._
     // constructed 5-centroid frame spanning 3 value-range blocks at
     // blockRows = 2, with a zero-norm centroid (cid 2) so the NaN-first
@@ -196,6 +196,70 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
     assert(tied.length == 1 && tied(0).getLong(1) == 3L,
       s"cross-block tie elected ${tied.toSeq} — expected lowest cid 3")
+  }
+
+  test("rankBlockBounds: rank-even blocks on sparse/offset ids; centroidBlocksOf survives the r17 footgun cids") {
+    import spark.implicits._
+    // the ADVICE r17 case: cid VALUES {7, 10^12, ...} — value-range
+    // blocking would iterate the whole span; rank blocking must give
+    // exactly ceil(K/step) even blocks
+    val ids = Seq(1000000000000L, 7L, 999L, -5L, 123456789L, 42L)
+    val df = ids.toDF("cid").repartition(3)
+    val (effK, lo, hi) = Similarity.rankBlockBounds(df, 6L, 2)
+    val sortedIds = ids.sorted
+    assert(effK == 6L && lo.length == 3 && hi.length == 3)
+    assert(lo.toSeq == Seq(sortedIds(0), sortedIds(2), sortedIds(4)))
+    assert(hi.toSeq == Seq(sortedIds(1), sortedIds(3), sortedIds(5)))
+    // k caps the covered prefix
+    val (effK2, lo2, hi2) = Similarity.rankBlockBounds(df, 3L, 2)
+    assert(effK2 == 3L && lo2.toSeq == Seq(sortedIds(0), sortedIds(2)) &&
+      hi2.toSeq == Seq(sortedIds(1), sortedIds(2)))
+    // end-to-end: a sparse-cid centroid frame through the public
+    // semDedupCore boundary blocks by RANK (3 bounded collects, not a
+    // value-span sweep) and folds identically to the single block
+    val cents = Seq(
+      (7L, Array(1.0, 0.0)), (999L, Array(0.0, 1.0)),
+      (1000000000000L, Array(0.6, 0.8))
+    ).toDF("cid", "cv")
+      .withColumn("cn",
+        sqrt(graft.functions.VecDot.vec_dot(col("cv"), col("cv"))))
+    val e = Seq((0L, Array(0.9, 0.1)), (1L, Array(0.5, 0.9)))
+      .toDF("vec_id", "ev")
+      .withColumn("nrm",
+        sqrt(graft.functions.VecDot.vec_dot(col("ev"), col("ev"))))
+    def assigned(blockRows: Int) = {
+      val out = Similarity.semDedupAssignBlocked(e,
+          Similarity.centroidBlocksOf(cents, blockRows))
+        .select(col("vec_id"), col("cluster"), col("cos_centroid"))
+        .orderBy(col("vec_id")).collect().toSeq
+      graft.SharedFrames.releaseAll()
+      out
+    }
+    assert(assigned(1) == assigned(1 << 20),
+      "sparse-cid rank blocks folded differently from the single block")
+  }
+
+  test("assignment boundary drops (and survives) a null-embedding row without shrinking the rest") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("cid", "cv")
+      .withColumn("cn",
+        sqrt(graft.functions.VecDot.vec_dot(col("cv"), col("cv"))))
+    // row 1 carries a null embedding (and hence null nrm) — the audit
+    // table must omit exactly that row, loudly (accumulator + warn),
+    // with the well-formed rows untouched (ADVICE r17)
+    val e = Seq(
+      (0L, Some(Array(0.9, 0.1))), (1L, None), (2L, Some(Array(0.1, 0.9)))
+    ).toDF("vec_id", "ev")
+      .withColumn("nrm",
+        sqrt(graft.functions.VecDot.vec_dot(col("ev"), col("ev"))))
+    val out = Similarity.semDedupAssignBlocked(e,
+        Similarity.centroidBlocksOf(cents, 1 << 20))
+      .select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.SharedFrames.releaseAll()
+    assert(out == Seq((0L, 0L), (2L, 1L)),
+      s"expected the null row dropped and the rest assigned — got $out")
   }
 
   test("semDedupCentroids: training moves centroids off the init and is idempotent") {
