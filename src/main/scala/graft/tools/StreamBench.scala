@@ -54,13 +54,21 @@ object StreamBench {
 
   private val records = scala.collection.mutable.ArrayBuffer[String]()
 
+  /** Atomic rewrite (ADVICE r17): write to a sibling temp file and
+    * ATOMIC_MOVE it into place, so a kill mid-write leaves the previous
+    * complete artifact instead of a truncated one — preserving the
+    * "killed run still leaves everything measured so far" intent. */
   private def writeArtifact(): Unit =
-    try
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(artifactName),
+    try {
+      val target = java.nio.file.Paths.get(artifactName)
+      val tmp = java.nio.file.Paths.get(artifactName + ".tmp")
+      java.nio.file.Files.write(tmp,
         (records.mkString("", "\n", "\n"))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case e: Throwable =>
       System.err.println(s"[streambench] artifact write failed: $e")
     }
 
@@ -86,9 +94,15 @@ object StreamBench {
     (sec, st.map(_.numRowsTotal).sum, st.map(_.memoryUsedBytes).sum)
   }
 
+  /** Host-speed canary seconds stamped on every record (VERDICT r17
+    * item 2 — the r17 500k-cadence throughput sag was unadjudicable
+    * because stream runs carried no host-speed context). -1.0 until
+    * measured; SPARK_GRAFT_NO_CANARY skips, exactly as Bench. */
+  @volatile private var canarySec = -1.0
+
   private def report(twin: String, rows: Int, sec: Double,
       stateRows: Long, stateBytes: Long): Unit = {
-    val line = f"""{"metric":"stream_rows_per_sec","twin":"$twin","rows":$rows,"value":${rows / sec}%.0f,"seconds":$sec%.3f,"state_rows":$stateRows,"state_bytes":$stateBytes}"""
+    val line = f"""{"metric":"stream_rows_per_sec","twin":"$twin","rows":$rows,"value":${rows / sec}%.0f,"seconds":$sec%.3f,"state_rows":$stateRows,"state_bytes":$stateBytes,"canary_s":$canarySec%.3f}"""
     println(line)
     records += line
     // rewrite after every record: a killed run still leaves everything
@@ -100,6 +114,12 @@ object StreamBench {
     val keys = args.lift(0).map(_.toInt).getOrElse(200)
     val base = args.lift(1).map(_.toInt).getOrElse(20000)
     val cadences = Seq(base, base * 5, base * 25)
+    // host-speed canary BEFORE any Spark work — same probe and thread
+    // count as graft.Bench so the values are comparable across artifacts
+    if (!sys.env.contains("SPARK_GRAFT_NO_CANARY")) {
+      canarySec = graft.Bench.canarySeconds(32)
+      System.err.println(f"[streambench] canary_s=$canarySec%.3f (threads=32)")
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.ui.enabled", "false")
@@ -130,7 +150,19 @@ object StreamBench {
       try {
         val (sec, sRows, sBytes) = drive(mem, q, rows)
         report(twin, n, sec, sRows, sBytes)
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // harness hygiene (r18 sag adjudication, BASELINE.md): stopped
+        // queries leave their state-store providers loaded and the
+        // maintenance task running; ~15 min into the suite the LATER
+        // twins of the 500k block measured up to 2.7× slow (r17's
+        // unexplained sag) while the SAME twin in a fresh JVM is
+        // per-batch FLAT (StreamBatchDiag). Unload providers and hint a
+        // GC so each (twin, cadence) point measures the operator, not
+        // the harness's age.
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        System.gc()
+      }
     }
 
     for (n <- cadences) {

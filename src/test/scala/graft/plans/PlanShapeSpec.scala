@@ -286,6 +286,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     graft.SharedFrames.releaseAll()
   }
 
+  test("knn_graph_ivf: candidate join shuffles by cluster (no corpus-sized broadcast); ranking is the bounded aggregate — no window") {
+    graft.SharedFrames.releaseAll()
+    val p = graft.operators.Similarity.knnGraphIvf(spark, dir)
+      .queryExecution.sparkPlan.toString
+    // the probe-side × inverted-list join must exchange by cluster id
+    // (both sides linear) — broadcasting either side would ship the
+    // corpus' vectors to every task
+    assert(p.contains("ShuffledHashJoin"),
+      s"knn_graph_ivf candidate join is not shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"knn_graph_ivf plan degenerated to a nested-loop join:\n$p")
+    // ranking = the k-bounded partial aggregate, never a per-node window
+    assert(!p.contains("windowspecdefinition"),
+      s"knn_graph_ivf ranking fell back to a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"knn_graph_ivf TopKAgg buffer aggregate missing:\n$p")
+    graft.SharedFrames.releaseAll()
+  }
+
   test("decontaminate_semantic: argmax is a partial-combinable aggregate — no vec_id window over the scored fan-out") {
     val df = graft.operators.Similarity.decontaminateSemantic(spark, dir)
     val p = df.queryExecution.sparkPlan.toString
