@@ -276,6 +276,10 @@ object SparkEntry {
     // family's first whole-corpus face (the 200-node slice contract
     // covers the rest)
     "knn_components" -> (Similarity.knnComponents _),
+    // full-corpus label-prop communities over the same ivf edges — the
+    // finer structure connectivity collapses (one giant component);
+    // election = two partial-combinable aggs, no packing bound
+    "knn_labelprop" -> (Similarity.knnLabelprop _),
     // single-pass distributed second moments (partial-combined to d²/2
     // cells before the exchange); exact via the dec-staged sums
     "pca_covariance" -> (Similarity.pcaCovariance _),
@@ -518,6 +522,7 @@ object SparkEntry {
     "knn_graph_lsh" -> Similarity.knnGraphLshSql,
     "knn_graph_ivf" -> Similarity.knnGraphIvfSql,
     "knn_components" -> Similarity.knnComponentsSql,
+    "knn_labelprop" -> Similarity.knnLabelpropSql,
     "pca_covariance" -> Similarity.pcaCovarianceSql,
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql,
     "tfidf_topk" -> TextAnalysis.tfidfTopkSql,

@@ -2822,6 +2822,94 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Synchronous vote rounds for [[knnLabelprop]]. */
+  final val KnnLpIters = 4
+
+  /** LABEL-PROPAGATION COMMUNITIES over the full-corpus kNN graph —
+    * the finer-grained companion to [[knnComponents]]: on a kNN graph
+    * connectivity collapses to a giant component (every test corpus is
+    * ONE component), but community structure survives — LPA elects the
+    * label most of a node's neighbors hold, so dense near-dup
+    * neighborhoods keep shared labels without requiring global
+    * connectivity. Same deterministic synchronous variant as
+    * [[GraphRank.graphLabelprop]] (Raghavan et al. 2007): all nodes
+    * update simultaneously from the previous round's labels, vote
+    * decided by (max count, then MIN label).
+    *
+    * The election is NOT the slice face's packed-BIGINT min (its
+    * (PrCap − cnt)·2³² + lab packing needs lab < 2³² and cnt < PrCap —
+    * fine for a 200-node slice, unsound for arbitrary vec_ids at
+    * corpus scale). Instead: two partial-combinable aggregates — max
+    * count per node, then min label among the tied — every stage an
+    * equi-join or map-side-combinable agg over the linear edge set, no
+    * packing bound at any corpus size. Labels have LINEAR lineage
+    * (referenced once per round; isolated nodes re-derive their own
+    * id), so unlike [[knnComponents]] no per-round materialization is
+    * needed. [[KnnLpIters]] synchronous rounds, unrolled identically
+    * in the oracle. */
+  def knnLabelprop(spark: SparkSession, dir: String): DataFrame = {
+    val knn = knnGraphIvf(spark, dir).select(col("src"), col("nbr"))
+    val sym = graft.SharedFrames.shared(
+      knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))
+        .distinct())
+    val nodes = withNorm(spark, dir).filter(col("nrm") > 0)
+      .select(col("vec_id").as("v"))
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+    (1 to KnnLpIters).foreach { _ =>
+      val votes = sym
+        .join(labels.select(col("v").as("src"), col("lab").as("slab")),
+          Seq("src"))
+        .groupBy(col("nbr"), col("slab")).agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy(col("nbr")).agg(max(col("cnt")).as("mc"))
+      val elected = votes.join(best, Seq("nbr"))
+        .filter(col("cnt") === col("mc"))
+        .groupBy(col("nbr")).agg(min(col("slab")).as("elab"))
+        .select(col("nbr").as("v"), col("elab"))
+      labels = nodes.join(elected, Seq("v"), "left_outer")
+        .select(col("v"), coalesce(col("elab"), col("v")).as("lab"))
+    }
+    val fin = graft.SharedFrames.shared(labels)
+    val sizes = fin.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    fin.join(sizes, Seq("lab"))
+      .select(col("v").as("vec_id"), col("lab").as("community"),
+        col("csize"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the [[knnGraphIvfCtes]] edge replay + [[KnnLpIters]]
+    * unrolled synchronous vote rounds with the identical
+    * max-count-then-min-label election. */
+  val knnLabelpropSql: String = {
+    val rounds = (1 to KnnLpIters).map { i =>
+      val prev = s"lp${i - 1}"
+      s"""vt$i AS (
+         |  SELECT e.nbr, l.lab AS slab, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM sym e JOIN $prev l ON l.v = e.src
+         |  GROUP BY e.nbr, l.lab),
+         |lp$i AS (
+         |  SELECT n.v, COALESCE(e.elab, n.v) AS lab
+         |  FROM lpn n LEFT JOIN (
+         |    SELECT c.nbr, MIN(c.slab) AS elab
+         |    FROM vt$i c
+         |    JOIN (SELECT nbr, MAX(cnt) AS mc FROM vt$i GROUP BY nbr) b
+         |      ON b.nbr = c.nbr AND c.cnt = b.mc
+         |    GROUP BY c.nbr) e ON e.nbr = n.v)""".stripMargin
+    }.mkString(",\n")
+    OracleSql.materializeCtes(
+      s"""WITH $knnGraphIvfCtes,
+         |knn AS (SELECT src, nbr FROM r WHERE rnk <= $KnnK),
+         |sym AS (SELECT src, nbr FROM knn
+         |        UNION SELECT nbr, src FROM knn),
+         |lpn AS (SELECT vec_id AS v FROM nf),
+         |lp0 AS (SELECT vec_id AS v, vec_id AS lab FROM nf),
+         |$rounds,
+         |lsz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS csize
+         |        FROM lp$KnnLpIters GROUP BY lab)
+         |SELECT l.v AS vec_id, l.lab AS community, s.csize
+         |FROM lp$KnnLpIters l JOIN lsz s ON s.lab = l.lab
+         |ORDER BY vec_id""".stripMargin)
+  }
+
   /** Oracle: the [[knnGraphIvfCtes]] edge replay + [[KnnCcIters]]
     * unrolled hash-to-min rounds with the identical min-of-three rule.
     * Every label CTE is referenced three times per round —
