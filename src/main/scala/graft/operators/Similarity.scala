@@ -2791,9 +2791,7 @@ object Similarity {
   private[operators] def knnComponentsIters(spark: SparkSession,
       dir: String, iters: Int): DataFrame = {
     val knn = knnGraphIvf(spark, dir).select(col("src"), col("nbr"))
-    val sym = graft.SharedFrames.shared(
-      knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))
-        .distinct())
+    val sym = graft.SharedFrames.shared(symEdges(knn))
     val nodes = withNorm(spark, dir).filter(col("nrm") > 0)
       .select(col("vec_id").as("v"))
     var (labels, labelsRdd) =
@@ -2822,6 +2820,21 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Symmetrized (src, nbr) edge set of a kNN result WITHOUT consuming
+    * the kNN frame twice: a `union(knn, knn.reversed)` references the
+    * upstream candidate join + ranking aggregate in BOTH legs, so the
+    * expensive subtree executes twice inside the one symmetrization
+    * materialization (measured ~0.3–0.6 s of pure recompute at sf0.1).
+    * One row-local 2-way explode emits both directions from a single
+    * execution — same rows, one pass (guide §2.4: remove duplicated
+    * subtrees before removing shuffles). */
+  private def symEdges(knn: DataFrame): DataFrame =
+    knn.select(explode(array(
+        struct(col("src"), col("nbr")),
+        struct(col("nbr").as("src"), col("src").as("nbr")))).as("e"))
+      .select(col("e.src").as("src"), col("e.nbr").as("nbr"))
+      .distinct()
+
   /** Synchronous vote rounds for [[knnLabelprop]]. */
   final val KnnLpIters = 4
 
@@ -2849,22 +2862,28 @@ object Similarity {
     * in the oracle. */
   def knnLabelprop(spark: SparkSession, dir: String): DataFrame = {
     val knn = knnGraphIvf(spark, dir).select(col("src"), col("nbr"))
-    val sym = graft.SharedFrames.shared(
-      knn.union(knn.select(col("nbr").as("src"), col("src").as("nbr")))
-        .distinct())
+    val sym = graft.SharedFrames.shared(symEdges(knn))
     val nodes = withNorm(spark, dir).filter(col("nrm") > 0)
       .select(col("vec_id").as("v"))
     var labels = nodes.select(col("v"), col("v").as("lab"))
     (1 to KnnLpIters).foreach { _ =>
-      val votes = sym
+      // (max count, then MIN label) as ONE lexicographic max over
+      // struct(cnt, -slab): cnt decides first, and among tied counts the
+      // max of -slab IS the min slab (vec_ids are non-negative). The
+      // r18-original two-consumer formulation (votes → per-node max,
+      // votes ⋈ max → min slab) consumed the votes frame TWICE per
+      // round without materializing it, so round r's whole subtree
+      // re-executed ~2^(r-1) times — the documented exponential-lineage
+      // trap (measured: 10.2 s → this shape + symEdges ≈ 3 s at sf0.1).
+      // Votes is now consumed ONCE, lineage stays linear, and no
+      // per-round materialization is needed.
+      val elected = sym
         .join(labels.select(col("v").as("src"), col("lab").as("slab")),
           Seq("src"))
         .groupBy(col("nbr"), col("slab")).agg(count(lit(1)).as("cnt"))
-      val best = votes.groupBy(col("nbr")).agg(max(col("cnt")).as("mc"))
-      val elected = votes.join(best, Seq("nbr"))
-        .filter(col("cnt") === col("mc"))
-        .groupBy(col("nbr")).agg(min(col("slab")).as("elab"))
-        .select(col("nbr").as("v"), col("elab"))
+        .groupBy(col("nbr"))
+        .agg(max(struct(col("cnt"), (-col("slab")).as("nslab"))).as("w"))
+        .select(col("nbr").as("v"), (-col("w.nslab")).as("elab"))
       labels = nodes.join(elected, Seq("v"), "left_outer")
         .select(col("v"), coalesce(col("elab"), col("v")).as("lab"))
     }
