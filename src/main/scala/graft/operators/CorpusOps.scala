@@ -204,8 +204,13 @@ object CorpusOps {
            |  CAST(0 AS BIGINT),
            |  (a, cp) -> (a * 31 + cp) % $QmHashMod) % $QmDim""".stripMargin))
       .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x"))
-    counts
-      .union(counts.select(col("doc_id"), col("j") + QmDim, lit(1L)))
+    // count + presence features from ONE row-local explode — the prior
+    // union referenced `counts` (bigram explode + rolling-hash fold +
+    // aggregate) in both legs, executing that subtree twice (guide §2.4)
+    counts.select(col("doc_id"), explode(array(
+        struct(col("j"), col("x")),
+        struct((col("j") + QmDim).as("j"), lit(1L).as("x")))).as("f"))
+      .select(col("doc_id"), col("f.j").as("j"), col("f.x").as("x"))
       .union(docs.select(col("doc_id"), lit(2L * QmDim), lit(1L)))
   }
 

@@ -297,8 +297,14 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("d1"), col("s")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      // intersection counted over the 8-byte xxhash64 keys, never the
+      // shingle STRINGS (guide §2.3: shuffle keys, not payloads — ~5×
+      // fewer exchange bytes). Distinct shingles hash distinct w.h.p.
+      // (the dup_spans_hashed discipline), and the DuckDB oracle counts
+      // the STRING intersection — the equality gate itself certifies the
+      // hashed count pair-for-pair.
+      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
@@ -918,12 +924,14 @@ object Dedup {
     val base = grams.join(pairTab, Seq("gh"))
       .select(col("doc_id"), col("d1"), col("d2"))
     // the A∪B partner set, as (doc, partner) pairs — ≤2 per (doc, gram)
-    val pairs = base.select(col("doc_id"),
-        when(col("doc_id") === col("d1"), col("d2"))
-          .otherwise(col("d1")).as("p_doc"))
-      .union(base.select(col("doc_id"),
-        when(col("doc_id") === col("d2"), col("d1"))
-          .otherwise(col("d2")).as("p_doc")))
+    // both partner candidates from ONE row-local explode — the prior
+    // union referenced `base` (grams ⋈ pairTab, with pairTab's election
+    // windows upstream) in both legs, executing that subtree twice
+    // inside the runs materialization (guide §2.4)
+    val pairs = base.select(col("doc_id"), explode(array(
+        when(col("doc_id") === col("d1"), col("d2")).otherwise(col("d1")),
+        when(col("doc_id") === col("d2"), col("d1")).otherwise(col("d2"))))
+        .as("p_doc"))
       .filter(col("doc_id") =!= col("p_doc"))
       .distinct()
     // every gram co-occurrence of each pair: one dot-plot cell per
@@ -2290,8 +2298,14 @@ object Dedup {
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgramJaccard(spark, dir).select(col("d1"), col("d2"))
+    // symmetrize with ONE row-local explode, not union(pairs, reversed):
+    // the union referenced the whole pair-mining subtree in both legs,
+    // executing it twice inside this materialization (guide §2.4)
     val (edges, edgesRdd) = materialize(pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+      .select(explode(array(
+          struct(col("d1"), col("d2")),
+          struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+      .select(col("e.d1").as("d1"), col("e.d2").as("d2")))
     var (labels, labelsRdd) = materialize(
       edges.select(col("d1").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id")))

@@ -56,8 +56,14 @@ object GraphRank {
       .filter(col("i").cast("double") /
         (col("sz1") + col("sz2") - col("i")) >= PrTau)
       .select(col("d1"), col("d2"))
-    pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    // symmetrize with ONE row-local explode, not union(pairs, reversed):
+    // the union references the pair-mining subtree (gram sets + broadcast
+    // θ-join + intersect counts) in BOTH legs, so it executed twice per
+    // consumer materialization — same rows, one pass (guide §2.4).
+    pairs.select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst")),
+        struct(col("d2").as("src"), col("d1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** The damped fixed-point rank iteration BOTH rank operators run

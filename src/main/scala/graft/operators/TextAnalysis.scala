@@ -820,12 +820,20 @@ object TextAnalysis {
     val lagged = toks.select(col("tok"),
       lag(col("tok"), 1).over(byDoc).as("p1"),
       lag(col("tok"), 2).over(byDoc).as("p2"))
-    val raw = lagged.select(col("tok").as("a"), col("p1").as("b"))
-      .union(lagged.select(col("tok").as("a"), col("p2").as("b")))
-      .filter(col("b").isNotNull && col("a") =!= col("b"))
+    // both lag pairs AND both edge directions from ONE row-local explode:
+    // the prior union-of-unions formulation referenced `lagged` (a
+    // corpus-wide window) in four legs, executing it 4× inside the one
+    // edge materialization (guide §2.4: duplicated subtrees first). Null
+    // lags drop via the src/dst null filter exactly as before.
     val edges = graft.SharedFrames.shared(
-      raw.select(col("a").as("src"), col("b").as("dst"))
-        .union(raw.select(col("b").as("src"), col("a").as("dst")))
+      lagged.select(explode(array(
+          struct(col("tok").as("src"), col("p1").as("dst")),
+          struct(col("p1").as("src"), col("tok").as("dst")),
+          struct(col("tok").as("src"), col("p2").as("dst")),
+          struct(col("p2").as("src"), col("tok").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
         .distinct())
     val deg = graft.SharedFrames.shared(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))

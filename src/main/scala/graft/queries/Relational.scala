@@ -890,8 +890,13 @@ object Relational {
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("tus")).as("s"), max(col("tus")).as("e"))
-    val deltas = sessions.select(col("s").as("ts"), lit(1L).as("d"))
-      .union(sessions.select((col("e") + 1).as("ts"), lit(-1L).as("d")))
+    // both sweep-line deltas from ONE row-local explode — the prior
+    // union referenced `sessions` (the sessionize window + groupBy) in
+    // both legs, executing it twice (guide §2.4)
+    val deltas = sessions.select(explode(array(
+        struct(col("s").as("ts"), lit(1L).as("d")),
+        struct((col("e") + 1).as("ts"), lit(-1L).as("d")))).as("sl"))
+      .select(col("sl.ts").as("ts"), col("sl.d").as("d"))
       .groupBy(col("ts")).agg(sum(col("d")).as("d"))
       .withColumn("bucket", expr(s"ts div $ConcBucketUs"))
     val sums = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("bsum"))
