@@ -329,12 +329,17 @@ object Relational {
     // per-(type, day) row counts need no ordering — a plain aggregate
     val dayCounts = ev.groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"))
-    val offs = dayCounts.as("a")
-      .join(dayCounts.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("b.day") < col("a.day"), "left_outer")
-      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    // earlier-day offsets as ONE running-sum window over the day-level
+    // aggregate (partitions = days-per-type, calendar-bounded — never a
+    // row-level window) instead of the r17 a.day > b.day θ-join, which
+    // was O(days²) per type and cost a join + second aggregate (guide
+    // §2.4: same exchange, fewer passes). Integer sums — identical
+    // offsets.
+    val offs = dayCounts
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("day"), col("off"))
     ev
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type"), col("day"))
@@ -450,20 +455,22 @@ object Relational {
         .withColumn("lm", min(col("ld")).over(wDay)))
     val dayAgg = local.groupBy(col("event_type"), col("day"))
       .agg(sum(col("d")).as("day_sum"), min(col("ld")).as("day_min"))
-    val offP = dayAgg.as("a")
-      .join(dayAgg.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("b.day") < col("a.day"), "left_outer")
-      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
-      .agg(coalesce(sum(col("b.day_sum")), lit(0L).cast(d38)).as("off_p"))
-    val withOff = dayAgg.join(offP, Seq("event_type", "day"))
-    val minBefore = withOff.as("a")
-      .join(withOff.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("b.day") < col("a.day"), "left_outer")
-      .groupBy(col("a.event_type").as("event_type"), col("a.day").as("day"))
-      .agg(min(col("b.off_p") + col("b.day_min")).as("min_before"))
-    val dayTable = offP.join(minBefore, Seq("event_type", "day"))
+    // earlier-day prefix sum and running min as TWO windows over the
+    // day-level aggregate (partitions = days-per-type, calendar-bounded)
+    // instead of the r17 pair of b.day < a.day θ-joins + re-joins —
+    // O(days²) per type and four extra exchanges for the same exact
+    // DECIMAL(38,0) values (sums/mins are order-independent). An empty
+    // preceding frame yields NULL exactly as the left-outer θ-join did.
+    val wPrevDays = Window.partitionBy(col("event_type"))
+      .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    val dayTable = dayAgg
+      .withColumn("off_p",
+        coalesce(sum(col("day_sum")).over(wPrevDays), lit(0L).cast(d38))
+          .cast(d38))
+      .withColumn("min_before",
+        min(col("off_p") + col("day_min")).over(wPrevDays))
+      .select(col("event_type"), col("day"), col("off_p"),
+        col("min_before"))
     local.join(broadcast(dayTable), Seq("event_type", "day"))
       .withColumn("pn", (col("off_p") + col("ld")).cast(d38))
       .withColumn("rm",
