@@ -1251,24 +1251,27 @@ object Dedup {
     // of 8-token strings — the scrub inherits the scale path while its
     // oracle stays the string CTE, so the equality gate still covers the
     // whole chain end-to-end
-    val (toks, spans) = hashedSpanParts(spark, dir)
-    // span text via per-doc token ARRAYS: one doc-keyed collect (idx is
-    // 0-based contiguous, so array position IS token index) + an
-    // equi-join + a slice per span, replacing the former range-join +
-    // per-span collect_list aggregate — same span_key bit-for-bit (the
-    // slice reads the same tokens in the same order), but the shuffle
-    // carries one row per DOC instead of one per span-token and the
-    // whole assembly is one exchange shorter (measured ~0.5 s at sf0.1).
-    // Arrays are doc-bounded — the same contract as the per-span
-    // collect_list they replace. Materialized ONCE: the rebuild tail
-    // consumes the SAME frame, so the corpus-wide doc-keyed collect
-    // runs a single time.
-    val docArr = graft.SharedFrames.shared(docArrOf(toks))
+    val (_, spans) = hashedSpanParts(spark, dir)
+    // span text via per-doc token ARRAYS: an equi-join + a slice per
+    // span, replacing the former range-join + per-span collect_list
+    // aggregate — same span_key bit-for-bit (the slice reads the same
+    // tokens in the same order). r18: the arrays come from
+    // [[splitArrOf]] (split positions ≡ token idx) — no doc-keyed
+    // collect + per-doc sort exchange — and the join is pinned
+    // shuffle_hash with the SPAN side as build: the split-scan's small
+    // parquet size estimate otherwise baits the static planner into
+    // broadcasting the whole corpus's token arrays (and broadcasting
+    // spans instead would not survive 100 TB — spans grow with the
+    // corpus; a doc-keyed shuffle of both sides does).
+    // materialized ONCE: the span assembly and the rebuild tail both
+    // read the cached arrays — one corpus text read total
+    val docArr = graft.SharedFrames.shared(
+      splitArrOf(t(spark, dir, "documents")))
     // materialized ONCE (span-sized rows): both the election and the
     // keep-first filter read it — uncached, the span-assembly
     // join would run twice (one per consumer)
     val spanKeyed = graft.SharedFrames.shared(spans
-      .join(docArr, Seq("doc_id"))
+      .hint("shuffle_hash").join(docArr, Seq("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         xxhash64(array_join(slice(col("arr"),
           (col("span_start") + 1).cast("int"),
@@ -1280,7 +1283,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("first.doc_id") ||
         col("span_start") =!= col("first.span_start"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    scrubRebuild(spark, dir, docArr, excised)
+    scrubRebuild(spark, dir, excised, docArr = Some(docArr))
   }
 
   /** Shared APPLY tail of both scrubs: drop every token inside an excised
@@ -1291,26 +1294,46 @@ object Dedup {
     * separate aggregates — per-doc work is array-bounded exactly like
     * the collect_list it already carried (the cleaned_text OUTPUT is
     * doc-sized by contract), and the tail is two exchanges shorter. */
-  /** Per-doc ordered token array (idx is 0-based contiguous, so array
-    * position IS token index) — the frame the scrub tail and the span
-    * assembly share. */
-  private def docArrOf(toks: DataFrame): DataFrame =
-    toks.groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("idx").as("i"),
-        col("tok").as("k")))), x => x.getField("k")).as("arr"))
+  /** Per-doc ordered token array, SHUFFLE-FREE from the documents table
+    * (idx is 0-based contiguous, so array position IS token index): the
+    * non-empty split positions ARE [[tokFrameOf]]'s idx (its row_number
+    * ranks the kept tokens by original position), so
+    * `filter(split(text))` yields the identical per-doc array without
+    * the doc-keyed collect + per-doc sort exchange the r17 aggregate
+    * formulation (`docArrOf` over the token frame) paid — the
+    * [[dupSpanSuffixScrub]] pattern, now shared by every scrub tail
+    * (guide §2.4: remove the shuffle outright). Docs with no tokens
+    * carry an empty array where the aggregate dropped the row — the
+    * rebuild's left-outer + coalesce and the span equi-joins treat both
+    * identically. */
+  private def splitArrOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("arr"))
 
   private def scrubRebuild(spark: SparkSession, dir: String,
-      docArr: DataFrame, excised: DataFrame,
-      spineFilter: Column = lit(true)): DataFrame = {
+      excised: DataFrame,
+      spineFilter: Column = lit(true),
+      docArr: Option[DataFrame] = None): DataFrame = {
     val exs = excised.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("exs"),
         count(lit(1)).as("ex_n"))
-    t(spark, dir, "documents").filter(spineFilter).select(col("doc_id"))
-      .join(docArr, Seq("doc_id"), "left_outer")
+    // r18: the per-doc token array comes from [[splitArrOf]] — computed
+    // INLINE on the spine scan, or read from a caller-shared frame when
+    // the span assembly already materialized one (dup_span_scrub) — so
+    // the rebuild pays NO array-building shuffle at all. The r17 shape
+    // joined a doc-keyed collect_list aggregate onto an id spine; an
+    // interim r18 draft joined a split-scan frame onto the id spine
+    // instead, and the static planner — seeing a small parquet size
+    // estimate — BROADCAST the whole corpus's token arrays (measured
+    // ~1 s slower than r17). Making the array frame the OUTER side of
+    // the one left_outer join removes the hazard structurally: LeftOuter
+    // only builds right, and the right side is the span-bounded `exs`
+    // aggregate (broadcast-sized per the excision premise).
+    docArr.getOrElse(
+        splitArrOf(t(spark, dir, "documents").filter(spineFilter)))
+      .withColumnRenamed("arr", "arr2")
       .join(exs, Seq("doc_id"), "left_outer")
-      .withColumn("arr2",
-        coalesce(col("arr"), expr("CAST(array() AS array<string>)")))
       .withColumn("exs2", coalesce(col("exs"),
         expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")))
       // idx is 0-based contiguous per doc, so the transform index IS the
@@ -1340,10 +1363,10 @@ object Dedup {
     * drop-every-token-in-any-excised-range semantics as [[dupSpanScrub]],
     * replayed identically by the oracle. */
   def dupSpanScrubAligned(spark: SparkSession, dir: String): DataFrame = {
-    val (toks, spans) = maximalSpanParts(spark, dir)
+    val (_, spans) = maximalSpanParts(spark, dir)
     val excised = spans.filter(col("src_doc") < col("doc_id"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    scrubRebuild(spark, dir, docArrOf(toks), excised)
+    scrubRebuild(spark, dir, excised)
   }
 
   /** SPAN-LEVEL decontamination — the surgical tier of the hygiene family.
@@ -1367,7 +1390,7 @@ object Dedup {
     * never a leak); the string-gram oracle's equality gate proves
     * collision-freedom at test SFs. */
   def decontaminateScrub(spark: SparkSession, dir: String): DataFrame = {
-    val (toks, grams) = hashedGramParts(spark, dir, n = ContamSpanGram)
+    val (_, grams) = hashedGramParts(spark, dir, n = ContamSpanGram)
     val evalG = grams.filter(col("doc_id") < ContamEvalCap)
       .select(col("gh")).distinct()
     val hits = grams.filter(col("doc_id") >= ContamEvalCap)
@@ -1375,8 +1398,7 @@ object Dedup {
       .select(col("doc_id"), col("idx"))
     val excised = spanIslands(hits, n = ContamSpanGram)
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    scrubRebuild(spark, dir,
-      docArrOf(toks.filter(col("doc_id") >= ContamEvalCap)), excised,
+    scrubRebuild(spark, dir, excised,
       spineFilter = col("doc_id") >= ContamEvalCap)
   }
 
@@ -2790,13 +2812,9 @@ object Dedup {
   def dupSpanSuffixScrub(spark: SparkSession, dir: String): DataFrame = {
     val spans = dupSpansSuffix(spark, dir)
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    // the per-doc ordered token array is split(text) minus empties —
-    // token idx is positional, so no explode / window / collect is
-    // needed (docArrOf exists for callers that already hold a token
-    // frame; rebuilding one here would re-shuffle the corpus)
-    val docArr = t(spark, dir, "documents").select(col("doc_id"),
-      filter(split(col("text"), " "), x => x =!= "").as("arr"))
-    scrubRebuild(spark, dir, docArr, spans)
+    // the rebuild computes the per-doc token array inline on its own
+    // spine scan (split(text) minus empties — token idx is positional)
+    scrubRebuild(spark, dir, spans)
   }
 
   /** Shared construction behind [[dupSpansSuffix]] and

@@ -104,8 +104,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // sort column, i.e. no spec starts sorting after a single column.
     val df = graft.queries.Relational.ewmaDecay(spark, dir)
     val p = df.queryExecution.executedPlan.toString
+    // r18: eventSeq's day-offset running sum is a window partitioned by
+    // event_type alone but ORDERED BY day over the (type, day) COUNT
+    // AGGREGATE — partitions are calendar-bounded (rows = days per
+    // type), not corpus-sized, so it is exempted here; the ban still
+    // covers any event_type-alone window over ROW-level order columns
+    // (ts / seq / event_id), which is the one-task-per-type shape.
     val monoTypeWindow =
-      """windowspecdefinition\(event_type#\d+, [a-z_]+#\d+L? (ASC|DESC)""".r
+      """windowspecdefinition\(event_type#\d+, (?!day#)[a-z_]+#\d+L? (ASC|DESC)""".r
     assert(monoTypeWindow.findFirstIn(p).isEmpty,
       s"ewma window partitioned by event_type alone (one task per type):\n$p")
     assert(p.contains("windowspecdefinition(event_type#"),
@@ -329,15 +335,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val liveScans = phys.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    // exactly ONE live parquet scan is contractual: the documents
-    // doc_id spine of the final left joins. Everything span-shaped
-    // (tokens, grams, spans, excisions, rebuilds) must come from the
-    // materialized generations — a second live scan means the
-    // corpus-heavy stage re-runs at 100 TB
-    assert(liveScans.size == 1,
-      s"expected 1 live scan (doc spine), got ${liveScans.size}:\n$phys")
-    assert(liveScans.head.schema.fieldNames.toSeq == Seq("doc_id"),
-      s"doc-spine scan must prune to doc_id only, read ${liveScans.head.schema.fieldNames.toSeq}")
+    // ZERO live parquet scans is contractual (r18 — tightened from one):
+    // the rebuild spine IS the materialized split-array generation the
+    // span assembly already reads, so tokens, grams, spans, excisions
+    // AND the rebuild all come from shared frames — any live scan means
+    // a corpus-heavy stage re-runs at 100 TB
+    assert(liveScans.isEmpty,
+      s"expected 0 live scans (all inputs shared), got ${liveScans.size}:\n$phys")
     assert(phys.collect {
       case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
     }.nonEmpty, s"span work not reading shared frames:\n$phys")
@@ -435,17 +439,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"distinct-count leg is not a hash aggregation:\n$p")
   }
 
-  test("ewma_decay: no corpus-sized join; frame window + day-rank window only; offsets broadcast") {
+  test("ewma_decay: no corpus-sized join; frame + day-rank + day-offset windows only; offsets broadcast") {
     // the bucket decomposition allows exactly: the day-ranked row_number
-    // window, the bounded θ-join on the calendar-sized (type, day) count
-    // table, ONE broadcast join attaching the tiny offset table to the
-    // corpus, and the (type, bucket) frame window — never a corpus-sized
+    // window, the day-offset running sum over the calendar-sized
+    // (type, day) count table (r18 — replaced the b.day < a.day θ-join,
+    // which was O(days²) per type and one join + one aggregate more),
+    // ONE broadcast join attaching the tiny offset table to the corpus,
+    // and the (type, bucket) frame window — never a corpus-sized
     // shuffle join or a sort-merge anywhere
     val p = plan(Relational.ewmaDecay(spark, dir))
     assert(!p.contains("SortMergeJoin"),
       s"EWMA must not sort-merge-join the corpus:\n$p")
-    assert("""Window \[""".r.findAllIn(p).size == 2,
-      s"expected exactly two Window nodes (day rank + bucketed frame):\n$p")
+    assert("""Window \[""".r.findAllIn(p).size == 3,
+      s"expected exactly three Window nodes (day rank + day offsets + bucketed frame):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"offset table must broadcast onto the corpus:\n$p")
   }
