@@ -2910,7 +2910,11 @@ object Dedup {
       .select(col("doc_id"), col("idx").cast("long").as("idx"),
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("r"))
-    (1 to SuffixRadix - 2).foldLeft(base)((f, j) =>
+    // leads 1..R-1 (r18: the (R-1)-th included): all R-1 shifted ranks
+    // of the NEXT round's tuple come off this ONE window pass, so
+    // pairedFrame needs no per-round window of its own (one full
+    // doc-ordered sort per rank round removed)
+    (1 to SuffixRadix - 1).foldLeft(base)((f, j) =>
         f.withColumn(s"rw$j", lead(col("r"), j).over(byDocW)))
       .withColumn("f4", xxhash64(col("r"),
         coalesce(col("rw1"), lit(-1L)), coalesce(col("rw2"), lit(-1L)),
@@ -2994,12 +2998,14 @@ object Dedup {
 
     val byDocW = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     /** Each kept level carries ITS OWN +j·w lead ranks (w = the level's
-      * width, j = 1..radix−2): the LCP descend's ≤15 sub-steps per level
+      * width, j = 1..radix−1): the LCP descend's ≤15 sub-steps per level
       * become row-local conditionals after ONE join pair, and the next
-      * round's shifted-rank tuple reads the same stored columns instead
-      * of re-windowing. */
+      * round's shifted-rank tuple — INCLUDING its last slot (r18: j =
+      * R−1 now stored here too) — reads the stored columns instead of
+      * re-windowing, so rank rounds run with no window of their own.
+      * All leads share one window spec ⇒ one sort in this pass. */
     def withLeads(df: DataFrame, w: Int): DataFrame =
-      (1 to R - 2).foldLeft(df)((f, j) =>
+      (1 to R - 1).foldLeft(df)((f, j) =>
         f.withColumn(s"rw$j", lead(col("r"), j * w).over(byDocW)))
 
     // the ONE pre-construction driver action: token count (bounds every
@@ -3065,8 +3071,10 @@ object Dedup {
       // hashes to 0; −1 is below both the md5 domain and the dense
       // ranks (≥1) of every later round
       val shifted = (1 to R - 2).map(j => coalesce(col(s"rw$j"), lit(-1L)))
-      val last =
-        coalesce(lead(col("r"), (R - 1) * s).over(byDocW), lit(-1L))
+      // r18: the last slot reads the STORED (R−1)-th lead — previously a
+      // fresh lead(r, 15·s) window here, i.e. one extra full doc-ordered
+      // sort per rank round
+      val last = coalesce(col(s"rw${R - 1}"), lit(-1L))
       val tuple = col("r") +: (shifted :+ last)
       val named = tuple.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }
       prev
