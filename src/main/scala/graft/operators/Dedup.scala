@@ -250,10 +250,15 @@ object Dedup {
     *
     * Scale shape: shingling and the prefix election are doc-partitioned
     * windows (doc-bounded); df and size joins are co-keyed; the
-    * candidate equi-join carries 8-byte hashes; exact verification
-    * re-joins shingle STRINGS restricted to candidate pairs (hash
-    * collisions die there, false negatives impossible — equal strings
-    * hash equal), so the reported Jaccard is string-true. */
+    * candidate equi-join carries 8-byte hashes; verification counts the
+    * intersection over the same 8-byte xxhash64 keys (r18, the
+    * dup_spans_hashed w.h.p. discipline — equal strings always hash
+    * equal so no candidate is lost, and distinct shingles hash distinct
+    * w.h.p.), so the reported Jaccard is hash-exact: string-true unless
+    * a 64-bit collision lands inside a candidate pair, which the DuckDB
+    * oracle (string-counted) certifies against at every tested SF. Any
+    * future threshold-sensitive reuse of the count should keep that
+    * string oracle as its gate. */
   def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1314,6 +1319,13 @@ object Dedup {
       excised: DataFrame,
       spineFilter: Column = lit(true),
       docArr: Option[DataFrame] = None): DataFrame = {
+    // spineFilter only applies on the inline splitArrOf path; a caller
+    // combining it with a pre-built docArr would silently scrub the full
+    // corpus while believing the spine is filtered (ADVICE r18) — make
+    // the constraint loud until a caller actually needs the composition
+    require(docArr.isEmpty || spineFilter == lit(true),
+      "scrubRebuild: spineFilter is ignored when docArr is provided — " +
+        "filter the docArr frame instead")
     val exs = excised.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("exs"),
@@ -3088,23 +3100,39 @@ object Dedup {
               .cast("long"), lit(B - 1))
           else pairBucket(col("_t0"), greatest(col("_t1"), lit(0L))))
     }
-    /** One prefix-doubling round: the dense rank is a bucket window; the
-      * per-bucket offsets are a countDistinct agg feeding a broadcast
-      * stage of the SAME job. */
+    /** One prefix-doubling round. The rank is NOT dense — each tuple
+      * class gets the global row_number of its FIRST row (bucket COUNT
+      * offsets + a running max of within-bucket class-start row numbers,
+      * all sharing the one bucket-sort window) — but it is exactly what
+      * every consumer needs: equal tuples share a rank and ranks are
+      * order-isomorphic to the tuple order (the next round's tuple and
+      * bucket read only order and equality, the SA sort is the same
+      * permutation, the descend probes equality). Dropping the dense
+      * rank drops the per-round countDistinct offsets aggregate — a
+      * corpus-sized distinct (bucket, 16-tuple) exchange — for a
+      * map-side-combinable count(*) whose shuffle is B rows per map
+      * task (guide §2.3: shuffle metadata, not payloads). Ranks stay in
+      * [1, nt] (row numbers ≤ token count), so pairBucket's scaling and
+      * the −1 past-end sentinel hold unchanged; the r15 bucket-overflow
+      * bound (rows per bucket < 2^31) is the SA keep's own row_number
+      * bound. The ORACLE still dense_ranks — equality across the two
+      * rank constructions certifies order-isomorphism, not a replay. */
     def roundFrame(prev: DataFrame, k: Int): DataFrame = {
       val paired = pairedFrame(prev, k)
       val offsets = TextAnalysis.exclusivePrefix(
-        paired.groupBy(col("_skb").as("bucket"))
-          .agg(countDistinct(tupleCols.head, tupleCols.tail: _*).as("bsum")),
+        paired.groupBy(col("_skb").as("bucket")).agg(count(lit(1)).as("bsum")),
         B - 1)
         .select(col("bucket").as("_skb"), col("offset").as("_sko"))
+      val w = Window.partitionBy(col("_skb")).orderBy(tupleCols: _*)
+      val tup = struct(tupleCols: _*)
       paired
-        .withColumn("_skdr", dense_rank()
-          .over(Window.partitionBy(col("_skb")).orderBy(tupleCols: _*))
-          .cast("long"))
+        .withColumn("_skrn", row_number().over(w).cast("long"))
+        .withColumn("_skcs", max(when(
+            coalesce(lag(tup, 1).over(w) =!= tup, lit(true)), col("_skrn")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .join(broadcast(offsets), Seq("_skb"))
         .select(col("doc_id"), col("idx"),
-          (col("_sko") + col("_skdr")).as("r"), col("f4"))
+          (col("_sko") + col("_skcs")).as("r"), col("f4"))
     }
 
     // store(k) = level-k rank frame for k < K (one keep = one eager job
@@ -3131,8 +3159,12 @@ object Dedup {
       .select((Seq(col("doc_id"), col("idx"), col("p"), col("f4")) ++
         (0 until R - 1).map(i => col(s"_t$i"))): _*))
 
-    def lens = at(l0).groupBy(col("doc_id"))
-      .agg((max(col("idx")) + 1).as("len"))
+    // lens is joined twice (la and lb caps): keep the tiny per-doc
+    // aggregate so the corpus-sized l0 scan+agg behind it runs once, not
+    // once per join leg (the r18 union-legs lesson applied to joins)
+    val lensI = keep(at(l0).groupBy(col("doc_id"))
+      .agg((max(col("idx")) + 1).as("len")))
+    def lens = at(lensI)
 
     // adjacent pair (p-1, p), gated: unequal width-4 start fingerprints
     // ⇒ LCP ≤ 3 < MinLen ⇒ the pair can never lift a position past the
@@ -3157,19 +3189,25 @@ object Dedup {
       .withColumn("ap", col("ai")).withColumn("bp", col("bi"))
     // base-16 LCP digits: at level k (width 16^k) up to FIFTEEN advances
     // can land before the digit is exhausted (a 16th would contradict
-    // the level-(k+1) non-match above it). ONE join pair per level: the
-    // kept levels carry their own +j·w lead ranks, so the fifteen
-    // sub-steps are row-local conditionals. Written build-side-first
-    // right_outer (≡ the pair side's left_outer) so AQE can broadcast
-    // the small gated PAIR side and stream the level frame without an
-    // exchange. Level K−1 runs WITHOUT a join pair: its per-side ranks
-    // rode in on the adjacency join (cursors are still at ai/bi there).
-    // Those carried ranks use pairedFrame's −1 past-end sentinel instead
-    // of null; a −1 === −1 "advance" can only fire when BOTH cursors are
-    // past their documents' ends, which (the earlier sub-steps having
-    // landed) means both suffixes already matched to their final token —
-    // the remaining-length cap below truncates the over-advance to the
-    // exact LCP, and −1 never equals a live rank (md5 domain ≥ 0, dense
+    // the level-(k+1) non-match above it). ONE join per level: the pair
+    // row explodes into its two (side, doc, cursor) probes, the level
+    // frame streams through a single build-side-first right_outer (AQE
+    // broadcasts the small gated PAIR side — the level frame is never
+    // exchanged OR broadcast), and a max-when regroup keyed on the pair
+    // folds both sides back — the r18 explode-symmetrization discipline
+    // applied to the descend's per-side lookups, halving the
+    // corpus-sized level-frame scans per level (two right_outer joins
+    // before); the added regroup exchange carries only the gated pair
+    // subset. The kept levels carry their own +j·w lead ranks, so the
+    // fifteen sub-steps stay row-local conditionals. Level K−1 runs
+    // WITHOUT a probe join: its per-side ranks rode in on the adjacency
+    // join (cursors are still at ai/bi there). Those carried ranks use
+    // pairedFrame's −1 past-end sentinel instead of null; a −1 === −1
+    // "advance" can only fire when BOTH cursors are past their
+    // documents' ends, which (the earlier sub-steps having landed)
+    // means both suffixes already matched to their final token — the
+    // remaining-length cap below truncates the over-advance to the
+    // exact LCP, and −1 never equals a live rank (md5 domain ≥ 0,
     // ranks ≥ 1), so cross cases stay non-advances.
     for (k <- K - 1 to 0 by -1) {
       val w = 1L << (4 * k)

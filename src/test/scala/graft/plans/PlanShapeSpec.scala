@@ -114,6 +114,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       """windowspecdefinition\(event_type#\d+, (?!day#)[a-z_]+#\d+L? (ASC|DESC)""".r
     assert(monoTypeWindow.findFirstIn(p).isEmpty,
       s"ewma window partitioned by event_type alone (one task per type):\n$p")
+    // ADVICE r18: the day# exemption must not leak to arbitrary windows
+    // that merely ORDER by a column named day — every exempted
+    // (event_type)-partitioned day-ordered window must read the
+    // (event_type, day) aggregate, i.e. its day expression id must be a
+    // grouping key of some aggregate in the same plan (the calendar
+    // bound is what makes the partition size safe, and only the
+    // aggregate provides it)
+    val exempted =
+      """windowspecdefinition\(event_type#\d+, (day#\d+L?) ASC""".r
+    exempted.findAllMatchIn(p).map(_.group(1)).toSet.foreach { dayId: String =>
+      val asKey = s"""keys=\\[event_type#\\d+, ${java.util.regex.Pattern.quote(dayId)}[,\\]]""".r
+      assert(asKey.findFirstIn(p).nonEmpty,
+        s"exempted day-ordered window's $dayId is not an (event_type, day) aggregate key — the calendar bound does not hold:\n$p")
+    }
     assert(p.contains("windowspecdefinition(event_type#"),
       s"expected composite (event_type, ...) window partitioning:\n$p")
   }
