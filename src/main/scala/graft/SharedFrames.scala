@@ -34,7 +34,10 @@ object SharedFrames {
     * downstream consumer reads the cached blocks instead of re-running the
     * upstream plan. Eager — the registering operator decides WHEN the
     * one computation happens, exactly like the `localCheckpoint` it
-    * replaces. */
+    * replaces, and the static planner sees the frame's REAL size (an r19
+    * all-lazy experiment flipped broadcast joins to sort-merge across the
+    * graph family on estimate stats — pagerank_sim 2.3× slower — so
+    * eager stays the default; see [[sharedLazy]] for the opt-in). */
   def shared(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     // register BEFORE the materializing action: if count() dies (watchdog
@@ -48,6 +51,37 @@ object SharedFrames {
       Console.err.println(f"[shared] ${(System.nanoTime() - t0) / 1e9}%.3f s  " +
         df.queryExecution.logical.nodeName)
     } else p.count()
+    p
+  }
+
+  /** [[shared]] without the eager count: the persisted plan still replaces
+    * the frame at analysis time (CacheManager keys on the plan, not on
+    * materialization), but the blocks fill inside the FIRST consuming job
+    * — per-partition dedup across racing consumers is the block manager's
+    * getOrElseUpdate locking, not eagerness. Skipping the count skips the
+    * ~0.3–0.6 s per-frame plan+codegen+dispatch fixed cost (measured r18)
+    * that dominates chains of small frames.
+    *
+    * OPT-IN, per measured call site only: a lazy frame exposes ESTIMATE
+    * stats to the static planner, which can flip a downstream broadcast
+    * to sort-merge (or worse, broadcast a corpus-scale frame with a small
+    * estimate — the r18 split-array hazard). Use it where the chain's
+    * consumers were measured plan-stable and faster under the r19
+    * all-lazy experiment (the unigram Viterbi chain, the lm_trigram
+    * model/tier cascade, matryoshka's twin rankings); everything else
+    * keeps [[shared]]'s real-stats eager contract.
+    *
+    * SPARK_GRAFT_SHARED_TIMING forces the eager count here too, so the
+    * profiling tool still reports one materialization job per frame. */
+  def sharedLazy(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    live.add(() => { p.unpersist(blocking = false); () })
+    if (sys.env.contains("SPARK_GRAFT_SHARED_TIMING")) {
+      val t0 = System.nanoTime()
+      p.count()
+      Console.err.println(f"[shared lazy] ${(System.nanoTime() - t0) / 1e9}%.3f s  " +
+        df.queryExecution.logical.nodeName)
+    }
     p
   }
 

@@ -520,7 +520,7 @@ object CorpusOps {
     // frames: same total exchange rows in one pass, and two fewer
     // ~0.3 s fixed materialization costs (guide §1.2: fewer passes
     // first). The level views below read the one cached frame.
-    val models = graft.SharedFrames.shared(
+    val models = graft.SharedFrames.sharedLazy(
       train.select(explode(concat(
           expr("transform(ws, w -> struct(w AS w1, " +
             "CAST(NULL AS STRING) AS w2, CAST(NULL AS STRING) AS w3))"),
@@ -553,18 +553,18 @@ object CorpusOps {
     // each tier stream feeds TWO consumers (its hit join and the next
     // tier's anti-join) — materialized once or the explode/cascade
     // upstream re-runs per consumer (the SharedFrames contract)
-    val stream = graft.SharedFrames.shared(tris(docs))
+    val stream = graft.SharedFrames.sharedLazy(tris(docs))
     val hit3 = stream.join(model3, Seq("w1", "w2", "w3"))
       .select(col("doc_id"), lit("tri").as("tier"),
         (col("c3").cast("double") / col("ctx2").cast("double")).as("s"))
-    val miss3 = graft.SharedFrames.shared(
+    val miss3 = graft.SharedFrames.sharedLazy(
       stream.join(trigs.select(col("w1"), col("w2"), col("w3")),
         Seq("w1", "w2", "w3"), "left_anti"))
     val hit2 = miss3.join(model2.select(col("w1").as("w2"),
         col("w2").as("w3"), col("c2"), col("ctx1")), Seq("w2", "w3"))
       .select(col("doc_id"), lit("bi").as("tier"),
         (a * (col("c2").cast("double") / col("ctx1").cast("double"))).as("s"))
-    val miss2 = graft.SharedFrames.shared(miss3.join(
+    val miss2 = graft.SharedFrames.sharedLazy(miss3.join(
       bigs.select(col("w1").as("w2"), col("w2").as("w3")),
       Seq("w2", "w3"), "left_anti"))
     val hit1 = miss2.join(unis.select(col("w").as("w3"), col("c1")),

@@ -276,7 +276,17 @@ object Dedup {
         .filter(col("s").isNotNull)
         .distinct()
         .withColumn("sh", xxhash64(col("s"))))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // r19: ONE per-doc rollup serves sizing AND verification — `hs` is
+    // the doc's (distinct) shingle-hash set as an array, so the exact
+    // intersection count becomes a row-local array_intersect on the
+    // candidate pairs instead of re-shuffling every (doc, shingle-hash)
+    // row through a corpus-wide groupBy (guide §8: decide with small
+    // rows — the per-pair verdict needs only the two hash sets, and a
+    // hash set is doc-bounded like the scrub family's token arrays).
+    val docSets = graft.SharedFrames.shared(
+      sh.groupBy(col("doc_id"))
+        .agg(collect_list(col("sh")).as("hs"), count(lit(1)).as("sz")))
+    val sizes = docSets.select(col("doc_id"), col("sz"))
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // shared: BOTH sides of the candidate self-join read these rows —
     // unshared, the df-join + size-join + prefix-election window
@@ -303,16 +313,21 @@ object Dedup {
       .distinct()
     cand
       // intersection counted over the 8-byte xxhash64 keys, never the
-      // shingle STRINGS (guide §2.3: shuffle keys, not payloads — ~5×
-      // fewer exchange bytes). Distinct shingles hash distinct w.h.p.
-      // (the dup_spans_hashed discipline), and the DuckDB oracle counts
-      // the STRING intersection — the equality gate itself certifies the
-      // hashed count pair-for-pair.
-      .join(sh.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
-      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      // shingle STRINGS (guide §2.3: shuffle keys, not payloads).
+      // Distinct shingles hash distinct w.h.p. (the dup_spans_hashed
+      // discipline), and the DuckDB oracle counts the STRING
+      // intersection — the equality gate itself certifies the hashed
+      // count pair-for-pair. r19: the count is a row-local
+      // array_intersect of the two docs' hash-set arrays — the r18
+      // shape re-joined every (doc, hash) ROW and paid a corpus-wide
+      // (d1, d2, sh) exchange plus a per-pair groupBy; now only the
+      // candidate pairs and two doc-keyed array lookups move, and the
+      // per-pair verdict (i, sizes, jaccard) is computed in place.
+      .join(docSets.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("sz").as("sz1")), Seq("d1"))
+      .join(docSets.select(col("doc_id").as("d2"), col("hs").as("h2"),
+        col("sz").as("sz2")), Seq("d2"))
+      .withColumn("i", size(array_intersect(col("h1"), col("h2"))).cast("long"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
       .filter(col("jaccard") >=

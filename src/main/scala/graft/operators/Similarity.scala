@@ -889,8 +889,8 @@ object Similarity {
         .select(col("qid"), posexplode(col("tk")))
         .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
           col("col.id").as("nid"))
-    val full = graft.SharedFrames.shared(arm(col("ev"), col("qv")))
-    val trunc = graft.SharedFrames.shared(
+    val full = graft.SharedFrames.sharedLazy(arm(col("ev"), col("qv")))
+    val trunc = graft.SharedFrames.sharedLazy(
       arm(slice(col("ev"), 1, TruncDims), slice(col("qv"), 1, TruncDims)))
     rankingEval(trunc, full, qs.select(col("qid")))
   }

@@ -143,13 +143,13 @@ object UnigramLm {
     * cost = L(T) − L(cnt). Shared (consumed by edges AND the election). */
   private def scoredOf(occ: DataFrame): DataFrame = {
     val cand = occ.groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
-    val v0 = graft.SharedFrames.shared(
+    val v0 = graft.SharedFrames.sharedLazy(
       cand.filter(length(col("piece")) === 1)
         .union(cand.filter(length(col("piece")) > 1 &&
             col("cnt") >= MinCandCnt)
           .orderBy(col("cnt").desc, col("piece")).limit(CandCap)))
     val tLog = withIlog2(v0.agg(sum(col("cnt")).as("tcnt")), "tcnt", "lt")
-    graft.SharedFrames.shared(
+    graft.SharedFrames.sharedLazy(
       withIlog2(v0, "cnt", "lp")
         .crossJoin(broadcast(tLog.select(col("lt"))))
         .select(col("piece"), col("cnt"), (col("lt") - col("lp")).as("cost")))
@@ -218,7 +218,7 @@ object UnigramLm {
       .groupBy(col("piece")).agg(sum(col("wcnt")).as("used_cnt"))
     // fin embeds the whole Viterbi kernel (via `used`) and is consumed
     // by BOTH election legs — shared, or the kernel runs twice
-    val fin = graft.SharedFrames.shared(
+    val fin = graft.SharedFrames.sharedLazy(
       scored.join(used, Seq("piece"), "left_outer")
         .select(col("piece"), col("cnt"), col("cost"),
           coalesce(col("used_cnt"), lit(0L)).as("used_cnt")))
@@ -229,8 +229,8 @@ object UnigramLm {
 
   /** The trained vocabulary, ordered (usage DESC, piece). */
   def unigramLmVocab(spark: SparkSession, dir: String): DataFrame = {
-    val words = graft.SharedFrames.shared(wordsOf(spark, dir))
-    val occ = graft.SharedFrames.shared(occsOf(words))
+    val words = graft.SharedFrames.sharedLazy(wordsOf(spark, dir))
+    val occ = graft.SharedFrames.sharedLazy(occsOf(words))
     electedOf(words, occ, scoredOf(occ))
       .orderBy(col("used_cnt").desc, col("piece"))
   }
@@ -246,8 +246,8 @@ object UnigramLm {
     * aggregation. Docs whose every word is out of contract (len >
     * [[MaxWordLen]]) drop out, mirrored by the oracle's inner join. */
   def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
-    val words = graft.SharedFrames.shared(wordsOf(spark, dir))
-    val occ = graft.SharedFrames.shared(occsOf(words))
+    val words = graft.SharedFrames.sharedLazy(wordsOf(spark, dir))
+    val occ = graft.SharedFrames.sharedLazy(occsOf(words))
     val scored = scoredOf(occ)
     // elected and perWord each have ONE consumer — no materialization
     val elected = electedOf(words, occ, scored)
